@@ -157,6 +157,15 @@ def decode_one(data: bytes) -> int:
 # ---- posting-specific packing ---------------------------------------------
 
 
+def pack_interleaved(doc_gaps: np.ndarray, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Interleave (gap, tf) pairs and varint-pack -> (flat uint8, per-varint lens)."""
+    m = len(doc_gaps)
+    vals = np.empty(2 * m, dtype=np.uint64)
+    vals[0::2] = doc_gaps
+    vals[1::2] = tfs
+    return encode(vals)
+
+
 def pack_postings(doc_gaps: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Interleave (gap, tf) pairs and varint-pack.
 

@@ -1,0 +1,301 @@
+"""The index build pipeline — Ray-Data-native inverted-index construction.
+
+Lifecycle (SURVEY.md §3.4), per build chunk (= contiguous docID range, the
+distributed analogue of the reference's numbered chunk files,
+``/root/reference/index.cpp:60-76``):
+
+    fragment_dataset(chunk)                       [metadata-derived docIDs]
+      -> map_batches(TokenizeCount)               [actor pool, Arrow in/out]
+      -> groupby("part").map_groups(pack+write)   [THE shuffle, hash(term,salt)]
+      -> block metadata -> groupby("term") lexicon
+    fragment_dataset(chunk) -> map_batches(DocMeta) -> docmap parquet
+
+plus one corpus-wide sampled census that broadcasts the hot-term set
+(``ray.put`` once, read in each tokenizer actor's ``__init__``) used for
+docID-range salting of skewed terms.
+
+State lives only in (a) immutable chunk output files, (b) per-chunk
+manifests, (c) the final ``stats.json`` — no shared mutable index
+(the reference's ``HashTable<string, PostingList>`` single-process builder,
+``/root/reference/index.h:286-328``, deliberately becomes this shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..sources.fragments import (
+    fragment_dataset,
+    scan_fragments,
+    split_chunks,
+    total_docs,
+)
+from ..stages.pack import pack_runs
+from ..stages.tokenize_stage import DocMeta, PartialTermCounts, TokenizeCount
+from ..state.manifest import (
+    config_fingerprint,
+    list_output_files,
+    manifest_path,
+    read_json,
+    validate_chunk,
+    write_json_atomic,
+)
+
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+@dataclass
+class BuildConfig:
+    tokenizer: str = "code"              # "code" | "simple" (SURVEY.md §7.4)
+    text_col: str = "content"
+    id_col: str | None = None            # use an existing int64 id column as docID
+    keep_cols: tuple = ()                # extra passthrough columns -> docmap
+    chunk_docs: int = 1_000_000          # docs per build chunk (resume granularity)
+    num_parts: int = 32                  # pack hash partitions per chunk
+    batch_size: int = 256                # docs per tokenize batch
+    hot_sample_frac: float = 0.02        # census sample fraction
+    hot_df_frac: float = 0.20            # hot iff sampled df >= frac * sampled docs
+    min_sample_docs: int = 200
+    salt_docs: int = 16384               # docID range width per salted hot-term block
+    max_block_postings: int = 1 << 17
+    row_groups_per_task: int = 1
+
+    def fingerprint(self) -> str:
+        return config_fingerprint(asdict(self))
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs: int
+    total_tokens: int
+    n_chunks: int
+    chunks_skipped: int
+    hot_terms: list = field(default_factory=list)
+
+
+def _pool(cfg: BuildConfig):
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus))
+
+
+def _input_dataset(chunk_specs, cfg: BuildConfig, columns):
+    ds = fragment_dataset(
+        chunk_specs, columns=columns, row_groups_per_task=cfg.row_groups_per_task
+    )
+    if cfg.id_col:
+        id_col = cfg.id_col
+
+        def use_id(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("docID")
+            return t.set_column(i, "docID", t[id_col].cast(pa.int64()))
+
+        ds = ds.map_batches(use_id, batch_format="pyarrow")
+    return ds
+
+
+def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
+    """Sampled hot-term census -> (object ref of frozenset, hot list)."""
+    if cfg.salt_docs <= 0:
+        return None, []
+    frac = min(1.0, max(cfg.hot_sample_frac, cfg.min_sample_docs / max(n_docs, 1)))
+    ds = _input_dataset(specs, cfg, [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []))
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["docID"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = ((ids * _GOLDEN64) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        return t.filter(pa.array(u < frac))
+
+    runs = ds.map_batches(sample, batch_format="pyarrow").map_batches(
+        PartialTermCounts,
+        fn_constructor_args=(cfg.tokenizer, cfg.text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=_pool(cfg),
+    )
+    agg = runs.groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    thresh = max(2.0, cfg.hot_df_frac * frac * n_docs)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["df"], pa.scalar(thresh)))
+
+    hot_rows = agg.map_batches(keep_hot, batch_format="pyarrow").take_all()
+    hot = sorted(r["term"] for r in hot_rows)
+    return (ray.put(frozenset(hot)) if hot else None), hot
+
+
+def _make_packer(parts_dir: str, max_block_postings: int):
+    def pack_and_write(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        packed = pack_runs(
+            group.select(["term", "salt", "docID", "tf"]), max_block_postings
+        )
+        path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
+        tmp = path + f".{os.getpid()}.tmp"
+        pq.write_table(packed, tmp)
+        os.replace(tmp, path)  # idempotent under task retry
+        return packed.select(["term", "df", "cf"])
+
+    return pack_and_write
+
+
+def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
+    chunk_dir = os.path.join(out_dir, "chunks", f"chunk-{cid:05d}")
+    fp = cfg.fingerprint()
+    m = validate_chunk(chunk_dir, fp)
+    if m is not None:
+        return m, True
+    if os.path.exists(chunk_dir):
+        shutil.rmtree(chunk_dir)
+    parts_dir = os.path.join(chunk_dir, "parts")
+    os.makedirs(parts_dir, exist_ok=True)
+
+    cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + list(cfg.keep_cols)
+    # --- postings: tokenize -> shuffle by (term,salt) hash -> pack+write ---
+    runs = _input_dataset(chunk_specs, cfg, cols).map_batches(
+        TokenizeCount,
+        fn_constructor_args=(
+            cfg.tokenizer,
+            cfg.text_col,
+            "docID",
+            cfg.num_parts,
+            max(cfg.salt_docs, 1),
+            hot_ref,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=_pool(cfg),
+    )
+    meta = runs.groupby("part").map_groups(
+        _make_packer(parts_dir, cfg.max_block_postings), batch_format="pyarrow"
+    )
+    lex = meta.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    lex.write_parquet(os.path.join(chunk_dir, "lexicon"))
+
+    # --- docmap: per-doc metadata + sha256 invariant ---
+    dm = _input_dataset(chunk_specs, cfg, cols).map_batches(
+        DocMeta,
+        fn_constructor_args=(cfg.tokenizer, cfg.text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=_pool(cfg),
+    )
+    dm.write_parquet(os.path.join(chunk_dir, "docmap"))
+
+    # --- chunk stats from the written docmap (metadata + 1 column) ---
+    docs = tokens = 0
+    doc_min, doc_max = None, None
+    dm_dir = os.path.join(chunk_dir, "docmap")
+    for f in sorted(os.listdir(dm_dir)):
+        t = pq.read_table(os.path.join(dm_dir, f), columns=["docID", "n_tokens"])
+        docs += len(t)
+        if len(t):
+            tokens += int(pa.compute.sum(t["n_tokens"]).as_py())
+            lo = int(pa.compute.min(t["docID"]).as_py())
+            hi = int(pa.compute.max(t["docID"]).as_py())
+            doc_min = lo if doc_min is None else min(doc_min, lo)
+            doc_max = hi if doc_max is None else max(doc_max, hi)
+
+    manifest = {
+        "chunk": cid,
+        "config_fingerprint": fp,
+        "input_fragments": [
+            {"path": s.path, "row_group": s.row_group, "rows": s.num_rows}
+            for s in chunk_specs
+        ],
+        "docs": docs,
+        "tokens": tokens,
+        "doc_min": doc_min,
+        "doc_max": doc_max,
+        "files": list_output_files(chunk_dir),
+    }
+    write_json_atomic(manifest_path(chunk_dir), manifest)
+    return manifest, False
+
+
+def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildResult:
+    """Build the full index under ``out_dir``; resumable at chunk level."""
+    cfg = cfg or BuildConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    specs = scan_fragments(source)
+    n_docs = total_docs(specs)
+    chunks = split_chunks(specs, cfg.chunk_docs)
+
+    hot_ref, hot = census_hot_terms(specs, cfg, n_docs)
+
+    manifests, skipped = [], 0
+    for cid, chunk_specs in enumerate(chunks):
+        m, was_skipped = build_chunk(chunk_specs, cid, out_dir, cfg, hot_ref)
+        manifests.append(m)
+        skipped += was_skipped
+
+    # --- global lexicon: merge per-chunk (term, df, cf) ---
+    import glob as _glob
+
+    lex_dirs = [
+        f
+        for cid in range(len(chunks))
+        for f in sorted(
+            _glob.glob(
+                os.path.join(out_dir, "chunks", f"chunk-{cid:05d}", "lexicon", "*.parquet")
+            )
+        )
+    ]
+    glex_dir = os.path.join(out_dir, "lexicon")
+    if os.path.exists(glex_dir):
+        shutil.rmtree(glex_dir)
+    (
+        ray.data.read_parquet(lex_dirs)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        .sort("term")
+        .write_parquet(glex_dir)
+    )
+
+    total_tokens = sum(m["tokens"] for m in manifests)
+    stats = {
+        "N": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "config_fingerprint": cfg.fingerprint(),
+        "tokenizer": cfg.tokenizer,
+        "hot_terms": hot,
+        "chunks": [
+            {
+                "chunk": m["chunk"],
+                "docs": m["docs"],
+                "doc_min": m["doc_min"],
+                "doc_max": m["doc_max"],
+            }
+            for m in manifests
+        ],
+    }
+    write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        n_chunks=len(chunks),
+        chunks_skipped=skipped,
+        hot_terms=hot,
+    )
+
+
+def load_stats(out_dir: str) -> dict:
+    s = read_json(os.path.join(out_dir, "stats.json"))
+    if s is None:
+        raise FileNotFoundError(f"no stats.json under {out_dir} — build first")
+    return s

@@ -1,0 +1,218 @@
+"""Posting-list packing: delta + varint blocks with skip/block-max metadata.
+
+Replaces the reference's per-post append path (``/root/reference/
+index.cpp:181-185`` ``appendDelta`` + ``index.h:276-281`` ``UpdateSeek``)
+with a single vectorized pass over a whole hash partition of
+``(term, salt, docID, tf)`` runs: one multi-key Arrow sort, one varint
+encode of the entire partition, then NumPy ``reduceat`` slicing into
+per-(term, block) rows.  No Python loop over postings.
+
+Differences from the reference, by design (SURVEY.md §1.3):
+
+- postings are (docID-gap, tf) varint *pairs* per document, not one varint
+  per token occurrence — tf is materialized for BM25;
+- skip entries every ``SKIP_INTERVAL`` postings carry block-max tf
+  (the reference's powers-of-two seek table, ``index.h:271-281``, has no
+  maxima and cannot drive block-max WAND);
+- a term's postings may span multiple rows (``block_seq``) — hot-term salt
+  ranges and the ``max_block_postings`` cap both introduce splits, so a
+  stopword over 10^12 docs never materializes as one giant cell.
+
+Output schema is FIXTURES.md §3: ``term, block_seq, df, cf, postings,
+skips:list<struct<first_doc, offset, max_tf>>``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import varint
+
+SKIP_INTERVAL = 128
+
+SKIP_TYPE = pa.list_(
+    pa.struct(
+        [
+            pa.field("first_doc", pa.int64()),
+            pa.field("offset", pa.int32()),
+            pa.field("max_tf", pa.int32()),
+        ]
+    )
+)
+
+PACKED_SCHEMA = pa.schema(
+    [
+        pa.field("term", pa.string()),
+        pa.field("block_seq", pa.int32()),
+        pa.field("df", pa.int64()),
+        pa.field("cf", pa.int64()),
+        pa.field("postings", pa.binary()),
+        pa.field("skips", SKIP_TYPE),
+    ]
+)
+
+
+def pack_runs(table: pa.Table, max_block_postings: int = 1 << 17) -> pa.Table:
+    """Pack a partition of (term, salt, docID, tf) runs into posting blocks.
+
+    The partition may hold many terms; every (term, salt) group becomes one
+    or more blocks (split again at ``max_block_postings``), docID-sorted.
+    """
+    if len(table) == 0:
+        return PACKED_SCHEMA.empty_table()
+    table = table.sort_by(
+        [("term", "ascending"), ("salt", "ascending"), ("docID", "ascending")]
+    )
+    term = table["term"].combine_chunks()
+    de = term.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = table["salt"].to_numpy(zero_copy_only=False)
+    doc = table["docID"].to_numpy(zero_copy_only=False)
+    tf = table["tf"].to_numpy(zero_copy_only=False)
+    n = len(doc)
+
+    newblock = np.empty(n, dtype=bool)
+    newblock[0] = True
+    np.logical_or(codes[1:] != codes[:-1], salt[1:] != salt[:-1], out=newblock[1:])
+    # split oversized (term, salt) groups at max_block_postings
+    blk0 = np.cumsum(newblock) - 1
+    starts0 = np.flatnonzero(newblock)
+    off_in_blk = np.arange(n) - starts0[blk0]
+    newblock |= (off_in_blk % max_block_postings == 0)
+
+    block_starts = np.flatnonzero(newblock)
+    nblocks = len(block_starts)
+    block_id = np.cumsum(newblock) - 1
+
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[1:] = (doc[1:] - doc[:-1]).astype(np.uint64)
+    gaps[newblock] = doc[newblock].astype(np.uint64)
+    if n > 1 and (gaps[~newblock] == 0).any():
+        raise ValueError("duplicate (term, docID) run — tokenizer must pre-aggregate tf")
+
+    # every skip point restarts the delta chain with an absolute docID, so a
+    # sub-block is independently decodable from its skip offset (random
+    # access for block-max pruning; the reference's seek table serves the
+    # same purpose via absolutePosition, /root/reference/index.h:276-281)
+    block_id = np.cumsum(newblock) - 1
+    block_starts_pre = np.flatnonzero(newblock)
+    off_pre = np.arange(n) - block_starts_pre[block_id]
+    reset = newblock | (off_pre % SKIP_INTERVAL == 0)
+    gaps[reset] = doc[reset].astype(np.uint64)
+
+    flat, lens = varint.pack_interleaved(gaps, tf.astype(np.uint64))
+    cum = np.zeros(2 * n + 1, dtype=np.int64)
+    np.cumsum(lens, out=cum[1:])
+    if cum[-1] > np.iinfo(np.int32).max:
+        raise ValueError("partition postings exceed 2GB — raise num_parts")
+
+    # postings binary column: zero-copy offset slicing into the flat buffer
+    bin_offsets = np.empty(nblocks + 1, dtype=np.int32)
+    bin_offsets[:-1] = cum[2 * block_starts]
+    bin_offsets[-1] = cum[-1]
+    postings_arr = pa.Array.from_buffers(
+        pa.binary(),
+        nblocks,
+        [None, pa.py_buffer(bin_offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+    # skip entries: every SKIP_INTERVAL postings within a block
+    skip_mask = newblock.copy()
+    off_in_blk = np.arange(n) - block_starts[block_id]
+    skip_mask |= (off_in_blk % SKIP_INTERVAL == 0)
+    skip_pos = np.flatnonzero(skip_mask)
+    skip_first_doc = doc[skip_pos]
+    skip_offset = (cum[2 * skip_pos] - cum[2 * block_starts[block_id[skip_pos]]]).astype(
+        np.int32
+    )
+    # max tf over [skip_i, skip_{i+1}) — block starts are skip points, so
+    # reduceat segments never straddle a block boundary
+    skip_max_tf = np.maximum.reduceat(tf, skip_pos).astype(np.int32)
+    skip_block = block_id[skip_pos]
+    skips_per_block = np.bincount(skip_block, minlength=nblocks)
+    skip_list_offsets = np.zeros(nblocks + 1, dtype=np.int32)
+    np.cumsum(skips_per_block, out=skip_list_offsets[1:])
+    skip_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(skip_first_doc, type=pa.int64()),
+            pa.array(skip_offset, type=pa.int32()),
+            pa.array(skip_max_tf, type=pa.int32()),
+        ],
+        names=["first_doc", "offset", "max_tf"],
+    )
+    skips_arr = pa.ListArray.from_arrays(pa.array(skip_list_offsets), skip_struct)
+
+    # per-block stats + block_seq within term
+    block_ends = np.append(block_starts[1:], n)
+    df = (block_ends - block_starts).astype(np.int64)
+    cf = np.add.reduceat(tf, block_starts).astype(np.int64)
+    bcodes = codes[block_starts]
+    newterm_b = np.empty(nblocks, dtype=bool)
+    newterm_b[0] = True
+    newterm_b[1:] = bcodes[1:] != bcodes[:-1]
+    idxb = np.arange(nblocks)
+    term_first = idxb[newterm_b]
+    block_seq = (idxb - term_first[np.cumsum(newterm_b) - 1]).astype(np.int32)
+
+    terms_per_block = de.dictionary.take(pa.array(bcodes, type=pa.int64()))
+    return pa.Table.from_arrays(
+        [
+            terms_per_block,
+            pa.array(block_seq, type=pa.int32()),
+            pa.array(df, type=pa.int64()),
+            pa.array(cf, type=pa.int64()),
+            postings_arr,
+            skips_arr,
+        ],
+        schema=PACKED_SCHEMA,
+    )
+
+
+def unpack_block(postings: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block -> (docIDs int64 ascending, tfs int64).
+
+    The delta chain restarts (absolute docID) at every SKIP_INTERVAL-th
+    posting, so docIDs are a segmented cumsum.
+    """
+    gaps, tfs = varint.unpack_postings(postings, df)
+    g = gaps.astype(np.int64)
+    c = np.cumsum(g)
+    resets = np.arange(0, df, SKIP_INTERVAL)
+    corrections = c[resets] - g[resets]
+    seg_len = np.diff(np.append(resets, df))
+    docs = c - np.repeat(corrections, seg_len)
+    return docs, tfs.astype(np.int64)
+
+
+def unpack_subblocks(
+    postings: bytes | np.ndarray,
+    df: int,
+    skip_offsets: np.ndarray,
+    which: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected sub-blocks of one posting block.
+
+    ``skip_offsets`` are the per-sub-block byte offsets from the skips
+    column; ``which`` is a sorted array of sub-block indices to decode.
+    Returns (docIDs, tfs) concatenated over the selected sub-blocks.
+    """
+    buf = (
+        np.frombuffer(postings, dtype=np.uint8)
+        if isinstance(postings, (bytes, memoryview))
+        else postings
+    )
+    counts = np.minimum(
+        df - which * SKIP_INTERVAL, SKIP_INTERVAL
+    )  # postings per selected sub-block
+    docs_out = []
+    tfs_out = []
+    byte_ends = np.append(skip_offsets[1:], len(buf))
+    for i, w in enumerate(which):
+        seg = buf[skip_offsets[w]:byte_ends[w]]
+        gaps, tfs = varint.unpack_postings(seg, int(counts[i]))
+        docs_out.append(np.cumsum(gaps.astype(np.int64)))
+        tfs_out.append(tfs.astype(np.int64))
+    if not docs_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)

@@ -1,0 +1,137 @@
+"""Tokenize/count stages — callable classes for map_batches actor pools.
+
+Equivalent of the reference's ``Index::addDocument`` token routing
+(``/root/reference/index.cpp:112-162``) re-expressed as stateless-in/
+stateless-out Arrow batch transforms; the per-worker state (normalizer
+memo cache, broadcast hot-term set) is loaded once in ``__init__`` per
+actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.tokenize import TokenNormalizer, doc_term_tf, doc_token_counts
+
+_GOLDEN64 = 0x9E3779B97F4A7C15
+
+
+class TokenizeCount:
+    """content batch -> (term, salt, part, docID, tf) posting runs.
+
+    ``salt`` is nonzero only for broadcast-identified hot terms:
+    ``salt = docID // salt_docs`` — a docID *range* split, so salted blocks
+    concatenate back into one docID-sorted posting list in salt order
+    (SURVEY.md §7.3/§7.4 hot-term salting).
+
+    ``part = H(term, salt) % num_parts`` is the shuffle key: the pack stage
+    groups by ``part`` so one vectorized call packs a whole hash partition.
+    """
+
+    def __init__(
+        self,
+        mode: str,
+        text_col: str,
+        docid_col: str,
+        num_parts: int,
+        salt_docs: int,
+        hot_ref=None,
+    ):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+        self.docid_col = docid_col
+        self.num_parts = num_parts
+        self.salt_docs = salt_docs
+        self.hot: frozenset = (
+            ray.get(hot_ref) if hot_ref is not None else frozenset()
+        )
+        self._part_cache: dict[str, int] = {}
+
+    def _term_hash(self, term: str) -> int:
+        h = self._part_cache.get(term)
+        if h is None:
+            h = zlib.crc32(term.encode())
+            if len(self._part_cache) > 4_000_000:
+                self._part_cache.clear()
+            self._part_cache[term] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        docids = batch[self.docid_col].to_numpy(zero_copy_only=False)[d]
+        vhash = np.fromiter(
+            (self._term_hash(v) for v in vocab), dtype=np.int64, count=len(vocab)
+        )
+        vhot = (
+            np.fromiter((v in self.hot for v in vocab), dtype=bool, count=len(vocab))
+            if self.hot
+            else np.zeros(len(vocab), dtype=bool)
+        )
+        salt = np.where(vhot[tid], docids // self.salt_docs, 0).astype(np.int64)
+        part = ((vhash[tid] + salt * _GOLDEN64) % self.num_parts).astype(np.int32)
+        terms = pa.array(vocab, type=pa.string()).take(pa.array(tid))
+        return pa.Table.from_arrays(
+            [
+                terms,
+                pa.array(salt, type=pa.int64()),
+                pa.array(part, type=pa.int32()),
+                pa.array(docids, type=pa.int64()),
+                pa.array(tf, type=pa.int64()),
+            ],
+            names=["term", "salt", "part", "docID", "tf"],
+        )
+
+
+class PartialTermCounts:
+    """content batch -> (term, df_part) partial counts for the hot census.
+
+    Pre-aggregation inside map_batches (one row per distinct term per
+    batch) so the census groupby shuffles vocabulary-sized partials, not
+    posting-sized runs.
+    """
+
+    def __init__(self, mode: str, text_col: str):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, tid, _, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        if len(vocab) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df_part": pa.array([], pa.int64())}
+            )
+        counts = np.bincount(tid, minlength=len(vocab)).astype(np.int64)
+        return pa.table({"term": pa.array(vocab), "df_part": pa.array(counts)})
+
+
+class DocMeta:
+    """content batch -> docmap rows (docID, passthrough cols, n_tokens, sha256).
+
+    ``n_tokens`` is the post-normalization token count (== the sum of this
+    doc's tf over all terms — the Σdoclen == Σtf invariant, SURVEY.md
+    §5.2.3); ``content_sha256`` is the per-row invariant pinned by
+    BASELINE.json ``input_hint``.
+    """
+
+    def __init__(self, mode: str, text_col: str):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        n_tok = doc_token_counts(texts, self.norm)
+        sha = pa.array(
+            [
+                hashlib.sha256(s.encode("utf-8")).hexdigest() if s is not None else None
+                for s in texts.to_pylist()
+            ],
+            type=pa.string(),
+        )
+        out = batch.drop_columns([self.text_col])
+        out = out.append_column("n_tokens", pa.array(n_tok, type=pa.int64()))
+        return out.append_column("content_sha256", sha)
