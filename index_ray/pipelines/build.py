@@ -161,7 +161,9 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
     parts_dir = os.path.join(chunk_dir, "parts")
     os.makedirs(parts_dir, exist_ok=True)
 
-    cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + list(cfg.keep_cols)
+    # tokenize pass reads only the pruned columns it needs; the docmap pass
+    # reads everything (identity columns ride through into the docmap)
+    cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else [])
     # --- postings: tokenize -> shuffle by (term,salt) hash -> pack+write ---
     runs = _input_dataset(chunk_specs, cfg, cols).map_batches(
         TokenizeCount,
@@ -186,7 +188,10 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
     lex.write_parquet(os.path.join(chunk_dir, "lexicon"))
 
     # --- docmap: per-doc metadata + sha256 invariant ---
-    dm = _input_dataset(chunk_specs, cfg, cols).map_batches(
+    dm_cols = list(cfg.keep_cols) or None  # None = all columns pass through
+    if dm_cols is not None:
+        dm_cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + dm_cols
+    dm = _input_dataset(chunk_specs, cfg, dm_cols).map_batches(
         DocMeta,
         fn_constructor_args=(cfg.tokenizer, cfg.text_col),
         batch_format="pyarrow",

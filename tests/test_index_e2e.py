@@ -1,0 +1,167 @@
+"""End-to-end index tests: golden top-k, invariants, resume, parallelism
+invariance (SURVEY.md §5.2)."""
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from index_ray.pipelines.build import BuildConfig, build_index, load_stats
+from index_ray.pipelines.query import BM25Searcher
+from index_ray.stages.pack import unpack_block
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _queries():
+    return json.load(open(os.path.join(FIX, "queries.json")))
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index_dir):
+    return BM25Searcher(tiny_index_dir, num_shards=2)
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_engine_matches_golden_and_oracle(searcher, tiny_oracle, prune):
+    golden = json.load(open(os.path.join(FIX, "golden_topk.json")))
+    for q in _queries():
+        eng = searcher.search(q["query"], k=q["k"], prune=prune)
+        orc = tiny_oracle.search(q["query"], k=q["k"])
+        # engine == freshly-run oracle, bitwise scores
+        assert eng["docID"].to_pylist() == orc["docID"].to_pylist(), q
+        assert eng["score"].to_pylist() == orc["score"].to_pylist(), q
+        # engine == committed golden (1e-9 tolerance per FIXTURES.md)
+        g = golden[str(q["qid"])]
+        assert eng["docID"].to_pylist() == [r["docID"] for r in g], q
+        np.testing.assert_allclose(
+            eng["score"].to_pylist(), [r["score"] for r in g], rtol=0, atol=1e-9
+        )
+
+
+def test_sha256_invariant(tiny_index_dir, tiny_corpus_table):
+    # per-row content sha256 equality vs the source table (input_hint)
+    dm = pq.read_table(
+        glob.glob(os.path.join(tiny_index_dir, "chunks", "*", "docmap", "*.parquet"))
+    )
+    dm = dm.sort_by("docID")
+    assert len(dm) == len(tiny_corpus_table)
+    expected = [
+        hashlib.sha256(s.encode()).hexdigest()
+        for s in tiny_corpus_table["content"].to_pylist()
+    ]
+    assert dm["content_sha256"].to_pylist() == expected
+    # docmap carries the full identity columns
+    for col in ("repo", "path", "commit", "lang"):
+        assert dm[col].to_pylist() == tiny_corpus_table[col].to_pylist()
+
+
+def test_stats_invariants(tiny_index_dir):
+    stats = load_stats(tiny_index_dir)
+    lex = pq.read_table(glob.glob(os.path.join(tiny_index_dir, "lexicon", "*.parquet")))
+    dm = pq.read_table(
+        glob.glob(os.path.join(tiny_index_dir, "chunks", "*", "docmap", "*.parquet"))
+    )
+    # sum(cf) == total tokens == sum(doclen); df <= cf everywhere
+    assert int(pa.compute.sum(lex["cf"]).as_py()) == stats["total_tokens"]
+    assert int(pa.compute.sum(dm["n_tokens"]).as_py()) == stats["total_tokens"]
+    assert stats["N"] == len(dm)
+    df = np.asarray(lex["df"])
+    cf = np.asarray(lex["cf"])
+    assert (df <= cf).all() and (df >= 1).all()
+
+
+def test_postings_sorted_and_docids_in_docmap(tiny_index_dir):
+    dm = pq.read_table(
+        glob.glob(os.path.join(tiny_index_dir, "chunks", "*", "docmap", "*.parquet"))
+    )
+    valid = set(dm["docID"].to_pylist())
+    parts = glob.glob(os.path.join(tiny_index_dir, "chunks", "*", "parts", "*.parquet"))
+    assert parts
+    seen_blocks = 0
+    for f in parts:
+        t = pq.read_table(f)
+        for r in t.to_pylist():
+            docs, tfs = unpack_block(r["postings"], r["df"])
+            assert (np.diff(docs) > 0).all(), r["term"]
+            assert (tfs >= 1).all()
+            assert set(docs.tolist()) <= valid
+            seen_blocks += 1
+    assert seen_blocks > 0
+
+
+def test_hot_terms_salted(tiny_index_dir):
+    stats = load_stats(tiny_index_dir)
+    assert "def" in stats["hot_terms"] and "return" in stats["hot_terms"]
+    parts = glob.glob(os.path.join(tiny_index_dir, "chunks", "*", "parts", "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f, columns=["term", "block_seq"]) for f in parts])
+    seq = {}
+    for term, bs in zip(t["term"].to_pylist(), t["block_seq"].to_pylist()):
+        seq[term] = max(seq.get(term, 0), bs)
+    # salt_docs=64 over 100-doc chunks => hot terms split into >= 2 blocks
+    assert seq.get("def", 0) >= 1
+
+
+def test_resume_rebuilds_only_invalid_chunk(tiny_corpus_dir, tmp_path):
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(chunk_docs=100, num_parts=4, salt_docs=64, batch_size=64)
+    r1 = build_index(tiny_corpus_dir, out, cfg)
+    assert r1.n_chunks == 2 and r1.chunks_skipped == 0
+
+    c0 = os.path.join(out, "chunks", "chunk-00000")
+    c1 = os.path.join(out, "chunks", "chunk-00001")
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(os.path.join(c0, "**", "*"), recursive=True)
+        if os.path.isfile(f)
+    }
+    shards_before = {
+        os.path.basename(f): open(f, "rb").read()
+        for f in glob.glob(os.path.join(c1, "parts", "*.parquet"))
+    }
+    os.remove(os.path.join(c1, "MANIFEST.json"))
+
+    r2 = build_index(tiny_corpus_dir, out, cfg)
+    assert r2.chunks_skipped == 1  # chunk 0 untouched, chunk 1 rebuilt
+    after = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(os.path.join(c0, "**", "*"), recursive=True)
+        if os.path.isfile(f)
+    }
+    assert before == after, "completed chunk was recomputed"
+    shards_after = {
+        os.path.basename(f): open(f, "rb").read()
+        for f in glob.glob(os.path.join(c1, "parts", "*.parquet"))
+    }
+    assert set(shards_before) == set(shards_after)
+    for name in shards_before:
+        assert shards_before[name] == shards_after[name], f"{name} not byte-identical"
+
+
+def test_parallelism_invariance(tiny_corpus_dir, tiny_index_dir, tmp_path, tiny_oracle):
+    # different partitioning (num_parts, batch_size) => identical lexicon
+    # and identical query results (deterministic docIDs + packing)
+    out2 = str(tmp_path / "idx2")
+    build_index(
+        tiny_corpus_dir,
+        out2,
+        BuildConfig(chunk_docs=100, num_parts=2, salt_docs=64, batch_size=32),
+    )
+    lex1 = pq.read_table(
+        glob.glob(os.path.join(tiny_index_dir, "lexicon", "*.parquet"))
+    ).sort_by("term")
+    lex2 = pq.read_table(glob.glob(os.path.join(out2, "lexicon", "*.parquet"))).sort_by(
+        "term"
+    )
+    assert lex1.equals(lex2)
+    s2 = BM25Searcher(out2, num_shards=1)
+    for q in _queries():
+        eng = s2.search(q["query"], k=q["k"])
+        orc = tiny_oracle.search(q["query"], k=q["k"])
+        assert eng["docID"].to_pylist() == orc["docID"].to_pylist()
+        assert eng["score"].to_pylist() == orc["score"].to_pylist()
