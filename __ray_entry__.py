@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship build+query over /root/testdata/sf0.001 documents.
+``queries()`` — one entry per implemented pipeline (SURVEY.md §2 + the
+training-data ops); each callable takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset
+(column names match exactly; floats only where deterministic).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,141 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOP_SQL = "('the','a','of','to','and','in','is','on','for','with')"
+
+_TOKS = (
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),"
+    " '[^a-z0-9]+')) AS term FROM documents), "
+    "t AS (SELECT doc_id, term FROM tok WHERE term <> '')"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents and run the
+    fixture queries; returns the concatenated top-k result table."""
+    from index_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from index_ray.pipelines import dedup, flagship, similarity, text, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # term/corpus statistics (reference A1-A4)
+        "term_stats": text.term_stats,
+        "top_terms": text.top_terms,
+        "doc_lengths": text.doc_lengths,
+        "quality_stats": text.quality_stats,
+        "corpus_stats": text.corpus_stats,
+        "token_count_by_lang": text.token_count_by_lang,
+        "sha256_map": text.sha256_map,
+        "windowed_events": text.windowed_events,
+        # the index itself (build -> varint round-trip -> BM25 top-k)
+        "index_terms": flagship.index_terms,
+        "bm25_topk": flagship.bm25_topk,
+        "bm25_scores": flagship.flagship,
+        # deduplication suite (reference D1/D2 + training-data ops)
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,
+        "minhash_clusters": dedup.minhash_clusters,
+        "simhash_dedup": dedup.simhash_dedup,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        # similarity search over embeddings
+        "knn_cosine": similarity.knn_cosine,
+        "lsh_knn_cosine": similarity.lsh_knn_cosine,
+        "embedding_neardup": similarity.embedding_neardup,
+        "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
+        # text analysis
+        "language_id": textstats.language_id,
+        "fingerprints": textstats.fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from index_ray.pipelines.flagship import bm25_sql_oracle
+
+    return {
+        "bm25_topk": bm25_sql_oracle(),
+        "index_terms": f"""
+            {_TOKS}
+            SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM t GROUP BY term
+        """,
+        "exact_dedup": """
+            SELECT sha256(text) AS content_sha256,
+                   min(doc_id) AS keeper, count(*) AS n_docs
+            FROM documents GROUP BY sha256(text)
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT qid, rank, vec_id FROM (
+              SELECT qid, vec_id,
+                     CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "term_stats": f"""
+            {_TOKS}
+            SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM t GROUP BY term
+        """,
+        "top_terms": f"""
+            {_TOKS},
+            s AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+                  FROM t GROUP BY term)
+            SELECT CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS BIGINT) AS rank,
+                   term, cf, df
+            FROM s ORDER BY cf DESC, term ASC LIMIT 100
+        """,
+        "doc_lengths": f"""
+            {_TOKS}
+            SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id
+        """,
+        "quality_stats": f"""
+            {_TOKS}
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_unique,
+                   sum(length(term)) AS token_chars,
+                   sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) AS stop_count
+            FROM t GROUP BY doc_id
+        """,
+        "corpus_stats": f"""
+            {_TOKS},
+            s AS (SELECT count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms FROM t),
+            n AS (SELECT count(*) AS N FROM documents)
+            SELECT n.N AS N, s.total_tokens, s.distinct_terms,
+                   s.total_tokens / n.N AS avgdl
+            FROM s, n
+        """,
+        "token_count_by_lang": f"""
+            {_TOKS},
+            d AS (SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id)
+            SELECT lang, count(*) AS docs,
+                   coalesce(sum(d.n_tokens), 0) AS tokens
+            FROM documents LEFT JOIN d USING (doc_id)
+            GROUP BY lang
+        """,
+        "sha256_map": """
+            SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+        """,
+        "windowed_events": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+                   min(value) AS value_min,
+                   max(value) AS value_max
+            FROM events GROUP BY user_id, date_trunc('hour', ts), event_type
+        """,
+    }

@@ -1,0 +1,160 @@
+"""Flagship pipeline + BM25-over-documents entries for the driver contract.
+
+``flagship(sf_dir)``: build the full inverted index over the ``documents``
+table (simple tokenizer so DuckDB can mirror it), then run the frozen
+query set through the shard-actor BM25 engine; returns one table
+(qid, rank, doc_id, score).
+
+``bm25_topk(sf_dir)``: rank-only projection (qid, rank, doc_id) whose
+DuckDB oracle recomputes BM25 end-to-end in SQL (same formula, SURVEY.md
+§2.11) — the index build, varint round-trip, shuffle and scorer all sit on
+this comparison path.
+
+``index_terms(sf_dir)``: decode every posting block back out of the shard
+parquet and re-aggregate (term, df, cf) — byte-level pack/unpack round
+trip checked against plain SQL term stats.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..stages.pack import unpack_block
+from .build import BuildConfig, build_index
+from .query import BM25Searcher
+
+# frozen query term sets (already tokenized, unique, ascending) so the SQL
+# oracle can inline them as VALUES
+DOC_QUERIES: list[tuple[int, list[str], int]] = [
+    (1, ["fast", "key", "merge", "sort"], 10),
+    (2, ["group", "query", "spark"], 10),
+    (3, ["customer", "filter", "stream"], 10),
+    (4, ["scan", "table", "window"], 10),
+    (5, ["nonexistentterm", "xyzzy"], 10),
+]
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/index_ray_docs_{key}"
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (or resume) the documents-table index; returns its directory."""
+    out = _index_dir_for(sf_dir)
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    return out
+
+
+def flagship(sf_dir: str) -> pa.Table:
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many([(" ".join(terms), k) for _, terms, k in DOC_QUERIES])
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"])
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """Rank-only BM25 results: (qid, rank, doc_id) — oracle-checkable."""
+    return flagship(sf_dir).select(["qid", "rank", "doc_id"])
+
+
+def bm25_sql_oracle() -> str:
+    """DuckDB SQL recomputing the same BM25 top-k from scratch."""
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def index_terms(sf_dir: str) -> pa.Table:
+    """Round-trip: decode all posting blocks -> (term, df, cf).
+
+    Reads the shard parquet the build wrote, unpacks every varint block,
+    and recomputes the aggregates from raw postings — checked against the
+    plain SQL term stats.
+    """
+    out = documents_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(out, "chunks", "*", "parts", "*.parquet")))
+
+    def decode_file(batch: pa.Table) -> pa.Table:
+        terms, dfs, cfs = [], [], []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path)
+            for r in t.to_pylist():
+                docs, tfs = unpack_block(r["postings"], r["df"])
+                assert (np.diff(docs) > 0).all()
+                terms.append(r["term"])
+                dfs.append(len(docs))
+                cfs.append(int(tfs.sum()))
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df_part": pa.array(dfs, pa.int64()),
+                "cf_part": pa.array(cfs, pa.int64()),
+            }
+        )
+
+    ds = (
+        ray.data.from_items([{"path": f} for f in files])
+        .map_batches(decode_file, batch_format="pyarrow", batch_size=1)
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
+    )
+    return ds.to_pandas().pipe(pa.Table.from_pandas, preserve_index=False).select(
+        ["term", "df", "cf"]
+    )

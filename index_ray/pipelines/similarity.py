@@ -1,0 +1,281 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+- ``knn_cosine``: brute-force cosine top-k — the baseline: the (tiny) query
+  matrix is broadcast via ``ray.put`` once, each map_batches task does one
+  float64 matmul against its batch, and the driver k-way-merges per-batch
+  top-k candidates.  Streams the corpus; never materializes similarities.
+- ``lsh_knn_cosine``: the scale path — random-hyperplane LSH bucketing
+  (one groupby on the bucket key), exact re-rank inside candidate buckets.
+  Recall < 1 by design; the exactness contract lives with ``knn_cosine``.
+- ``embedding_neardup``: all pairs with cosine >= threshold, LSH-blocked
+  (multi-probe over sign-flip neighbors) with exact verify inside buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_HYPERPLANE_SEED = 0x5EED
+
+from ..util import pairs_table
+
+
+def emb_dataset(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(len(col), dim)
+
+
+def _query_matrix(sf_dir: str, query_ids: list[int]) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.dataset as pads
+
+    dsx = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dsx.to_table(filter=pads.field("vec_id").isin(query_ids))
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    q = _to_matrix(t["embedding"])[order]
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)[order].tolist()
+    return q, ids
+
+
+def knn_cosine(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10
+) -> pa.Table:
+    """Exact cosine top-k: (qid, rank, vec_id). Self-matches included.
+
+    Ties broken by ascending vec_id; ranks are deterministic ints so the
+    DuckDB oracle hash-compares exactly.
+    """
+    q, qids = _query_matrix(sf_dir, list(query_ids))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _to_matrix(batch["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qm @ m.T  # (nq, batch)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        rows = []
+        top = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            idx = np.lexsort((ids, -s))[:top]
+            rows.append((qi, ids[idx], s[idx]))
+        return pa.table(
+            {
+                "qi": pa.array(
+                    np.repeat([r[0] for r in rows], [len(r[1]) for r in rows]),
+                    pa.int32(),
+                ),
+                "vec_id": pa.array(np.concatenate([r[1] for r in rows]), pa.int64()),
+                "sim": pa.array(np.concatenate([r[2] for r in rows]), pa.float64()),
+            }
+        )
+
+    cand = emb_dataset(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=4096)
+    df = cand.to_pandas()  # (nq * k * nbatches) candidate rows — tiny
+    out_q, out_r, out_v = [], [], []
+    for qi, qid in enumerate(qids):
+        sub = df[df["qi"] == qi]
+        best = heapq.nsmallest(
+            k, zip(-sub["sim"].to_numpy(), sub["vec_id"].to_numpy())
+        )
+        for r, (negs, vid) in enumerate(best, 1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_v.append(int(vid))
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+def _hyperplanes(dim: int, nbits: int) -> np.ndarray:
+    rng = np.random.default_rng(_HYPERPLANE_SEED)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_knn_cosine(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10, nbits: int = 8
+) -> pa.Table:
+    """LSH-bucketed ANN: candidates share the query's hyperplane sign key
+    (multi-probe: Hamming<=1 neighbor buckets).  Returns (qid, rank, vec_id);
+    approximate — recall measured against knn_cosine in tests."""
+    q, qids = _query_matrix(sf_dir, list(query_ids))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    H = _hyperplanes(q.shape[1], nbits)
+    qsig = (qn @ H.T > 0).astype(np.uint64)
+    qkeys = []
+    pow2 = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+    for qi in range(len(qids)):
+        base = np.uint64((qsig[qi] * pow2).sum())
+        probes = {int(base)}
+        for b in range(nbits):
+            probes.add(int(base ^ np.uint64(1 << b)))
+        qkeys.append(probes)
+    all_probes = set().union(*qkeys)
+    probes_ref = ray.put((qn, all_probes))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, probes = ray.get(probes_ref)
+        m = _to_matrix(batch["embedding"])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = (mn @ H.T > 0).astype(np.uint64)
+        keys = (sig * pow2[None, :]).sum(axis=1)
+        mask = np.array([int(kk) in probes for kk in keys])
+        if not mask.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "sims": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        sims = qm @ mn[mask].T
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].filter(pa.array(mask)),
+                "key": pa.array(keys[mask].astype(np.int64)),
+                "sims": pa.array(list(sims.T)),
+            }
+        )
+
+    cand = emb_dataset(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=4096)
+    df = cand.to_pandas()
+    out_q, out_r, out_v = [], [], []
+    for qi, qid in enumerate(qids):
+        sel = df[df["key"].isin(qkeys[qi])]
+        if len(sel):
+            sims = np.array([s[qi] for s in sel["sims"]])
+            ids = sel["vec_id"].to_numpy()
+            idx = np.lexsort((ids, -sims))[:k]
+            for r, j in enumerate(idx, 1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_v.append(int(ids[j]))
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """EXACT all-pairs cosine >= threshold: (a, b) — oracle-checkable.
+
+    Each map_batches task multiplies its batch against the broadcast
+    full matrix (``ray.put`` once) and keeps pairs with the other id
+    strictly greater — each pair emitted exactly once, no shuffle.
+    Inherently O(N^2/batch) work: this is the *correctness* baseline;
+    ``embedding_neardup_lsh`` is the sub-quadratic scale path.
+    """
+    t = emb_dataset(sf_dir).take_all()
+    ids_all = np.array([r["vec_id"] for r in t], dtype=np.int64)
+    m_all = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in t])
+    m_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, m_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        oids, om = ray.get(ref)
+        m = _to_matrix(batch["embedding"])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = mn @ om.T
+        ii, jj = np.where(sims >= threshold)
+        keep = oids[jj] > ids[ii]
+        return pa.table(
+            {
+                "a": pa.array(ids[ii][keep], pa.int64()),
+                "b": pa.array(oids[jj][keep], pa.int64()),
+            }
+        )
+
+    return pairs_table(
+        emb_dataset(sf_dir).map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+    )
+
+
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.45, nbits: int = 6
+) -> pa.Table:
+    """LSH-blocked near-dup pairs with cosine >= threshold: (a, b).
+
+    Hyperplane-LSH blocking (nbits-bit key, multi-probe Hamming<=1 — two
+    vectors collide when their sign keys differ by <= 2 bits) + exact
+    verify within buckets.  Approximate: recall vs ``embedding_neardup``
+    is measured in tests.
+    """
+    H_holder = {}
+
+    def sign_stage(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        if "H" not in H_holder:
+            H_holder["H"] = _hyperplanes(m.shape[1], nbits)
+        H = H_holder["H"]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = (mn @ H.T > 0).astype(np.uint64)
+        pow2 = np.uint64(1) << np.arange(nbits, dtype=np.uint64)
+        base = (sig * pow2[None, :]).sum(axis=1).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        # multi-probe: emit the base bucket and every Hamming-1 neighbor
+        keys = [base]
+        for b in range(nbits):
+            keys.append(base ^ (1 << b))
+        key_col = np.concatenate(keys)
+        id_col = np.tile(ids, nbits + 1)
+        vec_col = np.tile(mn, (nbits + 1, 1))
+        return pa.table(
+            {
+                "key": pa.array(key_col, pa.int64()),
+                "vec_id": pa.array(id_col, pa.int64()),
+                "vec": pa.array(list(vec_col)),
+                "is_base": pa.array(
+                    np.repeat([True] + [False] * nbits, n), pa.bool_()
+                ),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        base = group["is_base"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, base = ids[order], base[order]
+        vecs = np.stack(group["vec"].to_pylist())[order]
+        a_out, b_out = [], []
+        if len(ids) >= 2:
+            sims = vecs @ vecs.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                if ids[i] == ids[j]:
+                    continue  # same vector via different probes
+                a_out.append(int(min(ids[i], ids[j])))
+                b_out.append(int(max(ids[i], ids[j])))
+        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+
+    ds = (
+        emb_dataset(sf_dir)
+        .map_batches(sign_stage, batch_format="pyarrow", batch_size=4096)
+        .groupby("key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs_table(ds)

@@ -1,0 +1,225 @@
+"""Text/term analytics over a (doc_id, text) table — oracle-checkable ops.
+
+These are the SQL-expressible slices of the engine (term stats = reference
+A1/A2 aggregations, doc lengths = A4, corpus counters = A3; SURVEY.md §2.5)
+run over the driver's ``documents`` table with the frozen ``simple``
+tokenizer, whose semantics are exactly
+``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` in DuckDB — verified
+token-for-token.  Every float output is either a single division of exact
+integer sums or avoided entirely, so the DuckDB value-hash comparison is
+deterministic.
+
+Pattern for the wide ops: per-batch partial aggregation inside map_batches
+(one row per key per batch) then a small groupby over partials — never a
+shuffle of raw token runs (ray_guide "Aggregation at scale").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.tokenize import TokenNormalizer, doc_term_tf
+from ..util import pool
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+
+def docs_dataset(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+class _TermPartials:
+    """batch -> (term, cf_part, df_part): per-batch partial term aggregates."""
+
+    def __init__(self, mode: str = "simple", text_col: str = "text"):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        if not vocab:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "cf_part": pa.array([], pa.int64()),
+                    "df_part": pa.array([], pa.int64()),
+                }
+            )
+        cf = np.bincount(tid, weights=tf, minlength=len(vocab)).astype(np.int64)
+        df = np.bincount(tid, minlength=len(vocab)).astype(np.int64)
+        return pa.table(
+            {"term": pa.array(vocab), "cf_part": pa.array(cf), "df_part": pa.array(df)}
+        )
+
+
+class _DocTokenStats:
+    """batch -> per-doc (doc_id, n_tokens, n_unique, token_chars, stop_count)."""
+
+    def __init__(self, mode: str = "simple", text_col: str = "text"):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        tlen = np.array([len(v) for v in vocab], dtype=np.int64)
+        stop = np.array([v in STOPWORDS for v in vocab], dtype=np.int64)
+        n_tokens = np.bincount(d, weights=tf, minlength=n).astype(np.int64)
+        n_unique = np.bincount(d, minlength=n).astype(np.int64)
+        token_chars = np.bincount(d, weights=tf * tlen[tid], minlength=n).astype(np.int64)
+        stop_count = np.bincount(d, weights=tf * stop[tid], minlength=n).astype(np.int64)
+        keep = n_tokens > 0  # SQL group-by drops token-less docs
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(n_tokens[keep]),
+                "n_unique": pa.array(n_unique[keep]),
+                "token_chars": pa.array(token_chars[keep]),
+                "stop_count": pa.array(stop_count[keep]),
+            }
+        )
+
+
+def term_stats(sf_dir: str) -> ray.data.Dataset:
+    """(term, cf, df) — reference A1 (getUseCount) + A2 (documentCount)."""
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(_TermPartials, batch_format="pyarrow", batch_size=512, concurrency=pool())
+        .groupby("term")
+        .aggregate(Sum("cf_part", alias_name="cf"), Sum("df_part", alias_name="df"))
+    )
+
+
+def top_terms(sf_dir: str, k: int = 100) -> pa.Table:
+    t = term_stats(sf_dir).sort(["cf", "term"], descending=[True, False]).limit(k)
+    out = t.to_pandas()
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_lengths(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens) — reference A4 per-doc length."""
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(_DocTokenStats, batch_format="pyarrow", batch_size=512, concurrency=pool())
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def quality_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc quality features: token/unique/char/stopword counts."""
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        _DocTokenStats, batch_format="pyarrow", batch_size=512, concurrency=pool()
+    )
+
+
+def corpus_stats(sf_dir: str) -> pa.Table:
+    """One row: N, total_tokens, distinct_terms, avgdl."""
+    ts = term_stats(sf_dir)
+    agg = ts.aggregate(Sum("cf", alias_name="total_tokens"), Count(alias_name="distinct_terms"))
+    n = docs_dataset(sf_dir, ["doc_id"]).count()
+    total = int(agg["total_tokens"])
+    return pa.table(
+        {
+            "N": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "distinct_terms": pa.array([int(agg["distinct_terms"])], pa.int64()),
+            "avgdl": pa.array([total / n], pa.float64()),
+        }
+    )
+
+
+def token_count_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """(lang, docs, tokens) — doc counts + exact token sums per lang."""
+
+    class PerLang:
+        def __init__(self):
+            self.norm = TokenNormalizer("simple")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, _, tf, _ = doc_term_tf(batch["text"], self.norm)
+            n_tokens = np.bincount(d, weights=tf, minlength=len(batch)).astype(np.int64)
+            langs = batch["lang"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(langs, return_inverse=True)
+            return pa.table(
+                {
+                    "lang": pa.array(uniq),
+                    "docs_part": pa.array(np.bincount(inv).astype(np.int64)),
+                    "tokens_part": pa.array(
+                        np.bincount(inv, weights=n_tokens).astype(np.int64)
+                    ),
+                }
+            )
+
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(PerLang, batch_format="pyarrow", batch_size=512, concurrency=pool())
+        .groupby("lang")
+        .aggregate(Sum("docs_part", alias_name="docs"), Sum("tokens_part", alias_name="tokens"))
+    )
+
+
+def sha256_map(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, content_sha256) — the per-row invariant, SQL-checkable."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        sha = [hashlib.sha256(s.encode()).hexdigest() for s in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "content_sha256": pa.array(sha, pa.string())}
+        )
+
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def windowed_events(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1h windows over the events stream table.
+
+    (user_id, window_start, event_type) -> n events, exact value cents sum,
+    min/max value.  Batch pipeline over an ordered log — Ray Data has no
+    event-time windows, so the window key is computed per batch and the
+    partial aggregates shuffle by (user, window, type).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour")
+        cents = pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start": w,
+                "event_type": batch["event_type"],
+                "cents": cents,
+                "value": batch["value"],
+            }
+        )
+        df = t.to_pandas()
+        g = (
+            df.groupby(["user_id", "window_start", "event_type"], sort=False)
+            .agg(
+                n_part=("cents", "size"),
+                cents_part=("cents", "sum"),
+                vmin_part=("value", "min"),
+                vmax_part=("value", "max"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["user_id", "window_start", "event_type"])
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("cents_part", alias_name="value_cents"),
+            Min("vmin_part", alias_name="value_min"),
+            Max("vmax_part", alias_name="value_max"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Language-ID and document fingerprinting stages (training-data ops).
+
+Heuristic, dependency-free, deterministic — rows-only checked (not
+SQL-expressible).  Both are stateless Arrow batch transforms; the stopword
+profiles / hash tables are built once per worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.minhash import hash_strings
+from ..functions.tokenize import TokenNormalizer, tokenize_batch
+from ..util import pool
+from .text import docs_dataset
+
+# tiny stopword profiles; scores are integer hit counts -> deterministic
+_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the a of to and in is on for with that this it as are be".split()),
+    "fr": frozenset("le la les de des du et un une est dans pour que sur avec".split()),
+    "es": frozenset("el la los las de del y un una es en para que por con".split()),
+    "de": frozenset("der die das und ein eine ist in zu den von mit auf für".split()),
+}
+_LANGS = sorted(_PROFILES)
+
+
+class LangIdStage:
+    """batch -> (doc_id, pred_lang, hits, n_tokens).
+
+    n-gram-free stopword-profile scorer + CJK codepoint ratio for 'zh';
+    ties broken by language code order.  pred over synthetic corpora is a
+    deterministic function of the text, not a claim about the true lang.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.norm = TokenNormalizer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        d, tid, vocab = tokenize_batch(batch[self.text_col], self.norm)
+        hits = np.zeros((len(_LANGS), len(batch)), dtype=np.int64)
+        vprof = np.zeros((len(_LANGS), len(vocab)), dtype=np.int64)
+        for li, lang in enumerate(_LANGS):
+            prof = _PROFILES[lang]
+            vprof[li] = [v in prof for v in vocab]
+        for li in range(len(_LANGS)):
+            hits[li] = np.bincount(d, weights=vprof[li][tid], minlength=len(batch))
+        n_tokens = np.bincount(d, minlength=len(batch)).astype(np.int64)
+        preds, best = [], []
+        for i, text in enumerate(texts):
+            cjk = sum(1 for c in text[:400] if "一" <= c <= "鿿")
+            if cjk > 10:
+                preds.append("zh")
+                best.append(int(cjk))
+                continue
+            li = int(np.argmax(hits[:, i]))  # argmax: first max wins (code order)
+            preds.append(_LANGS[li] if hits[li, i] > 0 else "unknown")
+            best.append(int(hits[li, i]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(preds, pa.string()),
+                "hits": pa.array(best, pa.int64()),
+                "n_tokens": pa.array(n_tokens),
+            }
+        )
+
+
+def language_id(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", batch_size=512, concurrency=pool()
+    )
+
+
+class FingerprintStage:
+    """batch -> (doc_id, n_grams, fingerprint) — winnowing fingerprints.
+
+    Rolling token 4-gram hashes, robust-winnowed with window w=5 (pick the
+    min hash per window); the doc fingerprint is sha256 over the sorted
+    distinct selected hashes.  Standard winnowing (Schleimer et al.,
+    SIGMOD'03) — shared substrings of >= w+k-1 tokens yield shared selected
+    hashes.
+    """
+
+    K = 4
+    W = 5
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.norm = TokenNormalizer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import shingle_hashes
+
+        d, tid, vocab = tokenize_batch(batch[self.text_col], self.norm)
+        vhash = hash_strings(vocab)
+        th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+        n = len(batch)
+        starts = np.searchsorted(d, np.arange(n))
+        ends = np.searchsorted(d, np.arange(n), side="right")
+        fps, ngrams = [], []
+        for i in range(n):
+            grams = shingle_hashes(th[starts[i]:ends[i]], k=self.K)
+            m = len(grams)
+            if m == 0:
+                fps.append("")
+                ngrams.append(0)
+                continue
+            if m <= self.W:
+                sel = np.array([grams.min()], dtype=np.uint64)
+            else:
+                # min per sliding window of W, vectorized
+                idx = np.arange(m - self.W + 1)[:, None] + np.arange(self.W)[None, :]
+                sel = np.unique(grams[idx].min(axis=1))
+            fps.append(hashlib.sha256(np.sort(sel).tobytes()).hexdigest())
+            ngrams.append(int(m))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(ngrams, pa.int64()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def fingerprints(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        FingerprintStage, batch_format="pyarrow", batch_size=512, concurrency=pool()
+    )
