@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with headline + per-query secs.
+
+Headline metric: full inverted-index build (tokenize + stem + shuffle +
+pack + docmap + manifests) over a deterministic synthetic source-code
+corpus (BENCH_DOCS docs, cached under /tmp after first generation), i.e.
+the BASELINE.json "index-build throughput (docs/sec)" criterion.
+
+Env:
+  GRAFT_SF_DIR    driver tables dir    (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS  ray.init num_cpus    (default 32)
+  BENCH_DOCS      synthetic corpus     (default 400000)
+  BENCH_FAST      "1" -> skip the sf-table pipelines (scaling runs)
+
+`python bench.py --scaling` runs the headline job twice in fresh
+processes (num_cpus=8 then 32) on the same cached corpus and reports both
+throughputs plus efficiency = (t8/t32)/4 — the in-sandbox stand-in for
+the N vs 4N cluster-size criterion (results recorded in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "400000"))
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher
+    from index_ray.sources.corpus import write_corpus_ray
+
+    timings: dict[str, float] = {}
+
+    corpus_dir = f"/tmp/bench_corpus_{BENCH_DOCS}"
+    t0 = time.time()
+    write_corpus_ray(corpus_dir, BENCH_DOCS, seed=42, n_files=64)
+    timings["corpus_gen_cached"] = round(time.time() - t0, 3)
+
+    # warm the page cache so both scaling runs measure compute + shuffle
+    for f in sorted(os.listdir(corpus_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(corpus_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    index_dir = f"/tmp/bench_index_{BENCH_DOCS}_{NCPU}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = BuildConfig(
+        chunk_docs=max(BENCH_DOCS // 2, 1000),  # 2 chunks: exercises chunking
+        num_parts=max(16, NCPU * 2),
+        batch_size=256,
+        salt_docs=16384,
+    )
+    t0 = time.time()
+    build_index(corpus_dir, index_dir, cfg)
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    timings["index_build_docs_per_sec"] = round(BENCH_DOCS / build_sec, 1)
+
+    t0 = time.time()
+    searcher = BM25Searcher(index_dir)
+    timings["searcher_load"] = round(time.time() - t0, 3)
+    queries = [
+        "parse http request", "binary search tree insert", "def return value",
+        "nonexistentterm xyzzy", "tokenizer normalization unicode", "connection",
+    ]
+    t0 = time.time()
+    searcher.search_many([(q, 10) for q in queries])
+    timings["bm25_6_queries"] = round(time.time() - t0, 3)
+
+    if not FAST:
+        from index_ray.pipelines import dedup, flagship, similarity, text
+
+        t0 = time.time()
+        flagship.flagship(SF_DIR)
+        timings["docs_index_and_bm25"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        text.term_stats(SF_DIR).materialize()
+        timings["term_stats"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        dedup.minhash_dedup(SF_DIR)
+        timings["minhash_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        similarity.knn_cosine(SF_DIR)
+        timings["knn_cosine"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        text.windowed_events(SF_DIR).materialize()
+        timings["windowed_events"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "index_build_seconds",
+        "value": timings["index_build"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "bench_docs": BENCH_DOCS,
+        "num_cpus": NCPU,
+    }
+
+
+def run_scaling() -> None:
+    def sub(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_FAST="1",
+            BENCH_DOCS=str(BENCH_DOCS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "bench_docs": BENCH_DOCS,
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "docs_per_sec_lo": round(BENCH_DOCS / t_lo, 1),
+                "docs_per_sec_hi": round(BENCH_DOCS / t_hi, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from dataclasses import asdict, dataclass, field
 
 import numpy as np
@@ -35,12 +36,18 @@ from ray.data.aggregate import Sum
 
 from ..sources.fragments import (
     fragment_dataset,
+    read_apply_dataset,
     scan_fragments,
     split_chunks,
     total_docs,
 )
-from ..stages.pack import pack_runs
-from ..stages.tokenize_stage import DocMeta, PartialTermCounts, TokenizeCount
+from ..stages.pack import merge_blob_partition, pack_runs
+from ..stages.tokenize_stage import (
+    DocMeta,
+    DocMetaWriter,
+    PartialTermCounts,
+    TokenizeBlob,
+)
 from ..state.manifest import (
     config_fingerprint,
     list_output_files,
@@ -69,8 +76,12 @@ class BuildConfig:
     max_block_postings: int = 1 << 17
     row_groups_per_task: int = 1
 
+    FORMAT_VERSION = 2  # bump when the on-disk shard layout changes
+
     def fingerprint(self) -> str:
-        return config_fingerprint(asdict(self))
+        d = asdict(self)
+        d["__format__"] = self.FORMAT_VERSION
+        return config_fingerprint(d)
 
 
 @dataclass
@@ -81,11 +92,24 @@ class BuildResult:
     n_chunks: int
     chunks_skipped: int
     hot_terms: list = field(default_factory=list)
+    phase_seconds: dict = field(default_factory=dict)
 
 
 def _pool(cfg: BuildConfig):
     cpus = int(ray.cluster_resources().get("CPU", 8))
     return (1, max(2, cpus))
+
+
+class _SampleFilter:
+    """Deterministic docID-hash sample (census pre-filter)."""
+
+    def __init__(self, frac: float):
+        self.frac = frac
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["docID"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = ((ids * _GOLDEN64) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        return t.filter(pa.array(u < self.frac))
 
 
 def _input_dataset(chunk_specs, cfg: BuildConfig, columns):
@@ -107,23 +131,22 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
     """Sampled hot-term census -> (object ref of frozenset, hot list)."""
     if cfg.salt_docs <= 0:
         return None, []
-    frac = min(1.0, max(cfg.hot_sample_frac, cfg.min_sample_docs / max(n_docs, 1)))
-    ds = _input_dataset(specs, cfg, [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []))
-
-    def sample(t: pa.Table) -> pa.Table:
-        ids = t["docID"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        u = ((ids * _GOLDEN64) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-        return t.filter(pa.array(u < frac))
-
-    runs = ds.map_batches(sample, batch_format="pyarrow").map_batches(
-        PartialTermCounts,
-        fn_constructor_args=(cfg.tokenizer, cfg.text_col),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+    # sample whole row groups (footer-known sizes): no full-input read
+    target = max(cfg.min_sample_docs, cfg.hot_sample_frac * n_docs)
+    k = max(1, round(n_docs / max(target, 1)))
+    sample_specs = specs[::k]
+    sampled_docs = sum(s.num_rows for s in sample_specs)
+    cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else [])
+    runs = read_apply_dataset(
+        sample_specs,
+        cols,
+        cfg.id_col,
+        [(PartialTermCounts, (cfg.tokenizer, cfg.text_col))],
         concurrency=_pool(cfg),
+        doc_batch=cfg.batch_size,
     )
     agg = runs.groupby("term").aggregate(Sum("df_part", alias_name="df"))
-    thresh = max(2.0, cfg.hot_df_frac * frac * n_docs)
+    thresh = max(2.0, cfg.hot_df_frac * sampled_docs)
 
     def keep_hot(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -138,9 +161,7 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
 def _make_packer(parts_dir: str, max_block_postings: int):
     def pack_and_write(group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
-        packed = pack_runs(
-            group.select(["term", "salt", "docID", "tf"]), max_block_postings
-        )
+        packed = merge_blob_partition(group, max_block_postings)
         path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
         tmp = path + f".{os.getpid()}.tmp"
         pq.write_table(packed, tmp)
@@ -161,23 +182,34 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
     parts_dir = os.path.join(chunk_dir, "parts")
     os.makedirs(parts_dir, exist_ok=True)
 
-    # tokenize pass reads only the pruned columns it needs; the docmap pass
-    # reads everything (identity columns ride through into the docmap)
-    cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else [])
-    # --- postings: tokenize -> shuffle by (term,salt) hash -> pack+write ---
-    runs = _input_dataset(chunk_specs, cfg, cols).map_batches(
-        TokenizeCount,
-        fn_constructor_args=(
-            cfg.tokenizer,
-            cfg.text_col,
-            "docID",
-            cfg.num_parts,
-            max(cfg.salt_docs, 1),
-            hot_ref,
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+    # --- ONE fused pass: read row group -> docmap sink (sha256 + doclen)
+    #     -> TokenizeBlob combiner -> groupby(part) -> merge+pack+write.
+    # Input is read once; the shuffle carries varint blobs, not raw runs.
+    dm_cols = list(cfg.keep_cols) or None  # None = all columns pass through
+    if dm_cols is not None:
+        dm_cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + dm_cols
+    docmap_dir = os.path.join(chunk_dir, "docmap")
+    t0 = time.time()
+    runs = read_apply_dataset(
+        chunk_specs,
+        dm_cols,
+        cfg.id_col,
+        [
+            (
+                TokenizeBlob,
+                (
+                    cfg.tokenizer,
+                    cfg.text_col,
+                    "docID",
+                    cfg.num_parts,
+                    max(cfg.salt_docs, 1),
+                    hot_ref,
+                ),
+            )
+        ],
         concurrency=_pool(cfg),
+        doc_batch=cfg.batch_size,
+        sink=(DocMetaWriter, (docmap_dir, cfg.tokenizer, cfg.text_col)),
     )
     meta = runs.groupby("part").map_groups(
         _make_packer(parts_dir, cfg.max_block_postings), batch_format="pyarrow"
@@ -186,19 +218,8 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
         Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
     )
     lex.write_parquet(os.path.join(chunk_dir, "lexicon"))
-
-    # --- docmap: per-doc metadata + sha256 invariant ---
-    dm_cols = list(cfg.keep_cols) or None  # None = all columns pass through
-    if dm_cols is not None:
-        dm_cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + dm_cols
-    dm = _input_dataset(chunk_specs, cfg, dm_cols).map_batches(
-        DocMeta,
-        fn_constructor_args=(cfg.tokenizer, cfg.text_col),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=_pool(cfg),
-    )
-    dm.write_parquet(os.path.join(chunk_dir, "docmap"))
+    phases = {"build_pipeline": round(time.time() - t0, 3)}
+    t0 = time.time()
 
     # --- chunk stats from the written docmap (metadata + 1 column) ---
     docs = tokens = 0
@@ -214,8 +235,10 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
             doc_min = lo if doc_min is None else min(doc_min, lo)
             doc_max = hi if doc_max is None else max(doc_max, hi)
 
+    phases["chunk_stats_scan"] = round(time.time() - t0, 3)
     manifest = {
         "chunk": cid,
+        "phase_seconds": phases,
         "config_fingerprint": fp,
         "input_fragments": [
             {"path": s.path, "row_group": s.row_group, "rows": s.num_rows}
@@ -239,18 +262,26 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
     n_docs = total_docs(specs)
     chunks = split_chunks(specs, cfg.chunk_docs)
 
+    phase_seconds: dict = {}
+    t0 = time.time()
     hot_ref, hot = census_hot_terms(specs, cfg, n_docs)
+    phase_seconds["census"] = round(time.time() - t0, 3)
 
     manifests, skipped = [], 0
+    t0 = time.time()
     for cid, chunk_specs in enumerate(chunks):
         m, was_skipped = build_chunk(chunk_specs, cid, out_dir, cfg, hot_ref)
         manifests.append(m)
         skipped += was_skipped
+        for k, v in m.get("phase_seconds", {}).items():
+            phase_seconds[k] = round(phase_seconds.get(k, 0.0) + v, 3)
+    phase_seconds["chunks_total"] = round(time.time() - t0, 3)
+    t0 = time.time()
 
     # --- global lexicon: merge per-chunk (term, df, cf) ---
     import glob as _glob
 
-    lex_dirs = [
+    lex_files = [
         f
         for cid in range(len(chunks))
         for f in sorted(
@@ -262,14 +293,27 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
     glex_dir = os.path.join(out_dir, "lexicon")
     if os.path.exists(glex_dir):
         shutil.rmtree(glex_dir)
-    (
-        ray.data.read_parquet(lex_dirs)
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-        .sort("term")
-        .write_parquet(glex_dir)
-    )
+    total_bytes = sum(os.path.getsize(f) for f in lex_files)
+    if total_bytes < 256 << 20:
+        # vocabulary fits on the driver: merge without a Ray job
+        os.makedirs(glex_dir, exist_ok=True)
+        t = pa.concat_tables([pq.read_table(f) for f in lex_files])
+        df = t.to_pandas().groupby("term", as_index=False)[["df", "cf"]].sum()
+        df = df.sort_values("term").reset_index(drop=True)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(glex_dir, "part-00000.parquet"),
+        )
+    else:
+        (
+            ray.data.read_parquet(lex_files)
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .sort("term")
+            .write_parquet(glex_dir)
+        )
 
+    phase_seconds["lexicon_merge"] = round(time.time() - t0, 3)
     total_tokens = sum(m["tokens"] for m in manifests)
     stats = {
         "N": n_docs,
@@ -296,6 +340,7 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
         n_chunks=len(chunks),
         chunks_skipped=skipped,
         hot_terms=hot,
+        phase_seconds=phase_seconds,
     )
 
 

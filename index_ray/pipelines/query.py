@@ -106,8 +106,10 @@ class _ChunkIndex:
             ]
             for i, term in enumerate(t["term"].to_pylist()):
                 self.terms.setdefault(term, []).append(i)
+            # global block order = docID order (salted blocks of one term come
+            # from different pack partitions, so block_seq alone is local)
             for rows in self.terms.values():
-                rows.sort(key=lambda i: int(self.block_seq[i]))
+                rows.sort(key=lambda i: int(self.skip_first[i][0]))
 
         # doclens indexed by (docID - doc_min)
         dm = []

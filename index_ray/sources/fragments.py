@@ -106,14 +106,8 @@ class _ReadRowGroups:
             yield t.append_column(self.docid_col, ids)
 
 
-def fragment_dataset(
-    specs: list[RowGroupSpec],
-    columns: list[str] | None = None,
-    docid_col: str = "docID",
-    row_groups_per_task: int = 1,
-) -> ray.data.Dataset:
-    """Streaming Dataset over the specs with docIDs attached at the read."""
-    items = [
+def _spec_items(specs: list[RowGroupSpec]) -> list[dict]:
+    return [
         {
             "path": s.path,
             "row_group": s.row_group,
@@ -122,8 +116,95 @@ def fragment_dataset(
         }
         for s in specs
     ]
-    return ray.data.from_items(items).map_batches(
+
+
+def fragment_dataset(
+    specs: list[RowGroupSpec],
+    columns: list[str] | None = None,
+    docid_col: str = "docID",
+    row_groups_per_task: int = 1,
+) -> ray.data.Dataset:
+    """Streaming Dataset over the specs with docIDs attached at the read."""
+    return ray.data.from_items(_spec_items(specs)).map_batches(
         _ReadRowGroups(columns, docid_col),
         batch_format="pyarrow",
         batch_size=max(1, row_groups_per_task),
+    )
+
+
+class ReadApply:
+    """Read row groups AND apply a transform chain inside one actor stage.
+
+    The unit of work is one row-group *spec* row (``batch_size=1`` upstream
+    of this class), so task granularity == row group and the streaming
+    executor parallelizes across the whole actor pool.  Keeping the read
+    and the per-doc transform in the same actor is deliberate: a separate
+    tiny spec-row stage otherwise gets fused into the downstream actor with
+    row-based batching, collapsing 64 specs into one task (observed 10x
+    under-parallelization).
+
+    ``fn_chain`` is a list of (factory, args) constructed once per actor;
+    each produced callable maps an Arrow table slice (``doc_batch`` docs)
+    to an Arrow table, composed left to right.
+    """
+
+    def __init__(
+        self,
+        columns: list[str] | None,
+        docid_col: str,
+        id_col: str | None,
+        fn_chain: list,
+        doc_batch: int = 512,
+        sink: tuple | None = None,
+    ):
+        self.columns = columns
+        self.id_col = id_col
+        self.docid_col = docid_col
+        self.fns = [factory(*args) for factory, args in fn_chain]
+        self.doc_batch = doc_batch
+        self.sink = sink[0](*sink[1]) if sink is not None else None
+
+    def __call__(self, spec_batch: pa.Table):
+        paths = spec_batch["path"].to_pylist()
+        rgs = spec_batch["row_group"].to_pylist()
+        bases = spec_batch["base_docid"].to_pylist()
+        for path, rg, base in zip(paths, rgs, bases):
+            tbl = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
+            ids = pa.array(
+                np.arange(base, base + len(tbl), dtype=np.int64), type=pa.int64()
+            )
+            tbl = tbl.append_column(self.docid_col, ids)
+            if self.id_col:
+                i = tbl.schema.get_field_index(self.docid_col)
+                tbl = tbl.set_column(
+                    i, self.docid_col, tbl[self.id_col].cast(pa.int64())
+                )
+            if self.sink is not None:
+                # per-row-group side output (e.g. docmap parquet); file name
+                # derives from the spec => idempotent under task retry
+                self.sink(tbl, {"path": path, "row_group": rg, "base_docid": base})
+            for off in range(0, len(tbl), self.doc_batch):
+                part = tbl.slice(off, min(self.doc_batch, len(tbl) - off))
+                for fn in self.fns:
+                    part = fn(part)
+                yield part
+
+
+def read_apply_dataset(
+    specs: list[RowGroupSpec],
+    columns: list[str] | None,
+    id_col: str | None,
+    fn_chain: list,
+    concurrency,
+    doc_batch: int = 512,
+    docid_col: str = "docID",
+    sink: tuple | None = None,
+) -> ray.data.Dataset:
+    """from_items(specs) -> ReadApply actor pool, one spec per task call."""
+    return ray.data.from_items(_spec_items(specs)).map_batches(
+        ReadApply,
+        fn_constructor_args=(columns, docid_col, id_col, fn_chain, doc_batch, sink),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
     )

@@ -18,7 +18,7 @@ import ray
 
 from ..functions.tokenize import TokenNormalizer, doc_term_tf, doc_token_counts
 
-_GOLDEN64 = 0x9E3779B97F4A7C15
+_GOLDEN64 = 0x9E3779B1  # fits int64: salt * prime stays in integer arithmetic
 
 
 class TokenizeCount:
@@ -87,6 +87,86 @@ class TokenizeCount:
         )
 
 
+class TokenizeBlob:
+    """content batch -> per-(term, salt) varint blob rows (map-side combine).
+
+    Emits ``BLOB_SCHEMA`` rows: one row per distinct (term, salt) per batch
+    with the batch's postings delta+varint-packed into ``blob``.  The
+    groupby-part shuffle then moves ~3 bytes per posting instead of a
+    full (term, docID, tf) row — the pre-aggregation the north rule's
+    "per-partition posting runs -> shuffle-merge" describes.
+    """
+
+    def __init__(
+        self,
+        mode: str,
+        text_col: str,
+        docid_col: str,
+        num_parts: int,
+        salt_docs: int,
+        hot_ref=None,
+    ):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+        self.docid_col = docid_col
+        self.num_parts = num_parts
+        self.salt_docs = salt_docs
+        self.hot: frozenset = (
+            ray.get(hot_ref) if hot_ref is not None else frozenset()
+        )
+        self._part_cache: dict[str, int] = {}
+
+    def _term_hash(self, term: str) -> int:
+        h = self._part_cache.get(term)
+        if h is None:
+            h = zlib.crc32(term.encode())
+            if len(self._part_cache) > 4_000_000:
+                self._part_cache.clear()
+            self._part_cache[term] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .pack import BLOB_SCHEMA, encode_batch_blobs
+
+        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        if len(d) == 0:
+            return BLOB_SCHEMA.empty_table()
+        docids = batch[self.docid_col].to_numpy(zero_copy_only=False)[d]
+        order = np.lexsort((docids, tid))
+        tcode = tid[order]
+        doc = docids[order]
+        tfs = tf[order]
+        if self.hot:
+            vhot = np.fromiter(
+                (v in self.hot for v in vocab), dtype=bool, count=len(vocab)
+            )
+            salt = np.where(vhot[tcode], doc // self.salt_docs, 0).astype(np.int64)
+        else:
+            salt = np.zeros(len(doc), dtype=np.int64)
+        starts, ends, blob_arr = encode_batch_blobs(tcode, doc, tfs, salt)
+        gcodes = tcode[starts]
+        gsalt = salt[starts]
+        vhash = np.fromiter(
+            (self._term_hash(v) for v in vocab), dtype=np.int64, count=len(vocab)
+        )
+        part = ((vhash[gcodes] + gsalt * _GOLDEN64) % self.num_parts).astype(np.int32)
+        terms = pa.array(vocab, type=pa.string()).take(pa.array(gcodes))
+        df = (ends - starts).astype(np.int64)
+        cf = np.add.reduceat(tfs, starts).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                terms,
+                pa.array(gsalt, type=pa.int64()),
+                pa.array(part, type=pa.int32()),
+                pa.array(doc[starts], type=pa.int64()),
+                pa.array(df, type=pa.int64()),
+                pa.array(cf, type=pa.int64()),
+                blob_arr,
+            ],
+            schema=BLOB_SCHEMA,
+        )
+
+
 class PartialTermCounts:
     """content batch -> (term, df_part) partial counts for the hot census.
 
@@ -107,6 +187,32 @@ class PartialTermCounts:
             )
         counts = np.bincount(tid, minlength=len(vocab)).astype(np.int64)
         return pa.table({"term": pa.array(vocab), "df_part": pa.array(counts)})
+
+
+class DocMetaWriter:
+    """Per-row-group docmap sink for the fused build pass (ReadApply sink).
+
+    Writes one docmap parquet per row group, named by the row group's
+    base docID — deterministic, so task retries overwrite atomically.
+    """
+
+    def __init__(self, docmap_dir: str, mode: str, text_col: str):
+        import os
+
+        os.makedirs(docmap_dir, exist_ok=True)
+        self.dir = docmap_dir
+        self.inner = DocMeta(mode, text_col)
+
+    def __call__(self, tbl: pa.Table, spec: dict) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        out = self.inner(tbl)
+        path = os.path.join(self.dir, f"rg-{spec['base_docid']:012d}.parquet")
+        tmp = path + f".{os.getpid()}.tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
 
 
 class DocMeta:

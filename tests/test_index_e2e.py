@@ -100,11 +100,12 @@ def test_hot_terms_salted(tiny_index_dir):
     assert "def" in stats["hot_terms"] and "return" in stats["hot_terms"]
     parts = glob.glob(os.path.join(tiny_index_dir, "chunks", "*", "parts", "*.parquet"))
     t = pa.concat_tables([pq.read_table(f, columns=["term", "block_seq"]) for f in parts])
-    seq = {}
-    for term, bs in zip(t["term"].to_pylist(), t["block_seq"].to_pylist()):
-        seq[term] = max(seq.get(term, 0), bs)
-    # salt_docs=64 over 100-doc chunks => hot terms split into >= 2 blocks
-    assert seq.get("def", 0) >= 1
+    nblocks: dict = {}
+    for term in t["term"].to_pylist():
+        nblocks[term] = nblocks.get(term, 0) + 1
+    # salt_docs=64 over ~100-doc chunks and 2 chunks => hot terms split into
+    # multiple salted blocks (at least 2 per chunk)
+    assert nblocks.get("def", 0) >= 4
 
 
 def test_resume_rebuilds_only_invalid_chunk(tiny_corpus_dir, tmp_path):
