@@ -85,7 +85,7 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
 def band_hashes(sig: np.ndarray) -> np.ndarray:
     """8 band keys: each 8 signature bytes packed into one uint64."""
     return sig.reshape(NUM_BANDS, BAND_BYTES).astype(np.uint64) @ (
-        np.uint64(256) ** np.arange(BAND_BYTES, dtype=np.uint64)
+        np.full(BAND_BYTES, 256, dtype=np.uint64) ** np.arange(BAND_BYTES, dtype=np.uint64)
     )
 
 

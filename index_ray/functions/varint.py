@@ -87,25 +87,33 @@ def encoded_lengths(values: np.ndarray) -> np.ndarray:
 
 
 def encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Encode a uint64 array -> (flat uint8 stream, per-value byte lengths)."""
+    """Encode a uint64 array -> (flat uint8 stream, per-value byte lengths).
+
+    Allocation-lean: writes straight into the output stream via per-length-
+    class scatters (no (n, 8) staging matrix / boolean mask) — large
+    temporaries cause TLB-shootdown storms when many workers encode
+    concurrently.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     lens = encoded_lengths(v)
-    buf = np.zeros((v.size, 8), dtype=np.uint8)
+    starts = np.empty(v.size + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens, out=starts[1:])
+    out = np.empty(int(starts[-1]), dtype=np.uint8)
     for n in (1, 2, 3, 4, 5, 6, 8):
-        sel = lens == n
-        if not sel.any():
+        sel = np.flatnonzero(lens == n)
+        if sel.size == 0:
             continue
         x = v[sel]
+        s = starts[sel]
         for k in range(n - 1, 0, -1):
-            buf[sel, k] = (0x80 | (x & np.uint64(0x3F))).astype(np.uint8)
+            out[s + k] = ((x & np.uint64(0x3F)) | np.uint64(0x80)).astype(np.uint8)
             x = x >> np.uint64(6)
         if n == 1:
-            first = np.where(x < 64, 0x80 | x, x)
+            out[s] = np.where(x < 64, x | np.uint64(0x80), x).astype(np.uint8)
         else:
-            first = np.uint64(_PREFIX[n]) | x
-        buf[sel, 0] = first.astype(np.uint8)
-    mask = np.arange(8)[None, :] < lens[:, None]
-    return buf[mask], lens
+            out[s] = (x | np.uint64(_PREFIX[n])).astype(np.uint8)
+    return out, lens
 
 
 def decode(buf: np.ndarray, count: int) -> np.ndarray:

@@ -95,9 +95,12 @@ class BuildResult:
     phase_seconds: dict = field(default_factory=dict)
 
 
-def _pool(cfg: BuildConfig):
+def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus))
+    hi = max(2, cpus)
+    if n_tasks is not None:
+        hi = max(1, min(hi, n_tasks))
+    return hi  # fixed-size pool: starts immediately, no autoscale ramp
 
 
 class _SampleFilter:
@@ -142,7 +145,7 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
         cols,
         cfg.id_col,
         [(PartialTermCounts, (cfg.tokenizer, cfg.text_col))],
-        concurrency=_pool(cfg),
+        concurrency=_pool(cfg, len(sample_specs)),
         doc_batch=cfg.batch_size,
     )
     agg = runs.groupby("term").aggregate(Sum("df_part", alias_name="df"))
@@ -207,7 +210,7 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
                 ),
             )
         ],
-        concurrency=_pool(cfg),
+        concurrency=_pool(cfg, len(chunk_specs)),
         doc_batch=cfg.batch_size,
         sink=(DocMetaWriter, (docmap_dir, cfg.tokenizer, cfg.text_col)),
     )

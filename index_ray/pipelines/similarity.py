@@ -123,7 +123,7 @@ def lsh_knn_cosine(
     H = _hyperplanes(q.shape[1], nbits)
     qsig = (qn @ H.T > 0).astype(np.uint64)
     qkeys = []
-    pow2 = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+    pow2 = (np.full(nbits, 1, dtype=np.uint64) << np.arange(nbits, dtype=np.uint64))
     for qi in range(len(qids)):
         base = np.uint64((qsig[qi] * pow2).sum())
         probes = {int(base)}
@@ -233,7 +233,7 @@ def embedding_neardup_lsh(
         H = H_holder["H"]
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sig = (mn @ H.T > 0).astype(np.uint64)
-        pow2 = np.uint64(1) << np.arange(nbits, dtype=np.uint64)
+        pow2 = np.full(nbits, 1, dtype=np.uint64) << np.arange(nbits, dtype=np.uint64)
         base = (sig * pow2[None, :]).sum(axis=1).astype(np.int64)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         n = len(ids)

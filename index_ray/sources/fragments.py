@@ -26,7 +26,9 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
-import ray.data
+
+if False:  # type-checking only; ray.data is imported lazily in driver-side
+    import ray.data  # noqa
 
 
 @dataclass(frozen=True)
@@ -123,8 +125,10 @@ def fragment_dataset(
     columns: list[str] | None = None,
     docid_col: str = "docID",
     row_groups_per_task: int = 1,
-) -> ray.data.Dataset:
+):
     """Streaming Dataset over the specs with docIDs attached at the read."""
+    import ray.data  # driver-side only; actors must not pay this import
+
     return ray.data.from_items(_spec_items(specs)).map_batches(
         _ReadRowGroups(columns, docid_col),
         batch_format="pyarrow",
@@ -199,8 +203,10 @@ def read_apply_dataset(
     doc_batch: int = 512,
     docid_col: str = "docID",
     sink: tuple | None = None,
-) -> ray.data.Dataset:
+):
     """from_items(specs) -> ReadApply actor pool, one spec per task call."""
+    import ray.data  # driver-side only; actors must not pay this import
+
     return ray.data.from_items(_spec_items(specs)).map_batches(
         ReadApply,
         fn_constructor_args=(columns, docid_col, id_col, fn_chain, doc_batch, sink),

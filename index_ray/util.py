@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -15,6 +14,8 @@ def pool() -> tuple[int, int]:
 
 def pairs_table(ds, extra_cols: tuple[str, ...] = ()) -> pa.Table:
     """Collect a (a, b[, ...]) pair dataset -> unique sorted Arrow table."""
+    import pandas as pd
+
     cols = ["a", "b", *extra_cols]
     df = ds.to_pandas()
     if len(df) == 0:
