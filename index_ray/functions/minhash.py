@@ -73,13 +73,20 @@ def shingle_hashes(token_hashes: np.ndarray, k: int = SHINGLE_WORDS) -> np.ndarr
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """64 universal hashes mod 255, min over shingles -> uint8[64].
+    """64 universal hashes, min over shingles, low byte -> uint8[64].
 
-    Vectorized form of the reference's ``sign`` (shingle.cpp:59-108).
+    Vectorized form of the reference's ``sign`` (shingle.cpp:59-108) with
+    one deliberate fix: the reference takes mins *mod 255*, which saturates
+    to 0 for documents with >~500 shingles (every hash function's min over
+    n uniform draws from [0,255) is 0 with probability ~1), collapsing all
+    long documents into one cluster.  We take the min in 64-bit space and
+    truncate to a byte afterwards: for unrelated docs each signature byte
+    matches with p~=1/256, for Jaccard-J docs with p=J+(1-J)/256 — the
+    57/64 (0.90) byte-similarity threshold keeps its intended semantics.
     """
-    s = shingles.astype(np.uint64) % np.uint64(255)
-    vals = (_A[:, None] * s[None, :] + _B[:, None]) % np.uint64(255)
-    return vals.min(axis=1).astype(np.uint8)
+    s = shingles.astype(np.uint64)
+    vals = _BIT_A[:, None] * s[None, :] + _BIT_B[:, None]  # uint64 wraparound
+    return (vals.min(axis=1) & np.uint64(0xFF)).astype(np.uint8)
 
 
 def band_hashes(sig: np.ndarray) -> np.ndarray:

@@ -125,10 +125,12 @@ def lsh_knn_cosine(
     qkeys = []
     pow2 = (np.full(nbits, 1, dtype=np.uint64) << np.arange(nbits, dtype=np.uint64))
     for qi in range(len(qids)):
-        base = np.uint64((qsig[qi] * pow2).sum())
-        probes = {int(base)}
-        for b in range(nbits):
-            probes.add(int(base ^ np.uint64(1 << b)))
+        base = int((qsig[qi] * pow2).sum())
+        probes = {base}
+        for b in range(nbits):  # multi-probe out to Hamming distance 2
+            probes.add(base ^ (1 << b))
+            for b2 in range(b + 1, nbits):
+                probes.add(base ^ (1 << b) ^ (1 << b2))
         qkeys.append(probes)
     all_probes = set().union(*qkeys)
     probes_ref = ray.put((qn, all_probes))

@@ -1,0 +1,141 @@
+"""Tests for the dedup / similarity / textstats / multimodal pipelines over
+the driver testdata (sf0.001) and synthetic media."""
+
+import numpy as np
+import pytest
+
+import index_ray.pipelines.dedup as dedup
+import index_ray.pipelines.multimodal as mm
+import index_ray.pipelines.similarity as sim
+import index_ray.pipelines.textstats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_keeper_is_min(ray_session):
+    t = dedup.exact_dedup(SF).to_pandas()
+    assert len(t) == 500  # sf0.001 documents are all distinct
+    assert (t["n_docs"] == 1).all()
+
+
+def test_minhash_identical_docs_flagged(ray_session, tmp_path):
+    # corpus with planted exact + near duplicates must produce pairs
+    import pyarrow.parquet as pq
+
+    from index_ray.sources.corpus import generate_corpus
+
+    tbl = generate_corpus(120, 42)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        tbl.rename_columns(["repo", "path", "commit", "lang", "text"]).append_column(
+            "doc_id", __import__("pyarrow").array(np.arange(120), type=__import__("pyarrow").int64())
+        ),
+        str(d / "documents.parquet"),
+    )
+    pairs = dedup.minhash_dedup(str(d), mode="code").to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    # planted exact duplicates: doc i%50==1 copies i-1
+    assert (0, 1) in got and (50, 51) in got and (100, 101) in got
+    # planted near duplicates (one ~1% contiguous edit of i-1 at i%20==3):
+    # most must be flagged (short docs can legitimately fall below the
+    # 0.90 shingle-similarity threshold — an 8-token edit window is a
+    # larger Jaccard dent on a 50-token doc)
+    planted = [(i - 1, i) for i in range(3, 120, 20)]
+    found = sum(p in got for p in planted)
+    assert found >= len(planted) - 2, (found, planted, sorted(got)[:20])
+
+
+def test_simhash_flags_exact_dups(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.sources.corpus import generate_corpus
+
+    tbl = generate_corpus(120, 42)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        tbl.rename_columns(["repo", "path", "commit", "lang", "text"]).append_column(
+            "doc_id", pa.array(np.arange(120), type=pa.int64())
+        ),
+        str(d / "documents.parquet"),
+    )
+    pairs = dedup.simhash_dedup(str(d), mode="code").to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in got and (50, 51) in got
+
+
+def test_lsh_knn_recall(ray_session):
+    exact = sim.knn_cosine(SF).to_pandas()
+    approx = sim.lsh_knn_cosine(SF).to_pandas()
+    # per query, LSH top-k should recover a decent fraction of exact top-k
+    recalls = []
+    for qid in exact["qid"].unique():
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        a = set(approx[approx["qid"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.2  # 8-bit keys on random vectors: weak but nonzero
+    # the query vector itself must always be rank 1 (sim == 1)
+    for qid in approx["qid"].unique():
+        top = approx[(approx["qid"] == qid) & (approx["rank"] == 1)]["vec_id"].iloc[0]
+        assert top == qid
+
+
+def test_embedding_neardup_lsh_subset_of_exact(ray_session):
+    exact = set(map(tuple, sim.embedding_neardup(SF).to_pandas().values))
+    lsh = set(map(tuple, sim.embedding_neardup_lsh(SF).to_pandas().values))
+    assert lsh <= exact
+
+
+def test_language_id_deterministic(ray_session):
+    a = ts.language_id(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = ts.language_id(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["pred_lang"]) <= {"en", "fr", "es", "de", "zh", "unknown"}
+
+
+def test_fingerprints_detect_shared_content(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["alpha beta gamma delta epsilon zeta eta theta " * 10,
+             "alpha beta gamma delta epsilon zeta eta theta " * 10,  # identical
+             "completely different words here now okay then yes no " * 10]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)}),
+        str(d / "documents.parquet"),
+    )
+    fp = ts.fingerprints(str(d)).to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].iloc[0] == fp["fingerprint"].iloc[1]
+    assert fp["fingerprint"].iloc[0] != fp["fingerprint"].iloc[2]
+
+
+def test_media_decode_roundtrip():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    assert (mm.decode_payload(mm.encode_raw1(arr)) == arr).all()
+
+
+def test_media_unknown_codec_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_media_features_pipeline(ray_session):
+    out = mm.media_features("ignored", n=50).to_pandas()
+    assert len(out) == 50
+    assert {"media_id", "mean_px", "std_px", "hist_hash"} <= set(out.columns)
+    out2 = mm.media_features("ignored", n=50).to_pandas()
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        out2.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_video_frame_sample(ray_session):
+    out = mm.video_frame_sample("ignored", n=16).to_pandas()
+    assert (out["frame_idx"] % 4 == 0).all()
+    assert out.groupby("media_id").size().min() >= 1
+    assert (out["frame_bytes"] > 9).all()
