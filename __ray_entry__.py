@@ -33,7 +33,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from index_ray.pipelines import dedup, flagship, similarity, text, textstats
+    from index_ray.pipelines import (
+        dedup,
+        flagship,
+        multimodal,
+        similarity,
+        text,
+        textstats,
+    )
 
     return {
         # term/corpus statistics (reference A1-A4)
@@ -63,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
+        # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
+        "media_features": multimodal.media_features,
+        "video_frame_sample": multimodal.video_frame_sample,
     }
 
 
