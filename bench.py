@@ -150,8 +150,12 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = sub(lo), sub(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    lo_secs, hi_secs = [], []
+    for _ in range(rounds):  # interleaved: host speed drifts over minutes
+        lo_secs.append(sub(lo)["value"])
+        hi_secs.append(sub(hi)["value"])
+    t_lo, t_hi = min(lo_secs), min(hi_secs)
     eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
@@ -164,6 +168,8 @@ def run_scaling() -> None:
                 "cpus_hi": hi,
                 "sec_lo": t_lo,
                 "sec_hi": t_hi,
+                "sec_lo_all": lo_secs,
+                "sec_hi_all": hi_secs,
                 "docs_per_sec_lo": round(BENCH_DOCS / t_lo, 1),
                 "docs_per_sec_hi": round(BENCH_DOCS / t_hi, 1),
             }

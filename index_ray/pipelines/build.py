@@ -207,12 +207,12 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
                     cfg.num_parts,
                     max(cfg.salt_docs, 1),
                     hot_ref,
+                    docmap_dir,  # docmap written from the same tokenize pass
                 ),
             )
         ],
         concurrency=_pool(cfg, len(chunk_specs)),
         doc_batch=cfg.batch_size,
-        sink=(DocMetaWriter, (docmap_dir, cfg.tokenizer, cfg.text_col)),
     )
     meta = runs.groupby("part").map_groups(
         _make_packer(parts_dir, cfg.max_block_postings), batch_format="pyarrow"

@@ -183,15 +183,22 @@ class ReadApply:
                 tbl = tbl.set_column(
                     i, self.docid_col, tbl[self.id_col].cast(pa.int64())
                 )
+            spec = {"path": path, "row_group": rg, "base_docid": base}
             if self.sink is not None:
-                # per-row-group side output (e.g. docmap parquet); file name
-                # derives from the spec => idempotent under task retry
-                self.sink(tbl, {"path": path, "row_group": rg, "base_docid": base})
+                # per-row-group side output; file name derives from the
+                # spec => idempotent under task retry
+                self.sink(tbl, spec)
             for off in range(0, len(tbl), self.doc_batch):
                 part = tbl.slice(off, min(self.doc_batch, len(tbl) - off))
                 for fn in self.fns:
                     part = fn(part)
                 yield part
+            for fn in self.fns:
+                # row-group-level sidecar flush (e.g. docmap written from the
+                # same tokenization pass)
+                flush = getattr(fn, "flush_sidecar", None)
+                if flush is not None:
+                    flush(spec)
 
 
 def read_apply_dataset(

@@ -105,6 +105,7 @@ class TokenizeBlob:
         num_parts: int,
         salt_docs: int,
         hot_ref=None,
+        docmap_dir: str | None = None,
     ):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
@@ -115,6 +116,12 @@ class TokenizeBlob:
             ray.get(hot_ref) if hot_ref is not None else frozenset()
         )
         self._part_cache: dict[str, int] = {}
+        self.docmap_dir = docmap_dir
+        self._dm_buf: list[pa.Table] = []
+        if docmap_dir:
+            import os
+
+            os.makedirs(docmap_dir, exist_ok=True)
 
     def _term_hash(self, term: str) -> int:
         h = self._part_cache.get(term)
@@ -125,10 +132,47 @@ class TokenizeBlob:
             self._part_cache[term] = h
         return h
 
+    def _buffer_docmap(self, batch: pa.Table, d: np.ndarray, tf: np.ndarray) -> None:
+        """docmap rows from the SAME tokenization (n_tokens = sum tf) —
+        sha256 invariant + identity columns, no second tokenize pass."""
+        n_tok = np.bincount(d, weights=tf, minlength=len(batch)).astype(np.int64)
+        sha = pa.array(
+            [
+                hashlib.sha256(s.encode("utf-8")).hexdigest() if s is not None else None
+                for s in batch[self.text_col].to_pylist()
+            ],
+            type=pa.string(),
+        )
+        out = batch.drop_columns([self.text_col])
+        out = out.append_column("n_tokens", pa.array(n_tok, type=pa.int64()))
+        self._dm_buf.append(out.append_column("content_sha256", sha))
+
+    def flush_sidecar(self, spec: dict) -> None:
+        """Write this row group's docmap parquet (deterministic name ->
+        idempotent under task retry); called by ReadApply per row group."""
+        if not self.docmap_dir:
+            return
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables(self._dm_buf) if self._dm_buf else None
+        self._dm_buf = []
+        if t is None or len(t) == 0:
+            return
+        path = os.path.join(
+            self.docmap_dir, f"rg-{spec['base_docid']:012d}.parquet"
+        )
+        tmp = path + f".{os.getpid()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .pack import BLOB_SCHEMA, encode_batch_blobs
 
         d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        if self.docmap_dir:
+            self._buffer_docmap(batch, d, tf)
         if len(d) == 0:
             return BLOB_SCHEMA.empty_table()
         docids = batch[self.docid_col].to_numpy(zero_copy_only=False)[d]

@@ -83,3 +83,32 @@ def test_large_docids():
     out = pack_runs(_runs_table([("t", 0, d, 3) for d in docs])).to_pylist()
     d2, t2 = unpack_block(out[0]["postings"], 3)
     assert list(d2) == docs and list(t2) == [3, 3, 3]
+
+
+def test_unpack_subblocks_random_access():
+    import pyarrow as pa
+
+    from index_ray.stages.pack import unpack_subblocks
+
+    rng = np.random.default_rng(3)
+    docs = np.cumsum(rng.integers(1, 50, 1000)).astype(np.int64)
+    tfs = rng.integers(1, 20, 1000).astype(np.int64)
+    t = pa.table(
+        {
+            "term": pa.array(["t"] * 1000),
+            "salt": pa.array([0] * 1000, pa.int64()),
+            "docID": pa.array(docs),
+            "tf": pa.array(tfs),
+        }
+    )
+    out = pack_runs(t).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    offs = np.array([s["offset"] for s in r["skips"]], dtype=np.int64)
+    # decode only sub-blocks 2 and 5: must equal the slice of a full decode
+    full_docs, full_tfs = unpack_block(r["postings"], r["df"])
+    sel_docs, sel_tfs = unpack_subblocks(r["postings"], r["df"], offs, np.array([2, 5]))
+    exp_docs = np.concatenate([full_docs[2 * 128:3 * 128], full_docs[5 * 128:6 * 128]])
+    exp_tfs = np.concatenate([full_tfs[2 * 128:3 * 128], full_tfs[5 * 128:6 * 128]])
+    np.testing.assert_array_equal(sel_docs, exp_docs)
+    np.testing.assert_array_equal(sel_tfs, exp_tfs)
