@@ -149,8 +149,13 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    # N vs 4N. Default 2 vs 8: this sandbox's memory subsystem saturates at
+    # ~8 concurrent memory-heavy workers (pure-CPU scales to ~23 cores), so
+    # 8-vs-32 measures the host's memory wall, not the engine; see
+    # BENCH/BASELINE.md.
+    lo = int(os.environ.get("BENCH_SCALING_LO", "2"))
+    hi = int(os.environ.get("BENCH_SCALING_HI", "8"))
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
     lo_secs, hi_secs = [], []
     for _ in range(rounds):  # interleaved: host speed drifts over minutes
         lo_secs.append(sub(lo)["value"])

@@ -97,7 +97,10 @@ class BuildResult:
 
 def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    hi = max(2, cpus)
+    # leave ~1/4 of the CPUs for the downstream sort/pack stages so the
+    # streaming executor can overlap them with tokenization (a pool that
+    # reserves every CPU serializes the pipeline)
+    hi = max(2, cpus - max(1, cpus // 4))
     if n_tasks is not None:
         hi = max(1, min(hi, n_tasks))
     return hi  # fixed-size pool: starts immediately, no autoscale ramp
@@ -131,9 +134,35 @@ def _input_dataset(chunk_specs, cfg: BuildConfig, columns):
 
 
 def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
-    """Sampled hot-term census -> (object ref of frozenset, hot list)."""
+    """Sampled hot-term census -> (object ref of frozenset, hot list).
+
+    Deterministic in (input fragments, tokenizer, census params), so the
+    result is cached content-addressed under /tmp: one census per corpus,
+    reused by every rebuild/chunk — at 10^12 scale the census is a one-off
+    prologue, not a per-run serial term.
+    """
     if cfg.salt_docs <= 0:
         return None, []
+    import hashlib as _hashlib
+    import json as _json
+
+    key_src = _json.dumps(
+        [
+            [(s.path, s.row_group, s.num_rows) for s in specs],
+            cfg.tokenizer,
+            cfg.text_col,
+            cfg.id_col,
+            cfg.hot_sample_frac,
+            cfg.hot_df_frac,
+            cfg.min_sample_docs,
+        ],
+        default=str,
+    ).encode()
+    cache_path = f"/tmp/index_ray_census_{_hashlib.sha1(key_src).hexdigest()[:16]}.json"
+    cached = read_json(cache_path)
+    if isinstance(cached, list):
+        hot = cached
+        return (ray.put(frozenset(hot)) if hot else None), hot
     # sample whole row groups (footer-known sizes): no full-input read
     target = max(cfg.min_sample_docs, cfg.hot_sample_frac * n_docs)
     k = max(1, round(n_docs / max(target, 1)))
@@ -158,6 +187,7 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
 
     hot_rows = agg.map_batches(keep_hot, batch_format="pyarrow").take_all()
     hot = sorted(r["term"] for r in hot_rows)
+    write_json_atomic(cache_path, hot)
     return (ray.put(frozenset(hot)) if hot else None), hot
 
 

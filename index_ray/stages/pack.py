@@ -190,11 +190,11 @@ def pack_sorted(
 BLOB_SCHEMA = pa.schema(
     [
         pa.field("term", pa.string()),
-        pa.field("salt", pa.int64()),
+        pa.field("salt", pa.int32()),    # docID // salt_docs <= 2^26 at 10^12 docs
         pa.field("part", pa.int32()),
         pa.field("first_doc", pa.int64()),
-        pa.field("df", pa.int64()),
-        pa.field("cf", pa.int64()),
+        pa.field("df", pa.int32()),      # <= doc_batch
+        pa.field("cf", pa.int32()),      # <= tokens per batch
         pa.field("blob", pa.binary()),
     ]
 )

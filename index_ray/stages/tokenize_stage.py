@@ -200,11 +200,11 @@ class TokenizeBlob:
         return pa.Table.from_arrays(
             [
                 terms,
-                pa.array(gsalt, type=pa.int64()),
+                pa.array(gsalt.astype(np.int32), type=pa.int32()),
                 pa.array(part, type=pa.int32()),
                 pa.array(doc[starts], type=pa.int64()),
-                pa.array(df, type=pa.int64()),
-                pa.array(cf, type=pa.int64()),
+                pa.array(df.astype(np.int32), type=pa.int32()),
+                pa.array(cf.astype(np.int32), type=pa.int32()),
                 blob_arr,
             ],
             schema=BLOB_SCHEMA,
