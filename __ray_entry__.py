@@ -131,8 +131,8 @@ def oracle_sql() -> dict[str, str]:
             {_TOKS}
             SELECT doc_id, count(*) AS n_tokens,
                    count(DISTINCT term) AS n_unique,
-                   sum(length(term)) AS token_chars,
-                   sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) AS stop_count
+                   CAST(sum(length(term)) AS BIGINT) AS token_chars,
+                   CAST(sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS stop_count
             FROM t GROUP BY doc_id
         """,
         "corpus_stats": f"""
@@ -147,7 +147,7 @@ def oracle_sql() -> dict[str, str]:
             {_TOKS},
             d AS (SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id)
             SELECT lang, count(*) AS docs,
-                   coalesce(sum(d.n_tokens), 0) AS tokens
+                   CAST(coalesce(sum(d.n_tokens), 0) AS BIGINT) AS tokens
             FROM documents LEFT JOIN d USING (doc_id)
             GROUP BY lang
         """,
@@ -157,7 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events": """
             SELECT user_id, date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
                    min(value) AS value_min,
                    max(value) AS value_max
             FROM events GROUP BY user_id, date_trunc('hour', ts), event_type

@@ -188,7 +188,11 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         w = pc.floor_temporal(batch["ts"], unit="hour")
-        cents = pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())
+        # half_towards_infinity matches DuckDB round() (half-away-from-zero);
+        # pc.round's default half-to-even would diverge on exact .5 cents.
+        cents = pc.round(
+            pc.multiply(batch["value"], 100.0), round_mode="half_towards_infinity"
+        ).cast(pa.int64())
         t = pa.table(
             {
                 "user_id": batch["user_id"],
@@ -198,18 +202,12 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
                 "value": batch["value"],
             }
         )
-        df = t.to_pandas()
-        g = (
-            df.groupby(["user_id", "window_start", "event_type"], sort=False)
-            .agg(
-                n_part=("cents", "size"),
-                cents_part=("cents", "sum"),
-                vmin_part=("value", "min"),
-                vmax_part=("value", "max"),
-            )
-            .reset_index()
+        g = t.group_by(["user_id", "window_start", "event_type"], use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum"), ("value", "min"), ("value", "max")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["user_id", "window_start", "event_type", "n_part", "cents_part", "vmin_part", "vmax_part"]
+        )
 
     return (
         ray.data.read_parquet(f"{sf_dir}/events.parquet",
