@@ -116,6 +116,27 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray) -> np.uint64:
     return out
 
 
+def simhash_segments(
+    doc_idx: np.ndarray, token_hashes: np.ndarray, weights: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """Per-doc weighted SimHash over flat (doc, token, weight) runs.
+
+    Vectorized across the whole batch: one bincount per bit instead of a
+    per-doc Python loop.  Bit b set iff sum(weight * (+1 if bit else -1))
+    over the doc's tokens is > 0 — identical to :func:`simhash64`.
+    """
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(token_hashes) == 0:
+        return out
+    x = token_hashes.astype(np.uint64)
+    w = weights.astype(np.float64)
+    for b in range(64):
+        bit = ((x >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        score = np.bincount(doc_idx, weights=(2.0 * bit - 1.0) * w, minlength=n_docs)
+        out |= (score > 0).astype(np.uint64) << np.uint64(b)
+    return out
+
+
 def simhash_batch(list_of_token_hashes, list_of_weights) -> np.ndarray:
     return np.array(
         [simhash64(h, w) for h, w in zip(list_of_token_hashes, list_of_weights)],

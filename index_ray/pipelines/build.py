@@ -57,9 +57,6 @@ from ..state.manifest import (
     write_json_atomic,
 )
 
-_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
-
-
 @dataclass
 class BuildConfig:
     tokenizer: str = "code"              # "code" | "simple" (SURVEY.md §7.4)
@@ -104,18 +101,6 @@ def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     if n_tasks is not None:
         hi = max(1, min(hi, n_tasks))
     return hi  # fixed-size pool: starts immediately, no autoscale ramp
-
-
-class _SampleFilter:
-    """Deterministic docID-hash sample (census pre-filter)."""
-
-    def __init__(self, frac: float):
-        self.frac = frac
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["docID"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        u = ((ids * _GOLDEN64) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-        return t.filter(pa.array(u < self.frac))
 
 
 def _input_dataset(chunk_specs, cfg: BuildConfig, columns):

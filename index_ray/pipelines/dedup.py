@@ -32,7 +32,11 @@ from ..functions.tokenize import TokenNormalizer, tokenize_batch
 from ..util import pairs_table, pool
 from .text import docs_dataset
 
-MAX_BUCKET = 512
+import logging
+
+_LOG = logging.getLogger(__name__)
+
+MAX_BUCKET = 512  # pairwise-verify tile edge (memory bound, not a result cap)
 
 
 # ---------------------------------------------------------------- exact ----
@@ -98,7 +102,14 @@ class _SignStage:
 
 
 def _pairs_from_bucket(group: pa.Table) -> pa.Table:
-    """Verified near-dup pairs within one (band, band_hash) bucket."""
+    """Verified near-dup pairs within one (band, band_hash) bucket.
+
+    Identical signatures are linked linearly (min-doc to each member, O(g));
+    distinct signatures get the pairwise byte-similarity verify, computed in
+    MAX_BUCKET x MAX_BUCKET tiles so oversized buckets are fully verified
+    with bounded memory (a warning is logged — at 10^12 scale an oversized
+    bucket signals a band needing a secondary salt, never silent loss).
+    """
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
@@ -107,24 +118,40 @@ def _pairs_from_bucket(group: pa.Table) -> pa.Table:
     sigs = np.frombuffer(b"".join(group["sig"].to_pylist()), dtype=np.uint8).reshape(
         len(group), mh.NUM_HASHES
     )[order]
-    a_out, b_out = [], []
     # identical signatures: link min-doc linearly (exact-dup fast path)
     uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
-    for g in range(len(uniq)):
-        members = ids[inv == g]
-        for m in members[1:]:
-            a_out.append(int(members[0]))
-            b_out.append(int(m))
-    # near-identical: pairwise across distinct signatures (capped)
-    reps = [ids[inv == g][0] for g in range(len(uniq))]
-    if 2 <= len(uniq) <= MAX_BUCKET:
-        eq = (uniq[:, None, :] == uniq[None, :, :]).sum(axis=2)
-        ii, jj = np.where(np.triu(eq >= mh.SIM_THRESHOLD_BYTES, k=1))
-        for i, j in zip(ii, jj):
-            x, y = reps[i], reps[j]
-            a_out.append(int(min(x, y)))
-            b_out.append(int(max(x, y)))
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+    order2 = np.argsort(inv, kind="stable")  # stable: ids stay ascending per group
+    sorted_inv, sorted_ids = inv[order2], ids[order2]
+    grp_starts = np.searchsorted(sorted_inv, np.arange(len(uniq)))
+    reps = sorted_ids[grp_starts]  # min docID per signature group
+    is_first = np.zeros(len(ids), dtype=bool)
+    is_first[grp_starts] = True
+    a_parts = [reps[sorted_inv[~is_first]]]
+    b_parts = [sorted_ids[~is_first]]
+    # near-identical: pairwise across distinct signatures, tiled
+    u = len(uniq)
+    if u > MAX_BUCKET:
+        _LOG.warning(
+            "LSH bucket with %d distinct signatures (> %d) — tiled pairwise verify",
+            u, MAX_BUCKET,
+        )
+    for i0 in range(0, u, MAX_BUCKET):
+        ablk = uniq[i0 : i0 + MAX_BUCKET]
+        for j0 in range(i0, u, MAX_BUCKET):
+            bblk = uniq[j0 : j0 + MAX_BUCKET]
+            eq = (ablk[:, None, :] == bblk[None, :, :]).sum(axis=2)
+            ii, jj = np.where(eq >= mh.SIM_THRESHOLD_BYTES)
+            gi, gj = ii + i0, jj + j0
+            keep = gi < gj
+            gi, gj = gi[keep], gj[keep]
+            a_parts.append(np.minimum(reps[gi], reps[gj]))
+            b_parts.append(np.maximum(reps[gi], reps[gj]))
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_parts), pa.int64()),
+            "b": pa.array(np.concatenate(b_parts), pa.int64()),
+        }
+    )
 
 
 def minhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
@@ -139,32 +166,45 @@ def minhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
     return pairs_table(ds)
 
 
-def minhash_clusters(sf_dir: str, mode: str = "simple") -> pa.Table:
-    """Connected components over the near-dup pairs: (doc_id, cluster_rep).
+def min_label_propagation(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components over an edge list via iterative min-label
+    propagation — fully vectorized (no per-edge Python loop), converges in
+    O(log diameter) rounds.  Each round is a scatter-min over edges + one
+    pointer-jumping pass; the identical rounds run as a (key, min) groupby
+    at cluster scale, so this is the distributable formulation (unlike
+    union-find, whose parent array is inherently sequential).
 
-    Union-find on the driver — candidate pairs are LSH-bucket-bounded and
-    tiny relative to the corpus; at larger scale this becomes iterative
-    min-label propagation with groupby.
+    Returns (members ascending, representative label per member).
     """
+    members, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(members), dtype=np.int64)
+    while True:
+        prev = label.copy()
+        # scatter-min across edges, both directions
+        np.minimum.at(label, ea, label[eb])
+        np.minimum.at(label, eb, label[ea])
+        # pointer jumping: label <- label[label] until stable
+        while True:
+            nxt = label[label]
+            if (nxt == label).all():
+                break
+            label = nxt
+        if (label == prev).all():
+            break
+    return members, members[label]
+
+
+def minhash_clusters(sf_dir: str, mode: str = "simple") -> pa.Table:
+    """Connected components over the near-dup pairs: (doc_id, cluster_rep)."""
     pairs = minhash_dedup(sf_dir, mode)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    members = sorted(set(pairs["a"].to_pylist()) | set(pairs["b"].to_pylist()))
+    a = pairs["a"].to_numpy(zero_copy_only=False)
+    b = pairs["b"].to_numpy(zero_copy_only=False)
+    members, rep = min_label_propagation(a, b)
     return pa.table(
         {
             "doc_id": pa.array(members, pa.int64()),
-            "cluster_rep": pa.array([find(m) for m in members], pa.int64()),
+            "cluster_rep": pa.array(rep, pa.int64()),
         }
     )
 
@@ -193,21 +233,20 @@ class _SimhashStage:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         vhash = mh.hash_strings(vocab)
         n = len(batch)
-        out_id, out_band, out_val, out_sh = [], [], [], []
-        for i in range(n):
-            sel = d == i
-            sh = mh.simhash64(vhash[tid[sel]], tf[sel])
-            for b in range(SIMHASH_BANDS):
-                out_id.append(int(ids[i]))
-                out_band.append(b)
-                out_val.append(int((int(sh) >> (16 * b)) & 0xFFFF))
-                out_sh.append(int(sh))
+        # per-bit weighted scores via one bincount per bit over the flat
+        # (doc, term, tf) runs — no per-doc slicing (d is sorted by doc)
+        th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+        sh = mh.simhash_segments(d, th, tf, n)
+        bands = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
+        ids_rep = np.repeat(ids, SIMHASH_BANDS)
+        sh_rep = np.repeat(sh, SIMHASH_BANDS)
+        vals = (sh_rep >> (np.uint64(16) * bands.astype(np.uint64))) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_val": pa.array(out_val, pa.int64()),
-                "simhash": pa.array(out_sh, pa.uint64()),
+                "doc_id": pa.array(ids_rep, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_val": pa.array(vals.astype(np.int64), pa.int64()),
+                "simhash": pa.array(sh_rep, pa.uint64()),
             }
         )
 
@@ -217,15 +256,23 @@ def _simhash_pairs(group: pa.Table) -> pa.Table:
     sh = group["simhash"].to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")
     ids, sh = ids[order], sh[order]
-    a_out, b_out = [], []
-    if 2 <= len(ids) <= MAX_BUCKET:
-        ham = mh.hamming64(sh[:, None], sh[None, :])
-        ii, jj = np.where(np.triu(ham <= SIMHASH_MAX_HAMMING, k=1))
-        for i, j in zip(ii, jj):
-            if ids[i] != ids[j]:
-                a_out.append(int(min(ids[i], ids[j])))
-                b_out.append(int(max(ids[i], ids[j])))
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+    n = len(ids)
+    a_parts, b_parts = [], []
+    if n > MAX_BUCKET:
+        _LOG.warning("simhash bucket with %d members (> %d) — tiled verify", n, MAX_BUCKET)
+    for i0 in range(0, n, MAX_BUCKET):
+        for j0 in range(i0, n, MAX_BUCKET):
+            ham = mh.hamming64(
+                sh[i0 : i0 + MAX_BUCKET, None], sh[None, j0 : j0 + MAX_BUCKET]
+            )
+            ii, jj = np.where(ham <= SIMHASH_MAX_HAMMING)
+            gi, gj = ii + i0, jj + j0
+            keep = (gi < gj) & (ids[gi] != ids[gj])
+            a_parts.append(np.minimum(ids[gi[keep]], ids[gj[keep]]))
+            b_parts.append(np.maximum(ids[gi[keep]], ids[gj[keep]]))
+    a = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
+    b = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
 def simhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:

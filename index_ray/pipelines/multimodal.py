@@ -194,31 +194,47 @@ class FrameSample:
 # ---- pipelines -------------------------------------------------------------
 
 
-def media_features(sf_dir: str, n: int = 200) -> pa.Table:
-    """Image pipeline: synth table -> decode+features actor pool."""
+def media_features(sf_dir: str, n: int = 200):
+    """Image pipeline: synth table -> decode+features actor pool.
+
+    Returns the streaming Dataset — callers consume with iter_batches /
+    write_parquet; nothing materializes on the driver.
+    """
     import ray.data
 
     from ..util import pool
 
     ds = ray.data.from_arrow(synth_media_table(n, kind="image"))
-    out = ds.map_batches(
+    return ds.map_batches(
         DecodeFeatures, batch_format="pyarrow", batch_size=32, concurrency=pool()
     )
-    return out.to_pandas().pipe(pa.Table.from_pandas, preserve_index=False)
 
 
-def video_frame_sample(sf_dir: str, n: int = 64) -> pa.Table:
-    """Video pipeline: synth videos -> resize -> frame-sample actor pools."""
+def video_frame_sample(sf_dir: str, n: int = 64):
+    """Video pipeline: synth videos -> frame-sample -> per-frame metadata.
+
+    Returns the streaming Dataset of (media_id, frame_idx, frame_bytes);
+    the byte-size projection runs inside map_batches (zero-copy Arrow
+    value_lengths), not on the driver.
+    """
     import ray.data
 
     from ..util import pool
 
+    def frame_meta(batch: pa.Table) -> pa.Table:
+        col = batch["frame"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sizes = pa.compute.binary_length(col).cast(pa.int64())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "frame_bytes": sizes,
+            }
+        )
+
     ds = ray.data.from_arrow(synth_media_table(n, kind="video"))
-    out = ds.map_batches(
+    return ds.map_batches(
         FrameSample, batch_format="pyarrow", batch_size=16, concurrency=pool()
-    )
-    df = out.to_pandas()
-    df["frame_bytes"] = df["frame"].map(len)
-    return pa.Table.from_pandas(
-        df[["media_id", "frame_idx", "frame_bytes"]], preserve_index=False
-    )
+    ).map_batches(frame_meta, batch_format="pyarrow")

@@ -58,19 +58,48 @@ def query_terms(query: str, tokenizer_mode: str) -> list[str]:
     return sorted(set(vocab[t] for t in tid))
 
 
+class Lexicon:
+    """Driver-resident term -> df lookup over the merged lexicon.
+
+    Loads the whole (term, df) mapping once when it fits in
+    ``max_resident_bytes`` (the reference's T3 residency for the dict);
+    falls back to term-filtered parquet reads for huge vocabularies —
+    either way the parquet is opened once, not per search call.
+    """
+
+    def __init__(self, index_dir: str, n_docs: int, max_resident_bytes: int = 256 << 20):
+        self.n = n_docs
+        files = sorted(glob.glob(os.path.join(index_dir, "lexicon", "*.parquet")))
+        size = sum(os.path.getsize(f) for f in files)
+        self._map: dict[str, int] | None = None
+        self._ds = None
+        if size <= max_resident_bytes:
+            t = pa.concat_tables(pq.read_table(f, columns=["term", "df"]) for f in files)
+            self._map = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        else:
+            self._ds = pads.dataset(files)
+
+    def idf(self, terms: list[str]) -> dict[str, tuple[int, float]]:
+        if not terms:
+            return {}
+        out: dict[str, tuple[int, float]] = {}
+        if self._map is not None:
+            pairs = [(t, self._map[t]) for t in terms if t in self._map]
+        else:
+            t = self._ds.to_table(
+                columns=["term", "df"], filter=pads.field("term").isin(terms)
+            )
+            pairs = list(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        n = self.n
+        for term, df in pairs:
+            out[term] = (df, math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        return out
+
+
 def idf_weights(index_dir: str, terms: list[str]) -> dict[str, tuple[int, float]]:
-    """term -> (df, idf) from the merged lexicon (term-filtered read)."""
-    if not terms:
-        return {}
+    """term -> (df, idf) from the merged lexicon (one-shot convenience)."""
     stats = load_stats(index_dir)
-    n = stats["N"]
-    files = sorted(glob.glob(os.path.join(index_dir, "lexicon", "*.parquet")))
-    dsx = pads.dataset(files)
-    t = dsx.to_table(columns=["term", "df"], filter=pads.field("term").isin(terms))
-    out: dict[str, tuple[int, float]] = {}
-    for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-        out[term] = (df, math.log((n - df + 0.5) / (df + 0.5) + 1.0))
-    return out
+    return Lexicon(index_dir, stats["N"]).idf(terms)
 
 
 class _ChunkIndex:
@@ -86,24 +115,39 @@ class _ChunkIndex:
         t = pa.concat_tables(tables) if tables else None
         if t is None or len(t) == 0:
             self.df = np.empty(0, np.int64)
-            self.postings: list = []
+            self._post_offs = np.zeros(1, np.int64)
+            self._post_data = np.empty(0, np.uint8)
             self.skip_first: list = []
             self.skip_offset: list = []
             self.skip_maxtf: list = []
         else:
             self.df = t["df"].to_numpy(zero_copy_only=False)
             self.block_seq = t["block_seq"].to_numpy(zero_copy_only=False)
-            self.postings = t["postings"].to_pylist()
-            skips = t["skips"].to_pylist()
-            self.skip_first = [
-                np.array([s["first_doc"] for s in sk], dtype=np.int64) for sk in skips
-            ]
-            self.skip_offset = [
-                np.array([s["offset"] for s in sk], dtype=np.int64) for sk in skips
-            ]
-            self.skip_maxtf = [
-                np.array([s["max_tf"] for s in sk], dtype=np.int64) for sk in skips
-            ]
+            # postings stay in the Arrow binary buffer — per-block access is
+            # an offset slice (zero-copy), never a to_pylist materialization
+            col = t["postings"].combine_chunks()
+            if col.offset == 0 and col.null_count == 0:
+                self._post_offs = np.frombuffer(
+                    col.buffers()[1], dtype=np.int32, count=len(col) + 1
+                ).astype(np.int64)
+                self._post_data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            else:  # sliced/validity edge case: copy once
+                raw = b"".join(col.to_pylist())
+                lens = pa.compute.binary_length(col).to_numpy(zero_copy_only=False)
+                self._post_offs = np.zeros(len(col) + 1, np.int64)
+                np.cumsum(lens, out=self._post_offs[1:])
+                self._post_data = np.frombuffer(raw, dtype=np.uint8)
+            sk = t["skips"].combine_chunks()
+            lo = sk.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = lo - lo[0]  # flatten() re-bases the child values
+            child = sk.flatten()
+            fd = child.field("first_doc").to_numpy(zero_copy_only=False)
+            so = child.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+            mt = child.field("max_tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            nrows = len(t)
+            self.skip_first = [fd[lo[i] : lo[i + 1]] for i in range(nrows)]
+            self.skip_offset = [so[lo[i] : lo[i + 1]] for i in range(nrows)]
+            self.skip_maxtf = [mt[lo[i] : lo[i + 1]] for i in range(nrows)]
             for i, term in enumerate(t["term"].to_pylist()):
                 self.terms.setdefault(term, []).append(i)
             # global block order = docID order (salted blocks of one term come
@@ -122,6 +166,10 @@ class _ChunkIndex:
         self.doc_max = int(ids.max()) if len(ids) else -1
         self.doclen = np.zeros(self.doc_max - self.doc_min + 1, dtype=np.float64)
         self.doclen[ids - self.doc_min] = toks
+
+    def posting(self, i: int) -> np.ndarray:
+        """Zero-copy view of block i's varint stream."""
+        return self._post_data[self._post_offs[i] : self._post_offs[i + 1]]
 
 
 def _score_chunk(
@@ -170,12 +218,12 @@ def _score_chunk(
                 keep = (pmax + sub_ub + tail_ub[j + 1]) >= tau
                 if not keep.all():
                     docs, tfs = unpack_subblocks(
-                        ci.postings[i], df_i, ci.skip_offset[i], np.flatnonzero(keep)
+                        ci.posting(i), df_i, ci.skip_offset[i], np.flatnonzero(keep)
                     )
                 else:
-                    docs, tfs = unpack_block(ci.postings[i], df_i)
+                    docs, tfs = unpack_block(ci.posting(i), df_i)
             else:
-                docs, tfs = unpack_block(ci.postings[i], df_i)
+                docs, tfs = unpack_block(ci.posting(i), df_i)
             if len(docs) == 0:
                 continue
             idx = docs - base
@@ -237,6 +285,7 @@ class BM25Searcher:
         self.actors = [
             SearchShard.remote(g, float(self.stats["avgdl"])) for g in groups if g
         ]
+        self.lexicon = Lexicon(index_dir, self.stats["N"])
         ray.get([a.ready.remote() for a in self.actors])
 
     def search(self, query: str, k: int = 10, prune: bool = True) -> pa.Table:
@@ -249,7 +298,7 @@ class BM25Searcher:
         prepared = []
         for q, k in queries:
             terms = query_terms(q, mode)
-            weights = idf_weights(self.index_dir, terms)
+            weights = self.lexicon.idf(terms)
             terms = [t for t in terms if t in weights]  # absent terms score 0
             idfs = [weights[t][1] for t in terms]
             prepared.append((terms, idfs, k))

@@ -22,7 +22,7 @@ import ray.data
 
 _HYPERPLANE_SEED = 0x5EED
 
-from ..util import pairs_table
+from ..util import pairs_table, pool
 
 
 def emb_dataset(sf_dir: str) -> ray.data.Dataset:
@@ -132,7 +132,7 @@ def lsh_knn_cosine(
             for b2 in range(b + 1, nbits):
                 probes.add(base ^ (1 << b) ^ (1 << b2))
         qkeys.append(probes)
-    all_probes = set().union(*qkeys)
+    all_probes = np.array(sorted(set().union(*qkeys)), dtype=np.int64)
     probes_ref = ray.put((qn, all_probes))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -140,8 +140,8 @@ def lsh_knn_cosine(
         m = _to_matrix(batch["embedding"])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sig = (mn @ H.T > 0).astype(np.uint64)
-        keys = (sig * pow2[None, :]).sum(axis=1)
-        mask = np.array([int(kk) in probes for kk in keys])
+        keys = (sig * pow2[None, :]).sum(axis=1).astype(np.int64)
+        mask = np.isin(keys, probes)
         if not mask.any():
             return pa.table(
                 {
@@ -226,36 +226,44 @@ def embedding_neardup_lsh(
     verify within buckets.  Approximate: recall vs ``embedding_neardup``
     is measured in tests.
     """
-    H_holder = {}
+    class SignStage:
+        """Stateful sign stage: hyperplanes built once per actor, not per
+        task (deterministic seed, so every actor holds the same H)."""
 
-    def sign_stage(batch: pa.Table) -> pa.Table:
-        m = _to_matrix(batch["embedding"])
-        if "H" not in H_holder:
-            H_holder["H"] = _hyperplanes(m.shape[1], nbits)
-        H = H_holder["H"]
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sig = (mn @ H.T > 0).astype(np.uint64)
-        pow2 = np.full(nbits, 1, dtype=np.uint64) << np.arange(nbits, dtype=np.uint64)
-        base = (sig * pow2[None, :]).sum(axis=1).astype(np.int64)
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        # multi-probe: emit the base bucket and every Hamming-1 neighbor
-        keys = [base]
-        for b in range(nbits):
-            keys.append(base ^ (1 << b))
-        key_col = np.concatenate(keys)
-        id_col = np.tile(ids, nbits + 1)
-        vec_col = np.tile(mn, (nbits + 1, 1))
-        return pa.table(
-            {
-                "key": pa.array(key_col, pa.int64()),
-                "vec_id": pa.array(id_col, pa.int64()),
-                "vec": pa.array(list(vec_col)),
-                "is_base": pa.array(
-                    np.repeat([True] + [False] * nbits, n), pa.bool_()
-                ),
-            }
-        )
+        def __init__(self):
+            self.H: np.ndarray | None = None
+            self.pow2 = np.full(nbits, 1, dtype=np.uint64) << np.arange(
+                nbits, dtype=np.uint64
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch["embedding"])
+            if self.H is None:
+                self.H = _hyperplanes(m.shape[1], nbits)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sig = (mn @ self.H.T > 0).astype(np.uint64)
+            base = (sig * self.pow2[None, :]).sum(axis=1).astype(np.int64)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            n = len(ids)
+            # multi-probe: emit the base bucket and every Hamming-1 neighbor
+            keys = [base]
+            for b in range(nbits):
+                keys.append(base ^ (1 << b))
+            key_col = np.concatenate(keys)
+            id_col = np.tile(ids, nbits + 1)
+            vec_col = np.tile(mn, (nbits + 1, 1))
+            return pa.table(
+                {
+                    "key": pa.array(key_col, pa.int64()),
+                    "vec_id": pa.array(id_col, pa.int64()),
+                    "vec": pa.array(list(vec_col)),
+                    "is_base": pa.array(
+                        np.repeat([True] + [False] * nbits, n), pa.bool_()
+                    ),
+                }
+            )
+
+    sign_stage = SignStage
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
@@ -276,7 +284,9 @@ def embedding_neardup_lsh(
 
     ds = (
         emb_dataset(sf_dir)
-        .map_batches(sign_stage, batch_format="pyarrow", batch_size=4096)
+        .map_batches(
+            sign_stage, batch_format="pyarrow", batch_size=4096, concurrency=pool()
+        )
         .groupby("key")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )

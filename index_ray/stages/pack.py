@@ -73,6 +73,21 @@ def pack_runs(table: pa.Table, max_block_postings: int = 1 << 17) -> pa.Table:
     return pack_sorted(codes, de.dictionary, salt, doc, tf, max_block_postings)
 
 
+def _recompute_block_seq(t: pa.Table) -> pa.Table:
+    """Recompute the within-term block_seq over concatenated packed tables."""
+    de = t["term"].combine_chunks().dictionary_encode()
+    bcodes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nblocks = len(bcodes)
+    newterm = np.empty(nblocks, dtype=bool)
+    newterm[0] = True
+    newterm[1:] = bcodes[1:] != bcodes[:-1]
+    idxb = np.arange(nblocks)
+    term_first = idxb[newterm]
+    block_seq = (idxb - term_first[np.cumsum(newterm) - 1]).astype(np.int32)
+    i = t.schema.get_field_index("block_seq")
+    return t.set_column(i, "block_seq", pa.array(block_seq, type=pa.int32()))
+
+
 def pack_sorted(
     codes: np.ndarray,
     dictionary: pa.Array,
@@ -80,11 +95,17 @@ def pack_sorted(
     doc: np.ndarray,
     tf: np.ndarray,
     max_block_postings: int = 1 << 17,
+    max_bytes: int = int(np.iinfo(np.int32).max),
 ) -> pa.Table:
     """Pack pre-sorted posting arrays (term-code, salt, docID ascending).
 
     ``codes`` index into ``dictionary`` (sorted-unique term strings not
     required — codes must merely be grouped and in final output order).
+
+    Partitions whose encoded postings exceed ``max_bytes`` (the pa.binary
+    int32 offset ceiling) are split at block boundaries into byte-bounded
+    segments and packed per segment — a stopword-heavy partition degrades
+    to multiple tables, never an error.
     """
     n = len(doc)
     if n == 0:
@@ -122,8 +143,28 @@ def pack_sorted(
     flat, lens = varint.pack_interleaved(gaps, tf.astype(np.uint64))
     cum = np.zeros(2 * n + 1, dtype=np.int64)
     np.cumsum(lens, out=cum[1:])
-    if cum[-1] > np.iinfo(np.int32).max:
-        raise ValueError("partition postings exceed 2GB — raise num_parts")
+    if cum[-1] > max_bytes:
+        # split at block boundaries into byte-bounded segments; every block
+        # start restarts the delta chain, so each segment is self-contained
+        sb = cum[2 * block_starts]
+        seg_end_bytes = np.append(sb[1:], cum[-1])
+        bounds = [0]
+        while block_starts[bounds[-1]] < n:
+            base = sb[bounds[-1]]
+            j = int(np.searchsorted(seg_end_bytes, base + max_bytes, side="right"))
+            j = max(j, bounds[-1] + 1)  # always advance >= one block
+            bounds.append(j)
+            if j >= nblocks:
+                break
+        row_bounds = [int(block_starts[b]) if b < nblocks else n for b in bounds]
+        parts = [
+            pack_sorted(
+                codes[s:e], dictionary, salt[s:e], doc[s:e], tf[s:e],
+                max_block_postings, max_bytes,
+            )
+            for s, e in zip(row_bounds[:-1], row_bounds[1:])
+        ]
+        return _recompute_block_seq(pa.concat_tables(parts))
 
     # postings binary column: zero-copy offset slicing into the flat buffer
     bin_offsets = np.empty(nblocks + 1, dtype=np.int32)
@@ -232,6 +273,10 @@ def encode_batch_blobs(
         raise ValueError(
             "docID span within one read batch must fit uint32 "
             "(use contiguous docIDs or a smaller doc_batch)"
+        )
+    if 8 * n > np.iinfo(np.int32).max:
+        raise ValueError(
+            "batch blob exceeds int32 offsets (~268M postings) — shrink doc_batch"
         )
     slots = np.empty(2 * n, dtype=np.uint32)
     idx = np.arange(n)
