@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
+        "bm25_and_topk": flagship.bm25_and_topk,
+        "bm25_topk_meta": flagship.bm25_topk_meta,
+        "phrase_match": flagship.phrase_match,
         "bm25_scores": flagship.flagship,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
@@ -77,10 +80,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from index_ray.pipelines.flagship import bm25_sql_oracle
+    from index_ray.pipelines.flagship import (
+        bm25_and_sql_oracle,
+        bm25_meta_sql_oracle,
+        bm25_sql_oracle,
+        phrase_sql_oracle,
+    )
 
     return {
         "bm25_topk": bm25_sql_oracle(),
+        "bm25_and_topk": bm25_and_sql_oracle(),
+        "bm25_topk_meta": bm25_meta_sql_oracle(),
+        "phrase_match": phrase_sql_oracle(),
         "index_terms": f"""
             {_TOKS}
             SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df

@@ -72,6 +72,7 @@ class BuildConfig:
     salt_docs: int = 16384               # docID range width per salted hot-term block
     max_block_postings: int = 1 << 17
     row_groups_per_task: int = 1
+    positions: bool = False              # store within-doc token positions (phrase queries)
 
     FORMAT_VERSION = 2  # bump when the on-disk shard layout changes
 
@@ -176,10 +177,10 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
     return (ray.put(frozenset(hot)) if hot else None), hot
 
 
-def _make_packer(parts_dir: str, max_block_postings: int):
+def _make_packer(parts_dir: str, max_block_postings: int, positions: bool = False):
     def pack_and_write(group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
-        packed = merge_blob_partition(group, max_block_postings)
+        packed = merge_blob_partition(group, max_block_postings, positions)
         path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
         tmp = path + f".{os.getpid()}.tmp"
         pq.write_table(packed, tmp)
@@ -223,6 +224,7 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
                     max(cfg.salt_docs, 1),
                     hot_ref,
                     docmap_dir,  # docmap written from the same tokenize pass
+                    cfg.positions,
                 ),
             )
         ],
@@ -230,7 +232,8 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
         doc_batch=cfg.batch_size,
     )
     meta = runs.groupby("part").map_groups(
-        _make_packer(parts_dir, cfg.max_block_postings), batch_format="pyarrow"
+        _make_packer(parts_dir, cfg.max_block_postings, cfg.positions),
+        batch_format="pyarrow",
     )
     lex = meta.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
@@ -339,6 +342,7 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "config_fingerprint": cfg.fingerprint(),
         "tokenizer": cfg.tokenizer,
+        "positions": cfg.positions,
         "hot_terms": hot,
         "chunks": [
             {

@@ -42,14 +42,23 @@ DOC_QUERIES: list[tuple[int, list[str], int]] = [
 ]
 
 
+PHRASES: list[tuple[int, str]] = [
+    (1, "batch batch"),
+    (2, "merge sort"),
+    (3, "key order"),
+    (4, "slow join"),
+    (5, "xyzzy warp"),  # absent phrase: empty result path
+]
+
+
 def _index_dir_for(sf_dir: str) -> str:
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return f"/tmp/index_ray_docs_{key}"
 
 
-def documents_index(sf_dir: str) -> str:
+def documents_index(sf_dir: str, positions: bool = False) -> str:
     """Build (or resume) the documents-table index; returns its directory."""
-    out = _index_dir_for(sf_dir)
+    out = _index_dir_for(sf_dir) + ("_pos" if positions else "")
     cfg = BuildConfig(
         tokenizer="simple",
         text_col="text",
@@ -58,6 +67,7 @@ def documents_index(sf_dir: str) -> str:
         num_parts=16,
         batch_size=512,
         salt_docs=4096,
+        positions=positions,
     )
     build_index(f"{sf_dir}/documents.parquet", out, cfg)
     return out
@@ -81,10 +91,62 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return flagship(sf_dir).select(["qid", "rank", "doc_id"])
 
 
-def bm25_sql_oracle() -> str:
-    """DuckDB SQL recomputing the same BM25 top-k from scratch."""
+def bm25_and_topk(sf_dir: str) -> pa.Table:
+    """Conjunctive BM25 top-k: only docs containing EVERY query term.
+
+    Skip-seek posting intersection inside the shard actors (the reference's
+    ``Seek`` extension point, ``/root/reference/index.h:141``); oracle is
+    the same BM25 SQL with HAVING count(DISTINCT term) = n query terms.
+    """
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], mode="and"
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_topk_meta(sf_dir: str) -> pa.Table:
+    """BM25 top-k joined back to document metadata: (qid, rank, doc_id, lang).
+
+    The reference's docID -> URL lookup (``getDocument``,
+    ``/root/reference/index.cpp:16-19``) as a docmap join on the results.
+    """
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], meta_cols=["lang"]
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score", "lang"]).select(
+        ["qid", "rank", "doc_id", "lang"]
+    )
+
+
+def _bm25_ctes(conjunctive: bool = False) -> str:
+    """Shared DuckDB CTEs recomputing BM25 from scratch; ``conjunctive``
+    restricts scored docs to those matching every query term."""
     values = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    having = (
+        "HAVING count(DISTINCT tf.term) = "
+        "(SELECT count(*) FROM q q2 WHERE q2.qid = q.qid)"
+        if conjunctive
+        else ""
     )
     return f"""
 WITH tok AS (
@@ -112,13 +174,62 @@ scored AS (
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
   GROUP BY q.qid, tf.doc_id
-)
-SELECT qid, rank, doc_id FROM (
+  {having}
+),
+ranked AS (
   SELECT qid, doc_id,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
   FROM scored
-) WHERE rank <= 10
-"""
+)"""
+
+
+def bm25_sql_oracle() -> str:
+    return _bm25_ctes() + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+
+
+def bm25_and_sql_oracle() -> str:
+    return (
+        _bm25_ctes(conjunctive=True)
+        + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+    )
+
+
+def bm25_meta_sql_oracle() -> str:
+    return _bm25_ctes() + (
+        "\nSELECT qid, rank, doc_id, lang FROM ranked JOIN documents USING (doc_id)"
+        " WHERE rank <= 10"
+    )
+
+
+def phrase_match(sf_dir: str) -> pa.Table:
+    """Exact-phrase membership over the positional index: (qid, doc_id).
+
+    Positions restore the reference's positional Post model
+    (``/root/reference/index.h:56-60``); oracle = an adjacency regex over
+    the normalized text (simple tokenizer space).
+    """
+    out = documents_index(sf_dir, positions=True)
+    searcher = BM25Searcher(out)
+    results = searcher.phrase_many([p for _, p in PHRASES])
+    tables = []
+    for (qid, _), r in zip(PHRASES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "doc_id", "n_matches"]).select(["qid", "doc_id"])
+
+
+def phrase_sql_oracle() -> str:
+    parts = []
+    for qid, p in PHRASES:
+        toks = p.lower().split()
+        pat = "(^|[^a-z0-9])" + "[^a-z0-9]+".join(toks) + "([^a-z0-9]|$)"
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id FROM documents "
+            f"WHERE regexp_matches(lower(text), '{pat}')"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def index_terms(sf_dir: str) -> pa.Table:

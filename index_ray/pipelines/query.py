@@ -44,7 +44,12 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.tokenize import TokenNormalizer, tokenize_batch
-from ..stages.pack import unpack_block, unpack_subblocks
+from ..stages.pack import (
+    SKIP_INTERVAL,
+    unpack_block,
+    unpack_positions,
+    unpack_subblocks,
+)
 from .build import load_stats
 
 K1 = 1.2
@@ -56,6 +61,13 @@ def query_terms(query: str, tokenizer_mode: str) -> list[str]:
     norm = TokenNormalizer(tokenizer_mode)
     _, tid, vocab = tokenize_batch(pa.array([query]), norm)
     return sorted(set(vocab[t] for t in tid))
+
+
+def query_terms_ordered(query: str, tokenizer_mode: str) -> list[str]:
+    """Query terms in occurrence order (duplicates kept) — phrase queries."""
+    norm = TokenNormalizer(tokenizer_mode)
+    _, tid, vocab = tokenize_batch(pa.array([query]), norm)
+    return [vocab[t] for t in tid]
 
 
 class Lexicon:
@@ -102,19 +114,41 @@ def idf_weights(index_dir: str, terms: list[str]) -> dict[str, tuple[int, float]
     return Lexicon(index_dir, stats["N"]).idf(terms)
 
 
+def _binary_views(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, data) views over a pa.binary array's buffers."""
+    if col.offset == 0 and col.null_count == 0:
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=len(col) + 1
+        ).astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    else:  # sliced/validity edge case: copy once
+        raw = b"".join(col.to_pylist())
+        lens = pa.compute.binary_length(col).to_numpy(zero_copy_only=False)
+        offs = np.zeros(len(col) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        data = np.frombuffer(raw, dtype=np.uint8)
+    return offs, data
+
+
 class _ChunkIndex:
     """In-memory image of one build chunk: term dict + doclens."""
 
     def __init__(self, chunk_dir: str):
         self.terms: dict[str, list[int]] = {}
         self.block_seq: np.ndarray
+        self.has_positions = False
         cols = ["term", "block_seq", "df", "cf", "postings", "skips"]
+        files = sorted(glob.glob(os.path.join(chunk_dir, "parts", "*.parquet")))
+        if files and "positions" in pq.read_schema(files[0]).names:
+            self.has_positions = True
+            cols = cols + ["positions"]
         tables = []
-        for f in sorted(glob.glob(os.path.join(chunk_dir, "parts", "*.parquet"))):
+        for f in files:
             tables.append(pq.read_table(f, columns=cols))
         t = pa.concat_tables(tables) if tables else None
         if t is None or len(t) == 0:
             self.df = np.empty(0, np.int64)
+            self.tf_sum = np.empty(0, np.int64)
             self._post_offs = np.zeros(1, np.int64)
             self._post_data = np.empty(0, np.uint8)
             self.skip_first: list = []
@@ -122,21 +156,17 @@ class _ChunkIndex:
             self.skip_maxtf: list = []
         else:
             self.df = t["df"].to_numpy(zero_copy_only=False)
+            self.tf_sum = t["cf"].to_numpy(zero_copy_only=False)
             self.block_seq = t["block_seq"].to_numpy(zero_copy_only=False)
             # postings stay in the Arrow binary buffer — per-block access is
             # an offset slice (zero-copy), never a to_pylist materialization
-            col = t["postings"].combine_chunks()
-            if col.offset == 0 and col.null_count == 0:
-                self._post_offs = np.frombuffer(
-                    col.buffers()[1], dtype=np.int32, count=len(col) + 1
-                ).astype(np.int64)
-                self._post_data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-            else:  # sliced/validity edge case: copy once
-                raw = b"".join(col.to_pylist())
-                lens = pa.compute.binary_length(col).to_numpy(zero_copy_only=False)
-                self._post_offs = np.zeros(len(col) + 1, np.int64)
-                np.cumsum(lens, out=self._post_offs[1:])
-                self._post_data = np.frombuffer(raw, dtype=np.uint8)
+            self._post_offs, self._post_data = _binary_views(
+                t["postings"].combine_chunks()
+            )
+            if self.has_positions:
+                self._pos_offs, self._pos_data = _binary_views(
+                    t["positions"].combine_chunks()
+                )
             sk = t["skips"].combine_chunks()
             lo = sk.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             lo = lo - lo[0]  # flatten() re-bases the child values
@@ -170,6 +200,10 @@ class _ChunkIndex:
     def posting(self, i: int) -> np.ndarray:
         """Zero-copy view of block i's varint stream."""
         return self._post_data[self._post_offs[i] : self._post_offs[i + 1]]
+
+    def position(self, i: int) -> np.ndarray:
+        """Zero-copy view of block i's positions varint stream."""
+        return self._pos_data[self._pos_offs[i] : self._pos_offs[i + 1]]
 
 
 def _score_chunk(
@@ -242,6 +276,162 @@ def _score_chunk(
     return top + base, scores[top]
 
 
+def _decode_for_candidates(
+    ci: _ChunkIndex, rows: list[int], cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a term's postings restricted to sub-blocks that can contain
+    ``cand`` docIDs — the skip-seek path (the reference's ``Seek``
+    extension point, ``/root/reference/index.h:141``, realized over the
+    skip arrays instead of a posting iterator).
+
+    Returns (docs, tfs) concatenated over the term's blocks, docID-ascending
+    (rows are pre-sorted by first doc; blocks cover disjoint docID ranges).
+    """
+    docs_out, tfs_out = [], []
+    for i in rows:
+        df_i = int(ci.df[i])
+        sfirst = ci.skip_first[i]
+        # sub-block j covers [sfirst[j], sfirst[j+1]); select those hit by cand
+        hit = np.searchsorted(sfirst, cand, side="right") - 1
+        hit = np.unique(hit[hit >= 0])
+        if len(hit) == 0:
+            continue
+        if len(hit) * SKIP_INTERVAL >= df_i:
+            docs, tfs = unpack_block(ci.posting(i), df_i)
+        else:
+            docs, tfs = unpack_subblocks(
+                ci.posting(i), df_i, ci.skip_offset[i], hit
+            )
+        docs_out.append(docs)
+        tfs_out.append(tfs)
+    if not docs_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def _and_candidates(
+    ci: _ChunkIndex, terms: list[str]
+) -> tuple[np.ndarray, list[tuple[np.ndarray, np.ndarray]]]:
+    """Conjunctive candidate set for one chunk: docs containing ALL terms.
+
+    Rarest-first intersection with skip-seek decoding; returns the final
+    candidates plus each term's decoded (docs, tfs) superset (aligned with
+    ``terms`` order) for scoring.
+    """
+    empty = np.empty(0, np.int64)
+    rows_per_term = []
+    for t in terms:
+        rows = ci.terms.get(t)
+        if not rows:
+            return empty, []
+        rows_per_term.append(rows)
+    order = np.argsort([sum(int(ci.df[i]) for i in rows) for rows in rows_per_term])
+    decoded: list = [None] * len(terms)
+    cand: np.ndarray | None = None
+    for j in order:
+        rows = rows_per_term[j]
+        if cand is None:  # rarest term: full decode seeds the candidates
+            parts = [unpack_block(ci.posting(i), int(ci.df[i])) for i in rows]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+        else:
+            docs, tfs = _decode_for_candidates(ci, rows, cand)
+        decoded[j] = (docs, tfs)
+        cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+        if len(cand) == 0:
+            return empty, []
+    return cand, decoded
+
+
+def _score_chunk_and(
+    ci: _ChunkIndex,
+    terms: list[str],
+    idfs: np.ndarray,
+    k: int,
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive BM25: score only docs containing every query term."""
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cand, decoded = _and_candidates(ci, terms)
+    if len(cand) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    norm_dl = K1 * (1.0 - B + B * ci.doclen[cand - ci.doc_min] / avgdl)
+    scores = np.zeros(len(cand), dtype=np.float64)
+    for j in range(len(terms)):  # ascending term order: oracle-identical sums
+        docs, tfs = decoded[j]
+        pos = np.searchsorted(docs, cand)
+        tf = tfs[pos].astype(np.float64)  # cand subset of docs by construction
+        scores += idfs[j] * (tf * (K1 + 1.0)) / (tf + norm_dl)
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
+def _phrase_chunk(ci: _ChunkIndex, ordered_terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Docs of this chunk containing the exact phrase -> (docIDs, n_matches).
+
+    Candidates come from the conjunctive skip-seek intersection; adjacency
+    is verified over the positional streams: the phrase starts at p iff for
+    every ordinal i, term_i occurs at position p + i.  Verification is the
+    vectorized "count distinct ordinals per (doc, p)" trick — per ordinal a
+    (doc, pos - i) key appears at most once, so a key reaching
+    len(ordered_terms) is a full phrase match.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not ci.has_positions:
+        raise ValueError("index built without positions — rebuild with positions=True")
+    if not ordered_terms:
+        return empty
+    uniq = sorted(set(ordered_terms))
+    cand, _ = _and_candidates(ci, uniq)
+    if len(cand) == 0:
+        return empty
+    # per unique term: (doc, pos) occurrence arrays restricted to candidates
+    occs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in uniq:
+        docs_parts, pos_parts = [], []
+        for i in ci.terms[t]:
+            df_i = int(ci.df[i])
+            docs, tfs = unpack_block(ci.posting(i), df_i)
+            lo = np.searchsorted(docs, cand[0])
+            hi = np.searchsorted(docs, cand[-1], side="right")
+            if lo == hi:
+                continue
+            sel = np.flatnonzero(np.isin(docs[lo:hi], cand, assume_unique=True)) + lo
+            if len(sel) == 0:
+                continue
+            pos_flat = unpack_positions(ci.position(i), tfs)
+            occ_starts = np.zeros(df_i, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=occ_starts[1:])
+            lens_sel = tfs[sel]
+            excl = np.zeros(len(sel), dtype=np.int64)
+            np.cumsum(lens_sel[:-1], out=excl[1:])
+            tot = int(lens_sel.sum())
+            oidx = np.repeat(occ_starts[sel], lens_sel) + (
+                np.arange(tot) - np.repeat(excl, lens_sel)
+            )
+            docs_parts.append(np.repeat(docs[sel], lens_sel))
+            pos_parts.append(pos_flat[oidx])
+        if not docs_parts:
+            return empty
+        occs[t] = (np.concatenate(docs_parts), np.concatenate(pos_parts))
+    # adjacency: count ordinals agreeing on (doc, start = pos - ordinal)
+    n_ord = len(ordered_terms)
+    keys_parts = []
+    for i, t in enumerate(ordered_terms):
+        docs, pos = occs[t]
+        padj = pos - i
+        ok = padj >= 0
+        keys_parts.append(docs[ok].astype(np.int64) * (1 << 32) + padj[ok])
+    keys = np.concatenate(keys_parts)
+    uk, counts = np.unique(keys, return_counts=True)
+    full = uk[counts == n_ord]
+    if len(full) == 0:
+        return empty
+    mdocs, mcounts = np.unique(full >> 32, return_counts=True)
+    return mdocs.astype(np.int64), mcounts.astype(np.int64)
+
+
 @ray.remote
 class SearchShard:
     """Stateful query actor: loads its chunks once, serves score requests."""
@@ -254,16 +444,36 @@ class SearchShard:
         return True
 
     def score_many(
-        self, queries: list[tuple[list[str], list[float], int]], prune: bool
+        self,
+        queries: list[tuple[list[str], list[float], int]],
+        prune: bool,
+        mode: str = "or",
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
         for terms, idfs, k in queries:
             tops, scs = [], []
             for ci in self.chunks:
-                t, s = _score_chunk(ci, terms, np.asarray(idfs), k, self.avgdl, prune)
+                if mode == "and":
+                    t, s = _score_chunk_and(ci, terms, np.asarray(idfs), k, self.avgdl)
+                else:
+                    t, s = _score_chunk(ci, terms, np.asarray(idfs), k, self.avgdl, prune)
                 tops.append(t)
                 scs.append(s)
             out.append((np.concatenate(tops), np.concatenate(scs)))
+        return out
+
+    def phrase_many(
+        self, phrases: list[list[str]]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per ordered-term phrase: (matching docIDs, phrase-start counts)."""
+        out = []
+        for terms in phrases:
+            docs_parts, cnt_parts = [], []
+            for ci in self.chunks:
+                d, c = _phrase_chunk(ci, terms)
+                docs_parts.append(d)
+                cnt_parts.append(c)
+            out.append((np.concatenate(docs_parts), np.concatenate(cnt_parts)))
         return out
 
 
@@ -288,26 +498,53 @@ class BM25Searcher:
         self.lexicon = Lexicon(index_dir, self.stats["N"])
         ray.get([a.ready.remote() for a in self.actors])
 
-    def search(self, query: str, k: int = 10, prune: bool = True) -> pa.Table:
-        return self.search_many([(query, k)], prune)[0]
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        prune: bool = True,
+        mode: str = "or",
+        meta_cols: list[str] | None = None,
+    ) -> pa.Table:
+        return self.search_many([(query, k)], prune, mode=mode, meta_cols=meta_cols)[0]
 
     def search_many(
-        self, queries: list[tuple[str, int]], prune: bool = True
+        self,
+        queries: list[tuple[str, int]],
+        prune: bool = True,
+        mode: str = "or",
+        meta_cols: list[str] | None = None,
     ) -> list[pa.Table]:
-        mode = self.stats.get("tokenizer", "code")
+        """Top-k BM25 per query.
+
+        mode="or": any query term may match (scores sum over present terms).
+        mode="and": conjunctive — only docs containing EVERY query term
+        (skip-seek posting intersection inside the shard actors); a term
+        absent from the whole lexicon empties the result.
+        meta_cols: join these docmap columns (repo/path/lang/...) onto the
+        results — the reference's ``getDocument(i)`` docID -> URL lookup
+        (``/root/reference/index.cpp:16-19``) as a broadcast-small-side join.
+        """
+        tok_mode = self.stats.get("tokenizer", "code")
         prepared = []
-        for q, k in queries:
-            terms = query_terms(q, mode)
+        dead = set()  # AND queries with a term missing from the lexicon
+        for qi, (q, k) in enumerate(queries):
+            terms = query_terms(q, tok_mode)
             weights = self.lexicon.idf(terms)
-            terms = [t for t in terms if t in weights]  # absent terms score 0
-            idfs = [weights[t][1] for t in terms]
-            prepared.append((terms, idfs, k))
-        futs = [a.score_many.remote(prepared, prune) for a in self.actors]
+            present = [t for t in terms if t in weights]  # absent terms score 0
+            if mode == "and" and len(present) < len(terms):
+                dead.add(qi)
+                present = []
+            idfs = [weights[t][1] for t in present]
+            prepared.append((present, idfs, k))
+        futs = [a.score_many.remote(prepared, prune, mode) for a in self.actors]
         per_actor = ray.get(futs)
         out = []
         for qi, (_, _, k) in enumerate(prepared):
             docs = np.concatenate([pa_res[qi][0] for pa_res in per_actor])
             scores = np.concatenate([pa_res[qi][1] for pa_res in per_actor])
+            if qi in dead:
+                docs, scores = docs[:0], scores[:0]
             order = np.lexsort((docs, -scores))[:k]
             out.append(
                 pa.table(
@@ -320,4 +557,67 @@ class BM25Searcher:
                     }
                 )
             )
+        if meta_cols:
+            out = self._join_meta(out, meta_cols)
+        return out
+
+    def phrase_many(self, phrases: list[str]) -> list[pa.Table]:
+        """Exact-phrase match over the positional index.
+
+        Returns one table per phrase: (docID, n_matches) for every document
+        containing the phrase (terms adjacent in tokenizer space), sorted by
+        docID.  Requires an index built with ``positions=True``.
+        """
+        if not self.stats.get("positions"):
+            raise ValueError(
+                f"index at {self.index_dir} was built without positions=True"
+            )
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared: list[list[str]] = []
+        for q in phrases:
+            terms = query_terms_ordered(q, tok_mode)
+            weights = self.lexicon.idf(sorted(set(terms)))
+            if len(weights) < len(set(terms)):
+                terms = []  # a term absent from the corpus: no match anywhere
+            prepared.append(terms)
+        futs = [a.phrase_many.remote(prepared) for a in self.actors]
+        per_actor = ray.get(futs)
+        out = []
+        for qi in range(len(prepared)):
+            docs = np.concatenate([res[qi][0] for res in per_actor])
+            cnts = np.concatenate([res[qi][1] for res in per_actor])
+            order = np.argsort(docs)
+            out.append(
+                pa.table(
+                    {
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "n_matches": pa.array(cnts[order], type=pa.int64()),
+                    }
+                )
+            )
+        return out
+
+    def _join_meta(self, results: list[pa.Table], meta_cols: list[str]) -> list[pa.Table]:
+        """Join docmap columns onto result tables (one filtered read for
+        all queries' docIDs — the small side stays on the driver)."""
+        all_ids = np.unique(
+            np.concatenate([t["docID"].to_numpy(zero_copy_only=False) for t in results])
+        ) if results else np.empty(0, np.int64)
+        dm_files = sorted(
+            glob.glob(os.path.join(self.index_dir, "chunks", "*", "docmap", "*.parquet"))
+        )
+        dsx = pads.dataset(dm_files)
+        meta = dsx.to_table(
+            columns=["docID"] + list(meta_cols),
+            filter=pads.field("docID").isin(all_ids.tolist()),
+        )
+        mids = meta["docID"].to_numpy(zero_copy_only=False)
+        morder = np.argsort(mids)
+        out = []
+        for t in results:
+            ids = t["docID"].to_numpy(zero_copy_only=False)
+            pos = morder[np.searchsorted(mids[morder], ids)]
+            for c in meta_cols:
+                t = t.append_column(c, meta[c].take(pa.array(pos)))
+            out.append(t)
         return out

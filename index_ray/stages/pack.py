@@ -52,6 +52,14 @@ PACKED_SCHEMA = pa.schema(
     ]
 )
 
+# positional layout: one extra varint stream per block — per-occurrence
+# within-doc token positions, delta-coded with a reset (absolute value) at
+# each posting's first occurrence, so any block decodes independently given
+# its tfs.  The reference stores positions as deltas in one global position
+# space (/root/reference/index.h:56-60, index.cpp:181-185); per-doc
+# positions + the docID column carry the same information shard-locally.
+PACKED_POS_SCHEMA = PACKED_SCHEMA.append(pa.field("positions", pa.binary()))
+
 
 def pack_runs(table: pa.Table, max_block_postings: int = 1 << 17) -> pa.Table:
     """Pack a partition of (term, salt, docID, tf) runs into posting blocks.
@@ -88,6 +96,21 @@ def _recompute_block_seq(t: pa.Table) -> pa.Table:
     return t.set_column(i, "block_seq", pa.array(block_seq, type=pa.int32()))
 
 
+def _encode_positions(pos_flat: np.ndarray, occ_starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Delta-code within-posting positions (absolute at each posting start)
+    and varint-pack -> (flat uint8, cumulative byte offsets len m+1)."""
+    m = len(pos_flat)
+    p = pos_flat.astype(np.int64)
+    dpos = np.empty(m, dtype=np.uint64)
+    if m:
+        dpos[1:] = (p[1:] - p[:-1]).astype(np.uint64)
+        dpos[occ_starts] = p[occ_starts].astype(np.uint64)
+    flat, lens = varint.encode(dpos)
+    cum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=cum[1:])
+    return flat, cum
+
+
 def pack_sorted(
     codes: np.ndarray,
     dictionary: pa.Array,
@@ -96,6 +119,7 @@ def pack_sorted(
     tf: np.ndarray,
     max_block_postings: int = 1 << 17,
     max_bytes: int = int(np.iinfo(np.int32).max),
+    pos: np.ndarray | None = None,
 ) -> pa.Table:
     """Pack pre-sorted posting arrays (term-code, salt, docID ascending).
 
@@ -143,11 +167,19 @@ def pack_sorted(
     flat, lens = varint.pack_interleaved(gaps, tf.astype(np.uint64))
     cum = np.zeros(2 * n + 1, dtype=np.int64)
     np.cumsum(lens, out=cum[1:])
-    if cum[-1] > max_bytes:
+    if pos is not None:
+        occ_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tf, out=occ_cum[1:])
+        pflat, pcum = _encode_positions(pos, occ_cum[:-1])
+    if cum[-1] > max_bytes or (pos is not None and pcum[-1] > max_bytes):
         # split at block boundaries into byte-bounded segments; every block
         # start restarts the delta chain, so each segment is self-contained
         sb = cum[2 * block_starts]
         seg_end_bytes = np.append(sb[1:], cum[-1])
+        if pos is not None:  # conservative: bound the sum of both streams
+            psb = pcum[occ_cum[block_starts]]
+            seg_end_bytes = seg_end_bytes + np.append(psb[1:], pcum[-1])
+            sb = sb + psb
         bounds = [0]
         while block_starts[bounds[-1]] < n:
             base = sb[bounds[-1]]
@@ -161,6 +193,7 @@ def pack_sorted(
             pack_sorted(
                 codes[s:e], dictionary, salt[s:e], doc[s:e], tf[s:e],
                 max_block_postings, max_bytes,
+                pos[occ_cum[s] : occ_cum[e]] if pos is not None else None,
             )
             for s, e in zip(row_bounds[:-1], row_bounds[1:])
         ]
@@ -215,17 +248,25 @@ def pack_sorted(
     block_seq = (idxb - term_first[np.cumsum(newterm_b) - 1]).astype(np.int32)
 
     terms_per_block = dictionary.take(pa.array(bcodes, type=pa.int64()))
-    return pa.Table.from_arrays(
-        [
-            terms_per_block,
-            pa.array(block_seq, type=pa.int32()),
-            pa.array(df, type=pa.int64()),
-            pa.array(cf, type=pa.int64()),
-            postings_arr,
-            skips_arr,
-        ],
-        schema=PACKED_SCHEMA,
+    cols = [
+        terms_per_block,
+        pa.array(block_seq, type=pa.int32()),
+        pa.array(df, type=pa.int64()),
+        pa.array(cf, type=pa.int64()),
+        postings_arr,
+        skips_arr,
+    ]
+    if pos is None:
+        return pa.Table.from_arrays(cols, schema=PACKED_SCHEMA)
+    pos_offsets = np.empty(nblocks + 1, dtype=np.int32)
+    pos_offsets[:-1] = pcum[occ_cum[block_starts]]
+    pos_offsets[-1] = pcum[-1]
+    positions_arr = pa.Array.from_buffers(
+        pa.binary(),
+        nblocks,
+        [None, pa.py_buffer(pos_offsets.tobytes()), pa.py_buffer(pflat.tobytes())],
     )
+    return pa.Table.from_arrays(cols + [positions_arr], schema=PACKED_POS_SCHEMA)
 
 
 BLOB_SCHEMA = pa.schema(
@@ -242,7 +283,11 @@ BLOB_SCHEMA = pa.schema(
 
 
 def encode_batch_blobs(
-    codes: np.ndarray, doc: np.ndarray, tf: np.ndarray, salt: np.ndarray
+    codes: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    salt: np.ndarray,
+    pos: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """Per-batch combiner: pack (code, salt)-grouped postings into one blob
     per group — the map-side combine the north rule's "per-partition posting
@@ -250,13 +295,13 @@ def encode_batch_blobs(
 
     Blob wire format (shuffle-internal only; the *final shard* format stays
     the reference-derived varint): little-endian uint32
-    ``[doc deltas from the row's first_doc (first = 0)] + [tfs]`` —
-    fixed width, so the merge side decodes the whole partition with two
-    NumPy gathers instead of a varint scan.  8 bytes/posting vs the 30+ of
-    a raw (term, docID, tf) row.
+    ``[doc deltas from the row's first_doc (first = 0)] + [tfs]``, plus
+    ``[absolute within-doc positions]`` (cf entries) when ``pos`` is given —
+    fixed width, so the merge side decodes the whole partition with NumPy
+    gathers instead of a varint scan.
 
-    Inputs must be sorted by (code, salt, doc).  Returns
-    (group_starts, group_ends, blob binary array).
+    Inputs must be sorted by (code, salt, doc) (and ``pos`` aligned with the
+    expanded occurrences).  Returns (group_starts, group_ends, blob array).
     """
     n = len(doc)
     newg = np.empty(n, dtype=bool)
@@ -274,19 +319,38 @@ def encode_batch_blobs(
             "docID span within one read batch must fit uint32 "
             "(use contiguous docIDs or a smaller doc_batch)"
         )
-    if 8 * n > np.iinfo(np.int32).max:
+    m = len(pos) if pos is not None else 0
+    total_slots = 2 * n + m
+    if 4 * total_slots > np.iinfo(np.int32).max:
         raise ValueError(
             "batch blob exceeds int32 offsets (~268M postings) — shrink doc_batch"
         )
-    slots = np.empty(2 * n, dtype=np.uint32)
+    df_g = ends - starts
     idx = np.arange(n)
-    s_rep = starts[gid]
-    e_rep = ends[gid]
-    slots[s_rep + idx] = gaps.astype(np.uint32)
-    slots[e_rep + idx] = tf.astype(np.uint32)
-    bin_offsets = np.empty(len(starts) + 1, dtype=np.int32)
-    bin_offsets[:-1] = 8 * starts
-    bin_offsets[-1] = 8 * n
+    if pos is None:
+        slots = np.empty(total_slots, dtype=np.uint32)
+        slots[starts[gid] + idx] = gaps.astype(np.uint32)
+        slots[ends[gid] + idx] = tf.astype(np.uint32)
+        gofs = np.empty(len(starts) + 1, dtype=np.int64)
+        gofs[:-1] = 2 * starts
+        gofs[-1] = 2 * n
+    else:
+        cf_g = np.add.reduceat(tf, starts)
+        gofs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(2 * df_g + cf_g, out=gofs[1:])
+        base = gofs[:-1]
+        slots = np.empty(total_slots, dtype=np.uint32)
+        idx_in_g = idx - starts[gid]
+        slots[base[gid] + idx_in_g] = gaps.astype(np.uint32)
+        slots[base[gid] + df_g[gid] + idx_in_g] = tf.astype(np.uint32)
+        occ_excl = np.zeros(len(starts), dtype=np.int64)
+        np.cumsum(cf_g[:-1], out=occ_excl[1:])
+        ogid = np.repeat(np.arange(len(starts)), cf_g)
+        oidx_in_g = np.arange(m) - occ_excl[ogid]
+        if m and pos.max() >= 1 << 32:
+            raise ValueError("token position must fit uint32")
+        slots[base[ogid] + 2 * df_g[ogid] + oidx_in_g] = pos.astype(np.uint32)
+    bin_offsets = (4 * gofs).astype(np.int32)
     blob_arr = pa.Array.from_buffers(
         pa.binary(),
         len(starts),
@@ -297,20 +361,20 @@ def encode_batch_blobs(
 
 
 def merge_blob_partition(
-    group: pa.Table, max_block_postings: int = 1 << 17
+    group: pa.Table, max_block_postings: int = 1 << 17, positions: bool = False
 ) -> pa.Table:
     """Merge a hash partition of per-batch blobs into final posting blocks.
 
-    One vectorized decode of the concatenated varint stream (blobs from
+    One vectorized decode of the concatenated fixed-width stream (blobs from
     disjoint docID ranges concatenate into valid per-group streams), then
     :func:`pack_sorted` re-encodes with skip resets and block-max skips.
     """
     if len(group) == 0:
-        return PACKED_SCHEMA.empty_table()
+        return (PACKED_POS_SCHEMA if positions else PACKED_SCHEMA).empty_table()
     t = group.sort_by(
         [("term", "ascending"), ("salt", "ascending"), ("first_doc", "ascending")]
     )
-    dfp = t["df"].to_numpy(zero_copy_only=False)
+    dfp = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     first_doc = t["first_doc"].to_numpy(zero_copy_only=False)
     total = int(dfp.sum())
     blob_col = t["blob"].combine_chunks()
@@ -323,18 +387,29 @@ def merge_blob_partition(
     else:  # fallback: copy via python (sliced/validity edge cases)
         buf = np.frombuffer(b"".join(blob_col.to_pylist()), dtype=np.uint8)
     vals = buf.view("<u4").astype(np.int64)
-    # slot layout per blob row g with postings [s, e): gaps at [2s, s+e),
-    # tfs at [s+e, 2e) — recover with two gathers
-    starts = np.zeros(len(dfp), dtype=np.int64)
-    np.cumsum(dfp[:-1], out=starts[1:])
-    ends = starts + dfp
+    # slot layout per blob row g: [df gaps][df tfs][cf positions?]
+    cfp = t["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sizes = 2 * dfp + (cfp if positions else 0)
+    base = np.zeros(len(dfp), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=base[1:])
     gid = np.repeat(np.arange(len(dfp)), dfp)
-    idx = np.arange(total)
-    gaps = vals[starts[gid] + idx]
-    tfs = vals[ends[gid] + idx]
+    post_excl = np.zeros(len(dfp), dtype=np.int64)
+    np.cumsum(dfp[:-1], out=post_excl[1:])
+    idx_in_g = np.arange(total) - post_excl[gid]
+    gaps = vals[base[gid] + idx_in_g]
+    tfs = vals[base[gid] + dfp[gid] + idx_in_g]
     c = np.cumsum(gaps)
+    starts = post_excl
     corrections = c[starts] - gaps[starts] - first_doc
     docs = c - np.repeat(corrections, dfp)
+    pos_flat = None
+    if positions:
+        mtotal = int(cfp.sum())
+        occ_excl = np.zeros(len(dfp), dtype=np.int64)
+        np.cumsum(cfp[:-1], out=occ_excl[1:])
+        ogid = np.repeat(np.arange(len(dfp)), cfp)
+        oidx_in_g = np.arange(mtotal) - occ_excl[ogid]
+        pos_flat = vals[base[ogid] + 2 * dfp[ogid] + oidx_in_g]
 
     row_codes = (
         t["term"].combine_chunks().dictionary_encode()
@@ -344,8 +419,29 @@ def merge_blob_partition(
     )
     salts = np.repeat(t["salt"].to_numpy(zero_copy_only=False), dfp)
     return pack_sorted(
-        codes, row_codes.dictionary, salts, docs, tfs, max_block_postings
+        codes, row_codes.dictionary, salts, docs, tfs, max_block_postings,
+        pos=pos_flat,
     )
+
+
+def unpack_positions(blob: bytes | np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Decode one block's positions stream -> flat absolute within-doc
+    positions (len == tfs.sum()); each posting's run is delta-coded with an
+    absolute first value, so this is a segmented cumsum."""
+    buf = (
+        np.frombuffer(blob, dtype=np.uint8)
+        if isinstance(blob, (bytes, memoryview))
+        else blob
+    )
+    m = int(tfs.sum())
+    if m == 0:
+        return np.empty(0, np.int64)
+    dpos = varint.decode(buf, m).astype(np.int64)
+    occ_starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=occ_starts[1:])
+    c = np.cumsum(dpos)
+    corrections = c[occ_starts] - dpos[occ_starts]
+    return c - np.repeat(corrections, tfs)
 
 
 def unpack_block(postings: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:

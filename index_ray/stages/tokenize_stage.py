@@ -106,12 +106,14 @@ class TokenizeBlob:
         salt_docs: int,
         hot_ref=None,
         docmap_dir: str | None = None,
+        positions: bool = False,
     ):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
         self.docid_col = docid_col
         self.num_parts = num_parts
         self.salt_docs = salt_docs
+        self.positions = positions
         self.hot: frozenset = (
             ray.get(hot_ref) if hot_ref is not None else frozenset()
         )
@@ -132,10 +134,9 @@ class TokenizeBlob:
             self._part_cache[term] = h
         return h
 
-    def _buffer_docmap(self, batch: pa.Table, d: np.ndarray, tf: np.ndarray) -> None:
+    def _buffer_docmap(self, batch: pa.Table, n_tok: np.ndarray) -> None:
         """docmap rows from the SAME tokenization (n_tokens = sum tf) —
         sha256 invariant + identity columns, no second tokenize pass."""
-        n_tok = np.bincount(d, weights=tf, minlength=len(batch)).astype(np.int64)
         sha = pa.array(
             [
                 hashlib.sha256(s.encode("utf-8")).hexdigest() if s is not None else None
@@ -170,16 +171,41 @@ class TokenizeBlob:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .pack import BLOB_SCHEMA, encode_batch_blobs
 
-        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
-        if self.docmap_dir:
-            self._buffer_docmap(batch, d, tf)
-        if len(d) == 0:
-            return BLOB_SCHEMA.empty_table()
-        docids = batch[self.docid_col].to_numpy(zero_copy_only=False)[d]
-        order = np.lexsort((docids, tid))
-        tcode = tid[order]
-        doc = docids[order]
-        tfs = tf[order]
+        pos_o = None
+        if self.positions:
+            # occurrence-level pass: per-token within-doc positions ride
+            # along in the blob (third slot section)
+            from ..functions.tokenize import tokenize_batch as _tb
+
+            docc, tidocc, vocab = _tb(batch[self.text_col], self.norm)
+            if self.docmap_dir:
+                n_tok = np.bincount(docc, minlength=len(batch)).astype(np.int64)
+                self._buffer_docmap(batch, n_tok)
+            if len(docc) == 0:
+                return BLOB_SCHEMA.empty_table()
+            posocc = np.arange(len(docc)) - np.searchsorted(docc, docc)
+            docids_occ = batch[self.docid_col].to_numpy(zero_copy_only=False)[docc]
+            order = np.lexsort((posocc, docids_occ, tidocc))
+            t_o, doc_o, pos_o = tidocc[order], docids_occ[order], posocc[order]
+            npost = np.empty(len(t_o), dtype=bool)
+            npost[0] = True
+            np.logical_or(t_o[1:] != t_o[:-1], doc_o[1:] != doc_o[:-1], out=npost[1:])
+            pstarts = np.flatnonzero(npost)
+            tfs = np.diff(np.append(pstarts, len(t_o))).astype(np.int64)
+            tcode = t_o[pstarts]
+            doc = doc_o[pstarts]
+        else:
+            d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+            if self.docmap_dir:
+                n_tok = np.bincount(d, weights=tf, minlength=len(batch)).astype(np.int64)
+                self._buffer_docmap(batch, n_tok)
+            if len(d) == 0:
+                return BLOB_SCHEMA.empty_table()
+            docids = batch[self.docid_col].to_numpy(zero_copy_only=False)[d]
+            order = np.lexsort((docids, tid))
+            tcode = tid[order]
+            doc = docids[order]
+            tfs = tf[order]
         if self.hot:
             vhot = np.fromiter(
                 (v in self.hot for v in vocab), dtype=bool, count=len(vocab)
@@ -187,7 +213,7 @@ class TokenizeBlob:
             salt = np.where(vhot[tcode], doc // self.salt_docs, 0).astype(np.int64)
         else:
             salt = np.zeros(len(doc), dtype=np.int64)
-        starts, ends, blob_arr = encode_batch_blobs(tcode, doc, tfs, salt)
+        starts, ends, blob_arr = encode_batch_blobs(tcode, doc, tfs, salt, pos=pos_o)
         gcodes = tcode[starts]
         gsalt = salt[starts]
         vhash = np.fromiter(

@@ -1,0 +1,225 @@
+"""Round-2 feature tests: positional postings + phrase, boolean AND,
+docmap meta join, oversized-partition split, oversized-bucket dedup,
+vectorized simhash, min-label propagation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from index_ray.functions import minhash as mh
+from index_ray.functions.tokenize import TokenNormalizer, tokenize_batch
+from index_ray.pipelines.build import BuildConfig, build_index
+from index_ray.pipelines.dedup import _pairs_from_bucket, min_label_propagation
+from index_ray.pipelines.query import BM25Searcher
+from index_ray.stages.pack import (
+    pack_sorted,
+    unpack_block,
+    unpack_positions,
+)
+
+from conftest import TINY_CFG
+
+
+# ---------------------------------------------------------------- pack ----
+
+
+def _sorted_postings(rng, n_terms=5, docs_per_term=300):
+    codes, salts, docs, tfs, pos = [], [], [], [], []
+    for c in range(n_terms):
+        ds = np.sort(rng.choice(100_000, size=docs_per_term, replace=False))
+        for d in ds:
+            tf = int(rng.integers(1, 5))
+            p = np.sort(rng.choice(1000, size=tf, replace=False))
+            codes.append(c)
+            salts.append(0)
+            docs.append(int(d))
+            tfs.append(tf)
+            pos.append(p)
+    return (
+        np.array(codes, np.int64),
+        np.array(salts, np.int64),
+        np.array(docs, np.int64),
+        np.array(tfs, np.int64),
+        np.concatenate(pos).astype(np.int64),
+    )
+
+
+def test_pack_positions_roundtrip():
+    rng = np.random.default_rng(7)
+    codes, salts, docs, tfs, pos = _sorted_postings(rng)
+    dictionary = pa.array([f"t{i}" for i in range(5)])
+    t = pack_sorted(codes, dictionary, salts, docs, tfs, 128, pos=pos)
+    assert "positions" in t.schema.names
+    # reassemble occurrence stream and compare with the input
+    got_pos, got_docs = [], []
+    occ = 0
+    for r in t.to_pylist():
+        d, f = unpack_block(r["postings"], r["df"])
+        p = unpack_positions(r["positions"], f)
+        assert len(p) == r["cf"]
+        got_docs.append(np.repeat(d, f))
+        got_pos.append(p)
+    got_pos = np.concatenate(got_pos)
+    assert got_pos.tolist() == pos.tolist()
+
+
+def test_pack_oversized_partition_splits():
+    """A partition whose encoded bytes exceed max_bytes packs into multiple
+    self-contained tables instead of raising (old 2GB guard)."""
+    rng = np.random.default_rng(3)
+    n = 50_000
+    docs = np.sort(rng.choice(10_000_000, size=n, replace=False)).astype(np.int64)
+    codes = np.zeros(n, np.int64)
+    salts = np.zeros(n, np.int64)
+    tfs = rng.integers(1, 100, n).astype(np.int64)
+    dictionary = pa.array(["stopword"])
+    full = pack_sorted(codes, dictionary, salts, docs, tfs, 1 << 10)
+    tiny = pack_sorted(codes, dictionary, salts, docs, tfs, 1 << 10, max_bytes=8_192)
+    assert len(tiny) >= len(full)
+    # identical decoded stream + dense block_seq
+    def stream(t):
+        ds, fs = [], []
+        for r in t.to_pylist():
+            d, f = unpack_block(r["postings"], r["df"])
+            ds.append(d)
+            fs.append(f)
+        return np.concatenate(ds), np.concatenate(fs)
+
+    d1, f1 = stream(full)
+    d2, f2 = stream(tiny)
+    assert d1.tolist() == d2.tolist() and f1.tolist() == f2.tolist()
+    seqs = tiny["block_seq"].to_pylist()
+    assert seqs == list(range(len(seqs)))
+
+
+# ------------------------------------------------------ phrase / AND ------
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(tiny_corpus_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("index_pos")
+    build_index(tiny_corpus_dir, str(d), BuildConfig(positions=True, **TINY_CFG))
+    return str(d)
+
+
+def _doc_tokens(table, mode="code"):
+    norm = TokenNormalizer(mode)
+    d, tid, vocab = tokenize_batch(table["content"].combine_chunks(), norm)
+    out = [[] for _ in range(len(table))]
+    for di, ti in zip(d, tid):
+        out[di].append(vocab[ti])
+    return out
+
+
+def test_phrase_matches_bruteforce(pos_index_dir, tiny_corpus_table):
+    toks = _doc_tokens(tiny_corpus_table)
+    searcher = BM25Searcher(pos_index_dir, num_shards=2)
+    # phrases sampled from real documents + one absent phrase
+    phrases = [
+        " ".join(toks[0][3:5]),
+        " ".join(toks[7][0:3]),
+        " ".join(toks[11][2:4]),
+        "zzz absent phrase",
+    ]
+    results = searcher.phrase_many(phrases)
+    for q, r in zip(phrases, results):
+        terms = q.split()
+        expect = {}
+        for docid, tk in enumerate(toks):
+            n = sum(
+                1
+                for s in range(len(tk) - len(terms) + 1)
+                if tk[s : s + len(terms)] == terms
+            )
+            if n:
+                expect[docid] = n
+        got = dict(zip(r["docID"].to_pylist(), r["n_matches"].to_pylist()))
+        assert got == expect, q
+
+
+def test_phrase_requires_positions(tiny_index_dir):
+    searcher = BM25Searcher(tiny_index_dir, num_shards=1)
+    with pytest.raises(ValueError, match="positions"):
+        searcher.phrase_many(["any phrase"])
+
+
+def test_and_mode_is_exact_intersection(tiny_index_dir, tiny_corpus_table):
+    toks = _doc_tokens(tiny_corpus_table)
+    searcher = BM25Searcher(tiny_index_dir, num_shards=2)
+    for q in ["parse http request", "def return value", "connection"]:
+        from index_ray.pipelines.query import query_terms
+
+        terms = query_terms(q, "code")
+        expect = {d for d, tk in enumerate(toks) if all(t in tk for t in terms)}
+        big = 10_000
+        r_and = searcher.search(q, k=big, mode="and")
+        assert set(r_and["docID"].to_pylist()) == expect, q
+        # AND scores == OR scores restricted to the intersection set
+        r_or = searcher.search(q, k=big, mode="or")
+        or_scores = dict(zip(r_or["docID"].to_pylist(), r_or["score"].to_pylist()))
+        for d, s in zip(r_and["docID"].to_pylist(), r_and["score"].to_pylist()):
+            assert s == or_scores[d]
+    # a term absent from the lexicon empties the conjunction
+    r = searcher.search("connection qqqabsentterm", k=10, mode="and")
+    assert len(r) == 0
+
+
+def test_meta_join(tiny_index_dir, tiny_corpus_table):
+    searcher = BM25Searcher(tiny_index_dir, num_shards=2)
+    r = searcher.search("connection", k=10, meta_cols=["path", "repo"])
+    assert r.num_rows > 0
+    paths = tiny_corpus_table["path"].to_pylist()
+    repos = tiny_corpus_table["repo"].to_pylist()
+    for row in r.to_pylist():
+        assert row["path"] == paths[row["docID"]]
+        assert row["repo"] == repos[row["docID"]]
+
+
+# ------------------------------------------------------ dedup helpers -----
+
+
+def test_oversized_bucket_pairs_not_dropped():
+    """>512 distinct near-identical signatures in one bucket: round 1
+    silently dropped the pairwise verify; now every pair is found."""
+    n = 600
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, 64).astype(np.uint8)
+    sigs = np.tile(base, (n, 1))
+    for i in range(n):  # vary one byte -> 63/64 similarity, all distinct
+        sigs[i, i % 32] = (sigs[i, i % 32] + 1 + i // 32) % 256
+    group = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+        }
+    )
+    pairs = _pairs_from_bucket(group)
+    sim = (sigs[:, None, :] == sigs[None, :, :]).sum(axis=2)
+    expect = int((np.triu(sim >= mh.SIM_THRESHOLD_BYTES, k=1)).sum())
+    assert expect > 0
+    assert pairs.num_rows == expect
+
+
+def test_simhash_segments_matches_scalar():
+    rng = np.random.default_rng(11)
+    d = np.repeat(np.arange(5), [3, 0, 7, 1, 4][:5])
+    d = np.sort(d)
+    th = rng.integers(0, 1 << 63, len(d)).astype(np.uint64)
+    tf = rng.integers(1, 6, len(d)).astype(np.int64)
+    out = mh.simhash_segments(d, th, tf, 5)
+    for i in range(5):
+        sel = d == i
+        assert out[i] == mh.simhash64(th[sel], tf[sel])
+
+
+def test_min_label_propagation():
+    a = np.array([1, 2, 10, 11, 20], np.int64)
+    b = np.array([2, 3, 11, 12, 21], np.int64)
+    members, rep = min_label_propagation(a, b)
+    got = dict(zip(members.tolist(), rep.tolist()))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # long chain: propagation must fully converge, not stop after one round
+    chain_a = np.arange(100, 200, dtype=np.int64)
+    chain_b = chain_a + 1
+    m2, r2 = min_label_propagation(chain_a, chain_b)
+    assert set(r2.tolist()) == {100}
