@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "phrase_match": flagship.phrase_match,
+        "field_term_stats": flagship.field_term_stats,
         "bm25_scores": flagship.flagship,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
@@ -84,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_and_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_sql_oracle,
+        field_term_stats_sql_oracle,
         phrase_sql_oracle,
     )
 
@@ -92,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_topk_meta": bm25_meta_sql_oracle(),
         "phrase_match": phrase_sql_oracle(),
+        "field_term_stats": field_term_stats_sql_oracle(),
         "index_terms": f"""
             {_TOKS}
             SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df

@@ -73,6 +73,7 @@ class BuildConfig:
     max_block_postings: int = 1 << 17
     row_groups_per_task: int = 1
     positions: bool = False              # store within-doc token positions (phrase queries)
+    field_col: str | None = None         # index terms ALSO under "{field}:{term}" keys
 
     FORMAT_VERSION = 2  # bump when the on-disk shard layout changes
 
@@ -207,6 +208,8 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
     dm_cols = list(cfg.keep_cols) or None  # None = all columns pass through
     if dm_cols is not None:
         dm_cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + dm_cols
+        if cfg.field_col and cfg.field_col not in dm_cols:
+            dm_cols.append(cfg.field_col)
     docmap_dir = os.path.join(chunk_dir, "docmap")
     t0 = time.time()
     runs = read_apply_dataset(
@@ -225,6 +228,7 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
                     hot_ref,
                     docmap_dir,  # docmap written from the same tokenize pass
                     cfg.positions,
+                    cfg.field_col,
                 ),
             )
         ],
@@ -343,6 +347,7 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
         "config_fingerprint": cfg.fingerprint(),
         "tokenizer": cfg.tokenizer,
         "positions": cfg.positions,
+        "field_col": cfg.field_col,
         "hot_terms": hot,
         "chunks": [
             {

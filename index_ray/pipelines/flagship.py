@@ -232,6 +232,52 @@ def phrase_sql_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def field_term_stats(sf_dir: str) -> pa.Table:
+    """Per-field term statistics read back from a field-marker index.
+
+    Builds the documents index with ``field_col="lang"`` (terms also
+    indexed under ``{lang}:{term}`` marker keys — the reference's prefixed
+    dictionary namespaces, ``/root/reference/index.h:320-326``) and returns
+    the prefixed slice of its merged lexicon: (field_term, cf, df).
+    """
+    out = _index_dir_for(sf_dir) + "_field"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        field_col="lang",
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    lex = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(out, "lexicon", "*.parquet")))
+    )
+    import pyarrow.compute as pc
+
+    mask = pc.match_substring(lex["term"], ":")
+    t = lex.filter(mask)
+    return t.rename_columns(["field_term", "df", "cf"]).select(
+        ["field_term", "cf", "df"]
+    )
+
+
+def field_term_stats_sql_oracle() -> str:
+    return """
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, lang, term FROM tok WHERE term <> '')
+        SELECT lang || ':' || term AS field_term, count(*) AS cf,
+               count(DISTINCT doc_id) AS df
+        FROM t GROUP BY 1
+    """
+
+
 def index_terms(sf_dir: str) -> pa.Table:
     """Round-trip: decode all posting blocks -> (term, df, cf).
 

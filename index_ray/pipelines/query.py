@@ -505,8 +505,11 @@ class BM25Searcher:
         prune: bool = True,
         mode: str = "or",
         meta_cols: list[str] | None = None,
+        field: str | None = None,
     ) -> pa.Table:
-        return self.search_many([(query, k)], prune, mode=mode, meta_cols=meta_cols)[0]
+        return self.search_many(
+            [(query, k)], prune, mode=mode, meta_cols=meta_cols, field=field
+        )[0]
 
     def search_many(
         self,
@@ -514,6 +517,7 @@ class BM25Searcher:
         prune: bool = True,
         mode: str = "or",
         meta_cols: list[str] | None = None,
+        field: str | None = None,
     ) -> list[pa.Table]:
         """Top-k BM25 per query.
 
@@ -524,12 +528,22 @@ class BM25Searcher:
         meta_cols: join these docmap columns (repo/path/lang/...) onto the
         results — the reference's ``getDocument(i)`` docID -> URL lookup
         (``/root/reference/index.cpp:16-19``) as a broadcast-small-side join.
+        field: scope the query to one field namespace — terms are looked up
+        under their ``{field}:{term}`` marker keys (the reference's prefixed
+        dictionary, ``/root/reference/index.h:320-326``); requires an index
+        built with ``field_col``.
         """
+        if field and not self.stats.get("field_col"):
+            raise ValueError(
+                f"index at {self.index_dir} was built without field_col"
+            )
         tok_mode = self.stats.get("tokenizer", "code")
         prepared = []
         dead = set()  # AND queries with a term missing from the lexicon
         for qi, (q, k) in enumerate(queries):
             terms = query_terms(q, tok_mode)
+            if field:
+                terms = [f"{field}:{t}" for t in terms]
             weights = self.lexicon.idf(terms)
             present = [t for t in terms if t in weights]  # absent terms score 0
             if mode == "and" and len(present) < len(terms):

@@ -107,6 +107,7 @@ class TokenizeBlob:
         hot_ref=None,
         docmap_dir: str | None = None,
         positions: bool = False,
+        field_col: str | None = None,
     ):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
@@ -114,6 +115,7 @@ class TokenizeBlob:
         self.num_parts = num_parts
         self.salt_docs = salt_docs
         self.positions = positions
+        self.field_col = field_col
         self.hot: frozenset = (
             ray.get(hot_ref) if hot_ref is not None else frozenset()
         )
@@ -133,6 +135,34 @@ class TokenizeBlob:
                 self._part_cache.clear()
             self._part_cache[term] = h
         return h
+
+    def _with_field_terms(
+        self,
+        batch: pa.Table,
+        d: np.ndarray,
+        tid: np.ndarray,
+        vocab: list[str],
+        extras: tuple[np.ndarray, ...],
+    ) -> tuple[np.ndarray, np.ndarray, list[str], tuple[np.ndarray, ...]]:
+        """Duplicate every occurrence under a field-prefixed key
+        ``{field}:{term}`` — the reference's marker-prefixed dictionary
+        namespaces (``/root/reference/index.h:320-326``) generalized to a
+        metadata column.  ``extras`` (tf or positions arrays aligned with
+        d/tid) are duplicated alongside."""
+        fvals = batch[self.field_col].to_pylist()
+        funiq = sorted(set(fvals))
+        fmap = {f: i for i, f in enumerate(funiq)}
+        fdoc = np.array([fmap[f] for f in fvals], dtype=np.int64)
+        V = max(len(vocab), 1)
+        combo = fdoc[d] * V + tid
+        uniq, inv = np.unique(combo, return_inverse=True)
+        ext_vocab = list(vocab) + [
+            f"{funiq[int(c) // V]}:{vocab[int(c) % V]}" for c in uniq
+        ]
+        tid2 = np.concatenate([tid, inv + len(vocab)])
+        d2 = np.concatenate([d, d])
+        extras2 = tuple(np.concatenate([e, e]) for e in extras)
+        return d2, tid2, ext_vocab, extras2
 
     def _buffer_docmap(self, batch: pa.Table, n_tok: np.ndarray) -> None:
         """docmap rows from the SAME tokenization (n_tokens = sum tf) —
@@ -184,6 +214,10 @@ class TokenizeBlob:
             if len(docc) == 0:
                 return BLOB_SCHEMA.empty_table()
             posocc = np.arange(len(docc)) - np.searchsorted(docc, docc)
+            if self.field_col:
+                docc, tidocc, vocab, (posocc,) = self._with_field_terms(
+                    batch, docc, tidocc, vocab, (posocc,)
+                )
             docids_occ = batch[self.docid_col].to_numpy(zero_copy_only=False)[docc]
             order = np.lexsort((posocc, docids_occ, tidocc))
             t_o, doc_o, pos_o = tidocc[order], docids_occ[order], posocc[order]
@@ -201,6 +235,10 @@ class TokenizeBlob:
                 self._buffer_docmap(batch, n_tok)
             if len(d) == 0:
                 return BLOB_SCHEMA.empty_table()
+            if self.field_col:
+                d, tid, vocab, (tf,) = self._with_field_terms(
+                    batch, d, tid, vocab, (tf,)
+                )
             docids = batch[self.docid_col].to_numpy(zero_copy_only=False)[d]
             order = np.lexsort((docids, tid))
             tcode = tid[order]

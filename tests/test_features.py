@@ -175,6 +175,45 @@ def test_meta_join(tiny_index_dir, tiny_corpus_table):
         assert row["repo"] == repos[row["docID"]]
 
 
+@pytest.fixture(scope="module")
+def field_index_dir(tiny_corpus_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("index_field")
+    build_index(
+        tiny_corpus_dir, str(d), BuildConfig(field_col="lang", **TINY_CFG)
+    )
+    return str(d)
+
+
+def test_field_scoped_search(field_index_dir, tiny_corpus_table):
+    from index_ray.pipelines.query import query_terms
+
+    toks = _doc_tokens(tiny_corpus_table)
+    langs = tiny_corpus_table["lang"].to_pylist()
+    searcher = BM25Searcher(field_index_dir, num_shards=2)
+    field = langs[0]
+    q = "connection"
+    terms = query_terms(q, "code")
+    expect = {
+        d
+        for d, tk in enumerate(toks)
+        if langs[d] == field and any(t in tk for t in terms)
+    }
+    r = searcher.search(q, k=10_000, field=field)
+    assert set(r["docID"].to_pylist()) == expect
+    # unscoped search on the same index still sees every doc
+    r_all = searcher.search(q, k=10_000)
+    expect_all = {d for d, tk in enumerate(toks) if any(t in tk for t in terms)}
+    assert set(r_all["docID"].to_pylist()) == expect_all
+    # unknown field namespace: empty, not an error
+    assert len(searcher.search(q, k=10, field="nosuchlang")) == 0
+
+
+def test_field_requires_field_col(tiny_index_dir):
+    searcher = BM25Searcher(tiny_index_dir, num_shards=1)
+    with pytest.raises(ValueError, match="field_col"):
+        searcher.search("connection", field="en")
+
+
 # ------------------------------------------------------ dedup helpers -----
 
 
