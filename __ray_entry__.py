@@ -64,8 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_clusters": dedup.minhash_clusters,
+        "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
         # similarity search over embeddings
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn_cosine": similarity.lsh_knn_cosine,
@@ -78,6 +80,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
     }
+
+
+def _language_id_sql() -> str:
+    """SQL mirror of textstats.LangIdStage: stopword-profile hit counts with
+    first-max-wins tie-break in sorted lang order, CJK override."""
+    from index_ray.pipelines.textstats import _LANGS, _PROFILES
+
+    hit_cols = ", ".join(
+        "CAST(coalesce(sum(CASE WHEN term IN ("
+        + ", ".join(f"'{w}'" for w in sorted(_PROFILES[lang]))
+        + ") THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_" + lang
+        for lang in _LANGS
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANGS) + ")"
+    pick = " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in _LANGS)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        hits AS (
+          SELECT doc_id, {hit_cols},
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM t GROUP BY doc_id
+        ),
+        cjk AS (
+          SELECT doc_id,
+                 CAST(length(regexp_replace(substr(text, 1, 400),
+                      '[^一-鿿]', '', 'g')) AS BIGINT) AS n_cjk
+          FROM documents
+        ),
+        j AS (
+          SELECT d.doc_id,
+                 coalesce(h.h_de, 0) AS h_de, coalesce(h.h_en, 0) AS h_en,
+                 coalesce(h.h_es, 0) AS h_es, coalesce(h.h_fr, 0) AS h_fr,
+                 coalesce(h.n_tokens, 0) AS n_tokens, c.n_cjk
+          FROM documents d
+          LEFT JOIN hits h ON d.doc_id = h.doc_id
+          LEFT JOIN cjk c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN n_cjk > 10 THEN 'zh'
+                    WHEN best = 0 THEN 'unknown'
+                    ELSE (CASE {pick} END) END AS pred_lang,
+               CASE WHEN n_cjk > 10 THEN n_cjk ELSE best END AS hits,
+               n_tokens
+        FROM (SELECT *, {best} AS best FROM j)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -104,6 +154,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(text) AS content_sha256,
                    min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY sha256(text)
+        """,
+        "minhash_exact_consistency": """
+            SELECT CAST(count(*) AS BIGINT) AS n_dup_sha_groups,
+                   CAST(0 AS BIGINT) AS n_groups_split
+            FROM (SELECT sha256(text) AS s FROM documents
+                  GROUP BY sha256(text) HAVING count(*) > 1)
+        """,
+        "simhash_dedup": f"""
+            {_TOKS},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            h AS (SELECT doc_id, tf,
+                         ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+                  FROM tf),
+            bits AS (
+              SELECT doc_id, bb.b,
+                     sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN tf ELSE -tf END) AS score
+              FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+              GROUP BY 1, 2
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN score > 0 THEN (1::UBIGINT << b)
+                              ELSE 0 END) AS UBIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        """,
+        "ngram_jaccard_dedup": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+              FROM arr
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+              FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST((100 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_pct
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b
@@ -167,6 +271,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sha256_map": """
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+        """,
+        "language_id": _language_id_sql(),
+        "fingerprints": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            gr AS (
+              SELECT doc_id, u.i AS pos,
+                     ('0x' || substr(md5(toks[u.i] || ' ' || toks[u.i+1] || ' '
+                          || toks[u.i+2] || ' ' || toks[u.i+3]), 1, 16))::UBIGINT AS h,
+                     greatest(len(toks) - 3, 0) AS m
+              FROM arr, unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS u(i)
+            ),
+            wm AS (
+              SELECT doc_id, pos, m,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+              FROM gr
+            ),
+            seld AS (
+              SELECT DISTINCT doc_id, sel FROM wm WHERE pos <= greatest(m - 4, 1)
+            ),
+            fp AS (
+              SELECT doc_id,
+                     sha256(string_agg(CAST(sel AS VARCHAR), ',' ORDER BY sel))
+                       AS fingerprint
+              FROM seld GROUP BY doc_id
+            )
+            SELECT a.doc_id, CAST(greatest(len(a.toks) - 3, 0) AS BIGINT) AS n_grams,
+                   coalesce(fp.fingerprint, '') AS fingerprint
+            FROM arr a LEFT JOIN fp ON a.doc_id = fp.doc_id
         """,
         "windowed_events": """
             SELECT user_id, date_trunc('hour', ts) AS window_start, event_type,

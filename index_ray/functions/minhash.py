@@ -50,6 +50,23 @@ def hash_strings(tokens: list[str]) -> np.ndarray:
     return out
 
 
+def md5_strings(tokens: list[str], cache: dict | None = None) -> np.ndarray:
+    """uint64 per string: high 8 bytes of md5 (hex prefix) — chosen because
+    DuckDB computes the identical value as ('0x'||substr(md5(s),1,16))::UBIGINT,
+    making simhash/fingerprint pipelines SQL-oracle-checkable."""
+    import hashlib
+
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = cache.get(t) if cache is not None else None
+        if v is None:
+            v = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            if cache is not None:
+                cache[t] = v
+        out[i] = v
+    return out
+
+
 def shingle_hashes(token_hashes: np.ndarray, k: int = SHINGLE_WORDS) -> np.ndarray:
     """Rolling k-window combine of per-token hashes -> uint64 per shingle.
 

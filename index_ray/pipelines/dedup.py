@@ -195,6 +195,47 @@ def min_label_propagation(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.
     return members, members[label]
 
 
+def minhash_exact_consistency(sf_dir: str, mode: str = "simple") -> pa.Table:
+    """Cross-check: every byte-identical (sha-equal) duplicate group must
+    land in ONE minhash cluster — identical texts have identical signatures,
+    so the LSH path can never split them.
+
+    Returns one row (n_dup_sha_groups, n_groups_split); the SQL oracle
+    recomputes the group count and pins n_groups_split = 0 — a one-sided
+    containment check of the exact-dup relation inside the minhash output.
+    """
+    import hashlib
+
+    clusters = minhash_clusters(sf_dir, mode)
+    rep = dict(
+        zip(clusters["doc_id"].to_pylist(), clusters["cluster_rep"].to_pylist())
+    )
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        sha = [hashlib.sha256(s.encode()).hexdigest() for s in batch["text"].to_pylist()]
+        return pa.table(
+            {"content_sha256": pa.array(sha, pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    sha = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(add_sha, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_groups = n_split = 0
+    for _, docs in sha.groupby("content_sha256")["doc_id"]:
+        if len(docs) > 1:
+            n_groups += 1
+            if len({rep.get(int(d), int(d)) for d in docs}) > 1:
+                n_split += 1
+    return pa.table(
+        {
+            "n_dup_sha_groups": pa.array([n_groups], pa.int64()),
+            "n_groups_split": pa.array([n_split], pa.int64()),
+        }
+    )
+
+
 def minhash_clusters(sf_dir: str, mode: str = "simple") -> pa.Table:
     """Connected components over the near-dup pairs: (doc_id, cluster_rep)."""
     pairs = minhash_dedup(sf_dir, mode)
@@ -219,24 +260,32 @@ class _SimhashStage:
     """batch -> (doc_id, band, band_val, simhash) x 4 rows.
 
     Hamming <= 3 over 64 bits guarantees one of the 4 16-bit bands matches
-    exactly (pigeonhole) — the blocking key.
+    exactly (pigeonhole) — the blocking key, with FULL recall vs the
+    all-pairs join.  Token hashes are md5-high-64 so a DuckDB oracle can
+    recompute the identical simhash values; token-less docs are skipped
+    (the SQL group-by drops them).
     """
 
     def __init__(self, mode: str = "simple", text_col: str = "text"):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
+        self._md5_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.tokenize import doc_term_tf
 
         d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        vhash = mh.md5_strings(vocab, self._md5_cache)
+        keep_docs = np.zeros(len(batch), dtype=bool)
+        keep_docs[d] = True
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        vhash = mh.hash_strings(vocab)
         n = len(batch)
         # per-bit weighted scores via one bincount per bit over the flat
         # (doc, term, tf) runs — no per-doc slicing (d is sorted by doc)
         th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
         sh = mh.simhash_segments(d, th, tf, n)
+        ids, sh = ids[keep_docs], sh[keep_docs]
+        n = len(ids)
         bands = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
         ids_rep = np.repeat(ids, SIMHASH_BANDS)
         sh_rep = np.repeat(sh, SIMHASH_BANDS)
@@ -290,14 +339,105 @@ def simhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
 
 
 def ngram_jaccard_dedup(
+    sf_dir: str, n: int = 3, threshold_pct: int = 80, mode: str = "simple"
+) -> pa.Table:
+    """EXACT token-n-gram Jaccard >= threshold pairs: (a, b, jaccard_pct).
+
+    The oracle-checkable baseline: per-doc distinct n-gram hashes ->
+    groupby(gram) pair generation -> groupby(pair) intersection counts ->
+    integer-arithmetic threshold (100*inter >= pct*union, so no float
+    boundary cases).  Work is quadratic in the hottest gram's doc count —
+    exactly the SQL self-join semantics; ``ngram_jaccard_lsh`` is the
+    sub-quadratic banded scale path.
+    """
+
+    class GramStage:
+        def __init__(self):
+            self.norm = TokenNormalizer(mode)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, tid, vocab = tokenize_batch(batch["text"], self.norm)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            vhash = mh.hash_strings(vocab)
+            th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+            starts = np.searchsorted(d, np.arange(len(batch)))
+            ends = np.searchsorted(d, np.arange(len(batch)), side="right")
+            out_gram, out_id = [], []
+            for i in range(len(batch)):
+                toks = th[starts[i] : ends[i]]
+                if len(toks) < n:
+                    continue  # SQL emits no grams for short docs
+                grams = np.unique(mh.shingle_hashes(toks, k=n))
+                out_gram.append(grams.view(np.int64))
+                out_id.append(np.full(len(grams), ids[i], dtype=np.int64))
+            if not out_gram:
+                return pa.table(
+                    {"gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "gram": pa.array(np.concatenate(out_gram)),
+                    "doc_id": pa.array(np.concatenate(out_id)),
+                }
+            )
+
+    def gram_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    grams = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(GramStage, batch_format="pyarrow", batch_size=256, concurrency=pool())
+        .materialize()  # consumed twice (sizes + pairs); bounded by distinct (doc, gram)
+    )
+    sizes_t = grams.groupby("doc_id").count().to_pandas()
+    sz = dict(zip(sizes_t["doc_id"], sizes_t["count()"]))
+    inter_ds = (
+        grams.groupby("gram")
+        .map_groups(gram_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+    t = inter_ds.to_pandas()
+    if len(t) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    a = t["a"].to_numpy()
+    b = t["b"].to_numpy()
+    inter = t["count()"].to_numpy().astype(np.int64)
+    union = (
+        np.array([sz[x] for x in a], dtype=np.int64)
+        + np.array([sz[x] for x in b], dtype=np.int64)
+        - inter
+    )
+    keep = 100 * inter >= threshold_pct * union
+    jac = (100 * inter[keep]) // union[keep]
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table(
+        {
+            "a": pa.array(a[keep][order], pa.int64()),
+            "b": pa.array(b[keep][order], pa.int64()),
+            "jaccard_pct": pa.array(jac[order], pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_lsh(
     sf_dir: str, n: int = 3, threshold: float = 0.8, mode: str = "simple"
 ) -> pa.Table:
-    """Exact token-n-gram Jaccard >= threshold pairs (a, b, jaccard_pct).
+    """Banded-LSH approximate n-gram Jaccard pairs (a, b, jaccard_pct).
 
-    Candidates from MinHash bands over n-gram hashes; exact verify joins
-    the per-doc n-gram hash sets via a driver broadcast (see module note
-    for the 10^12-scale variant). jaccard_pct is an exact integer
-    (floor(100 * |inter| / |union|)) to keep the output hash-stable.
+    Candidates from MinHash bands over n-gram hashes; exact verify inside
+    buckets.  Sub-quadratic — the 10^12-scale path; recall measured against
+    :func:`ngram_jaccard_dedup` in tests.
     """
 
     class NgramSign:

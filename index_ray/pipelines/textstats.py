@@ -80,11 +80,13 @@ def language_id(sf_dir: str) -> ray.data.Dataset:
 class FingerprintStage:
     """batch -> (doc_id, n_grams, fingerprint) — winnowing fingerprints.
 
-    Rolling token 4-gram hashes, robust-winnowed with window w=5 (pick the
-    min hash per window); the doc fingerprint is sha256 over the sorted
+    Token 4-gram hashes (md5-high-64 of the space-joined gram, so DuckDB
+    recomputes them bit-identically), robust-winnowed with window w=5 (min
+    hash per window; short docs < w grams contribute their single overall
+    min); the doc fingerprint is sha256 over the comma-joined sorted
     distinct selected hashes.  Standard winnowing (Schleimer et al.,
     SIGMOD'03) — shared substrings of >= w+k-1 tokens yield shared selected
-    hashes.
+    hashes.  Docs with < k tokens have no grams and fingerprint ''.
     """
 
     K = 4
@@ -93,31 +95,33 @@ class FingerprintStage:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.norm = TokenNormalizer("simple")
+        self._md5_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.minhash import shingle_hashes
+        from ..functions.minhash import md5_strings
 
         d, tid, vocab = tokenize_batch(batch[self.text_col], self.norm)
-        vhash = hash_strings(vocab)
-        th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
         n = len(batch)
         starts = np.searchsorted(d, np.arange(n))
         ends = np.searchsorted(d, np.arange(n), side="right")
         fps, ngrams = [], []
         for i in range(n):
-            grams = shingle_hashes(th[starts[i]:ends[i]], k=self.K)
-            m = len(grams)
+            toks = [vocab[t] for t in tid[starts[i]:ends[i]]]
+            m = max(len(toks) - self.K + 1, 0)
             if m == 0:
                 fps.append("")
                 ngrams.append(0)
                 continue
+            gram_strs = [" ".join(toks[j : j + self.K]) for j in range(m)]
+            grams = md5_strings(gram_strs, self._md5_cache)
             if m <= self.W:
                 sel = np.array([grams.min()], dtype=np.uint64)
             else:
                 # min per sliding window of W, vectorized
                 idx = np.arange(m - self.W + 1)[:, None] + np.arange(self.W)[None, :]
                 sel = np.unique(grams[idx].min(axis=1))
-            fps.append(hashlib.sha256(np.sort(sel).tobytes()).hexdigest())
+            joined = ",".join(str(int(v)) for v in np.sort(sel))
+            fps.append(hashlib.sha256(joined.encode()).hexdigest())
             ngrams.append(int(m))
         return pa.table(
             {
