@@ -50,7 +50,9 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
-        object_store_memory=6 << 30,  # small store: fresh-page cost dominates
+        # a roomy store stops Ray Data's memory budgeter from throttling the
+        # pack stage to ~3 concurrent tasks (measured: 26s -> 17s at 8 cpus)
+        object_store_memory=16 << 30,
     )
     import ray.data
 
@@ -77,7 +79,9 @@ def run_bench() -> dict:
     index_dir = f"/tmp/bench_index_{BENCH_DOCS}_{NCPU}"
     cfg = BuildConfig(
         chunk_docs=max(BENCH_DOCS, 1000),  # single chunk: resume granularity amortizes at scale
-        num_parts=max(16, NCPU * 2),
+        # fine partitions: pack working set per task stays ~100MB so the
+        # sandbox's fresh-page fault wall (~30-80 MB/s) never dominates
+        num_parts=max(64, BENCH_DOCS // 5000),
         batch_size=256,
         salt_docs=16384,
     )
@@ -95,16 +99,17 @@ def run_bench() -> dict:
     timings["index_build"] = round(build_sec, 3)
     timings["index_build_docs_per_sec"] = round(BENCH_DOCS / build_sec, 1)
 
-    t0 = time.time()
-    searcher = BM25Searcher(index_dir)
-    timings["searcher_load"] = round(time.time() - t0, 3)
-    queries = [
-        "parse http request", "binary search tree insert", "def return value",
-        "nonexistentterm xyzzy", "tokenizer normalization unicode", "connection",
-    ]
-    t0 = time.time()
-    searcher.search_many([(q, 10) for q in queries])
-    timings["bm25_6_queries"] = round(time.time() - t0, 3)
+    if not FAST:  # scaling runs time the build only
+        t0 = time.time()
+        searcher = BM25Searcher(index_dir)
+        timings["searcher_load"] = round(time.time() - t0, 3)
+        queries = [
+            "parse http request", "binary search tree insert", "def return value",
+            "nonexistentterm xyzzy", "tokenizer normalization unicode", "connection",
+        ]
+        t0 = time.time()
+        searcher.search_many([(q, 10) for q in queries])
+        timings["bm25_6_queries"] = round(time.time() - t0, 3)
 
     if not FAST:
         from index_ray.pipelines import dedup, flagship, similarity, text

@@ -153,6 +153,53 @@ def decode(buf: np.ndarray, count: int) -> np.ndarray:
     return val
 
 
+# ---- LEB128 (shuffle-internal wire) -----------------------------------------
+#
+# The FINAL shard format stays the reference-derived custom codec above.
+# The shuffle-internal blob wire uses standard little-endian LEB128 instead:
+# unlike the reference codec (whose continuation bytes are indistinguishable
+# from starts, forcing O(n log n) pointer-jumping start resolution), LEB128
+# is self-synchronizing — a byte starts a varint iff the previous byte's high
+# bit is clear — so a whole shuffle partition decodes in ONE O(n) vectorized
+# pass (mask + cumsum + add.reduceat).
+
+_LEB_BOUNDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def leb128_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode uint64 array -> (flat LEB128 uint8 stream, per-value lens)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    lens = np.searchsorted(_LEB_BOUNDS, v, side="right") + 1
+    starts = np.empty(v.size + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens, out=starts[1:])
+    out = np.empty(int(starts[-1]), dtype=np.uint8)
+    maxlen = int(lens.max()) if v.size else 0
+    for k in range(maxlen):
+        sel = np.flatnonzero(lens > k)
+        byte = ((v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lens[sel] > k + 1).astype(np.uint8) << 7
+        out[starts[sel] + k] = byte | cont
+    return out, lens
+
+
+def leb128_decode(buf: np.ndarray, count: int) -> np.ndarray:
+    """Decode ``count`` LEB128 varints from a uint8 stream — O(n), no jumps."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts_mask = np.empty(buf.size, dtype=bool)
+    starts_mask[0] = True
+    np.less(buf[:-1], 0x80, out=starts_mask[1:])
+    starts = np.flatnonzero(starts_mask)
+    if len(starts) != count:
+        raise ValueError(f"LEB128 stream has {len(starts)} values, expected {count}")
+    vid = np.cumsum(starts_mask) - 1
+    off = (np.arange(buf.size) - starts[vid]).astype(np.uint64)
+    contrib = (buf & np.uint64(0x7F)).astype(np.uint64) << (np.uint64(7) * off)
+    return np.add.reduceat(contrib, starts)
+
+
 def encode_one(value: int) -> bytes:
     flat, _ = encode(np.array([value], dtype=np.uint64))
     return flat.tobytes()

@@ -4,11 +4,11 @@ Lifecycle (SURVEY.md §3.4), per build chunk (= contiguous docID range, the
 distributed analogue of the reference's numbered chunk files,
 ``/root/reference/index.cpp:60-76``):
 
-    fragment_dataset(chunk)                       [metadata-derived docIDs]
-      -> map_batches(TokenizeCount)               [actor pool, Arrow in/out]
+    read_apply_dataset(chunk)                     [metadata-derived docIDs]
+      -> TokenizeBlob (actor pool)                [tokenize + map-side combine
+                                                   + docmap/stats sidecars]
       -> groupby("part").map_groups(pack+write)   [THE shuffle, hash(term,salt)]
       -> block metadata -> groupby("term") lexicon
-    fragment_dataset(chunk) -> map_batches(DocMeta) -> docmap parquet
 
 plus one corpus-wide sampled census that broadcasts the hot-term set
 (``ray.put`` once, read in each tokenizer actor's ``__init__``) used for
@@ -35,19 +35,13 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..sources.fragments import (
-    fragment_dataset,
     read_apply_dataset,
     scan_fragments,
     split_chunks,
     total_docs,
 )
-from ..stages.pack import merge_blob_partition, pack_runs
-from ..stages.tokenize_stage import (
-    DocMeta,
-    DocMetaWriter,
-    PartialTermCounts,
-    TokenizeBlob,
-)
+from ..stages.pack import merge_blob_partition
+from ..stages.tokenize_stage import PartialTermCounts, TokenizeBlob
 from ..state.manifest import (
     config_fingerprint,
     list_output_files,
@@ -75,7 +69,9 @@ class BuildConfig:
     positions: bool = False              # store within-doc token positions (phrase queries)
     field_col: str | None = None         # index terms ALSO under "{field}:{term}" keys
 
-    FORMAT_VERSION = 2  # bump when the on-disk shard layout changes
+    pipeline_chunks: int = 2             # concurrent chunk builds (driver threads)
+
+    FORMAT_VERSION = 3  # bump when the on-disk shard layout changes
 
     def fingerprint(self) -> str:
         d = asdict(self)
@@ -103,21 +99,6 @@ def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     if n_tasks is not None:
         hi = max(1, min(hi, n_tasks))
     return hi  # fixed-size pool: starts immediately, no autoscale ramp
-
-
-def _input_dataset(chunk_specs, cfg: BuildConfig, columns):
-    ds = fragment_dataset(
-        chunk_specs, columns=columns, row_groups_per_task=cfg.row_groups_per_task
-    )
-    if cfg.id_col:
-        id_col = cfg.id_col
-
-        def use_id(t: pa.Table) -> pa.Table:
-            i = t.schema.get_field_index("docID")
-            return t.set_column(i, "docID", t[id_col].cast(pa.int64()))
-
-        ds = ds.map_batches(use_id, batch_format="pyarrow")
-    return ds
 
 
 def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
@@ -243,22 +224,25 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
         Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
     )
     lex.write_parquet(os.path.join(chunk_dir, "lexicon"))
+    if os.environ.get("INDEX_RAY_STATS"):
+        print(lex.stats())
     phases = {"build_pipeline": round(time.time() - t0, 3)}
     t0 = time.time()
 
-    # --- chunk stats from the written docmap (metadata + 1 column) ---
+    # --- chunk stats: sum the per-row-group stats sidecars the tokenize
+    # tasks wrote (tiny JSONs — no driver-side docmap data rescan) ---
     docs = tokens = 0
     doc_min, doc_max = None, None
     dm_dir = os.path.join(chunk_dir, "docmap")
     for f in sorted(os.listdir(dm_dir)):
-        t = pq.read_table(os.path.join(dm_dir, f), columns=["docID", "n_tokens"])
-        docs += len(t)
-        if len(t):
-            tokens += int(pa.compute.sum(t["n_tokens"]).as_py())
-            lo = int(pa.compute.min(t["docID"]).as_py())
-            hi = int(pa.compute.max(t["docID"]).as_py())
-            doc_min = lo if doc_min is None else min(doc_min, lo)
-            doc_max = hi if doc_max is None else max(doc_max, hi)
+        if not f.endswith(".stats.json"):
+            continue
+        s = read_json(os.path.join(dm_dir, f)) or {}
+        docs += s.get("docs", 0)
+        tokens += s.get("tokens", 0)
+        if "doc_min" in s:
+            doc_min = s["doc_min"] if doc_min is None else min(doc_min, s["doc_min"])
+            doc_max = s["doc_max"] if doc_max is None else max(doc_max, s["doc_max"])
 
     phases["chunk_stats_scan"] = round(time.time() - t0, 3)
     manifest = {
@@ -280,7 +264,26 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
 
 
 def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildResult:
-    """Build the full index under ``out_dir``; resumable at chunk level."""
+    """Build the full index under ``out_dir``; resumable at chunk level.
+
+    Ray Data's default 50% per-operator resource reservation starves the
+    post-shuffle pack stage of a 5-operator pipeline (observed: ~3
+    concurrent pack tasks on an 8-CPU cluster with CPUs idle); most CPUs
+    must sit in the shared pool so whichever stage has work can take them.
+    The ratio is lowered for the duration of the build and restored.
+    """
+    import ray.data as _rd
+
+    ctx = _rd.DataContext.get_current()
+    prev_ratio = ctx.op_resource_reservation_ratio
+    ctx.op_resource_reservation_ratio = min(prev_ratio, 0.2)
+    try:
+        return _build_index(source, out_dir, cfg)
+    finally:
+        ctx.op_resource_reservation_ratio = prev_ratio
+
+
+def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
     cfg = cfg or BuildConfig()
     os.makedirs(out_dir, exist_ok=True)
     specs = scan_fragments(source)
@@ -292,12 +295,51 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
     hot_ref, hot = census_hot_terms(specs, cfg, n_docs)
     phase_seconds["census"] = round(time.time() - t0, 3)
 
-    manifests, skipped = [], 0
+    # chunks build through a small thread pool so chunk k+1's tokenize
+    # overlaps chunk k's pack/write tail — the streaming executors share
+    # the Ray CPU pool, so this pipelines instead of oversubscribing.
+    # (Each thread drives its own Dataset execution; at 10^6 chunks the
+    # driver loop is submit-k-ahead, never a serial term.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Ray's path resolution re-imports fsspec.implementations.http on EVERY
+    # write (the failed import is never cached because aiohttp is absent),
+    # and two builder threads importing it concurrently can observe a
+    # partially-initialized module ("cannot import name HTTPFileSystem").
+    # Make the import succeed once — with inert stand-ins for the missing
+    # HTTP deps, which nothing in this offline engine ever calls — so the
+    # module lands in sys.modules and the per-call import becomes a no-op.
+    import sys as _sys
+    import types as _types
+
+    for _name in ("aiohttp", "yarl"):
+        if _name not in _sys.modules:
+            try:
+                __import__(_name)
+            except ModuleNotFoundError:
+                _sys.modules[_name] = _types.ModuleType(_name)
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        pass
+
     t0 = time.time()
-    for cid, chunk_specs in enumerate(chunks):
-        m, was_skipped = build_chunk(chunk_specs, cid, out_dir, cfg, hot_ref)
-        manifests.append(m)
-        skipped += was_skipped
+    workers = max(1, min(cfg.pipeline_chunks, len(chunks)))
+    if workers == 1:
+        results = [
+            build_chunk(specs, cid, out_dir, cfg, hot_ref)
+            for cid, specs in enumerate(chunks)
+        ]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [
+                ex.submit(build_chunk, specs, cid, out_dir, cfg, hot_ref)
+                for cid, specs in enumerate(chunks)
+            ]
+            results = [f.result() for f in futs]
+    manifests = [m for m, _ in results]
+    skipped = sum(s for _, s in results)
+    for m in manifests:
         for k, v in m.get("phase_seconds", {}).items():
             phase_seconds[k] = round(phase_seconds.get(k, 0.0) + v, 3)
     phase_seconds["chunks_total"] = round(time.time() - t0, 3)

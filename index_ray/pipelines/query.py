@@ -137,14 +137,19 @@ class _ChunkIndex:
         self.terms: dict[str, list[int]] = {}
         self.block_seq: np.ndarray
         self.has_positions = False
+        from concurrent.futures import ThreadPoolExecutor
+
         cols = ["term", "block_seq", "df", "cf", "postings", "skips"]
         files = sorted(glob.glob(os.path.join(chunk_dir, "parts", "*.parquet")))
         if files and "positions" in pq.read_schema(files[0]).names:
             self.has_positions = True
             cols = cols + ["positions"]
-        tables = []
-        for f in files:
-            tables.append(pq.read_table(f, columns=cols))
+        if files:
+            # parquet decode releases the GIL — load part files concurrently
+            with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+                tables = list(ex.map(lambda f: pq.read_table(f, columns=cols), files))
+        else:
+            tables = []
         t = pa.concat_tables(tables) if tables else None
         if t is None or len(t) == 0:
             self.df = np.empty(0, np.int64)
@@ -186,9 +191,11 @@ class _ChunkIndex:
                 rows.sort(key=lambda i: int(self.skip_first[i][0]))
 
         # doclens indexed by (docID - doc_min)
-        dm = []
-        for f in sorted(glob.glob(os.path.join(chunk_dir, "docmap", "*.parquet"))):
-            dm.append(pq.read_table(f, columns=["docID", "n_tokens"]))
+        dm_files = sorted(glob.glob(os.path.join(chunk_dir, "docmap", "*.parquet")))
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(dm_files)))) as ex:
+            dm = list(
+                ex.map(lambda f: pq.read_table(f, columns=["docID", "n_tokens"]), dm_files)
+            )
         d = pa.concat_tables(dm)
         ids = d["docID"].to_numpy(zero_copy_only=False)
         toks = d["n_tokens"].to_numpy(zero_copy_only=False)

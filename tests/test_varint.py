@@ -96,3 +96,28 @@ def test_empty():
     flat, lens = varint.encode(np.empty(0, dtype=np.uint64))
     assert flat.size == 0
     assert varint.decode(flat, 0).size == 0
+
+
+def test_leb128_roundtrip():
+    import numpy as np
+
+    from index_ray.functions.varint import leb128_decode, leb128_encode
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 128, 100, dtype=np.uint64),
+            rng.integers(0, 1 << 14, 100, dtype=np.uint64),
+            rng.integers(0, 1 << 32, 100, dtype=np.uint64),
+            np.array([0, 127, 128, (1 << 63) - 1], dtype=np.uint64),
+        ]
+    )
+    flat, lens = leb128_encode(vals)
+    assert int(lens.sum()) == len(flat)
+    out = leb128_decode(flat, len(vals))
+    assert out.tolist() == vals.tolist()
+    # concatenated streams decode as one stream
+    f2, _ = leb128_encode(vals[:7])
+    f3, _ = leb128_encode(vals[7:20])
+    both = leb128_decode(np.concatenate([f2, f3]), 20)
+    assert both.tolist() == vals[:20].tolist()
