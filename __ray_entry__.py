@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         flagship,
         multimodal,
+        relational,
         similarity,
         text,
         textstats,
@@ -52,6 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_lang": text.token_count_by_lang,
         "sha256_map": text.sha256_map,
         "windowed_events": text.windowed_events,
+        # relational pipelines over the TPC-H-ish tables
+        "pricing_summary": relational.pricing_summary,
+        "orders_by_nation": relational.orders_by_nation,
+        "top_customers_by_segment": relational.top_customers_by_segment,
+        "revenue_by_month": relational.revenue_by_month,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
@@ -273,6 +279,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
         """,
         "language_id": _language_id_sql(),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "orders_by_nation": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "top_customers_by_segment": """
+            SELECT c_mktsegment, rank, c_custkey, acctbal_cents FROM (
+              SELECT c_mktsegment,
+                     CAST(row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+                     ) AS BIGINT) AS rank,
+                     c_custkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+              FROM customer
+            ) WHERE rank <= 5
+        """,
+        "revenue_by_month": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem GROUP BY 1
+        """,
         "fingerprints": """
             WITH arr AS (
               SELECT doc_id,

@@ -1,0 +1,204 @@
+"""Relational pipelines over the TPC-H-ish driver tables.
+
+Demonstrates the engine's general data-processing surface (scan ->
+map_batches partial aggregation -> small groupby; broadcast-small-side
+joins) with exact-integer outputs so every query hash-compares against a
+DuckDB oracle:
+
+- money/quantity sums are computed in CENTS via half-away-from-zero
+  rounding per row (float sums are order-dependent; integer sums are not);
+- ranks use (value desc, key asc) tie-breaks.
+
+Scale notes: the partial-aggregate pattern shuffles one row per key per
+batch (never raw rows); the customer->nation join broadcasts the keyed
+lookup once via ``ray.put`` (at 10^12 rows the small side becomes a
+hash-partitioned join, the aggregation pattern is unchanged).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Exact integer cents with DuckDB round() semantics."""
+    return pc.round(
+        pc.multiply(col, 100.0), round_mode="half_towards_infinity"
+    ).cast(pa.int64())
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 flavor: per (l_returnflag, l_linestatus) totals.
+
+    (l_returnflag, l_linestatus, n, qty_cents, price_cents, revenue_cents)
+    — revenue = extendedprice * (1 - discount), rounded to cents per row.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_cents": _cents(batch["l_quantity"]),
+                "price_cents": _cents(batch["l_extendedprice"]),
+                "revenue_cents": _cents(rev),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("qty_cents", "count"), ("qty_cents", "sum"),
+             ("price_cents", "sum"), ("revenue_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_part", "qty_part", "price_part", "rev_part"]
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("qty_part", alias_name="qty_cents"),
+            Sum("price_part", alias_name="price_cents"),
+            Sum("rev_part", alias_name="revenue_cents"),
+        )
+    )
+
+
+def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """(n_name, n_orders, total_cents) — orders joined to customer nation.
+
+    customer->nation is the broadcast small side (``ray.put`` once, read in
+    each task); orders stream through map_batches.
+    """
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    order_c = np.argsort(ckeys)
+    nnames = {
+        int(k): v
+        for k, v in zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    }
+    lookup_ref = ray.put((ckeys[order_c], cnat[order_c], nnames))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck_sorted, cn_sorted, names = ray.get(lookup_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck_sorted, ck)
+        nat = cn_sorted[pos]  # every order has a valid customer
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nat, return_inverse=True)
+        return pa.table(
+            {
+                "n_name": pa.array([names[int(u)] for u in uniq], pa.string()),
+                "orders_part": pa.array(np.bincount(inv).astype(np.int64)),
+                "cents_part": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("n_name")
+        .aggregate(
+            Sum("orders_part", alias_name="n_orders"),
+            Sum("cents_part", alias_name="total_cents"),
+        )
+    )
+
+
+def top_customers_by_segment(sf_dir: str, k: int = 5) -> pa.Table:
+    """Per market segment: top-k customers by account balance.
+
+    (c_mktsegment, rank, c_custkey, acctbal_cents) — per-batch local top-k
+    then a driver merge of candidate rows (k * n_segments * n_batches, tiny).
+    """
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        seg = batch["c_mktsegment"].to_numpy(zero_copy_only=False)
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        bal = _cents(batch["c_acctbal"]).to_numpy(zero_copy_only=False)
+        out_idx = []
+        for s in np.unique(seg):
+            sel = np.flatnonzero(seg == s)
+            order = np.lexsort((key[sel], -bal[sel]))[:k]
+            out_idx.append(sel[order])
+        idx = np.concatenate(out_idx) if out_idx else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg[idx], pa.string()),
+                "c_custkey": pa.array(key[idx], pa.int64()),
+                "acctbal_cents": pa.array(bal[idx], pa.int64()),
+            }
+        )
+
+    cand = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_mktsegment", "c_custkey", "c_acctbal"],
+        )
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=16384)
+        .to_pandas()
+    )
+    rows = []
+    for s, sub in cand.groupby("c_mktsegment"):
+        sub = sub.sort_values(
+            ["acctbal_cents", "c_custkey"], ascending=[False, True]
+        ).head(k)
+        for r, (_, row) in enumerate(sub.iterrows(), 1):
+            rows.append((s, r, int(row["c_custkey"]), int(row["acctbal_cents"])))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "c_custkey": pa.array([r[2] for r in rows], pa.int64()),
+            "acctbal_cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def revenue_by_month(sf_dir: str) -> ray.data.Dataset:
+    """(month, n_items, revenue_cents) — tumbling month windows over
+    l_shipdate; month is the ISO 'YYYY-MM' string."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.strftime(batch["l_shipdate"], format="%Y-%m")
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"month": m, "rev_cents": _cents(rev)})
+        g = t.group_by(["month"], use_threads=False).aggregate(
+            [("rev_cents", "count"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(["month", "n_part", "rev_part"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("month")
+        .aggregate(
+            Sum("n_part", alias_name="n_items"),
+            Sum("rev_part", alias_name="revenue_cents"),
+        )
+    )
