@@ -74,11 +74,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
+        "ngram_lsh_consistency": dedup.ngram_lsh_consistency,
         # similarity search over embeddings
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn_cosine": similarity.lsh_knn_cosine,
+        "lsh_knn_consistency": similarity.lsh_knn_consistency,
         "embedding_neardup": similarity.embedding_neardup,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
+        "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
         # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
@@ -215,10 +218,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = b
             WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
         """,
+        "ngram_lsh_consistency": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+              FROM arr
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+              FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_lsh_false_pairs
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+        """,
         "embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "embedding_lsh_consistency": """
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_lsh_false_pairs
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "lsh_knn_consistency": """
+            SELECT CAST(q.qid AS BIGINT) AS qid,
+                   CAST(0 AS BIGINT) AS n_rank_inversions,
+                   CAST(1 AS BIGINT) AS top1_is_self
+            FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

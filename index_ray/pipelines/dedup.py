@@ -430,14 +430,37 @@ def ngram_jaccard_dedup(
     )
 
 
+def _empty_jaccard_table() -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard_pct": pa.array([], pa.int64()),
+        }
+    )
+
+
 def ngram_jaccard_lsh(
     sf_dir: str, n: int = 3, threshold: float = 0.8, mode: str = "simple"
 ) -> pa.Table:
     """Banded-LSH approximate n-gram Jaccard pairs (a, b, jaccard_pct).
 
-    Candidates from MinHash bands over n-gram hashes; exact verify inside
-    buckets.  Sub-quadratic — the 10^12-scale path; recall measured against
-    :func:`ngram_jaccard_dedup` in tests.
+    Three stages, none of which moves gram sets through the shuffle (round
+    1 shipped every doc's full gram set x NUM_BANDS through the groupby —
+    ~8x the tokenized corpus at scale):
+
+    1. sign: (doc_id, band, band_hash) only — 8 fixed-width rows per doc.
+    2. candidates: groupby(band, band_hash) -> unique id pairs (vectorized
+       triu per bucket; a bucket is a hash collision class, so its size is
+       the skew bound, tiled like the minhash verify).
+    3. verify: gram sets are re-derived ONLY for candidate docs (broadcast
+       id-set filter inside the scan) and exact Jaccard is computed per
+       candidate pair with the same integer threshold as
+       :func:`ngram_jaccard_dedup` — so every emitted pair is exact
+       (precision 1; recall measured in tests and pinned as a containment
+       invariant by ``ngram_lsh_consistency``).  At 10^12 docs the verify
+       becomes a doc_id-keyed gram join over pair partitions; the
+       candidate/verify split is unchanged.
     """
 
     class NgramSign:
@@ -451,57 +474,123 @@ def ngram_jaccard_lsh(
             th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
             starts = np.searchsorted(d, np.arange(len(batch)))
             ends = np.searchsorted(d, np.arange(len(batch)), side="right")
-            out_id, out_band, out_hash, out_set = [], [], [], []
+            bhs = np.empty((len(batch), mh.NUM_BANDS), dtype=np.int64)
             for i in range(len(batch)):
                 grams = np.unique(mh.shingle_hashes(th[starts[i]:ends[i]], k=n))
-                sig = mh.minhash_signature(grams)
-                bh = mh.band_hashes(sig)
-                for b in range(mh.NUM_BANDS):
-                    out_id.append(int(ids[i]))
-                    out_band.append(b)
-                    out_hash.append(int(bh.view(np.int64)[b]))
-                    out_set.append(grams.tobytes())
+                bhs[i] = mh.band_hashes(mh.minhash_signature(grams)).view(np.int64)
             return pa.table(
                 {
-                    "doc_id": pa.array(out_id, pa.int64()),
-                    "band": pa.array(out_band, pa.int32()),
-                    "band_hash": pa.array(out_hash, pa.int64()),
-                    "grams": pa.array(out_set, pa.binary()),
+                    "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
+                    "band": pa.array(
+                        np.tile(np.arange(mh.NUM_BANDS, dtype=np.int32), len(batch))
+                    ),
+                    "band_hash": pa.array(bhs.ravel(), pa.int64()),
                 }
             )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        grams = [
-            np.frombuffer(g, dtype=np.uint64)
-            for g in np.array(group["grams"].to_pylist(), dtype=object)[order]
-        ]
-        a_out, b_out, j_out = [], [], []
-        if 2 <= len(ids) <= MAX_BUCKET:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    inter = len(np.intersect1d(grams[i], grams[j], assume_unique=True))
-                    union = len(grams[i]) + len(grams[j]) - inter
-                    if union and inter / union >= threshold:
-                        a_out.append(int(min(ids[i], ids[j])))
-                        b_out.append(int(max(ids[i], ids[j])))
-                        j_out.append(int(100 * inter // union))
-        return pa.table(
-            {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "jaccard_pct": pa.array(j_out, pa.int64()),
-            }
-        )
+    def bucket_cands(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        if len(ids) > MAX_BUCKET:
+            _LOG.warning(
+                "ngram-LSH bucket with %d members (> %d)", len(ids), MAX_BUCKET
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
 
-    ds = (
+    cand = pairs_table(
         docs_dataset(sf_dir, ["doc_id", "text"])
         .map_batches(NgramSign, batch_format="pyarrow", batch_size=256, concurrency=pool())
         .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(bucket_cands, batch_format="pyarrow")
     )
-    return pairs_table(ds, ("jaccard_pct",))
+    a = cand["a"].to_numpy(zero_copy_only=False)
+    b = cand["b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return _empty_jaccard_table()
+
+    # stage 3: gram sets for candidate docs only
+    cand_ids_ref = ray.put(np.unique(np.concatenate([a, b])))
+
+    class GramSets:
+        def __init__(self):
+            self.norm = TokenNormalizer(mode)
+            self.want = ray.get(cand_ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, self.want)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "grams": pa.array([], pa.binary()),
+                    }
+                )
+            sub = batch.filter(pa.array(mask))
+            d, tid, vocab = tokenize_batch(sub["text"], self.norm)
+            vhash = mh.hash_strings(vocab)
+            th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+            starts = np.searchsorted(d, np.arange(len(sub)))
+            ends = np.searchsorted(d, np.arange(len(sub)), side="right")
+            sets = [
+                np.unique(mh.shingle_hashes(th[starts[i]:ends[i]], k=n)).tobytes()
+                for i in range(len(sub))
+            ]
+            return pa.table({"doc_id": sub["doc_id"], "grams": pa.array(sets, pa.binary())})
+
+    gt = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(GramSets, batch_format="pyarrow", batch_size=256, concurrency=pool())
+        .to_pandas()  # bounded: one row per candidate doc
+    )
+    gram_of = {
+        int(i): np.frombuffer(g, dtype=np.uint64)
+        for i, g in zip(gt["doc_id"], gt["grams"])
+    }
+    a_out, b_out, j_out = [], [], []
+    for x, y in zip(a, b):
+        gx, gy = gram_of[int(x)], gram_of[int(y)]
+        inter = len(np.intersect1d(gx, gy, assume_unique=True))
+        union = len(gx) + len(gy) - inter
+        if union and inter / union >= threshold:
+            a_out.append(int(x))
+            b_out.append(int(y))
+            j_out.append(100 * inter // union)
+    order = np.lexsort((np.array(b_out), np.array(a_out))) if a_out else []
+    return pa.table(
+        {
+            "a": pa.array(np.array(a_out, dtype=np.int64)[order], pa.int64()),
+            "b": pa.array(np.array(b_out, dtype=np.int64)[order], pa.int64()),
+            "jaccard_pct": pa.array(np.array(j_out, dtype=np.int64)[order], pa.int64()),
+        }
+    )
+
+
+def ngram_lsh_consistency(sf_dir: str, mode: str = "simple") -> pa.Table:
+    """Containment invariant: every LSH-found pair must be an exact
+    n-gram-Jaccard pair with the identical jaccard_pct (the LSH verify IS
+    the exact computation, restricted to candidates).  Returns one row
+    (n_exact_pairs, n_lsh_false_pairs); the oracle recomputes the exact
+    pair count in SQL and pins false pairs at 0."""
+    exact = ngram_jaccard_dedup(sf_dir, mode=mode)
+    lsh = ngram_jaccard_lsh(sf_dir, mode=mode)
+    ex = set(
+        zip(
+            exact["a"].to_pylist(),
+            exact["b"].to_pylist(),
+            exact["jaccard_pct"].to_pylist(),
+        )
+    )
+    got = set(
+        zip(lsh["a"].to_pylist(), lsh["b"].to_pylist(), lsh["jaccard_pct"].to_pylist())
+    )
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([len(ex)], pa.int64()),
+            "n_lsh_false_pairs": pa.array([len(got - ex)], pa.int64()),
+        }
+    )

@@ -181,6 +181,51 @@ def lsh_knn_cosine(
     )
 
 
+def lsh_knn_consistency(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10
+) -> pa.Table:
+    """Invariants of the LSH ANN path, checked against exact recomputation
+    from the raw vectors: per query, (a) the reported order must be
+    non-increasing in TRUE cosine with ascending-vec_id tie-break, and
+    (b) rank 1 must be the query vector itself (it always lands in its own
+    base bucket, its self-similarity is 1.0, and the tie-break favors its
+    lower id).  Returns (qid, n_rank_inversions, top1_is_self) — the oracle
+    pins (0, 1).  Recall itself is probabilistic — measured in pytest, not
+    SQL-pinned."""
+    approx = lsh_knn_cosine(sf_dir, query_ids, k)
+    q, qids = _query_matrix(sf_dir, list(query_ids))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    t = emb_dataset(sf_dir).take_all()
+    ids_all = np.array([r["vec_id"] for r in t], dtype=np.int64)
+    m_all = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in t])
+    m_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    pos_of = {int(v): i for i, v in enumerate(ids_all)}
+
+    ap = approx.to_pandas()
+    out_q, out_inv, out_top = [], [], []
+    for qi, qid in enumerate(qids):
+        sub = ap[ap["qid"] == qid].sort_values("rank")
+        vids = sub["vec_id"].to_numpy()
+        sims = np.array([float(qn[qi] @ m_all[pos_of[int(v)]]) for v in vids])
+        n_inv = int(
+            np.sum(
+                (sims[1:] > sims[:-1])
+                | ((sims[1:] == sims[:-1]) & (vids[1:] < vids[:-1]))
+            )
+        )
+        out_q.append(int(qid))
+        out_inv.append(n_inv)
+        out_top.append(int(len(vids) > 0 and int(vids[0]) == int(qid)))
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "n_rank_inversions": pa.array(out_inv, pa.int64()),
+            "top1_is_self": pa.array(out_top, pa.int64()),
+        }
+    )
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     """EXACT all-pairs cosine >= threshold: (a, b) — oracle-checkable.
 
@@ -213,6 +258,25 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> pa.Table:
 
     return pairs_table(
         emb_dataset(sf_dir).map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+    )
+
+
+def embedding_lsh_consistency(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """Containment invariant: the LSH-blocked near-dup pairs verify with the
+    TRUE cosine inside buckets, so every emitted pair must also be an exact
+    threshold pair — precision is exactly 1.  Returns one row
+    (n_exact_pairs, n_lsh_false_pairs); the oracle recomputes the exact pair
+    count in SQL and pins false pairs at 0.  (Recall is probabilistic —
+    measured in pytest.)"""
+    exact_t = embedding_neardup(sf_dir, threshold)
+    exact = set(zip(exact_t["a"].to_pylist(), exact_t["b"].to_pylist()))
+    lsh_t = embedding_neardup_lsh(sf_dir, threshold)
+    lsh = set(zip(lsh_t["a"].to_pylist(), lsh_t["b"].to_pylist()))
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([len(exact)], pa.int64()),
+            "n_lsh_false_pairs": pa.array([len(lsh - exact)], pa.int64()),
+        }
     )
 
 

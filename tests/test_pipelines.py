@@ -66,6 +66,38 @@ def test_simhash_flags_exact_dups(ray_session, tmp_path):
     assert (0, 1) in got and (50, 51) in got
 
 
+def test_ngram_lsh_subset_and_planted_recall(ray_session, tmp_path):
+    """LSH pairs must be a subset of exact pairs (same integer jaccard),
+    and a planted identical pair must survive the banded candidate path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(80)]
+    base = " ".join(rng.choice(words, size=200).tolist())
+    near = base.rsplit(" ", 4)[0] + " zz yy xx qq"  # ~98% of grams shared
+    other = [" ".join(rng.choice(words, size=200).tolist()) for _ in range(6)]
+    texts = [base, base, near] + other
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    exact = dedup.ngram_jaccard_dedup(str(d)).to_pandas()
+    lsh = dedup.ngram_jaccard_lsh(str(d)).to_pandas()
+    ex = set(zip(exact["a"], exact["b"], exact["jaccard_pct"]))
+    got = set(zip(lsh["a"], lsh["b"], lsh["jaccard_pct"]))
+    assert got <= ex
+    assert (0, 1, 100) in got  # identical docs share every band
+    assert (0, 2) in {(a, b) for a, b, _ in ex}  # near pair is a real exact pair
+
+
 def test_lsh_knn_recall(ray_session):
     exact = sim.knn_cosine(SF).to_pandas()
     approx = sim.lsh_knn_cosine(SF).to_pandas()
