@@ -63,8 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": flagship.bm25_topk,
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
+        "doc_lookup": flagship.doc_lookup,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
+        "bm25_head_boost": flagship.bm25_head_boost,
+        "bm25_field_scoped": flagship.bm25_field_scoped,
         "bm25_scores": flagship.flagship,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
@@ -142,13 +145,19 @@ def _language_id_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.flagship import (
         bm25_and_sql_oracle,
+        bm25_field_scoped_sql_oracle,
+        bm25_head_boost_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_sql_oracle,
+        doc_lookup_sql_oracle,
         field_term_stats_sql_oracle,
         phrase_sql_oracle,
     )
 
     return {
+        "doc_lookup": doc_lookup_sql_oracle(),
+        "bm25_head_boost": bm25_head_boost_sql_oracle(),
+        "bm25_field_scoped": bm25_field_scoped_sql_oracle(),
         "bm25_topk": bm25_sql_oracle(),
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_topk_meta": bm25_meta_sql_oracle(),

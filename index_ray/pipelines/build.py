@@ -68,6 +68,7 @@ class BuildConfig:
     row_groups_per_task: int = 1
     positions: bool = False              # store within-doc token positions (phrase queries)
     field_col: str | None = None         # index terms ALSO under "{field}:{term}" keys
+    head_tokens: int = 0                 # first H tokens ALSO under "head:{term}" keys
 
     pipeline_chunks: int = 2             # concurrent chunk builds (driver threads)
 
@@ -210,6 +211,7 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
                     docmap_dir,  # docmap written from the same tokenize pass
                     cfg.positions,
                     cfg.field_col,
+                    cfg.head_tokens,
                 ),
             )
         ],
@@ -390,6 +392,7 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
         "tokenizer": cfg.tokenizer,
         "positions": cfg.positions,
         "field_col": cfg.field_col,
+        "head_tokens": cfg.head_tokens,
         "hot_terms": hot,
         "chunks": [
             {

@@ -278,6 +278,217 @@ def field_term_stats_sql_oracle() -> str:
     """
 
 
+def bm25_head_boost(sf_dir: str) -> pa.Table:
+    """BM25 with a 2.0x boost on matches inside the first 8 tokens of each
+    document ("head" namespace) — the reference's style/weight bits
+    (``/root/reference/index.h:44-49``: title/head postings carry a style
+    marker the ranker can weight) realized as marker-namespace postings
+    plus a rank-time weight.  Returns (qid, rank, doc_id); the oracle
+    recomputes content + 2.0 x head scores in SQL."""
+    out = _index_dir_for(sf_dir) + "_head"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        head_tokens=8,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], boost={"head": 2.0}
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_head_boost_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+th AS (SELECT doc_id, unnest(toks[1:8]) AS term FROM arr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+tfh AS (SELECT doc_id, term, count(*) AS tf FROM th GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+dfh AS (SELECT term, count(DISTINCT doc_id) AS df FROM th GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scored_c AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+scored_h AS (
+  SELECT q.qid, tfh.doc_id,
+         sum(
+           ln((stats.n - dfh.df + 0.5) / (dfh.df + 0.5) + 1.0)
+           * (tfh.tf * 2.2)
+           / (tfh.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tfh USING (term)
+  JOIN dfh USING (term)
+  JOIN dl ON tfh.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tfh.doc_id
+),
+scored AS (
+  SELECT c.qid, c.doc_id, c.score + 2.0 * coalesce(h.score, 0.0) AS score
+  FROM scored_c c LEFT JOIN scored_h h ON c.qid = h.qid AND c.doc_id = h.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""
+
+
+def bm25_field_scoped(sf_dir: str) -> pa.Table:
+    """BM25 scoped to one field namespace: query terms are looked up under
+    their ``en:{term}`` marker keys (the reference's prefixed dictionary,
+    ``/root/reference/index.h:320-326``), so only documents whose ``lang``
+    is ``en`` can match; idf comes from the marker (within-field) df while
+    doc lengths and avgdl stay corpus-global.  Returns (qid, rank, doc_id)."""
+    out = _index_dir_for(sf_dir) + "_field"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        field_col="lang",
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], field="en"
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_field_scoped_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+ten AS (
+  SELECT t.doc_id, t.term FROM t JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ten GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ten GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""
+
+
+def doc_lookup(sf_dir: str) -> pa.Table:
+    """Key -> document-entry lookup over the index docmap (the reference's
+    ``FindUrl``, ``/root/reference/index.h:409``): resolve the ``source``
+    values of doc_ids 0-2, then probe the docmap for EVERY doc sharing one
+    of those sources.  Returns (doc_id, source, lang, n_tokens) where
+    n_tokens comes from the index's own tokenization — so the row also
+    cross-checks the docmap sidecar against plain SQL."""
+    import pyarrow.dataset as pads
+
+    from .query import find_docs
+
+    out = documents_index(sf_dir)
+    keys = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["source"], filter=pads.field("doc_id").isin([0, 1, 2]))
+    )["source"].to_pylist()
+    t = find_docs(out, "source", sorted(set(keys)))
+    t = t.select(["doc_id", "source", "lang", "n_tokens"])
+    return t.sort_by([("doc_id", "ascending")])
+
+
+def doc_lookup_sql_oracle() -> str:
+    return """
+        WITH keys AS (SELECT DISTINCT source FROM documents WHERE doc_id IN (0, 1, 2)),
+        tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        d AS (SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id)
+        SELECT doc_id, source, lang,
+               CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents JOIN keys USING (source)
+        LEFT JOIN d USING (doc_id)
+    """
+
+
 def index_terms(sf_dir: str) -> pa.Table:
     """Round-trip: decode all posting blocks -> (term, df, cf).
 

@@ -114,6 +114,21 @@ def idf_weights(index_dir: str, terms: list[str]) -> dict[str, tuple[int, float]
     return Lexicon(index_dir, stats["N"]).idf(terms)
 
 
+def find_docs(index_dir: str, col: str, values: list) -> pa.Table:
+    """Reverse lookup: docmap entries whose ``col`` matches any of
+    ``values`` — the reference's URL -> entry probe (``FindUrl``,
+    ``/root/reference/index.h:409``) re-expressed as a predicate-pushdown
+    scan over the docmap sidecar parquet (dictionary/statistics pruning
+    stands in for the hash probe; at cluster scale the docmap is
+    hash-partitioned by the lookup key and the filter prunes to one
+    partition's files)."""
+    dm_files = sorted(
+        glob.glob(os.path.join(index_dir, "chunks", "*", "docmap", "*.parquet"))
+    )
+    dsx = pads.dataset(dm_files)
+    return dsx.to_table(filter=pads.field(col).isin(values))
+
+
 def _binary_views(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy (offsets, data) views over a pa.binary array's buffers."""
     if col.offset == 0 and col.null_count == 0:
@@ -513,9 +528,11 @@ class BM25Searcher:
         mode: str = "or",
         meta_cols: list[str] | None = None,
         field: str | None = None,
+        boost: dict[str, float] | None = None,
     ) -> pa.Table:
         return self.search_many(
-            [(query, k)], prune, mode=mode, meta_cols=meta_cols, field=field
+            [(query, k)], prune, mode=mode, meta_cols=meta_cols, field=field,
+            boost=boost,
         )[0]
 
     def search_many(
@@ -525,6 +542,7 @@ class BM25Searcher:
         mode: str = "or",
         meta_cols: list[str] | None = None,
         field: str | None = None,
+        boost: dict[str, float] | None = None,
     ) -> list[pa.Table]:
         """Top-k BM25 per query.
 
@@ -539,24 +557,42 @@ class BM25Searcher:
         under their ``{field}:{term}`` marker keys (the reference's prefixed
         dictionary, ``/root/reference/index.h:320-326``); requires an index
         built with ``field_col``.
+        boost: {namespace: weight} score boosts — each query term t adds
+        ``weight * idf_ns(t) * tf_sat`` for its ``{ns}:{t}`` marker postings
+        on top of the content score (the reference's style/weight bits,
+        ``/root/reference/index.h:44-49``, as a rank-time weighting hook);
+        requires an index built with ``head_tokens`` or ``field_col``.
         """
         if field and not self.stats.get("field_col"):
             raise ValueError(
                 f"index at {self.index_dir} was built without field_col"
             )
+        if boost:
+            if mode == "and":
+                raise ValueError("boost is only supported with mode='or'")
+            if not (self.stats.get("head_tokens") or self.stats.get("field_col")):
+                raise ValueError(
+                    f"index at {self.index_dir} has no marker namespaces to boost"
+                )
         tok_mode = self.stats.get("tokenizer", "code")
         prepared = []
         dead = set()  # AND queries with a term missing from the lexicon
         for qi, (q, k) in enumerate(queries):
-            terms = query_terms(q, tok_mode)
-            if field:
-                terms = [f"{field}:{t}" for t in terms]
+            base_terms = query_terms(q, tok_mode)
+            terms = [f"{field}:{t}" for t in base_terms] if field else base_terms
             weights = self.lexicon.idf(terms)
             present = [t for t in terms if t in weights]  # absent terms score 0
             if mode == "and" and len(present) < len(terms):
                 dead.add(qi)
                 present = []
             idfs = [weights[t][1] for t in present]
+            if boost and qi not in dead:
+                for ns, w in sorted(boost.items()):
+                    bterms = [f"{ns}:{t}" for t in base_terms]
+                    bw = self.lexicon.idf(bterms)
+                    bpresent = [t for t in bterms if t in bw]
+                    present = present + bpresent
+                    idfs = idfs + [w * bw[t][1] for t in bpresent]
             prepared.append((present, idfs, k))
         futs = [a.score_many.remote(prepared, prune, mode) for a in self.actors]
         per_actor = ray.get(futs)

@@ -42,6 +42,7 @@ class TokenizeBlob:
         docmap_dir: str | None = None,
         positions: bool = False,
         field_col: str | None = None,
+        head_tokens: int = 0,
     ):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
@@ -50,6 +51,7 @@ class TokenizeBlob:
         self.salt_docs = salt_docs
         self.positions = positions
         self.field_col = field_col
+        self.head_tokens = head_tokens
         self.hot: frozenset = (
             ray.get(hot_ref) if hot_ref is not None else frozenset()
         )
@@ -70,33 +72,58 @@ class TokenizeBlob:
             self._part_cache[term] = h
         return h
 
-    def _with_field_terms(
+    def _with_marker_terms(
         self,
         batch: pa.Table,
         d: np.ndarray,
         tid: np.ndarray,
         vocab: list[str],
-        extras: tuple[np.ndarray, ...],
-    ) -> tuple[np.ndarray, np.ndarray, list[str], tuple[np.ndarray, ...]]:
-        """Duplicate every occurrence under a field-prefixed key
-        ``{field}:{term}`` — the reference's marker-prefixed dictionary
-        namespaces (``/root/reference/index.h:320-326``) generalized to a
-        metadata column.  ``extras`` (tf or positions arrays aligned with
-        d/tid) are duplicated alongside."""
-        fvals = batch[self.field_col].to_pylist()
-        funiq = sorted(set(fvals))
-        fmap = {f: i for i, f in enumerate(funiq)}
-        fdoc = np.array([fmap[f] for f in fvals], dtype=np.int64)
-        V = max(len(vocab), 1)
-        combo = fdoc[d] * V + tid
-        uniq, inv = np.unique(combo, return_inverse=True)
-        ext_vocab = list(vocab) + [
-            f"{funiq[int(c) // V]}:{vocab[int(c) % V]}" for c in uniq
-        ]
-        tid2 = np.concatenate([tid, inv + len(vocab)])
-        d2 = np.concatenate([d, d])
-        extras2 = tuple(np.concatenate([e, e]) for e in extras)
-        return d2, tid2, ext_vocab, extras2
+        pos: np.ndarray | None,
+    ) -> tuple[np.ndarray, np.ndarray, list[str], np.ndarray | None]:
+        """Duplicate occurrences under marker-prefixed dictionary keys — the
+        reference's prefixed namespaces (``/root/reference/index.h:320-326``)
+        generalized two ways, both computed from the ORIGINAL content
+        occurrences (markers never re-mark each other):
+
+        - ``field_col``: every occurrence also under ``{field}:{term}``
+          (field value from a metadata column).
+        - ``head_tokens``: occurrences whose within-doc ordinal is < H also
+          under ``head:{term}`` — the reference's title/head style routing
+          (style bits, ``/root/reference/index.h:44-49``): the query side
+          can weight the head namespace as a score boost.
+
+        ``pos`` (positions aligned with d/tid) is duplicated alongside so
+        marker postings stay position-addressable."""
+        vocab2 = list(vocab)
+        add_d, add_tid, add_pos = [], [], []
+        if self.head_tokens:
+            occpos = np.arange(len(d)) - np.searchsorted(d, d)
+            hm = occpos < self.head_tokens
+            huniq, hinv = np.unique(tid[hm], return_inverse=True)
+            off = len(vocab2)
+            vocab2 += [f"head:{vocab[int(c)]}" for c in huniq]
+            add_d.append(d[hm])
+            add_tid.append(hinv + off)
+            if pos is not None:
+                add_pos.append(pos[hm])
+        if self.field_col:
+            fvals = batch[self.field_col].to_pylist()
+            funiq = sorted(set(fvals))
+            fmap = {f: i for i, f in enumerate(funiq)}
+            fdoc = np.array([fmap[f] for f in fvals], dtype=np.int64)
+            V = max(len(vocab), 1)
+            combo = fdoc[d] * V + tid
+            uniq, inv = np.unique(combo, return_inverse=True)
+            off = len(vocab2)
+            vocab2 += [f"{funiq[int(c) // V]}:{vocab[int(c) % V]}" for c in uniq]
+            add_d.append(d)
+            add_tid.append(inv + off)
+            if pos is not None:
+                add_pos.append(pos)
+        d2 = np.concatenate([d] + add_d)
+        tid2 = np.concatenate([tid] + add_tid)
+        pos2 = np.concatenate([pos] + add_pos) if pos is not None else None
+        return d2, tid2, vocab2, pos2
 
     def _buffer_docmap(self, batch: pa.Table, n_tok: np.ndarray) -> None:
         """docmap rows from the SAME tokenization (n_tokens = sum tf) —
@@ -178,12 +205,10 @@ class TokenizeBlob:
             if self.positions
             else None
         )
-        if self.field_col:
-            extras = (posocc,) if posocc is not None else ()
-            docc, tidocc, vocab, extras = self._with_field_terms(
-                batch, docc, tidocc, vocab, extras
+        if self.field_col or self.head_tokens:
+            docc, tidocc, vocab, posocc = self._with_marker_terms(
+                batch, docc, tidocc, vocab, posocc
             )
-            posocc = extras[0] if posocc is not None else None
         docids_occ = batch[self.docid_col].to_numpy(zero_copy_only=False)[docc]
         keys = (
             (posocc, docids_occ, tidocc) if posocc is not None else (docids_occ, tidocc)

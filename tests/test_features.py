@@ -214,6 +214,50 @@ def test_field_requires_field_col(tiny_index_dir):
         searcher.search("connection", field="en")
 
 
+def test_head_boost_reranks(tmp_path):
+    """A doc with the query term inside the first H tokens must outrank an
+    otherwise-identical doc with the term only later, under boost — and the
+    two must tie (docID order) without boost."""
+    import pyarrow.parquet as pq
+
+    filler = " ".join(f"pad{i}" for i in range(20))
+    texts = [
+        f"{filler} needle tail tail",  # term outside the head window
+        f"needle {filler} tail tail",  # term inside the head window
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array(texts)}
+        ),
+        str(src / "documents.parquet"),
+    )
+    out = tmp_path / "idx"
+    build_index(
+        str(src / "documents.parquet"),
+        str(out),
+        BuildConfig(
+            tokenizer="simple", text_col="text", id_col="doc_id",
+            chunk_docs=100, num_parts=4, salt_docs=64, head_tokens=8,
+        ),
+    )
+    s = BM25Searcher(str(out), num_shards=1)
+    plain = s.search("needle", k=2)
+    assert plain["docID"].to_pylist() == [0, 1]  # equal scores, docID tiebreak
+    assert plain["score"][0] == plain["score"][1]
+    boosted = s.search("needle", k=2, boost={"head": 2.0})
+    assert boosted["docID"].to_pylist() == [1, 0]
+    with pytest.raises(ValueError, match="boost"):
+        s.search("needle", mode="and", boost={"head": 2.0})
+
+
+def test_boost_requires_markers(tiny_index_dir):
+    searcher = BM25Searcher(tiny_index_dir, num_shards=1)
+    with pytest.raises(ValueError, match="marker"):
+        searcher.search("connection", boost={"head": 2.0})
+
+
 # ------------------------------------------------------ dedup helpers -----
 
 
