@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
+        "token_count_bpe": textstats.token_count_bpe,
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         field_term_stats_sql_oracle,
         phrase_sql_oracle,
     )
+    from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
     return {
         "doc_lookup": doc_lookup_sql_oracle(),
@@ -329,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
         """,
         "language_id": _language_id_sql(),
+        "token_count_bpe": token_count_bpe_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

@@ -136,3 +136,60 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         FingerprintStage, batch_format="pyarrow", batch_size=512, concurrency=pool()
     )
+
+
+# BPE-style pre-tokenizer (GPT-2-flavoured, lookahead-free so RE2/DuckDB
+# runs the identical pattern): contractions, letter runs, digit runs,
+# other-symbol runs, stray apostrophes.  Whitespace is the explicit ASCII
+# class so Python re and RE2 agree byte-for-byte.
+_WS = " \\t\\n\\r\\f\\v"
+BPE_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9'" + _WS + "]+|'"
+)
+
+
+class TokenCountStage:
+    """batch -> (doc_id, n_bpe_tokens, n_ws_tokens) — token counting for
+    training-data budgeting: a BPE-ish regex pre-tokenizer count (the unit
+    a byte-pair encoder would split further) plus the plain whitespace
+    count.  The compiled patterns live in ``__init__`` (once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.bpe = re.compile(BPE_PATTERN)
+        self.ws = re.compile("[^" + _WS + "]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        nb = np.fromiter(
+            (len(self.bpe.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        nw = np.fromiter(
+            (len(self.ws.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(nb),
+                "n_ws_tokens": pa.array(nw),
+            }
+        )
+
+
+def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenCountStage, batch_format="pyarrow", batch_size=1024, concurrency=pool()
+    )
+
+
+def token_count_bpe_sql_oracle() -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    ws = "[^" + _WS + "]+"
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '{ws}')) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """
