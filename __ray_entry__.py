@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": relational.orders_by_nation,
         "top_customers_by_segment": relational.top_customers_by_segment,
         "revenue_by_month": relational.revenue_by_month,
+        "revenue_by_segment": relational.revenue_by_segment,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
@@ -360,6 +361,15 @@ def oracle_sql() -> dict[str, str]:
                      CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
               FROM customer
             ) WHERE rank <= 5
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "revenue_by_month": """
             SELECT strftime(l_shipdate, '%Y-%m') AS month,

@@ -175,6 +175,65 @@ def top_customers_by_segment(sf_dir: str, k: int = 5) -> pa.Table:
     )
 
 
+def revenue_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 flavor: lineitem revenue rolled up to customer market
+    segment — exercises the BUCKETED SHUFFLE JOIN (``join.hash_join``)
+    between two large tables (lineitem x orders), with the customer ->
+    segment dimension broadcast.
+
+    (c_mktsegment, n_items, revenue_cents); lineitem is pre-aggregated per
+    (orderkey) per batch before the shuffle, so the join moves one row per
+    order per batch instead of one per lineitem.
+    """
+    from .join import hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    order_c = np.argsort(ck)
+    seg_sorted = cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order_c]
+    lookup_ref = ray.put((ck[order_c], seg_sorted))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {"o_orderkey": batch["l_orderkey"], "rev_cents": _cents(rev)}
+        )
+        g = t.group_by(["o_orderkey"], use_threads=False).aggregate(
+            [("rev_cents", "count"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(["o_orderkey", "n_part", "rev_part"])
+
+    def o_segment(batch: pa.Table) -> pa.Table:
+        ck_sorted, segs = ray.get(lookup_ref)
+        pos = np.searchsorted(ck_sorted, batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "c_mktsegment": pa.array(segs[pos], pa.string()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=16384)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(o_segment, batch_format="pyarrow", batch_size=16384)
+    return (
+        hash_join(li, orders, on="o_orderkey", num_buckets=32)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_part", alias_name="n_items"),
+            Sum("rev_part", alias_name="revenue_cents"),
+        )
+    )
+
+
 def revenue_by_month(sf_dir: str) -> ray.data.Dataset:
     """(month, n_items, revenue_cents) — tumbling month windows over
     l_shipdate; month is the ISO 'YYYY-MM' string."""

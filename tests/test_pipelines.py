@@ -120,6 +120,39 @@ def test_embedding_neardup_lsh_subset_of_exact(ray_session):
     assert lsh <= exact
 
 
+def test_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from index_ray.pipelines.join import hash_join
+
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 50, size=400)  # skewed, repeated keys
+    rk = np.arange(0, 60, dtype=np.int64)
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk, pa.int64()), "lv": pa.array(np.arange(400))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array(rk), "rv": pa.array(rk * 10)})
+    )
+    got = (
+        hash_join(left, right, on="k", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": lk, "lv": np.arange(400)})
+        .merge(pd.DataFrame({"k": rk, "rv": rk * 10}), on="k")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert got[["k", "lv", "rv"]].equals(want[["k", "lv", "rv"]])
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(left, left, on="k")
+
+
 def test_language_id_deterministic(ray_session):
     a = ts.language_id(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = ts.language_id(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
