@@ -93,10 +93,16 @@ class BuildResult:
 
 def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # leave ~1/4 of the CPUs for the downstream sort/pack stages so the
-    # streaming executor can overlap them with tokenization (a pool that
-    # reserves every CPU serializes the pipeline)
-    hi = max(2, cpus - max(1, cpus // 4))
+    # When several chunk pipelines run concurrently (pipeline_chunks > 1),
+    # leave ~1/4 of the CPUs so chunk k's post-shuffle pack/write tail can
+    # overlap chunk k+1's tokenization.  A single-chunk build has nothing
+    # to overlap — the groupby sort is an all-to-all BARRIER, so reserving
+    # CPUs there only idles them for the whole tokenize phase
+    # (_build_index marks the actual concurrency on cfg).
+    if getattr(cfg, "_overlap_chunks", True):
+        hi = max(2, cpus - max(1, cpus // 4))
+    else:
+        hi = max(2, cpus)
     if n_tasks is not None:
         hi = max(1, min(hi, n_tasks))
     return hi  # fixed-size pool: starts immediately, no autoscale ramp
@@ -327,6 +333,7 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
 
     t0 = time.time()
     workers = max(1, min(cfg.pipeline_chunks, len(chunks)))
+    cfg._overlap_chunks = workers > 1  # plain attr: not part of the fingerprint
     if workers == 1:
         results = [
             build_chunk(specs, cid, out_dir, cfg, hot_ref)

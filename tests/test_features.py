@@ -258,6 +258,20 @@ def test_boost_requires_markers(tiny_index_dir):
         searcher.search("connection", boost={"head": 2.0})
 
 
+def test_find_docs_lookup(tiny_index_dir, tiny_corpus_table):
+    """find_docs must return exactly the docmap rows whose key column
+    matches — the FindUrl analog (every doc sharing the key comes back)."""
+    from index_ray.pipelines.query import find_docs
+
+    paths = tiny_corpus_table["path"].to_pylist()
+    want_path = paths[7]
+    expect = {i for i, p in enumerate(paths) if p == want_path}
+    t = find_docs(tiny_index_dir, "path", [want_path])
+    assert set(t["docID"].to_pylist()) == expect
+    assert set(t["path"].to_pylist()) == {want_path}
+    assert len(find_docs(tiny_index_dir, "path", ["no/such/file.py"])) == 0
+
+
 # ------------------------------------------------------ dedup helpers -----
 
 
