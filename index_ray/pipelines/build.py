@@ -93,16 +93,17 @@ class BuildResult:
 
 def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # When several chunk pipelines run concurrently (pipeline_chunks > 1),
-    # leave ~1/4 of the CPUs so chunk k's post-shuffle pack/write tail can
-    # overlap chunk k+1's tokenization.  A single-chunk build has nothing
-    # to overlap — the groupby sort is an all-to-all BARRIER, so reserving
-    # CPUs there only idles them for the whole tokenize phase
-    # (_build_index marks the actual concurrency on cfg).
-    if getattr(cfg, "_overlap_chunks", True):
-        hi = max(2, cpus - max(1, cpus // 4))
-    else:
-        hi = max(2, cpus)
+    # Leave ~1/4 of the CPUs out of the tokenize pool.  Two reasons: with
+    # chunk pipelining (pipeline_chunks > 1) the slack lets chunk k's
+    # post-shuffle pack/write tail overlap chunk k+1's tokenization; and
+    # even in a single-chunk build (where the groupby sort is an
+    # all-to-all barrier and overlap is impossible) a full-width pool of
+    # memory-heavy actors measurably LOSES to the reserved pool on this
+    # class of host (interleaved A/B at 8 CPUs, 400k docs: full-pool warm
+    # min 87s vs reserved 63s) — tokenize actors are bandwidth-bound, so
+    # the marginal actors contend instead of adding throughput while also
+    # starving Ray's own sort/driver work.
+    hi = max(2, cpus - max(1, cpus // 4))
     if n_tasks is not None:
         hi = max(1, min(hi, n_tasks))
     return hi  # fixed-size pool: starts immediately, no autoscale ramp
@@ -333,7 +334,6 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
 
     t0 = time.time()
     workers = max(1, min(cfg.pipeline_chunks, len(chunks)))
-    cfg._overlap_chunks = workers > 1  # plain attr: not part of the fingerprint
     if workers == 1:
         results = [
             build_chunk(specs, cid, out_dir, cfg, hot_ref)
