@@ -35,6 +35,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from index_ray.pipelines import (
         dedup,
+        events,
         flagship,
         multimodal,
         relational,
@@ -59,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_segment": relational.top_customers_by_segment,
         "revenue_by_month": relational.revenue_by_month,
         "revenue_by_segment": relational.revenue_by_segment,
+        # time-ordered event-stream operators (one user-bucket shuffle)
+        "sessionize": events.sessionize,
+        "asof_purchase_click": events.asof_purchase_click,
+        "events_in_signup_window": events.events_in_signup_window,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
@@ -154,6 +159,11 @@ def oracle_sql() -> dict[str, str]:
         doc_lookup_sql_oracle,
         field_term_stats_sql_oracle,
         phrase_sql_oracle,
+    )
+    from index_ray.pipelines.events import (
+        asof_sql_oracle,
+        sessionize_sql_oracle,
+        signup_window_sql_oracle,
     )
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
@@ -410,6 +420,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(fp.fingerprint, '') AS fingerprint
             FROM arr a LEFT JOIN fp ON a.doc_id = fp.doc_id
         """,
+        "sessionize": sessionize_sql_oracle(),
+        "asof_purchase_click": asof_sql_oracle(),
+        "events_in_signup_window": signup_window_sql_oracle(),
         "windowed_events": """
             SELECT user_id, date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n,

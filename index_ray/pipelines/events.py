@@ -1,0 +1,334 @@
+"""Time-ordered operators over the events stream: sessionization, as-of
+join, and interval (range) join — the custom operators Ray Data's Dataset
+API lacks natively, built as one hash-bucket shuffle + vectorized
+within-bucket kernels.
+
+All three need per-user time ordering, which Ray Data cannot express as a
+stateless batch map: rows of one user may span input blocks.  The shape
+used here (and the partitioning assumption it relies on):
+
+- a streaming ``map_batches`` pass tags each row with
+  ``bucket = hash(user_id) % B`` — the ONLY shuffle key, reused across all
+  three operators so a pipeline chaining them shuffles once;
+- ``groupby(bucket).map_groups`` lands every row of a user in exactly one
+  group; inside, a single ``np.lexsort`` by ``(user, ts, ...)`` restores
+  order and every kernel below is O(n log n) vectorized numpy — the
+  per-group Python overhead is O(B), never O(users) (same bucketing
+  argument as ``join.hash_join``).
+
+At 100 TB the bucket count bounds the largest group: B should be sized so
+the heaviest user-set per bucket fits a worker (B ≈ 2-4x cluster cores;
+a single user hotter than a worker's memory needs time-sliced sessioning,
+which these kernels support by construction — sessions/windows never span
+a gap, so time-sliced re-bucketing splits only at gap boundaries).
+
+Money is exact integer cents (DuckDB ``round()`` half-away-from-zero
+semantics) so every operator hash-compares against its SQL oracle.
+
+Reference parity note: the reference engine has no event-stream operators
+(crawler+index only); these are the training-data-pipeline extensions the
+engine needs at scale (windowed aggregation over arrival streams is the
+same pattern the reference's chunk rotation applies to documents,
+``/root/reference/index.cpp:60-76``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .join import _knuth_bucket
+from .relational import _cents
+
+_BUCKET = "__ebucket__"
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+WINDOW_US = 24 * 3600 * 1_000_000  # 24 h
+
+
+def _tagged_events(sf_dir: str, columns: list[str], num_buckets: int) -> ray.data.Dataset:
+    """Pruned events read + bucket tag (the one shuffle key)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = _knuth_bucket(
+            batch["user_id"].to_numpy(zero_copy_only=False), num_buckets
+        )
+        return batch.append_column(_BUCKET, pa.array(b))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns
+    ).map_batches(tag, batch_format="pyarrow", batch_size=16384)
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _user_segments(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(new_user bool mask, per-row user-segment index) over sorted users."""
+    new_user = np.empty(len(u), dtype=bool)
+    new_user[0] = True
+    np.not_equal(u[1:], u[:-1], out=new_user[1:])
+    return new_user, np.cumsum(new_user) - 1
+
+
+# ---------------------------------------------------------------- sessions
+
+
+def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
+    """Gap-based sessionization: a >gap_us silence starts a new session.
+
+    Output: (user_id, session_seq, n_events, duration_us, value_cents) —
+    session_seq numbers a user's sessions 1..k in time order.
+    """
+
+    def sessions(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _SESSION_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        c = _cents(group["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, c = u[order], t[order], c[order]
+        new_user, useg = _user_segments(u)
+        dt = np.empty(len(t), dtype=np.int64)
+        dt[0] = 0
+        np.subtract(t[1:], t[:-1], out=dt[1:])
+        new_s = new_user | (dt > gap_us)
+        sid = np.cumsum(new_s) - 1
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(t)) - 1
+        user_starts = np.flatnonzero(new_user)
+        # session_seq = this session's rank within its user, 1-based
+        seq = sid[starts] - sid[user_starts][useg[starts]] + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_seq": pa.array(seq, pa.int64()),
+                "n_events": pa.array(np.diff(np.append(starts, len(t))), pa.int64()),
+                "duration_us": pa.array(t[ends] - t[starts], pa.int64()),
+                "value_cents": pa.array(np.add.reduceat(c, starts), pa.int64()),
+            }
+        )
+
+    return (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id", "value"], 64)
+        .groupby(_BUCKET)
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+_SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_seq", pa.int64()),
+        ("n_events", pa.int64()),
+        ("duration_us", pa.int64()),
+        ("value_cents", pa.int64()),
+    ]
+)
+
+
+def sessionize_sql_oracle(gap_us: int = SESSION_GAP_US) -> str:
+    return f"""
+        WITH o AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM o
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, session_seq
+    """
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def asof_purchase_click(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (ties: largest event_id; click-at-same-ts is visible).
+
+    Output: (event_id, user_id, click_event_id, lag_us) — -1 when the user
+    has no prior click.  The kernel is a merged-sort sweep: both sides in
+    one (user, ts, side, event_id) lexsort, a click-cumsum gives every
+    purchase its predecessor in O(n) with no per-user loop.
+    """
+
+    def asof(group: pa.Table) -> pa.Table:
+        m = pc.is_in(group["event_type"], pa.array(["click", "purchase"]))
+        group = group.filter(m)
+        if len(group) == 0:
+            return _ASOF_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        side = pc.equal(group["event_type"], pa.scalar("purchase")).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((e, side, t, u))
+        u, t, e, side = u[order], t[order], e[order], side[order]
+        is_click = ~side
+        cum = np.cumsum(is_click)  # clicks at-or-before each row
+        new_user, useg = _user_segments(u)
+        user_starts = np.flatnonzero(new_user)
+        cum_base = np.where(user_starts > 0, cum[user_starts - 1], 0)
+        p = np.flatnonzero(side)
+        click_e, click_t = e[is_click], t[is_click]
+        if click_e.size:
+            have = cum[p] - cum_base[useg[p]] > 0
+            midx = np.maximum(cum[p] - 1, 0)
+            matched = np.where(have, click_e[midx], -1)
+            lag = np.where(have, t[p] - click_t[midx], -1)
+        else:  # bucket holds purchases only (np.where evaluates both arms)
+            matched = np.full(len(p), -1, dtype=np.int64)
+            lag = matched
+        return pa.table(
+            {
+                "event_id": pa.array(e[p], pa.int64()),
+                "user_id": pa.array(u[p], pa.int64()),
+                "click_event_id": pa.array(matched, pa.int64()),
+                "lag_us": pa.array(lag, pa.int64()),
+            }
+        )
+
+    return (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id", "event_type"], 64)
+        .groupby(_BUCKET)
+        .map_groups(asof, batch_format="pyarrow")
+    )
+
+
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("click_event_id", pa.int64()),
+        ("lag_us", pa.int64()),
+    ]
+)
+
+
+def asof_sql_oracle() -> str:
+    return """
+        WITH u AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ), w AS (
+          SELECT user_id, ts, event_id, event_type,
+                 last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   OVER win AS prev_click,
+                 last_value(CASE WHEN side = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER win AS prev_ts_us
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               CAST(coalesce(prev_click, -1) AS BIGINT) AS click_event_id,
+               CAST(coalesce(epoch_us(ts) - prev_ts_us, -1) AS BIGINT) AS lag_us
+        FROM w WHERE event_type = 'purchase'
+    """
+
+
+# ---------------------------------------------------------------- range join
+
+
+def events_in_signup_window(
+    sf_dir: str, window_us: int = WINDOW_US
+) -> ray.data.Dataset:
+    """Interval (range) join: each signup opens a [ts, ts+window) window;
+    count/sum all of that user's events inside it (the signup included).
+
+    Output: (window_id, user_id, n_in_window, value_cents).  Kernel: one
+    sort + two ``searchsorted`` calls over a composite (user-segment, ts)
+    key — each window is a half-open slice of the sorted stream, so counts
+    and sums come from index differences and a prefix-sum, never a
+    pairwise expansion.  Falls back to a per-user sweep if the composite
+    key cannot fit int64 (pathological time ranges).
+    """
+
+    def windows(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _WINDOW_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        c = _cents(group["value"]).to_numpy(zero_copy_only=False)
+        sig = pc.equal(group["event_type"], pa.scalar("signup")).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((e, t, u))
+        u, t, e, c, sig = u[order], t[order], e[order], c[order], sig[order]
+        _, useg = _user_segments(u)
+        tmin = int(t.min())
+        span = int(t.max()) - tmin + window_us + 2
+        pref = np.concatenate(([0], np.cumsum(c)))
+        s = np.flatnonzero(sig)
+        if (useg[-1] + 1) * span < 1 << 62:
+            k = useg * span + (t - tmin)
+            lo = np.searchsorted(k, k[s])
+            hi = np.searchsorted(k, k[s] + window_us)
+        else:  # composite key would overflow: per-user slices instead
+            lo = np.empty(len(s), np.int64)
+            hi = np.empty(len(s), np.int64)
+            ustarts = np.flatnonzero(np.append(True, u[1:] != u[:-1]))
+            uends = np.append(ustarts[1:], len(u))
+            for a, b in zip(ustarts, uends):
+                inw = (s >= a) & (s < b)
+                lo[inw] = a + np.searchsorted(t[a:b], t[s[inw]])
+                hi[inw] = a + np.searchsorted(t[a:b], t[s[inw]] + window_us)
+        return pa.table(
+            {
+                "window_id": pa.array(e[s], pa.int64()),
+                "user_id": pa.array(u[s], pa.int64()),
+                "n_in_window": pa.array(hi - lo, pa.int64()),
+                "value_cents": pa.array(pref[hi] - pref[lo], pa.int64()),
+            }
+        )
+
+    return (
+        _tagged_events(
+            sf_dir, ["user_id", "ts", "event_id", "event_type", "value"], 64
+        )
+        .groupby(_BUCKET)
+        .map_groups(windows, batch_format="pyarrow")
+    )
+
+
+_WINDOW_SCHEMA = pa.schema(
+    [
+        ("window_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("n_in_window", pa.int64()),
+        ("value_cents", pa.int64()),
+    ]
+)
+
+
+def signup_window_sql_oracle(window_us: int = WINDOW_US) -> str:
+    return f"""
+        SELECT s.event_id AS window_id, s.user_id,
+               CAST(count(*) AS BIGINT) AS n_in_window,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'signup') s
+        JOIN events e
+          ON e.user_id = s.user_id
+         AND e.ts >= s.ts
+         AND epoch_us(e.ts) < epoch_us(s.ts) + {window_us}
+        GROUP BY 1, 2
+    """
