@@ -60,10 +60,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_segment": relational.top_customers_by_segment,
         "revenue_by_month": relational.revenue_by_month,
         "revenue_by_segment": relational.revenue_by_segment,
+        "parts_revenue_by_brand": relational.parts_revenue_by_brand,
+        "supplier_balance_by_region": relational.supplier_balance_by_region,
         # time-ordered event-stream operators (one user-bucket shuffle)
         "sessionize": events.sessionize,
         "asof_purchase_click": events.asof_purchase_click,
         "events_in_signup_window": events.events_in_signup_window,
+        "value_percentiles": events.value_percentiles,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
@@ -164,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         asof_sql_oracle,
         sessionize_sql_oracle,
         signup_window_sql_oracle,
+        value_percentiles_sql_oracle,
     )
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
@@ -423,6 +427,24 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessionize_sql_oracle(),
         "asof_purchase_click": asof_sql_oracle(),
         "events_in_signup_window": signup_window_sql_oracle(),
+        "value_percentiles": value_percentiles_sql_oracle(),
+        "parts_revenue_by_brand": """
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "supplier_balance_by_region": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
         "windowed_events": """
             SELECT user_id, date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n,

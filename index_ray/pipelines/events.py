@@ -319,6 +319,73 @@ _WINDOW_SCHEMA = pa.schema(
 )
 
 
+def value_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact distributed percentiles of value_cents per event_type via a
+    bounded-integer histogram combine.
+
+    Money-in-cents has a bounded integer domain, so a per-batch
+    ``(event_type, cents) -> count`` partial collapses each batch to its
+    distinct values, one small ``groupby`` sums the histograms, and the
+    per-type finalize reads quantiles off the cumulative histogram —
+    EXACT (no t-digest error) yet the shuffle moves O(distinct values)
+    rows, never O(events).  Quantile definition matches DuckDB
+    ``quantile_disc``: smallest v with cum_count(v) >= ceil(q * n).
+    Output: (event_type, n, p50_cents, p90_cents, p99_cents).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": batch["event_type"], "cents": _cents(batch["value"])}
+        )
+        g = t.group_by(["event_type", "cents"], use_threads=False).aggregate(
+            [("cents", "count")]
+        )
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        v = group["cents"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, cnt = v[order], cnt[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        picks = [
+            int(v[np.searchsorted(cum, int(np.ceil(q * n)))])
+            for q in (0.5, 0.9, 0.99)
+        ]
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()]),
+                "n": pa.array([n], pa.int64()),
+                "p50_cents": pa.array([picks[0]], pa.int64()),
+                "p90_cents": pa.array([picks[1]], pa.int64()),
+                "p99_cents": pa.array([picks[2]], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def value_percentiles_sql_oracle() -> str:
+    return """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50_cents,
+               CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_cents,
+               CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_cents
+        FROM events GROUP BY 1
+    """
+
+
 def signup_window_sql_oracle(window_us: int = WINDOW_US) -> str:
     return f"""
         SELECT s.event_id AS window_id, s.user_id,

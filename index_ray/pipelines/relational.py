@@ -234,6 +234,103 @@ def revenue_by_segment(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def parts_revenue_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """(p_brand, n_items, revenue_cents) — lineitem revenue per part brand.
+
+    part is the broadcast side (``ray.put`` of a searchsorted-keyed array
+    pair, read once per task); lineitem streams.  At a scale where part no
+    longer fits a worker, this becomes ``join.hash_join`` on l_partkey —
+    same downstream aggregate.
+    """
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    order_p = np.argsort(pk)
+    brand_sorted = part["p_brand"].to_numpy(zero_copy_only=False)[order_p]
+    lookup_ref = ray.put((pk[order_p], brand_sorted))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_sorted, brands = ray.get(lookup_ref)
+        pos = np.searchsorted(
+            pk_sorted, batch["l_partkey"].to_numpy(zero_copy_only=False)
+        )
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "p_brand": pa.array(brands[pos], pa.string()),
+                "rev_cents": _cents(rev),
+            }
+        )
+        g = t.group_by(["p_brand"], use_threads=False).aggregate(
+            [("rev_cents", "count"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(["p_brand", "n_part", "rev_part"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_part", alias_name="n_items"),
+            Sum("rev_part", alias_name="revenue_cents"),
+        )
+    )
+
+
+def supplier_balance_by_region(sf_dir: str) -> ray.data.Dataset:
+    """(r_name, n_suppliers, acctbal_cents) — suppliers rolled up through
+    nation -> region (two chained broadcast dimensions, one stream pass)."""
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rnames = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nat2region = {
+        int(k): rnames[v]
+        for k, v in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    lookup_ref = ray.put(nat2region)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n2r = ray.get(lookup_ref)
+        nat = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch["s_acctbal"]).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nat, return_inverse=True)
+        t = pa.table(
+            {
+                "r_name": pa.array([n2r[int(u)] for u in uniq], pa.string()),
+                "sup_part": pa.array(np.bincount(inv).astype(np.int64)),
+                "cents_part": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["r_name"], use_threads=False).aggregate(
+            [("sup_part", "sum"), ("cents_part", "sum")]
+        )
+        return g.rename_columns(["r_name", "sup_part", "cents_part"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("r_name")
+        .aggregate(
+            Sum("sup_part", alias_name="n_suppliers"),
+            Sum("cents_part", alias_name="acctbal_cents"),
+        )
+    )
+
+
 def revenue_by_month(sf_dir: str) -> ray.data.Dataset:
     """(month, n_items, revenue_cents) — tumbling month windows over
     l_shipdate; month is the ISO 'YYYY-MM' string."""
