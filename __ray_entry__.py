@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketches,
         text,
         textstats,
     )
@@ -91,9 +92,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn_cosine": similarity.lsh_knn_cosine,
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
+        "ivf_knn_cosine": similarity.ivf_knn_cosine,
+        "ivf_knn_consistency": similarity.ivf_knn_consistency,
         "embedding_neardup": similarity.embedding_neardup,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
+        # sketches
+        "distinct_users_hll": sketches.distinct_users_hll,
         # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
@@ -169,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         signup_window_sql_oracle,
         value_percentiles_sql_oracle,
     )
+    from index_ray.pipelines.sketches import distinct_users_hll_sql_oracle
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
     return {
@@ -287,6 +293,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS top1_is_self
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
+        "ivf_knn_consistency": """
+            SELECT CAST(q.qid AS BIGINT) AS qid,
+                   CAST(0 AS BIGINT) AS n_rank_inversions,
+                   CAST(1 AS BIGINT) AS top1_is_self
+            FROM (VALUES (0), (1), (2)) q(qid)
+        """,
+        "distinct_users_hll": distinct_users_hll_sql_oracle(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                        WHERE vec_id IN (0, 1, 2)),

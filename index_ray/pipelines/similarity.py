@@ -4,9 +4,13 @@
   matrix is broadcast via ``ray.put`` once, each map_batches task does one
   float64 matmul against its batch, and the driver k-way-merges per-batch
   top-k candidates.  Streams the corpus; never materializes similarities.
-- ``lsh_knn_cosine``: the scale path — random-hyperplane LSH bucketing
+- ``lsh_knn_cosine``: a scale path — random-hyperplane LSH bucketing
   (one groupby on the bucket key), exact re-rank inside candidate buckets.
   Recall < 1 by design; the exactness contract lives with ``knn_cosine``.
+- ``ivf_knn_cosine``: the other scale path — inverted lists under a
+  distributed spherical-k-means coarse quantizer (``kmeans_fit``: one
+  streaming pass per Lloyd iteration, only C x dim partials move);
+  queries probe nprobe lists, ~nprobe/C of brute-force work, no shuffle.
 - ``embedding_neardup``: all pairs with cosine >= threshold, LSH-blocked
   (multi-probe over sign-flip neighbors) with exact verify inside buckets.
 """
@@ -192,7 +196,20 @@ def lsh_knn_consistency(
     lower id).  Returns (qid, n_rank_inversions, top1_is_self) — the oracle
     pins (0, 1).  Recall itself is probabilistic — measured in pytest, not
     SQL-pinned."""
-    approx = lsh_knn_cosine(sf_dir, query_ids, k)
+    return _ann_consistency(sf_dir, lsh_knn_cosine(sf_dir, query_ids, k), query_ids)
+
+
+def ivf_knn_consistency(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10
+) -> pa.Table:
+    """Same invariants for the IVF path (top-1 self holds because a corpus
+    query's own inverted list is its nearest centroid, probed first)."""
+    return _ann_consistency(sf_dir, ivf_knn_cosine(sf_dir, query_ids, k), query_ids)
+
+
+def _ann_consistency(
+    sf_dir: str, approx: pa.Table, query_ids: tuple[int, ...]
+) -> pa.Table:
     q, qids = _query_matrix(sf_dir, list(query_ids))
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
@@ -355,3 +372,138 @@ def embedding_neardup_lsh(
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return pairs_table(ds)
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def kmeans_fit(
+    sf_dir: str, n_centroids: int = 16, iters: int = 5
+) -> np.ndarray:
+    """Distributed spherical k-means over the embeddings: the coarse
+    quantizer for IVF.  Each Lloyd iteration is one streaming pass —
+    centroids broadcast via ``ray.put``, every batch emits per-centroid
+    (sum-vector, count) partials, the driver folds C rows per batch (C x
+    dim floats, never the vectors).  Init = the n_centroids lowest vec_ids
+    (deterministic).  Returns unit-norm centroids (C, dim)."""
+    import pyarrow.dataset as pads
+
+    dsx = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    head = dsx.head(n_centroids, columns=["vec_id", "embedding"])
+    order = np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
+    cents = _to_matrix(head["embedding"])[order]
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _to_matrix(batch["embedding"])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(c)), pa.int32()),
+                    "count": pa.array(counts, pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = (
+            emb_dataset(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .to_pandas()
+        )
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for _, row in parts.iterrows():
+            sums[int(row["cid"])] += np.asarray(row["vsum"])
+            counts[int(row["cid"])] += int(row["count"])
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def ivf_knn_cosine(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """IVF ANN: vectors partition into inverted lists by nearest k-means
+    centroid; a query scores only its nprobe closest lists.  Returns
+    (qid, rank, vec_id) like ``knn_cosine``; recall measured in pytest,
+    order/self invariants pinned by ``ivf_knn_consistency``.
+
+    Scale shape: the trained quantizer and query matrix broadcast once;
+    each batch assigns itself to lists and scores only rows probed by
+    some query — work is ~nprobe/n_centroids of brute force with zero
+    shuffle (assignment happens inline, lists never materialize)."""
+    cents = kmeans_fit(sf_dir, n_centroids)
+    q, qids = _query_matrix(sf_dir, list(query_ids))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qprobes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qn, qprobes, cents))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, probes, c = ray.get(ref)
+        m = _to_matrix(batch["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(m @ c.T, axis=1)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = qm @ m.T
+        out_qi, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            s, v = sims[qi][mask], ids[mask]
+            idx = np.lexsort((v, -s))[: min(k, len(v))]
+            out_qi.append(np.full(len(idx), qi, dtype=np.int32))
+            out_v.append(v[idx])
+            out_s.append(s[idx])
+        if not out_qi:
+            return pa.table(
+                {
+                    "qi": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_qi), pa.int32()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    df = (
+        emb_dataset(sf_dir)
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    out_q, out_r, out_v = [], [], []
+    for qi, qid in enumerate(qids):
+        sub = df[df["qi"] == qi]
+        best = heapq.nsmallest(
+            k, zip(-sub["sim"].to_numpy(), sub["vec_id"].to_numpy())
+        )
+        for r, (negs, vid) in enumerate(best, 1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_v.append(int(vid))
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )

@@ -1,0 +1,143 @@
+"""Mergeable sketches over the driver tables — the approximate counters a
+100 TB pipeline substitutes for exact shuffles.
+
+``distinct_users_hll``: HyperLogLog distinct counting.  Per batch each
+(event_type) gets a 2^p register array (one pass, no shuffle of raw
+rows); registers are trivially mergeable by max, so the only exchange is
+O(batches x types x 2^p bytes).  The exact count (for the consistency
+contract) runs beside it: per-batch unique pairs -> one groupby.  At
+100 TB the exact leg is the expensive one — a real deployment drops it
+and keeps the sketch; here it feeds the oracle row.
+
+The estimator is the standard HLL of Flajolet et al. 2007 (raw harmonic
+mean, alpha_m bias constant, linear-counting small-range correction) over
+a splitmix64 hash — all published constants, no library dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _registers(users: np.ndarray, p: int) -> np.ndarray:
+    """HLL registers (uint8[2^p]) for a batch of int64 ids."""
+    h = _splitmix64(users)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, top-aligned
+    # rho = leading zeros of the remaining bits + 1 (capped at 64-p+1)
+    nz = rest != 0
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
+    # float64 exponent trick: for x!=0, leading zeros = 63 - floor(log2(x))
+    lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    rho = np.minimum(lz, 64 - p) + 1
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def _estimate(regs: np.ndarray, p: int) -> float:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)  # p >= 7
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:  # linear-counting small-range correction
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12) -> pa.Table:
+    """(event_type, n_distinct, hll_within_5pct) — exact distinct users per
+    event type next to a 1-if-within-5% flag for the HLL estimate (the
+    oracle pins the exact count and the flag; the estimate itself is
+    deterministic but not SQL-expressible)."""
+
+    def partial_regs(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array(
+                    [_registers(uid[inv == i], p).tobytes() for i in range(len(types))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def merge_regs(group: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in group["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()]),
+                "hll_est": pa.array([_estimate(merged, p)], pa.float64()),
+            }
+        )
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        keys = np.char.add(np.char.add(et.astype(str), "\x00"), uid.astype(str))
+        _, first = np.unique(keys, return_index=True)
+        return pa.table(
+            {
+                "event_type": pa.array(et[first], pa.string()),
+                "user_id": pa.array(uid[first], pa.int64()),
+            }
+        )
+
+    def count_distinct(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()]),
+                "n_distinct": pa.array([len(np.unique(u))], pa.int64()),
+            }
+        )
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    est = (
+        src.map_batches(partial_regs, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .map_groups(merge_regs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    exact = (
+        src.map_batches(partial_pairs, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .map_groups(count_distinct, batch_format="pyarrow")
+        .to_pandas()
+    )
+    j = exact.merge(est, on="event_type")
+    ok = (
+        (j["hll_est"] - j["n_distinct"]).abs() <= 0.05 * j["n_distinct"]
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(j["event_type"], pa.string()),
+            "n_distinct": pa.array(j["n_distinct"].to_numpy(), pa.int64()),
+            "hll_within_5pct": pa.array(ok.to_numpy(), pa.int64()),
+        }
+    )
+
+
+def distinct_users_hll_sql_oracle() -> str:
+    return """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+               CAST(1 AS BIGINT) AS hll_within_5pct
+        FROM events GROUP BY 1
+    """

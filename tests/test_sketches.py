@@ -1,0 +1,47 @@
+"""HLL distinct sketch + IVF ANN: determinism, error bound, recall."""
+
+import numpy as np
+
+import index_ray.pipelines.similarity as sim
+from index_ray.pipelines.sketches import _estimate, _registers, distinct_users_hll
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_error_bound():
+    # pure-kernel check across cardinalities: 2-split merge == single pass,
+    # estimate within 5% (p=12 -> sigma ~1.6%)
+    for n in (50, 1000, 20000, 200000):
+        ids = np.arange(n, dtype=np.int64) * 7919 + 13
+        regs = _registers(ids, 12)
+        a, b = _registers(ids[: n // 2], 12), _registers(ids[n // 2 :], 12)
+        assert np.array_equal(np.maximum(a, b), regs)  # mergeability
+        est = _estimate(regs, 12)
+        assert abs(est - n) <= 0.05 * n, (n, est)
+
+
+def test_hll_pipeline_matches_exact(ray_session):
+    t = distinct_users_hll(SF).to_pydict()
+    assert t["n_distinct"] == [15] * 5  # sf0.001: 15 users, all 5 types
+    assert t["hll_within_5pct"] == [1] * 5
+
+
+def test_ivf_consistency_and_recall(ray_session):
+    cons = sim.ivf_knn_consistency(SF).to_pydict()
+    assert cons["n_rank_inversions"] == [0, 0, 0]
+    assert cons["top1_is_self"] == [1, 1, 1]
+    exact = sim.knn_cosine(SF).to_pandas()
+    ivf = sim.ivf_knn_cosine(SF).to_pandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        e = set(exact[exact.qid == qid]["vec_id"])
+        a = set(ivf[ivf.qid == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 16 lists
+
+
+def test_kmeans_deterministic(ray_session):
+    a = sim.kmeans_fit(SF, n_centroids=8, iters=2)
+    b = sim.kmeans_fit(SF, n_centroids=8, iters=2)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
