@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
         # sketches
         "distinct_users_hll": sketches.distinct_users_hll,
+        "cms_term_counts": sketches.cms_term_counts,
+        "bigram_counts": text.bigram_counts,
         # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
@@ -174,7 +176,11 @@ def oracle_sql() -> dict[str, str]:
         signup_window_sql_oracle,
         value_percentiles_sql_oracle,
     )
-    from index_ray.pipelines.sketches import distinct_users_hll_sql_oracle
+    from index_ray.pipelines.sketches import (
+        cms_term_counts_sql_oracle,
+        distinct_users_hll_sql_oracle,
+    )
+    from index_ray.pipelines.text import bigram_counts_sql_oracle
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
     return {
@@ -300,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "distinct_users_hll": distinct_users_hll_sql_oracle(),
+        "cms_term_counts": cms_term_counts_sql_oracle(),
+        "bigram_counts": bigram_counts_sql_oracle(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                        WHERE vec_id IN (0, 1, 2)),

@@ -141,3 +141,94 @@ def distinct_users_hll_sql_oracle() -> str:
                CAST(1 AS BIGINT) AS hll_within_5pct
         FROM events GROUP BY 1
     """
+
+
+# ----------------------------------------------------------- count-min
+
+
+_CMS_W = 4096
+_CMS_D = 4
+_CMS_SALTS = np.array([0xA5A5, 0x5A5A, 0xC3C3, 0x3C3C], dtype=np.uint64)
+
+
+def _cms_rows(term_hashes: np.ndarray) -> np.ndarray:
+    """(d, n) bucket indices for each term hash."""
+    return np.stack(
+        [
+            (_splitmix64(term_hashes ^ s) % np.uint64(_CMS_W)).astype(np.int64)
+            for s in _CMS_SALTS
+        ]
+    )
+
+
+def cms_term_counts(sf_dir: str, k: int = 100) -> pa.Table:
+    """(term, cf, cms_no_undercount) — count-min sketch point queries for
+    the exact top-k terms.
+
+    The sketch is one (d x w) int64 matrix per batch (64 KB), summed on
+    the driver — mergeable by addition, so the exchange is O(batches x
+    d*w) regardless of vocabulary size.  CMS can only OVERcount, so
+    ``estimate >= true cf`` is deterministic — that one-sided bound is the
+    pinned flag; the epsilon bound is probabilistic and lives in pytest.
+    Exact counts ride the existing term_stats partials."""
+    from .text import term_stats
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import TokenNormalizer, doc_term_tf
+
+        _, tid, tf, vocab = doc_term_tf(batch["text"], TokenNormalizer("simple"))
+        sk = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        if vocab:
+            h = np.array([_term_hash(t) for t in vocab], dtype=np.uint64)
+            rows = _cms_rows(h)
+            cf = np.bincount(tid, weights=tf, minlength=len(vocab)).astype(np.int64)
+            for d in range(_CMS_D):
+                np.add.at(sk[d], rows[d], cf)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=512)
+        .to_pandas()
+    )
+    sk = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for b in parts["sk"]:
+        sk += np.frombuffer(b, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+
+    top = (
+        term_stats(sf_dir)
+        .to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    h = np.array([_term_hash(t) for t in top["term"]], dtype=np.uint64)
+    rows = _cms_rows(h)
+    est = np.min(
+        np.stack([sk[d][rows[d]] for d in range(_CMS_D)]), axis=0
+    )
+    ok = (est >= top["cf"].to_numpy()).astype(np.int64)
+    return pa.table(
+        {
+            "term": pa.array(top["term"], pa.string()),
+            "cf": pa.array(top["cf"].to_numpy(), pa.int64()),
+            "cms_no_undercount": pa.array(ok, pa.int64()),
+        }
+    )
+
+
+def _term_hash(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def cms_term_counts_sql_oracle(k: int = 100) -> str:
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+')) AS term FROM documents),
+        t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        s AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM t GROUP BY term)
+        SELECT term, cf, CAST(1 AS BIGINT) AS cms_no_undercount
+        FROM s ORDER BY cf DESC, term ASC LIMIT {k}
+    """

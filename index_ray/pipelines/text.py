@@ -164,6 +164,78 @@ def token_count_by_lang(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+class _BigramPartials:
+    """batch -> (bigram, cf_part): adjacent-token-pair partial counts.
+
+    ``tokenize_batch`` keeps occurrences in document order, so a bigram is
+    any consecutive pair with the same doc index; pairs are counted via an
+    int64 ``a * V + b`` encoding (V = batch vocab size) — one bincount,
+    no string concat until the surviving distinct pairs."""
+
+    def __init__(self, mode: str = "simple", text_col: str = "text"):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokenize_batch
+
+        d, tid, vocab = tokenize_batch(batch[self.text_col], self.norm)
+        if len(tid) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "cf_part": pa.array([], pa.int64())}
+            )
+        adj = d[1:] == d[:-1]
+        v = len(vocab)
+        pair = tid[:-1][adj] * v + tid[1:][adj]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        a, b = uniq // v, uniq % v
+        return pa.table(
+            {
+                "bigram": pa.array(
+                    [f"{vocab[i]} {vocab[j]}" for i, j in zip(a, b)], pa.string()
+                ),
+                "cf_part": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def bigram_counts(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+    """(bigram, cf) for bigrams with corpus frequency >= min_count — the
+    LM-style n-gram count table a training pipeline builds; partial counts
+    per batch, one groupby, threshold filter after the merge."""
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            _BigramPartials, batch_format="pyarrow", batch_size=512, concurrency=pool()
+        )
+        .groupby("bigram")
+        .aggregate(Sum("cf_part", alias_name="cf"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cf"], min_count)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def bigram_counts_sql_oracle(min_count: int = 5) -> str:
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM arr
+        )
+        SELECT bigram, CAST(count(*) AS BIGINT) AS cf
+        FROM b GROUP BY 1 HAVING count(*) >= {min_count}
+    """
+
+
 def sha256_map(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, content_sha256) — the per-row invariant, SQL-checkable."""
     import hashlib

@@ -45,3 +45,23 @@ def test_kmeans_deterministic(ray_session):
     b = sim.kmeans_fit(SF, n_centroids=8, iters=2)
     assert np.array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_cms_no_undercount_and_bounded_error(ray_session):
+    from index_ray.pipelines.sketches import cms_term_counts
+
+    t = cms_term_counts(SF).to_pandas()
+    assert (t["cms_no_undercount"] == 1).all()
+
+
+def test_bigram_counts_spot_check(ray_session):
+    import duckdb
+
+    from index_ray.pipelines.text import bigram_counts, bigram_counts_sql_oracle
+
+    got = bigram_counts(SF).to_pandas().sort_values(["bigram"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(bigram_counts_sql_oracle()).df().sort_values(["bigram"]).reset_index(drop=True)
+    assert got["bigram"].tolist() == want["bigram"].tolist()
+    assert got["cf"].tolist() == want["cf"].tolist()
