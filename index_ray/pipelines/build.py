@@ -58,7 +58,11 @@ class BuildConfig:
     id_col: str | None = None            # use an existing int64 id column as docID
     keep_cols: tuple = ()                # extra passthrough columns -> docmap
     chunk_docs: int = 1_000_000          # docs per build chunk (resume granularity)
-    num_parts: int = 32                  # pack hash partitions per chunk
+    # (term, salt) -> part hash-space.  Parts are the shuffle key, not the
+    # task granularity: the hash exchange folds them into shuffle_partitions
+    # buckets, so a fine part space (many parts per bucket) evens out bucket
+    # sizes.  With shuffle="sort" each part is also one output file.
+    num_parts: int = 512
     batch_size: int = 256                # docs per tokenize batch
     hot_sample_frac: float = 0.02        # census sample fraction
     hot_df_frac: float = 0.20            # hot iff sampled df >= frac * sampled docs
@@ -70,7 +74,13 @@ class BuildConfig:
     field_col: str | None = None         # index terms ALSO under "{field}:{term}" keys
     head_tokens: int = 0                 # first H tokens ALSO under "head:{term}" keys
 
-    pipeline_chunks: int = 2             # concurrent chunk builds (driver threads)
+    pipeline_chunks: int = 2             # concurrent phase-B shuffles (driver threads)
+    # "sort": Ray Data's range-sort shuffle (default — measured faster here:
+    # the hash exchange's per-shard object churn costs ~4x the sort's map
+    # side on blob-sized rows).  "hash": actor-based streaming hash exchange,
+    # kept as the option for clusters where the sort barrier dominates.
+    shuffle: str = "sort"
+    shuffle_partitions: int = 0          # hash only; 0 -> auto (16 x cluster CPUs)
 
     FORMAT_VERSION = 3  # bump when the on-disk shard layout changes
 
@@ -93,16 +103,15 @@ class BuildResult:
 
 def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # Leave ~1/4 of the CPUs out of the tokenize pool.  Two reasons: with
-    # chunk pipelining (pipeline_chunks > 1) the slack lets chunk k's
-    # post-shuffle pack/write tail overlap chunk k+1's tokenization; and
-    # even in a single-chunk build (where the groupby sort is an
-    # all-to-all barrier and overlap is impossible) a full-width pool of
-    # memory-heavy actors measurably LOSES to the reserved pool on this
-    # class of host (interleaved A/B at 8 CPUs, 400k docs: full-pool warm
-    # min 87s vs reserved 63s) — tokenize actors are bandwidth-bound, so
-    # the marginal actors contend instead of adding throughput while also
-    # starving Ray's own sort/driver work.
+    # Leave ~1/4 of the CPUs out of the tokenize pool: with the streaming
+    # chunk pipeline the slack keeps chunk k's shuffle+pack moving while
+    # chunk k+1 tokenizes (the big pack drain runs after the pool is
+    # released), and a full-width pool of memory-heavy actors measurably
+    # LOSES on this class of host (interleaved A/B at 8 CPUs, 400k docs:
+    # full-pool warm min 87s vs reserved 63s; cpus//8 reserve also lost,
+    # 38.1 vs 35.8) — the marginal actors contend for memory bandwidth
+    # instead of adding throughput while starving Ray's own sort/driver
+    # work.
     hi = max(2, cpus - max(1, cpus // 4))
     if n_tasks is not None:
         hi = max(1, min(hi, n_tasks))
@@ -153,7 +162,9 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
         concurrency=_pool(cfg, len(sample_specs)),
         doc_batch=cfg.batch_size,
     )
-    agg = runs.groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    agg = runs.groupby(
+        "term", num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    ).aggregate(Sum("df_part", alias_name="df"))
     thresh = max(2.0, cfg.hot_df_frac * sampled_docs)
 
     def keep_hot(t: pa.Table) -> pa.Table:
@@ -169,7 +180,19 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
 
 def _make_packer(parts_dir: str, max_block_postings: int, positions: bool = False):
     def pack_and_write(group: pa.Table) -> pa.Table:
-        part = int(group["part"][0].as_py())
+        if len(group) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64())}
+            )
+        # one task may hold a whole hash partition (several `part` values);
+        # merge_blob_partition sorts by (term, salt) itself, and a (term,
+        # salt) group lives in exactly one part, so mixing parts is safe.
+        # The min part is a stable name for the partition (parts are
+        # disjoint across partitions), keeping the write idempotent.
+        import pyarrow.compute as pc
+
+        part = int(pc.min(group["part"]).as_py())
         packed = merge_blob_partition(group, max_block_postings, positions)
         path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
         tmp = path + f".{os.getpid()}.tmp"
@@ -180,20 +203,29 @@ def _make_packer(parts_dir: str, max_block_postings: int, positions: bool = Fals
     return pack_and_write
 
 
-def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
+def tokenize_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
+    """Phase A of a chunk build: the fused read -> docmap-sidecar ->
+    TokenizeBlob pass, materialized into the object store.
+
+    Returns ``(state, manifest)``: ``manifest`` is non-None iff the chunk
+    is already complete (resume hit).  Materializing here (instead of one
+    fused tokenize->shuffle->pack dataset) lets the driver overlap chunk
+    k's shuffle+pack (phase B, a worker thread) with chunk k+1's tokenize
+    — the sort exchange is a barrier, so a single fused pipeline leaves
+    the cluster half-idle during each phase."""
     chunk_dir = os.path.join(out_dir, "chunks", f"chunk-{cid:05d}")
     fp = cfg.fingerprint()
     m = validate_chunk(chunk_dir, fp)
     if m is not None:
-        return m, True
+        return None, m
     if os.path.exists(chunk_dir):
         shutil.rmtree(chunk_dir)
     parts_dir = os.path.join(chunk_dir, "parts")
     os.makedirs(parts_dir, exist_ok=True)
 
-    # --- ONE fused pass: read row group -> docmap sink (sha256 + doclen)
-    #     -> TokenizeBlob combiner -> groupby(part) -> merge+pack+write.
-    # Input is read once; the shuffle carries varint blobs, not raw runs.
+    # --- fused pass: read row group -> docmap sink (sha256 + doclen)
+    #     -> TokenizeBlob combiner.  Input is read once; the downstream
+    # shuffle carries varint blobs, not raw runs.
     dm_cols = list(cfg.keep_cols) or None  # None = all columns pass through
     if dm_cols is not None:
         dm_cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + dm_cols
@@ -225,17 +257,40 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
         concurrency=_pool(cfg, len(chunk_specs)),
         doc_batch=cfg.batch_size,
     )
-    meta = runs.groupby("part").map_groups(
-        _make_packer(parts_dir, cfg.max_block_postings, cfg.positions),
-        batch_format="pyarrow",
-    )
-    lex = meta.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
-    )
+    mat = runs.materialize()
+    phases = {"tokenize": round(time.time() - t0, 3)}
+    return (mat, chunk_dir, parts_dir, phases), None
+
+
+def pack_chunk(state, chunk_specs, cid: int, cfg: BuildConfig):
+    """Phase B: shuffle the materialized blob runs, merge+pack+write the
+    posting shards, and write the per-chunk lexicon + manifest."""
+    runs, chunk_dir, parts_dir, phases = state
+    t0 = time.time()
+    packer = _make_packer(parts_dir, cfg.max_block_postings, cfg.positions)
+    if cfg.shuffle == "hash":
+        # streaming exchange: shuffle-map tasks partition tokenize output
+        # blocks as they appear (overlapping the tokenize stage) and push
+        # them to 0-CPU aggregator actors; finalize emits one block per
+        # hash partition, packed whole by one task (no range sort at all).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # fine partitions: the pack working set per task stays small enough
+        # that worker arenas recycle (first-touch page faults are the wall
+        # on this host class), and hash skew over parts evens out
+        np_ = cfg.shuffle_partitions or max(64, 16 * cpus)
+        meta = runs.repartition(np_, keys=["part"], sort=False).map_batches(
+            packer, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        meta = runs.groupby("part").map_groups(packer, batch_format="pyarrow")
+    # per-chunk lexicon = RAW per-block (term, df, cf) partials: the global
+    # merge re-aggregates across chunks anyway, so a per-chunk groupby here
+    # would be a second shuffle for nothing (rows are ~one per packed block)
+    lex = meta
     lex.write_parquet(os.path.join(chunk_dir, "lexicon"))
     if os.environ.get("INDEX_RAY_STATS"):
         print(lex.stats())
-    phases = {"build_pipeline": round(time.time() - t0, 3)}
+    phases["shuffle_pack"] = round(time.time() - t0, 3)
     t0 = time.time()
 
     # --- chunk stats: sum the per-row-group stats sidecars the tokenize
@@ -257,7 +312,7 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
     manifest = {
         "chunk": cid,
         "phase_seconds": phases,
-        "config_fingerprint": fp,
+        "config_fingerprint": cfg.fingerprint(),
         "input_fragments": [
             {"path": s.path, "row_group": s.row_group, "rows": s.num_rows}
             for s in chunk_specs
@@ -269,7 +324,134 @@ def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
         "files": list_output_files(chunk_dir),
     }
     write_json_atomic(manifest_path(chunk_dir), manifest)
-    return manifest, False
+    return manifest
+
+
+def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
+    """One chunk end-to-end (phase A then B); returns (manifest, skipped)."""
+    state, m = tokenize_chunk(chunk_specs, cid, out_dir, cfg, hot_ref)
+    if m is not None:
+        return m, True
+    return pack_chunk(state, chunk_specs, cid, cfg), False
+
+
+@ray.remote
+class _TokenizeWorker:
+    """Persistent phase-A actor: one ReadApply/TokenizeBlob instance reused
+    across ALL chunks of a build (a per-chunk `map_batches` actor pool pays
+    ~2-3 s of spawn + census fetch + warmup per chunk, which dominates once
+    chunks are pipelined).  Driven by the raw-task loop in `_pipelined_build`
+    — the one place this engine drops below the Dataset API, because a
+    Dataset actor pool is scoped to a single execution and cannot route
+    per-spec completions back to their chunk."""
+
+    def __init__(self, columns, docid_col, id_col, fn_chain, doc_batch):
+        from ..sources.fragments import ReadApply
+
+        self._ra = ReadApply(columns, docid_col, id_col, fn_chain, doc_batch)
+
+    def run(self, item: dict, docmap_dir: str) -> pa.Table:
+        from ..stages.pack import BLOB_SCHEMA
+
+        os.makedirs(docmap_dir, exist_ok=True)
+        self._ra.fns[0].docmap_dir = docmap_dir  # per-chunk sidecar routing
+        out = [t for t in self._ra(pa.Table.from_pylist([item])) if len(t)]
+        return pa.concat_tables(out) if out else BLOB_SCHEMA.empty_table()
+
+
+def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
+    """Streaming chunk pipeline: tokenize tasks flow through a persistent
+    actor pool in chunk order; the moment a chunk's last spec completes its
+    shuffle+pack (phase B) is submitted to a worker thread, overlapping the
+    next chunk's tokenization.  Submission is gated to `pipeline_chunks`
+    chunks ahead of the oldest incomplete one, bounding object-store
+    residency to ~(pipeline_chunks+1) chunks of blob runs at any scale.
+
+    Returns (manifests in chunk order, n_skipped)."""
+    from ..sources.fragments import _spec_items
+
+    fp = cfg.fingerprint()
+    done_manifests: dict[int, dict] = {}
+    todo: list[int] = []
+    chunk_dirs = {}
+    for cid in range(len(chunks)):
+        chunk_dirs[cid] = os.path.join(out_dir, "chunks", f"chunk-{cid:05d}")
+        m = validate_chunk(chunk_dirs[cid], fp)
+        if m is not None:
+            done_manifests[cid] = m
+        else:
+            if os.path.exists(chunk_dirs[cid]):
+                shutil.rmtree(chunk_dirs[cid])
+            os.makedirs(os.path.join(chunk_dirs[cid], "parts"), exist_ok=True)
+            todo.append(cid)
+    if not todo:
+        return [done_manifests[c] for c in range(len(chunks))], len(done_manifests)
+
+    dm_cols = list(cfg.keep_cols) or None
+    if dm_cols is not None:
+        dm_cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + dm_cols
+        if cfg.field_col and cfg.field_col not in dm_cols:
+            dm_cols.append(cfg.field_col)
+    fn_chain = [
+        (
+            TokenizeBlob,
+            (
+                cfg.tokenizer, cfg.text_col, "docID", cfg.num_parts,
+                max(cfg.salt_docs, 1), hot_ref, None, cfg.positions,
+                cfg.field_col, cfg.head_tokens,
+            ),
+        )
+    ]
+    n_specs = sum(len(chunks[c]) for c in todo)
+    nw = _pool(cfg, n_specs)
+    workers = [
+        _TokenizeWorker.remote(dm_cols, "docID", cfg.id_col, fn_chain, cfg.batch_size)
+        for _ in range(nw)
+    ]
+
+    queue = [(cid, item) for cid in todo for item in _spec_items(chunks[cid])]
+    rank = {cid: i for i, cid in enumerate(todo)}
+    refs = {cid: [] for cid in todo}
+    remaining = {cid: len(chunks[cid]) for cid in todo}
+    idle = list(workers)
+    inflight: dict = {}
+    pack_futs: dict = {}
+    qi = 0
+    head = 0  # rank of the oldest chunk whose phase A is incomplete
+    window = max(1, cfg.pipeline_chunks)
+    try:
+        while qi < len(queue) or inflight:
+            while idle and qi < len(queue):
+                cid, item = queue[qi]
+                if rank[cid] > head + window:
+                    break  # backpressure: stay close to the oldest chunk
+                w = idle.pop()
+                fut = w.run.remote(item, os.path.join(chunk_dirs[cid], "docmap"))
+                inflight[fut] = (cid, w)
+                qi += 1
+            ready, _ = ray.wait(list(inflight), num_returns=1)
+            for fut in ready:
+                cid, w = inflight.pop(fut)
+                idle.append(w)
+                refs[cid].append(fut)
+                remaining[cid] -= 1
+                if remaining[cid] == 0:
+                    state = (
+                        ray.data.from_arrow_refs(refs.pop(cid)),
+                        chunk_dirs[cid],
+                        os.path.join(chunk_dirs[cid], "parts"),
+                        {},
+                    )
+                    pack_futs[cid] = ex.submit(pack_chunk, state, chunks[cid], cid, cfg)
+                    while head < len(todo) and remaining[todo[head]] == 0:
+                        head += 1
+    finally:
+        for w in workers:  # free pool CPUs for the trailing pack threads
+            ray.kill(w)
+    manifests = dict(done_manifests)
+    for cid, f in pack_futs.items():
+        manifests[cid] = f.result()
+    return [manifests[c] for c in range(len(chunks))], len(done_manifests)
 
 
 def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildResult:
@@ -282,14 +464,35 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
     The ratio is lowered for the duration of the build and restored.
     """
     import ray.data as _rd
+    from ray.data.context import ShuffleStrategy
 
+    cfg = cfg or BuildConfig()
     ctx = _rd.DataContext.get_current()
-    prev_ratio = ctx.op_resource_reservation_ratio
-    ctx.op_resource_reservation_ratio = min(prev_ratio, 0.2)
+    saved = {
+        "op_resource_reservation_ratio": ctx.op_resource_reservation_ratio,
+        "shuffle_strategy": ctx.shuffle_strategy,
+        "max_hash_shuffle_aggregators": ctx.max_hash_shuffle_aggregators,
+        "hash_shuffle_operator_actor_num_cpus_per_partition_override":
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        "hash_aggregate_operator_actor_num_cpus_per_partition_override":
+            ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+    }
+    ctx.op_resource_reservation_ratio = min(saved["op_resource_reservation_ratio"], 0.2)
+    if cfg.shuffle == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # a few aggregator actors at num_cpus=0: always schedulable next to
+        # the tokenize actor pool (their concat work is cheap; finalize
+        # block builds parallelize across them); on a multi-node cluster
+        # SPREAD still places them across nodes.
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0
     try:
         return _build_index(source, out_dir, cfg)
     finally:
-        ctx.op_resource_reservation_ratio = prev_ratio
+        for k, v in saved.items():
+            setattr(ctx, k, v)
 
 
 def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
@@ -332,22 +535,15 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
     except Exception:
         pass
 
+    # Streaming chunk pipeline: a persistent tokenize actor pool feeds
+    # per-chunk shuffle+pack jobs (worker threads) as each chunk's last
+    # spec completes — chunk k's exchange+pack overlaps chunk k+1's
+    # tokenize, filling the CPUs `_pool` reserves and removing the
+    # sort-barrier idle time a single fused pipeline pays per chunk.
     t0 = time.time()
     workers = max(1, min(cfg.pipeline_chunks, len(chunks)))
-    if workers == 1:
-        results = [
-            build_chunk(specs, cid, out_dir, cfg, hot_ref)
-            for cid, specs in enumerate(chunks)
-        ]
-    else:
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            futs = [
-                ex.submit(build_chunk, specs, cid, out_dir, cfg, hot_ref)
-                for cid, specs in enumerate(chunks)
-            ]
-            results = [f.result() for f in futs]
-    manifests = [m for m, _ in results]
-    skipped = sum(s for _, s in results)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        manifests, skipped = _pipelined_build(chunks, out_dir, cfg, hot_ref, ex)
     for m in manifests:
         for k, v in m.get("phase_seconds", {}).items():
             phase_seconds[k] = round(phase_seconds.get(k, 0.0) + v, 3)
@@ -383,7 +579,7 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
     else:
         (
             ray.data.read_parquet(lex_files)
-            .groupby("term")
+            .groupby("term", num_partitions=int(ray.cluster_resources().get("CPU", 8)))
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
             .sort("term")
             .write_parquet(glex_dir)

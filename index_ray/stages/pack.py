@@ -373,6 +373,11 @@ def merge_blob_partition(
     """
     if len(group) == 0:
         return (PACKED_POS_SCHEMA if positions else PACKED_SCHEMA).empty_table()
+    if group.column(0).num_chunks > 1:
+        # hash-shuffle partitions arrive as one chunk per map task; sorting
+        # a many-chunked table is ~8x slower (per-row chunk lookups in the
+        # take), so pay one memcpy up front
+        group = group.combine_chunks()
     t = group.sort_by(
         [("term", "ascending"), ("salt", "ascending"), ("first_doc", "ascending")]
     )
