@@ -90,6 +90,98 @@ def split_tokens(texts: pa.Array | pa.ChunkedArray, mode: str) -> pa.ListArray:
     return pc.split_pattern_regex(texts, CODE_SEP_RE)
 
 
+# --- ASCII fast path -----------------------------------------------------
+# Byte-LUT splitter, exact vs the regex spec when a batch is pure ASCII
+# (checked per batch; non-ASCII batches take the RE2 path above):
+#   code:   runs of [A-Za-z0-9_]  ==  split on [^\p{L}\p{N}_]+ for ASCII
+#   simple: runs of [A-Za-z0-9] lowered per byte  ==  utf8_lower + split on
+#           [^a-z0-9]+ (ASCII-only: no codepoint lowers INTO [a-z0-9])
+# ~10x faster than RE2 here and allocation-light, which matters beyond raw
+# speed: concurrent tokenize workers are memory-bandwidth-bound on this
+# host class, so fewer intermediate copies per batch = better scaling.
+_KEEP_CODE = np.zeros(256, dtype=bool)
+_KEEP_SIMPLE = np.zeros(256, dtype=bool)
+for _c in range(256):
+    ch = chr(_c)
+    if ch.isascii() and (ch.isalnum() or ch == "_"):
+        _KEEP_CODE[_c] = True
+        _KEEP_SIMPLE[_c] = ch != "_"
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32
+
+
+def _split_fast(texts: pa.Array, mode: str):
+    """Return ``(flat_tokens: pa.StringArray, doc_of_token: np.ndarray)``
+    for a utf8 batch, or ``None`` to fall back to the regex path.  ASCII
+    docs take the byte-LUT path; the batch's few non-ASCII docs (if any)
+    are regex-split and merged back in document order, so the token stream
+    (content + order) is identical to ``split_tokens`` minus the empty
+    strings the regex emits at doc edges (which normalization drops)."""
+    if texts.type != pa.utf8():
+        return None
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    bufs = texts.buffers()
+    if bufs[2] is None:  # all-empty array
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    off0 = texts.offset
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(texts) + 1 + off0)[off0:]
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1]))[int(offs[0]):]
+    if data.size == 0:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    offs_rel = (offs - offs[0]).astype(np.int64)
+    hi_pos = np.flatnonzero(data >= 0x80)
+    if hi_pos.size:
+        bad = np.unique(np.searchsorted(offs_rel, hi_pos, side="right") - 1)
+        if bad.size > len(texts) // 2:  # mostly non-ASCII: regex the batch
+            return None
+    else:
+        bad = None
+    keep = (_KEEP_SIMPLE if mode == "simple" else _KEEP_CODE)[data]
+    prev = np.empty_like(keep)
+    prev[0] = False
+    prev[1:] = keep[:-1]
+    b = offs_rel[1:-1]  # interior doc boundaries: force token breaks
+    bb = b[(b > 0) & (b < data.size)]
+    prev[bb] = False
+    nxt = np.empty_like(keep)
+    nxt[-1] = False
+    nxt[:-1] = keep[1:]
+    b2 = b[b > 0]
+    nxt[b2 - 1] = False
+    start_idx = np.flatnonzero(keep & ~prev)
+    if start_idx.size == 0 and bad is None:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    end_idx = np.flatnonzero(keep & ~nxt)
+    lens = end_idx - start_idx + 1
+    tok_data = data[keep]
+    if mode == "simple":
+        tok_data = _LOWER_LUT[tok_data]
+    new_offs = np.zeros(start_idx.size + 1, dtype=np.int32)
+    np.cumsum(lens, out=new_offs[1:])
+    flat = pa.Array.from_buffers(
+        pa.utf8(),
+        start_idx.size,
+        [None, pa.py_buffer(new_offs), pa.py_buffer(tok_data)],
+    )
+    doc_of_token = np.searchsorted(offs_rel, start_idx, side="right") - 1
+    if bad is None:
+        return flat, doc_of_token
+    # merge: drop the LUT garbage for non-ASCII docs, regex-split those
+    # docs, and stably interleave both streams back into document order
+    good_tok = ~np.isin(doc_of_token, bad)
+    flat = flat.filter(pa.array(good_tok))
+    doc_of_token = doc_of_token[good_tok]
+    la = split_tokens(texts.take(pa.array(bad)), mode)
+    flat_b = la.flatten()
+    counts_b = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_b = bad[np.repeat(np.arange(bad.size), counts_b)]
+    flat_all = pa.concat_arrays([flat, flat_b])
+    doc_all = np.concatenate([doc_of_token, doc_b])
+    order = np.argsort(doc_all, kind="stable")
+    return flat_all.take(pa.array(order)), doc_all[order]
+
+
 def tokenize_batch(
     texts: pa.Array | pa.ChunkedArray,
     normalizer: TokenNormalizer,
@@ -102,10 +194,14 @@ def tokenize_batch(
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    la = split_tokens(texts, normalizer.mode)
-    flat = la.flatten()
-    counts = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    fast = _split_fast(texts, normalizer.mode)
+    if fast is not None:
+        flat, doc_idx = fast
+    else:
+        la = split_tokens(texts, normalizer.mode)
+        flat = la.flatten()
+        counts = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
     if len(flat) == 0:
         return doc_idx[:0], np.empty(0, dtype=np.int64), []
     de = flat.dictionary_encode()
@@ -115,12 +211,24 @@ def tokenize_batch(
     vocab: list[str] = []
     vocab_ids: dict[str, int] = {}
     remap = np.empty(len(raw_vocab), dtype=np.int64)
+    # inlined normalizer memo (one dict probe per distinct raw token; a
+    # method call per entry measurably shows up at this call rate)
+    cache = normalizer._cache
+    cget = cache.get
+    vget = vocab_ids.get
+    code_mode = normalizer.mode == "code"
+    max_cache = normalizer.max_cache
     for i, rawtok in enumerate(raw_vocab):
-        norm = normalizer(rawtok)
+        norm = cget(rawtok, _MISS)
+        if norm is _MISS:
+            norm = normalize_code_token(rawtok) if code_mode else (rawtok or None)
+            if len(cache) >= max_cache:
+                cache.clear()
+            cache[rawtok] = norm
         if norm is None:
             remap[i] = -1
             continue
-        tid = vocab_ids.get(norm)
+        tid = vget(norm)
         if tid is None:
             tid = len(vocab)
             vocab_ids[norm] = tid

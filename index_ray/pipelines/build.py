@@ -63,7 +63,9 @@ class BuildConfig:
     # buckets, so a fine part space (many parts per bucket) evens out bucket
     # sizes.  With shuffle="sort" each part is also one output file.
     num_parts: int = 512
-    batch_size: int = 256                # docs per tokenize batch
+    batch_size: int = 512                # docs per tokenize batch (measured
+                                         # optimum: per-batch vocab overhead
+                                         # amortizes, working set still in cache)
     hot_sample_frac: float = 0.02        # census sample fraction
     hot_df_frac: float = 0.20            # hot iff sampled df >= frac * sampled docs
     min_sample_docs: int = 200
@@ -75,12 +77,20 @@ class BuildConfig:
     head_tokens: int = 0                 # first H tokens ALSO under "head:{term}" keys
 
     pipeline_chunks: int = 2             # concurrent phase-B shuffles (driver threads)
-    # "sort": Ray Data's range-sort shuffle (default — measured faster here:
-    # the hash exchange's per-shard object churn costs ~4x the sort's map
-    # side on blob-sized rows).  "hash": actor-based streaming hash exchange,
-    # kept as the option for clusters where the sort barrier dominates.
-    shuffle: str = "sort"
+    # "bucket" (default): map-side bucketing — tokenize workers return one
+    # table per hash bucket (num_returns fan-out) and plain pack tasks
+    # consume each bucket's refs directly: blob bytes cross the object
+    # store exactly ONCE, with no sort/exchange machinery at all.
+    # "sort": Ray Data's range-sort shuffle; "hash": actor-based streaming
+    # hash exchange — both kept as Dataset-native options (measured slower
+    # here: the exchange copies the blob stream 2-3x).
+    shuffle: str = "bucket"
     shuffle_partitions: int = 0          # hash only; 0 -> auto (16 x cluster CPUs)
+    # bucket only; 0 -> auto: ~12k docs of postings per pack task (measured
+    # knee — larger per-task merges trip allocator first-touch costs, and
+    # a chunk-derived count keeps the output layout independent of cluster
+    # size, so resumes are valid across parallelism changes)
+    n_buckets: int = 0
 
     FORMAT_VERSION = 3  # bump when the on-disk shard layout changes
 
@@ -112,7 +122,8 @@ def _pool(cfg: BuildConfig, n_tasks: int | None = None):
     # 38.1 vs 35.8) — the marginal actors contend for memory bandwidth
     # instead of adding throughput while starving Ray's own sort/driver
     # work.
-    hi = max(2, cpus - max(1, cpus // 4))
+    reserve = int(os.environ.get("INDEX_RAY_POOL_RESERVE", "0")) or max(1, cpus // 4)
+    hi = max(2, cpus - reserve)
     if n_tasks is not None:
         hi = max(1, min(hi, n_tasks))
     return hi  # fixed-size pool: starts immediately, no autoscale ramp
@@ -291,10 +302,14 @@ def pack_chunk(state, chunk_specs, cid: int, cfg: BuildConfig):
     if os.environ.get("INDEX_RAY_STATS"):
         print(lex.stats())
     phases["shuffle_pack"] = round(time.time() - t0, 3)
-    t0 = time.time()
+    return _finish_chunk(chunk_dir, chunk_specs, cid, cfg, phases)
 
-    # --- chunk stats: sum the per-row-group stats sidecars the tokenize
-    # tasks wrote (tiny JSONs — no driver-side docmap data rescan) ---
+
+def _finish_chunk(chunk_dir, chunk_specs, cid: int, cfg: BuildConfig, phases):
+    """Chunk epilogue: sum the per-row-group stats sidecars the tokenize
+    tasks wrote (tiny JSONs — no driver-side docmap data rescan) and write
+    the chunk manifest atomically."""
+    t0 = time.time()
     docs = tokens = 0
     doc_min, doc_max = None, None
     dm_dir = os.path.join(chunk_dir, "docmap")
@@ -343,20 +358,70 @@ class _TokenizeWorker:
     chunks are pipelined).  Driven by the raw-task loop in `_pipelined_build`
     — the one place this engine drops below the Dataset API, because a
     Dataset actor pool is scoped to a single execution and cannot route
-    per-spec completions back to their chunk."""
+    per-spec completions back to their chunk (nor fan a task's output out
+    to per-bucket return objects)."""
 
     def __init__(self, columns, docid_col, id_col, fn_chain, doc_batch):
         from ..sources.fragments import ReadApply
 
         self._ra = ReadApply(columns, docid_col, id_col, fn_chain, doc_batch)
 
-    def run(self, item: dict, docmap_dir: str) -> pa.Table:
+    def run(self, item: dict, docmap_dir: str, n_buckets: int = 0):
+        """Tokenize one row-group spec.  With ``n_buckets`` (bucket
+        shuffle), returns one table per bucket (``part % n_buckets``) via
+        ``num_returns`` so each bucket's rows become their own object —
+        the map side of the shuffle, paid inside the tokenize task."""
         from ..stages.pack import BLOB_SCHEMA
 
         os.makedirs(docmap_dir, exist_ok=True)
         self._ra.fns[0].docmap_dir = docmap_dir  # per-chunk sidecar routing
         out = [t for t in self._ra(pa.Table.from_pylist([item])) if len(t)]
-        return pa.concat_tables(out) if out else BLOB_SCHEMA.empty_table()
+        t = pa.concat_tables(out) if out else BLOB_SCHEMA.empty_table()
+        if not n_buckets:
+            return t
+        if len(t) == 0:
+            return tuple([t] * n_buckets)
+        b = t["part"].to_numpy(zero_copy_only=False) % n_buckets
+        order = np.argsort(b, kind="stable")
+        bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
+        # per-bucket take (not slice-of-sorted): take materializes compact
+        # arrays, so each return object ships only its own rows
+        return tuple(
+            t.take(pa.array(order[bounds[i] : bounds[i + 1]]))
+            for i in range(n_buckets)
+        )
+
+
+@ray.remote
+def _pack_bucket(
+    parts_dir: str,
+    lex_dir: str,
+    max_block_postings: int,
+    positions: bool,
+    *tables: pa.Table,
+) -> int:
+    """Reduce side of the bucket shuffle: merge+pack one bucket's blob rows
+    (possibly several ``part`` values — ``merge_blob_partition`` sorts by
+    (term, salt) itself and a (term, salt) group lives in exactly one
+    bucket) and write the part + lexicon-partial parquet atomically."""
+    import pyarrow.compute as pc
+
+    tabs = [t for t in tables if t is not None and len(t)]
+    if not tabs:
+        return 0
+    group = pa.concat_tables(tabs)
+    part = int(pc.min(group["part"]).as_py())  # stable name: parts are
+    packed = merge_blob_partition(group, max_block_postings, positions)
+    path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
+    tmp = path + f".{os.getpid()}.tmp"
+    pq.write_table(packed, tmp)
+    os.replace(tmp, path)  # idempotent under task retry
+    lex = packed.select(["term", "df", "cf"])
+    lpath = os.path.join(lex_dir, f"lex-{part:05d}.parquet")
+    ltmp = lpath + f".{os.getpid()}.tmp"
+    pq.write_table(lex, ltmp)
+    os.replace(ltmp, lpath)
+    return len(packed)
 
 
 def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
@@ -403,19 +468,35 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
         )
     ]
     n_specs = sum(len(chunks[c]) for c in todo)
-    nw = _pool(cfg, n_specs)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    reserve = max(1, cpus // 4)
+    # one worker per CPU, each declaring a FRACTIONAL num_cpus so Ray still
+    # sees `reserve` logical CPUs free for the overlapped pack tasks: the
+    # tokenize pool is physically oversubscribed instead of shrunk (pure
+    # tokenize scales ~linearly with workers on this host — measured 92%
+    # per-worker at 8x — so idle-slot loss beats timeshare loss)
+    nw = max(2, min(cpus, n_specs))
+    acpu = max(0.1, round((cpus - reserve) / nw, 3))
     workers = [
-        _TokenizeWorker.remote(dm_cols, "docID", cfg.id_col, fn_chain, cfg.batch_size)
+        _TokenizeWorker.options(num_cpus=acpu).remote(
+            dm_cols, "docID", cfg.id_col, fn_chain, cfg.batch_size
+        )
         for _ in range(nw)
     ]
+    bucket_mode = cfg.shuffle == "bucket"
+    nb = (
+        cfg.n_buckets or max(8, min(256, cfg.chunk_docs // 12000))
+    ) if bucket_mode else 0
 
     queue = [(cid, item) for cid in todo for item in _spec_items(chunks[cid])]
     rank = {cid: i for i, cid in enumerate(todo)}
-    refs = {cid: [] for cid in todo}
+    refs = {cid: [] for cid in todo}            # sort/hash: per-spec tables
+    brefs = {cid: [[] for _ in range(nb)] for cid in todo}  # bucket mode
     remaining = {cid: len(chunks[cid]) for cid in todo}
     idle = list(workers)
     inflight: dict = {}
-    pack_futs: dict = {}
+    pack_futs: dict = {}   # sort/hash: driver threads running Dataset jobs
+    pack_refs: dict = {}   # bucket: plain pack tasks, one per bucket
     qi = 0
     head = 0  # rank of the oldest chunk whose phase A is incomplete
     window = max(1, cfg.pipeline_chunks)
@@ -426,31 +507,67 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
                 if rank[cid] > head + window:
                     break  # backpressure: stay close to the oldest chunk
                 w = idle.pop()
-                fut = w.run.remote(item, os.path.join(chunk_dirs[cid], "docmap"))
+                dm = os.path.join(chunk_dirs[cid], "docmap")
+                if bucket_mode:
+                    rs = w.run.options(num_returns=nb).remote(item, dm, nb)
+                    for b in range(nb):
+                        brefs[cid][b].append(rs[b])
+                    fut = rs[0]  # all returns land together: one sentinel
+                else:
+                    fut = w.run.remote(item, dm)
                 inflight[fut] = (cid, w)
                 qi += 1
             ready, _ = ray.wait(list(inflight), num_returns=1)
             for fut in ready:
                 cid, w = inflight.pop(fut)
                 idle.append(w)
-                refs[cid].append(fut)
+                if not bucket_mode:
+                    refs[cid].append(fut)
                 remaining[cid] -= 1
                 if remaining[cid] == 0:
-                    state = (
-                        ray.data.from_arrow_refs(refs.pop(cid)),
-                        chunk_dirs[cid],
-                        os.path.join(chunk_dirs[cid], "parts"),
-                        {},
-                    )
-                    pack_futs[cid] = ex.submit(pack_chunk, state, chunks[cid], cid, cfg)
+                    if bucket_mode:
+                        # reduce side: one plain task per bucket, scheduled
+                        # the moment the chunk's last spec lands — runs on
+                        # the reserved CPUs while later chunks tokenize
+                        lex_dir = os.path.join(chunk_dirs[cid], "lexicon")
+                        os.makedirs(lex_dir, exist_ok=True)
+                        parts_dir = os.path.join(chunk_dirs[cid], "parts")
+                        pack_refs[cid] = [
+                            _pack_bucket.remote(
+                                parts_dir, lex_dir, cfg.max_block_postings,
+                                cfg.positions, *bucket,
+                            )
+                            for bucket in brefs.pop(cid)
+                        ]
+                    else:
+                        state = (
+                            ray.data.from_arrow_refs(refs.pop(cid)),
+                            chunk_dirs[cid],
+                            os.path.join(chunk_dirs[cid], "parts"),
+                            {},
+                        )
+                        pack_futs[cid] = ex.submit(
+                            pack_chunk, state, chunks[cid], cid, cfg
+                        )
                     while head < len(todo) and remaining[todo[head]] == 0:
                         head += 1
     finally:
-        for w in workers:  # free pool CPUs for the trailing pack threads
+        for w in workers:  # free pool CPUs for the trailing pack tasks
             ray.kill(w)
+    t_stream = time.time()
     manifests = dict(done_manifests)
     for cid, f in pack_futs.items():
         manifests[cid] = f.result()
+    for cid, prefs in pack_refs.items():
+        ray.get(prefs)
+        manifests[cid] = _finish_chunk(
+            chunk_dirs[cid], chunks[cid], cid, cfg, {}
+        )
+    if manifests:  # wall-clock attribution: stream loop vs trailing drain
+        any_m = manifests[todo[0]] if todo else next(iter(manifests.values()))
+        any_m.setdefault("phase_seconds", {})["pack_drain"] = round(
+            time.time() - t_stream, 3
+        )
     return [manifests[c] for c in range(len(chunks))], len(done_manifests)
 
 

@@ -55,7 +55,7 @@ class TokenizeBlob:
         self.hot: frozenset = (
             ray.get(hot_ref) if hot_ref is not None else frozenset()
         )
-        self._part_cache: dict[str, int] = {}
+        self._part_cache: dict[str, tuple[int, bool]] = {}
         self.docmap_dir = docmap_dir
         self._dm_buf: list[pa.Table] = []
         if docmap_dir:
@@ -63,14 +63,26 @@ class TokenizeBlob:
 
             os.makedirs(docmap_dir, exist_ok=True)
 
-    def _term_hash(self, term: str) -> int:
-        h = self._part_cache.get(term)
-        if h is None:
-            h = zlib.crc32(term.encode())
-            if len(self._part_cache) > 4_000_000:
-                self._part_cache.clear()
-            self._part_cache[term] = h
-        return h
+    def _vocab_info(self, vocab: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(crc32 partition hash, is-hot) per vocab entry — ONE memoized
+        pass over the batch's distinct terms (term-level work is the only
+        remaining Python loop in the tokenize hot path)."""
+        crc = np.empty(len(vocab), dtype=np.int64)
+        vhot = np.empty(len(vocab), dtype=bool)
+        info = self._part_cache
+        iget = info.get
+        hot = self.hot
+        _crc32 = zlib.crc32
+        for i, v in enumerate(vocab):
+            e = iget(v)
+            if e is None:
+                e = (_crc32(v.encode()), v in hot)
+                if len(info) > 4_000_000:
+                    info.clear()
+                info[v] = e
+            crc[i] = e[0]
+            vhot[i] = e[1]
+        return crc, vhot
 
     def _with_marker_terms(
         self,
@@ -223,19 +235,14 @@ class TokenizeBlob:
         tfs = np.diff(np.append(pstarts, len(t_o))).astype(np.int64)
         tcode = t_o[pstarts]
         doc = doc_o[pstarts]
+        vhash, vhot = self._vocab_info(vocab)
         if self.hot:
-            vhot = np.fromiter(
-                (v in self.hot for v in vocab), dtype=bool, count=len(vocab)
-            )
             salt = np.where(vhot[tcode], doc // self.salt_docs, 0).astype(np.int64)
         else:
             salt = np.zeros(len(doc), dtype=np.int64)
         starts, ends, blob_arr = encode_batch_blobs(tcode, doc, tfs, salt, pos=pos_o)
         gcodes = tcode[starts]
         gsalt = salt[starts]
-        vhash = np.fromiter(
-            (self._term_hash(v) for v in vocab), dtype=np.int64, count=len(vocab)
-        )
         part = ((vhash[gcodes] + gsalt * _GOLDEN64) % self.num_parts).astype(np.int32)
         terms = pa.array(vocab, type=pa.string()).take(pa.array(gcodes))
         df = (ends - starts).astype(np.int64)
