@@ -63,11 +63,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": relational.revenue_by_segment,
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
+        "customers_without_big_orders": relational.customers_without_big_orders,
         # time-ordered event-stream operators (one user-bucket shuffle)
         "sessionize": events.sessionize,
         "asof_purchase_click": events.asof_purchase_click,
         "events_in_signup_window": events.events_in_signup_window,
         "value_percentiles": events.value_percentiles,
+        "rolling_user_value": events.rolling_user_value,
+        "distinct_users_daily": events.distinct_users_daily,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
@@ -172,6 +175,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from index_ray.pipelines.events import (
         asof_sql_oracle,
+        distinct_users_daily_sql_oracle,
+        rolling_sql_oracle,
         sessionize_sql_oracle,
         signup_window_sql_oracle,
         value_percentiles_sql_oracle,
@@ -449,6 +454,16 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": asof_sql_oracle(),
         "events_in_signup_window": signup_window_sql_oracle(),
         "value_percentiles": value_percentiles_sql_oracle(),
+        "rolling_user_value": rolling_sql_oracle(),
+        "distinct_users_daily": distinct_users_daily_sql_oracle(),
+        "customers_without_big_orders": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+            GROUP BY 1
+        """,
         "parts_revenue_by_brand": """
             SELECT p_brand,
                    CAST(count(*) AS BIGINT) AS n_items,

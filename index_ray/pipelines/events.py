@@ -386,6 +386,136 @@ def value_percentiles_sql_oracle() -> str:
     """
 
 
+ROLLING_US = 3 * 24 * 3600 * 1_000_000  # 3 days
+
+
+def rolling_user_value(sf_dir: str, window_us: int = ROLLING_US) -> ray.data.Dataset:
+    """Sliding (RANGE) window aggregate: for EVERY event, the count and
+    cents-sum of the same user's events in ``[ts - window_us, ts]`` —
+    peers at an identical ts are included, matching SQL ``RANGE BETWEEN w
+    PRECEDING AND CURRENT ROW`` frame semantics.
+
+    Output: (event_id, user_id, n_in_window, value_cents).  Kernel: the
+    same composite (user-segment, ts) key as the range join — two
+    vectorized ``searchsorted`` sweeps give every row its frame as a
+    half-open slice, and a prefix-sum turns slices into sums; O(n log n)
+    per bucket, no per-row Python.
+    """
+
+    def rolling(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _ROLLING_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        c = _cents(group["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, e, c = u[order], t[order], e[order], c[order]
+        _, useg = _user_segments(u)
+        tmin = int(t.min())
+        span = int(t.max()) - tmin + window_us + 2
+        pref = np.concatenate(([0], np.cumsum(c)))
+        if (useg[-1] + 1) * span < 1 << 62:
+            k = useg * span + (t - tmin)
+            lo = np.searchsorted(k, k - window_us, side="left")
+            hi = np.searchsorted(k, k, side="right")
+        else:  # composite key would overflow: per-user slices instead
+            lo = np.empty(len(t), np.int64)
+            hi = np.empty(len(t), np.int64)
+            ustarts = np.flatnonzero(np.append(True, u[1:] != u[:-1]))
+            uends = np.append(ustarts[1:], len(u))
+            for a, b in zip(ustarts, uends):
+                lo[a:b] = a + np.searchsorted(t[a:b], t[a:b] - window_us, "left")
+                hi[a:b] = a + np.searchsorted(t[a:b], t[a:b], "right")
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "n_in_window": pa.array(hi - lo, pa.int64()),
+                "value_cents": pa.array(pref[hi] - pref[lo], pa.int64()),
+            }
+        )
+
+    return (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id", "value"], 64)
+        .groupby(_BUCKET)
+        .map_groups(rolling, batch_format="pyarrow")
+    )
+
+
+_ROLLING_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("n_in_window", pa.int64()),
+        ("value_cents", pa.int64()),
+    ]
+)
+
+
+def rolling_sql_oracle(window_us: int = ROLLING_US) -> str:
+    return f"""
+        SELECT event_id, user_id,
+               CAST(count(*) OVER win AS BIGINT) AS n_in_window,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER win AS BIGINT)
+                 AS value_cents
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)
+    """
+
+
+def distinct_users_daily(sf_dir: str) -> ray.data.Dataset:
+    """EXACT grouped count-distinct: (event_type, day, n_users).
+
+    Two-level shuffle: a per-batch ``group_by`` collapses each batch to
+    its distinct (event_type, day, user_id) triples (the partial), one
+    groupby dedups them globally, and a second tiny groupby counts users
+    per (event_type, day).  The shuffle moves O(distinct triples), never
+    O(events) — the exact counterpart of ``sketches.distinct_users_hll``
+    (which moves O(registers) but answers approximately).
+    """
+    from ray.data.aggregate import Sum
+
+    def triples(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "user_id": batch["user_id"],
+            }
+        )
+        return t.group_by(
+            ["event_type", "day", "user_id"], use_threads=False
+        ).aggregate([])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "day"], use_threads=False).aggregate(
+            [("user_id", "count")]
+        )
+        return g.rename_columns(["event_type", "day", "n_part"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
+        )
+        .map_batches(triples, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "day", "user_id"])
+        .count()
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_part", alias_name="n_users"))
+    )
+
+
+def distinct_users_daily_sql_oracle() -> str:
+    return """
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """
+
+
 def signup_window_sql_oracle(window_us: int = WINDOW_US) -> str:
     return f"""
         SELECT s.event_id AS window_id, s.user_id,

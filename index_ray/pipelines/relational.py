@@ -331,6 +331,48 @@ def supplier_balance_by_region(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def customers_without_big_orders(
+    sf_dir: str, threshold: float = 400_000.0
+) -> ray.data.Dataset:
+    """ANTI-join via the bucketed shuffle: customers with NO order above
+    ``threshold``, counted per market segment.
+
+    (c_mktsegment, n_customers).  The right side streams orders, filters,
+    and collapses each batch to its distinct custkeys before the shuffle
+    (duplicates can't change anti-join semantics, so the partial is free
+    row reduction); ``hash_join(..., how="left anti")`` then drops every
+    bucket-local match in one vectorized Arrow call.  Same machinery gives
+    "left semi" for EXISTS-shaped queries.
+    """
+    from .join import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["o_totalprice"], pa.scalar(threshold))
+        u = np.unique(batch["o_custkey"].filter(m).to_numpy(zero_copy_only=False))
+        return pa.table({"c_custkey": pa.array(u, pa.int64())})
+
+    big = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(big_keys, batch_format="pyarrow", batch_size=16384)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c_mktsegment"], use_threads=False).aggregate(
+            [("c_custkey", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "n_part"])
+
+    return (
+        hash_join(cust, big, on="c_custkey", num_buckets=32, how="left anti")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_part", alias_name="n_customers"))
+    )
+
+
 def revenue_by_month(sf_dir: str) -> ray.data.Dataset:
     """(month, n_items, revenue_cents) — tumbling month windows over
     l_shipdate; month is the ISO 'YYYY-MM' string."""

@@ -99,14 +99,38 @@ def test_signup_window_half_open(ray_session, tmp_path):
     assert r["value_cents"] == 300
 
 
+def test_rolling_window_boundaries(ray_session, tmp_path):
+    # user 1: t=0, t=HOUR (inclusive window edge: both in frame), and two
+    # PEER rows at t=HOUR+1us (RANGE frame includes peers; t=0 now out).
+    d = _write_events(
+        tmp_path,
+        [
+            (0, 0, 1, "view", 1.0),
+            (1, HOUR, 1, "view", 2.0),
+            (2, HOUR + 1, 1, "view", 4.0),
+            (3, HOUR + 1, 1, "view", 8.0),
+        ],
+    )
+    out = (
+        ev.rolling_user_value(d, window_us=HOUR)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_in_window"].tolist() == [1, 2, 3, 3]
+    assert out["value_cents"].tolist() == [100, 300, 1400, 1400]
+
+
 @pytest.mark.parametrize(
     "fn,sql",
     [
         (ev.sessionize, ev.sessionize_sql_oracle()),
         (ev.asof_purchase_click, ev.asof_sql_oracle()),
         (ev.events_in_signup_window, ev.signup_window_sql_oracle()),
+        (ev.rolling_user_value, ev.rolling_sql_oracle()),
+        (ev.distinct_users_daily, ev.distinct_users_daily_sql_oracle()),
     ],
-    ids=["sessionize", "asof", "range"],
+    ids=["sessionize", "asof", "range", "rolling", "distinct_daily"],
 )
 def test_events_match_duckdb(ray_session, fn, sql):
     got = fn(SF).to_pandas()

@@ -19,6 +19,7 @@ NAMES = [
     "parts_revenue_by_brand",
     "supplier_balance_by_region",
     "value_percentiles",
+    "customers_without_big_orders",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
