@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": text.corpus_stats,
         "token_count_by_lang": text.token_count_by_lang,
         "sha256_map": text.sha256_map,
+        "keywords_tfidf": text.keywords_tfidf,
         "windowed_events": text.windowed_events,
         # relational pipelines over the TPC-H-ish tables
         "pricing_summary": relational.pricing_summary,
@@ -185,7 +186,10 @@ def oracle_sql() -> dict[str, str]:
         cms_term_counts_sql_oracle,
         distinct_users_hll_sql_oracle,
     )
-    from index_ray.pipelines.text import bigram_counts_sql_oracle
+    from index_ray.pipelines.text import (
+        bigram_counts_sql_oracle,
+        keywords_tfidf_sql_oracle,
+    )
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
     return {
@@ -313,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll": distinct_users_hll_sql_oracle(),
         "cms_term_counts": cms_term_counts_sql_oracle(),
         "bigram_counts": bigram_counts_sql_oracle(),
+        "keywords_tfidf": keywords_tfidf_sql_oracle(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                        WHERE vec_id IN (0, 1, 2)),

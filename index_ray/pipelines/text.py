@@ -236,6 +236,114 @@ def bigram_counts_sql_oracle(min_count: int = 5) -> str:
     """
 
 
+def keywords_tfidf(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Per-doc top-k TF-IDF keywords: (doc_id, rank, term, tf, df).
+
+    Two passes.  Pass 1 reduces the corpus to the global (term -> df) map
+    (vocab-sized — broadcast once via ``ray.put``; at a scale where the
+    full vocab no longer fits a worker this becomes a df-pruned vocab or a
+    term-keyed join, the scoring pass is unchanged).  Pass 2 streams docs:
+    per-batch (doc, term, tf) + one vectorized lexsort gives every doc its
+    k best terms with NO shuffle at all — ranking is local to the doc.
+
+    Scores are ``tf * ln(N / df)``; the log runs through scalar libm per
+    DISTINCT vocab term (not numpy's vectorized log) so rank tie-breaks
+    are bit-identical with the DuckDB oracle's ``ln``.  Output keeps only
+    exact integers; ties break by term ascending.
+    """
+    import math
+
+    df_tbl = pa.concat_tables(
+        ray.get(term_stats(sf_dir).select_columns(["term", "df"]).to_arrow_refs())
+    )
+    n_docs = docs_dataset(sf_dir, ["doc_id"]).count()
+    df_ref = ray.put(
+        dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_numpy(zero_copy_only=False)))
+    )
+
+    class _TopKw:
+        def __init__(self):
+            self.df: dict = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, tid, tf, vocab = doc_term_tf(batch["text"], TokenNormalizer("simple"))
+            if not vocab:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                        "term": pa.array([], pa.string()),
+                        "tf": pa.array([], pa.int64()),
+                        "df": pa.array([], pa.int64()),
+                    }
+                )
+            dfget = self.df.get
+            vdf = np.fromiter(
+                (dfget(v, 1) for v in vocab), dtype=np.int64, count=len(vocab)
+            )
+            vidf = np.fromiter(
+                (math.log(n_docs / x) for x in vdf.tolist()),
+                dtype=np.float64,
+                count=len(vdf),
+            )
+            score = tf * vidf[tid]
+            # per-vocab sorted rank = the "term ASC" tie-break as an int key
+            trank = np.empty(len(vocab), dtype=np.int64)
+            trank[np.argsort(np.array(vocab, dtype=object), kind="stable")] = np.arange(
+                len(vocab)
+            )
+            order = np.lexsort((trank[tid], -score, d))
+            ds_, tids_, tfs_ = d[order], tid[order], tf[order]
+            new_doc = np.empty(len(ds_), dtype=bool)
+            new_doc[0] = True
+            np.not_equal(ds_[1:], ds_[:-1], out=new_doc[1:])
+            seg = np.cumsum(new_doc) - 1
+            starts = np.flatnonzero(new_doc)
+            rank = np.arange(len(ds_)) - starts[seg] + 1
+            keep = rank <= k
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            terms = pa.array(vocab, pa.string()).take(
+                pa.array(tids_[keep], pa.int64())
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[ds_[keep]], pa.int64()),
+                    "rank": pa.array(rank[keep], pa.int64()),
+                    "term": terms,
+                    "tf": pa.array(tfs_[keep], pa.int64()),
+                    "df": pa.array(vdf[tids_[keep]], pa.int64()),
+                }
+            )
+
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        _TopKw, batch_format="pyarrow", batch_size=512, concurrency=pool()
+    )
+
+
+def keywords_tfidf_sql_oracle(k: int = 5) -> str:
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+')) AS term FROM documents),
+        t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        tfd AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY 1, 2),
+        dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM t GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM documents),
+        scored AS (
+          SELECT tfd.doc_id, tfd.term, tfd.tf, dfx.df,
+                 tfd.tf * ln(n.N / dfx.df) AS s
+          FROM tfd JOIN dfx USING (term), n
+        )
+        SELECT doc_id, rank, term, tf, df FROM (
+          SELECT doc_id, term, tf, df,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY s DESC, term ASC) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def sha256_map(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, content_sha256) — the per-row invariant, SQL-checkable."""
     import hashlib

@@ -204,3 +204,22 @@ def test_video_frame_sample(ray_session):
     assert (out["frame_idx"] % 4 == 0).all()
     assert out.groupby("media_id").size().min() >= 1
     assert (out["frame_bytes"] > 9).all()
+
+
+def test_keywords_tfidf_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.text import keywords_tfidf, keywords_tfidf_sql_oracle
+
+    got = keywords_tfidf(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(keywords_tfidf_sql_oracle()).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # every doc with tokens contributes ranks 1..min(k, n_unique)
+    assert (got.groupby("doc_id")["rank"].min() == 1).all()
