@@ -69,3 +69,32 @@ def test_normalizer_cache_consistent():
     a = norm("Connections")
     b = norm("Connections")
     assert a == b == "connect"
+
+
+def test_ascii_fast_path_matches_regex_path(monkeypatch):
+    """The byte-LUT fast splitter must be token-for-token identical to the
+    RE2 path after normalization, across ASCII/mixed/non-ASCII batches,
+    empties, underscores, and sliced (offset != 0) arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    import index_ray.functions.tokenize as tk
+
+    rng = np.random.default_rng(7)
+    pieces = [
+        "", "   ", "_", "__x__", "Foo_bar42", "snake_case_id", "UPPER lower",
+        "tab\tsep|chars!", "héllo wörld", "naïve café", "中文分词 test",
+        "mix中ed ascii部分", "a" * 300, "0123 4567_89", "ß sharp", "éacc",
+    ]
+    docs = ["".join(rng.choice(pieces, size=rng.integers(0, 6))) for _ in range(80)]
+    docs += pieces  # each piece alone as a doc
+    for arr in (pa.array(docs, pa.string()), pa.array(docs, pa.string()).slice(3, 60)):
+        for mode in ("code", "simple"):
+            fast = tk.tokenize_batch(arr, tk.TokenNormalizer(mode))
+            with monkeypatch.context() as m:
+                m.setattr(tk, "_split_fast", lambda *_: None)
+                slow = tk.tokenize_batch(arr, tk.TokenNormalizer(mode))
+            f_toks = [fast[2][t] for t in fast[1]]
+            s_toks = [slow[2][t] for t in slow[1]]
+            assert f_toks == s_toks, mode
+            assert fast[0].tolist() == slow[0].tolist(), mode
