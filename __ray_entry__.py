@@ -34,6 +34,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from index_ray.pipelines import (
+        curation,
         dedup,
         events,
         flagship,
@@ -109,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
         "token_count_bpe": textstats.token_count_bpe,
+        # curation passes (C4/Gopher-style filters, scrub, mixing)
+        "repetition_stats": curation.repetition_stats,
+        "redact_pii": curation.redact_pii,
+        "quality_filter": curation.quality_filter,
+        "stratified_sample": curation.stratified_sample,
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
@@ -189,6 +195,12 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.text import (
         bigram_counts_sql_oracle,
         keywords_tfidf_sql_oracle,
+    )
+    from index_ray.pipelines.curation import (
+        quality_filter_sql_oracle,
+        redact_pii_sql_oracle,
+        repetition_stats_sql_oracle,
+        stratified_sample_sql_oracle,
     )
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
@@ -378,6 +390,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": _language_id_sql(),
         "token_count_bpe": token_count_bpe_sql_oracle(),
+        "repetition_stats": repetition_stats_sql_oracle(),
+        "redact_pii": redact_pii_sql_oracle(),
+        "quality_filter": quality_filter_sql_oracle(),
+        "stratified_sample": stratified_sample_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

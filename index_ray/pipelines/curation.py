@@ -1,0 +1,385 @@
+"""Training-data curation operators — repetition stats, regex redaction,
+quality-filter flags, deterministic stratified sampling.
+
+These are the standard curation passes of a large-scale LLM-data pipeline
+(C4/Gopher-style heuristics; Lee et al. dedup pipelines run them first),
+expressed as stateless Arrow batch transforms so they stream at 100 TB:
+no shuffle at all — every op is embarrassingly parallel per document, and
+each stage's regexes/normalizers are compiled once per actor in
+``__init__``.  Every output column is an exact integer (counts, 0/1
+flags, hash buckets) or a hash string, so the DuckDB oracle comparison is
+deterministic — same contract as `text.py`.
+
+Token semantics are the frozen ``simple`` tokenizer
+(``regexp_split_to_array(lower(text), '[^a-z0-9]+')``), identical to the
+rest of the oracle-checked suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.minhash import md5_strings
+from ..functions.tokenize import TokenNormalizer, doc_term_tf, tokenize_batch
+from ..util import pool
+from .text import STOPWORDS, docs_dataset
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style duplicated / dominant n-gram signals)
+# ---------------------------------------------------------------------------
+
+
+class RepetitionStage:
+    """batch -> (doc_id, n_tokens, n_bigrams, top_bigram_count, n_trigrams,
+    distinct_trigrams) — integer repetition signals per document.
+
+    ``top_bigram_count`` is the occurrence count of the document's most
+    frequent token bigram (the Gopher "fraction of characters in the most
+    common 2-gram" signal, kept as exact integers so the oracle hash is
+    deterministic); ``n_trigrams - distinct_trigrams`` is the duplicated
+    trigram mass.  Vectorized: grams are packed (doc, t0, t1[, t2]) integer
+    keys and counted with one np.unique per gram order; the only Python
+    loop is over batches, never rows.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.norm = TokenNormalizer("simple")
+
+    def _gram_stats(
+        self, d: np.ndarray, tid: np.ndarray, order: int, n_docs: int, v: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(occurrences, distinct, top_count) per doc for token n-grams."""
+        occ = np.zeros(n_docs, np.int64)
+        distinct = np.zeros(n_docs, np.int64)
+        top = np.zeros(n_docs, np.int64)
+        if len(d) < order:
+            return occ, distinct, top
+        # a gram spans rows [i, i+order) of the same doc
+        mask = d[: len(d) - order + 1] == d[order - 1 :]
+        if not mask.any():
+            return occ, distinct, top
+        # packed key: (((doc*v)+t0)*v+t1)... — fits int64 for any batch the
+        # engine produces; recurse on halves if a pathological vocab wouldn't
+        if float(n_docs) * float(v) ** order >= float(2**62):
+            raise ValueError("gram key overflow — reduce batch_size")
+        idx = np.flatnonzero(mask)
+        key = d[idx].astype(np.int64)
+        for j in range(order):
+            key = key * v + tid[idx + j]
+        uniq, counts = np.unique(key, return_counts=True)
+        gdoc = (uniq // (v**order)).astype(np.int64)
+        occ = np.bincount(d[idx], minlength=n_docs).astype(np.int64)
+        distinct = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+        # segment max of counts per doc (uniq is sorted, so gdoc is grouped)
+        starts = np.flatnonzero(np.diff(gdoc, prepend=-1))
+        top[gdoc[starts]] = np.maximum.reduceat(counts, starts)
+        return occ, distinct, top
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, tid, vocab = tokenize_batch(batch[self.text_col], self.norm)
+        n = len(batch)
+        v = max(len(vocab), 1)
+        n_tokens = np.bincount(d, minlength=n).astype(np.int64)
+        bg_occ, _, bg_top = self._gram_stats(d, tid, 2, n, v)
+        tg_occ, tg_distinct, _ = self._gram_stats(d, tid, 3, n, v)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "n_bigrams": pa.array(bg_occ),
+                "top_bigram_count": pa.array(bg_top),
+                "n_trigrams": pa.array(tg_occ),
+                "distinct_trigrams": pa.array(tg_distinct),
+            }
+        )
+
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionStage, batch_format="pyarrow", batch_size=512, concurrency=pool()
+    )
+
+
+def repetition_stats_sql_oracle() -> str:
+    return """
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS g
+          FROM arr, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+        ),
+        tg AS (
+          SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS g
+          FROM arr, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+        ),
+        bstat AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                 CAST(max(c) AS BIGINT) AS top_bigram_count
+          FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+          GROUP BY doc_id
+        ),
+        tstat AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_trigrams,
+                 CAST(sum(c) AS BIGINT) AS n_trigrams
+          FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+          GROUP BY doc_id
+        )
+        SELECT a.doc_id, CAST(len(a.toks) AS BIGINT) AS n_tokens,
+               coalesce(b.n_bigrams, 0) AS n_bigrams,
+               coalesce(b.top_bigram_count, 0) AS top_bigram_count,
+               coalesce(t.n_trigrams, 0) AS n_trigrams,
+               coalesce(t.distinct_trigrams, 0) AS distinct_trigrams
+        FROM arr a
+        LEFT JOIN bstat b ON a.doc_id = b.doc_id
+        LEFT JOIN tstat t ON a.doc_id = t.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# regex redaction (PII-style scrub)
+# ---------------------------------------------------------------------------
+
+# applied in this order; Python re and DuckDB's RE2 agree byte-for-byte on
+# these ASCII patterns (no lookarounds, explicit classes)
+EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_PAT = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+# a corpus-matching pattern so the oracle row is non-trivial on the driver
+# tables (their synthetic docs contain no emails/IPs)
+TERM_PAT = "\\b(?:key|hash)\\b"
+
+
+class RedactStage:
+    """batch -> (doc_id, n_emails, n_ipv4, n_terms, redacted_sha256).
+
+    Counts each pattern on the original text, then applies the replacements
+    in fixed order (EMAIL -> <EMAIL>, IPV4 -> <IP>, TERM -> <TOK>) and
+    emits sha256 of the scrubbed text — the downstream pipeline consumes
+    the hash-keyed scrubbed corpus without ever re-shipping raw text.
+    Regexes compile once per actor.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.email = re.compile(EMAIL_PAT)
+        self.ipv4 = re.compile(IPV4_PAT)
+        self.term = re.compile(TERM_PAT)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n_em = np.empty(len(texts), np.int64)
+        n_ip = np.empty(len(texts), np.int64)
+        n_tm = np.empty(len(texts), np.int64)
+        shas = []
+        for i, t in enumerate(texts):
+            n_em[i] = len(self.email.findall(t))
+            n_ip[i] = len(self.ipv4.findall(t))
+            n_tm[i] = len(self.term.findall(t))
+            red = self.term.sub(
+                "<TOK>", self.ipv4.sub("<IP>", self.email.sub("<EMAIL>", t))
+            )
+            shas.append(hashlib.sha256(red.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pa.array(n_em),
+                "n_ipv4": pa.array(n_ip),
+                "n_terms": pa.array(n_tm),
+                "redacted_sha256": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def redact_pii(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        RedactStage, batch_format="pyarrow", batch_size=1024, concurrency=pool()
+    )
+
+
+def redact_pii_sql_oracle() -> str:
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{q(EMAIL_PAT)}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{q(IPV4_PAT)}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{q(TERM_PAT)}')) AS BIGINT) AS n_terms,
+               sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{q(EMAIL_PAT)}', '<EMAIL>', 'g'),
+                   '{q(IPV4_PAT)}', '<IP>', 'g'),
+                   '{q(TERM_PAT)}', '<TOK>', 'g')) AS redacted_sha256
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# quality-filter flags (C4/Gopher-style keep/drop decision, exact integers)
+# ---------------------------------------------------------------------------
+
+LEN_LO, LEN_HI = 20, 100_000  # token-count bounds
+TTR_PCTx100 = 15  # type-token ratio >= 0.15
+WLEN_LO, WLEN_HI = 3, 10  # mean token length in [3, 10]
+
+
+class QualityFilterStage:
+    """batch -> per-doc integer stats + 0/1 flags + the keep decision.
+
+    Flags (all integer arithmetic, no float thresholds):
+      len_ok     LEN_LO <= n_tokens <= LEN_HI
+      uniq_ok    100 * n_unique >= TTR_PCTx100 * n_tokens
+      stop_ok    at least one stopword present (C4's "has common words")
+      wordlen_ok WLEN_LO * n_tokens <= token_chars <= WLEN_HI * n_tokens
+      keep       all of the above
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.norm = TokenNormalizer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        n = len(batch)
+        tlen = np.array([len(v) for v in vocab], dtype=np.int64)
+        stop = np.array([v in STOPWORDS for v in vocab], dtype=np.int64)
+        n_tokens = np.bincount(d, weights=tf, minlength=n).astype(np.int64)
+        n_unique = np.bincount(d, minlength=n).astype(np.int64)
+        token_chars = np.bincount(d, weights=tf * tlen[tid], minlength=n).astype(np.int64)
+        stop_count = np.bincount(d, weights=tf * stop[tid], minlength=n).astype(np.int64)
+        len_ok = ((n_tokens >= LEN_LO) & (n_tokens <= LEN_HI)).astype(np.int64)
+        uniq_ok = (100 * n_unique >= TTR_PCTx100 * n_tokens).astype(np.int64)
+        stop_ok = (stop_count >= 1).astype(np.int64)
+        wordlen_ok = (
+            (token_chars >= WLEN_LO * n_tokens) & (token_chars <= WLEN_HI * n_tokens)
+        ).astype(np.int64)
+        keep = len_ok * uniq_ok * stop_ok * wordlen_ok
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "n_unique": pa.array(n_unique),
+                "len_ok": pa.array(len_ok),
+                "uniq_ok": pa.array(uniq_ok),
+                "stop_ok": pa.array(stop_ok),
+                "wordlen_ok": pa.array(wordlen_ok),
+                "keep": pa.array(keep),
+            }
+        )
+
+
+def quality_filter(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityFilterStage, batch_format="pyarrow", batch_size=1024, concurrency=pool()
+    )
+
+
+def quality_filter_sql_oracle() -> str:
+    stop_sql = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        s AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
+                 CAST(sum(length(term)) AS BIGINT) AS token_chars,
+                 CAST(sum(CASE WHEN term IN {stop_sql} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS stop_count
+          FROM t GROUP BY doc_id
+        ),
+        f AS (
+          SELECT doc_id, n_tokens, n_unique,
+                 CASE WHEN n_tokens BETWEEN {LEN_LO} AND {LEN_HI}
+                      THEN 1 ELSE 0 END AS len_ok,
+                 CASE WHEN 100 * n_unique >= {TTR_PCTx100} * n_tokens
+                      THEN 1 ELSE 0 END AS uniq_ok,
+                 CASE WHEN stop_count >= 1 THEN 1 ELSE 0 END AS stop_ok,
+                 CASE WHEN token_chars BETWEEN {WLEN_LO} * n_tokens
+                                           AND {WLEN_HI} * n_tokens
+                      THEN 1 ELSE 0 END AS wordlen_ok
+          FROM s
+        )
+        SELECT doc_id, n_tokens, n_unique,
+               CAST(len_ok AS BIGINT) AS len_ok,
+               CAST(uniq_ok AS BIGINT) AS uniq_ok,
+               CAST(stop_ok AS BIGINT) AS stop_ok,
+               CAST(wordlen_ok AS BIGINT) AS wordlen_ok,
+               CAST(len_ok * uniq_ok * stop_ok * wordlen_ok AS BIGINT) AS keep
+        FROM f
+    """
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (per-group hash-bernoulli)
+# ---------------------------------------------------------------------------
+
+# per-language keep rates (percent) — the "domain mixing" knob of a
+# training-data pipeline; deterministic in doc_id, so re-runs and resumed
+# jobs sample the identical subset with zero coordination
+SAMPLE_RATES = {"de": 25, "en": 60, "es": 25, "fr": 25, "zh": 10}
+DEFAULT_RATE = 20
+
+
+class StratifiedSampleStage:
+    """batch -> kept rows (doc_id, lang, bucket).
+
+    bucket = high-32-bits of md5(str(doc_id)) mod 100 — bit-identical to
+    DuckDB's ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+    % 100, so the sample is SQL-verifiable.  Keep iff bucket < rate[lang].
+    """
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        h = md5_strings([str(int(i)) for i in ids], self._cache)
+        bucket = ((h >> np.uint64(32)) % np.uint64(100)).astype(np.int64)
+        rates = np.fromiter(
+            (SAMPLE_RATES.get(l, DEFAULT_RATE) for l in langs),
+            dtype=np.int64,
+            count=len(langs),
+        )
+        keep = bucket < rates
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array([l for l, k in zip(langs, keep) if k], pa.string()),
+                "bucket": pa.array(bucket[keep]),
+            }
+        )
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "lang"]).map_batches(
+        StratifiedSampleStage, batch_format="pyarrow", batch_size=4096, concurrency=pool()
+    )
+
+
+def stratified_sample_sql_oracle() -> str:
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      % 100 AS BIGINT) AS bucket,
+                 (CASE lang {rate_case} ELSE {DEFAULT_RATE} END) AS rate
+          FROM documents
+        )
+        SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
+    """

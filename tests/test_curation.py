@@ -1,0 +1,121 @@
+"""Unit tests for the curation operators (repetition / redaction /
+quality-filter / stratified sampling) on planted inputs the driver corpus
+never exercises (emails, IPs, heavy repetition, empty docs)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from index_ray.pipelines.curation import (
+    SAMPLE_RATES,
+    QualityFilterStage,
+    RedactStage,
+    RepetitionStage,
+    StratifiedSampleStage,
+)
+
+
+def _docs(texts):
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+def test_repetition_planted():
+    out = RepetitionStage()(
+        _docs(
+            [
+                "a b a b a b a b",  # "a b" bigram dominates
+                "one two three four five",  # all grams distinct
+                "",  # no tokens
+                "solo",  # 1 token: no grams
+            ]
+        )
+    ).to_pydict()
+    assert out["n_tokens"] == [8, 5, 0, 1]
+    assert out["n_bigrams"] == [7, 4, 0, 0]
+    # "a b" appears at positions 0,2,4,6 -> 4 times; doc 1 all distinct
+    assert out["top_bigram_count"] == [4, 1, 0, 0]
+    assert out["n_trigrams"] == [6, 3, 0, 0]
+    # trigram types: "a b a" (x3), "b a b" (x3) -> 2 distinct of 6
+    assert out["distinct_trigrams"] == [2, 3, 0, 0]
+
+
+def test_repetition_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    words = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 30)).tolist())
+        for _ in range(50)
+    ]
+    out = RepetitionStage()(_docs(texts)).to_pydict()
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        tg = [tuple(toks[j : j + 3]) for j in range(max(len(toks) - 2, 0))]
+        bg = [tuple(toks[j : j + 2]) for j in range(max(len(toks) - 1, 0))]
+        assert out["n_trigrams"][i] == len(tg)
+        assert out["distinct_trigrams"][i] == len(set(tg))
+        top = max((bg.count(g) for g in set(bg)), default=0)
+        assert out["top_bigram_count"][i] == top
+
+
+def test_redact_planted():
+    out = RedactStage()(
+        _docs(
+            [
+                "contact bob@example.com or alice@test.org now",
+                "server at 10.0.0.1 and 192.168.1.255 up",
+                "the key of the hash is key",
+                "clean text only",
+            ]
+        )
+    ).to_pydict()
+    assert out["n_emails"] == [2, 0, 0, 0]
+    assert out["n_ipv4"] == [0, 2, 0, 0]
+    assert out["n_terms"] == [0, 0, 3, 0]
+    assert (
+        out["redacted_sha256"][0]
+        == hashlib.sha256(b"contact <EMAIL> or <EMAIL> now").hexdigest()
+    )
+    assert (
+        out["redacted_sha256"][2]
+        == hashlib.sha256(b"the <TOK> of the <TOK> is <TOK>").hexdigest()
+    )
+    assert out["redacted_sha256"][3] == hashlib.sha256(b"clean text only").hexdigest()
+
+
+def test_quality_filter_flags():
+    long_ok = " ".join(["the"] + ["word%d" % i for i in range(40)])
+    too_short = "the cat"
+    no_stop = " ".join("tok%d" % i for i in range(40))
+    repetitive = " ".join(["the"] * 5 + ["dup"] * 45)  # TTR 2/50 < 0.15
+    out = QualityFilterStage()(
+        _docs([long_ok, too_short, no_stop, repetitive])
+    ).to_pydict()
+    assert out["keep"] == [1, 0, 0, 0]
+    assert out["len_ok"] == [1, 0, 1, 1]
+    assert out["stop_ok"] == [1, 1, 0, 1]
+    assert out["uniq_ok"] == [1, 1, 1, 0]
+
+
+def test_stratified_sample_deterministic_and_rated():
+    n = 4000
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(
+                [sorted(SAMPLE_RATES)[i % len(SAMPLE_RATES)] for i in range(n)]
+            ),
+        }
+    )
+    a = StratifiedSampleStage()(batch)
+    b = StratifiedSampleStage()(batch)
+    assert a.equals(b)  # deterministic in doc_id
+    d = a.to_pydict()
+    assert all(bk < SAMPLE_RATES[lg] for bk, lg in zip(d["bucket"], d["lang"]))
+    # realized rate within 5pp of target per lang (md5 is uniform)
+    for lang, rate in SAMPLE_RATES.items():
+        total = sum(1 for i in range(n) if batch["lang"][i].as_py() == lang)
+        kept = sum(1 for lg in d["lang"] if lg == lang)
+        assert abs(100 * kept / total - rate) < 5
