@@ -424,7 +424,7 @@ def _pack_bucket(
     return len(packed)
 
 
-def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
+def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: int = 0):
     """Streaming chunk pipeline: tokenize tasks flow through a persistent
     actor pool in chunk order; the moment a chunk's last spec completes its
     shuffle+pack (phase B) is submitted to a worker thread, overlapping the
@@ -440,7 +440,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
     todo: list[int] = []
     chunk_dirs = {}
     for cid in range(len(chunks)):
-        chunk_dirs[cid] = os.path.join(out_dir, "chunks", f"chunk-{cid:05d}")
+        chunk_dirs[cid] = os.path.join(out_dir, "chunks", f"chunk-{cid0 + cid:05d}")
         m = validate_chunk(chunk_dirs[cid], fp)
         if m is not None:
             done_manifests[cid] = m
@@ -547,7 +547,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
                             {},
                         )
                         pack_futs[cid] = ex.submit(
-                            pack_chunk, state, chunks[cid], cid, cfg
+                            pack_chunk, state, chunks[cid], cid0 + cid, cfg
                         )
                     while head < len(todo) and remaining[todo[head]] == 0:
                         head += 1
@@ -561,7 +561,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex):
     for cid, prefs in pack_refs.items():
         ray.get(prefs)
         manifests[cid] = _finish_chunk(
-            chunk_dirs[cid], chunks[cid], cid, cfg, {}
+            chunk_dirs[cid], chunks[cid], cid0 + cid, cfg, {}
         )
     if manifests:  # wall-clock attribution: stream loop vs trailing drain
         any_m = manifests[todo[0]] if todo else next(iter(manifests.values()))
@@ -610,6 +610,112 @@ def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildRe
     finally:
         for k, v in saved.items():
             setattr(ctx, k, v)
+
+
+def append_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildResult:
+    """Incrementally ingest ``source`` into an existing index at ``out_dir``.
+
+    The continuous-ingest path of a 100 TB deployment: new documents become
+    NEW chunks (docIDs continue after the existing maximum — existing chunk
+    files are immutable and never rewritten), then the global lexicon and
+    corpus stats (N, avgdl) are re-merged so BM25 over old + new documents
+    is exactly what a from-scratch build over the union would score.  The
+    reference's analogue is its grow-only chunk sequence
+    (``/root/reference/index.cpp:60-76``); here chunk k+1 can land from a
+    different driver run entirely.
+
+    Requirements: ``cfg`` must equal the config the index was built with
+    (fingerprint-checked), and with metadata-derived docIDs the appended
+    corpus must be a new fragment set (its docIDs are shifted past the
+    existing range).  Idempotent per chunk: re-running the same append
+    validates and skips completed chunks.
+    """
+    from dataclasses import replace as _dc_replace
+
+    cfg = cfg or BuildConfig()
+    stats = load_stats(out_dir)
+    if stats.get("config_fingerprint") != cfg.fingerprint():
+        raise ValueError(
+            "append_index config does not match the existing index "
+            "(fingerprint mismatch) — rebuild or pass the original BuildConfig"
+        )
+    old_chunks = stats.get("chunks", [])
+    old_manifests = [
+        read_json(
+            manifest_path(os.path.join(out_dir, "chunks", f"chunk-{c['chunk']:05d}"))
+        )
+        for c in old_chunks
+    ]
+    # idempotency: fragments already ingested by a previous build/append are
+    # dropped (identity = absolute path + row group, the same lineage the
+    # chunk manifests record) — re-running the same append is a no-op
+    ingested = {
+        (os.path.abspath(fr["path"]), fr["row_group"])
+        for m in old_manifests
+        for fr in m.get("input_fragments", [])
+    }
+    specs = [
+        s
+        for s in scan_fragments(source)
+        if (os.path.abspath(s.path), s.row_group) not in ingested
+    ]
+    if not specs:
+        n_docs = sum(m["docs"] for m in old_manifests)
+        return BuildResult(
+            out_dir=out_dir,
+            n_docs=n_docs,
+            total_tokens=sum(m["tokens"] for m in old_manifests),
+            n_chunks=len(old_manifests),
+            chunks_skipped=len(old_manifests),
+            hot_terms=stats.get("hot_terms", []),
+            phase_seconds={},
+        )
+    if cfg.id_col is None:
+        doc_base = 1 + max(
+            (c["doc_max"] for c in old_chunks if c.get("doc_max") is not None),
+            default=-1,
+        )
+        specs = [_dc_replace(s, base_docid=s.base_docid + doc_base) for s in specs]
+    chunks = split_chunks(specs, cfg.chunk_docs)
+    cid0 = len(old_chunks)
+
+    # reuse the existing hot-term set: salting must stay consistent with the
+    # layout the census chose at build time (and appends skip the census)
+    hot = stats.get("hot_terms", [])
+    hot_ref = ray.put(frozenset(hot)) if hot else None
+
+    import ray.data as _rd
+
+    ctx = _rd.DataContext.get_current()
+    saved_ratio = ctx.op_resource_reservation_ratio
+    ctx.op_resource_reservation_ratio = min(saved_ratio, 0.2)
+    phase_seconds: dict = {}
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.time()
+        workers = max(1, min(cfg.pipeline_chunks, len(chunks)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            new_manifests, skipped = _pipelined_build(
+                chunks, out_dir, cfg, hot_ref, ex, cid0=cid0
+            )
+        phase_seconds["chunks_total"] = round(time.time() - t0, 3)
+    finally:
+        ctx.op_resource_reservation_ratio = saved_ratio
+
+    # all manifests (old chunks are immutable — their manifests are on disk)
+    manifests = old_manifests + new_manifests
+    n_docs = sum(m["docs"] for m in manifests)
+    phase_seconds.update(_finalize_index(out_dir, cfg, manifests, hot, n_docs))
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        total_tokens=sum(m["tokens"] for m in manifests),
+        n_chunks=len(manifests),
+        chunks_skipped=skipped,
+        hot_terms=hot,
+        phase_seconds=phase_seconds,
+    )
 
 
 def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
@@ -667,15 +773,38 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
     phase_seconds["chunks_total"] = round(time.time() - t0, 3)
     t0 = time.time()
 
-    # --- global lexicon: merge per-chunk (term, df, cf) ---
+    phase_seconds.update(
+        _finalize_index(out_dir, cfg, manifests, hot, n_docs)
+    )
+    total_tokens = sum(m["tokens"] for m in manifests)
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        n_chunks=len(chunks),
+        chunks_skipped=skipped,
+        hot_terms=hot,
+        phase_seconds=phase_seconds,
+    )
+
+
+def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> dict:
+    """Global epilogue: merge the per-chunk lexicons and write stats.json.
+
+    Operates on the full manifest set (existing + appended chunks), so both
+    the initial build and ``append_index`` produce one consistent global
+    lexicon / N / avgdl."""
+    t0 = time.time()
     import glob as _glob
 
     lex_files = [
         f
-        for cid in range(len(chunks))
+        for m in manifests
         for f in sorted(
             _glob.glob(
-                os.path.join(out_dir, "chunks", f"chunk-{cid:05d}", "lexicon", "*.parquet")
+                os.path.join(
+                    out_dir, "chunks", f"chunk-{m['chunk']:05d}", "lexicon", "*.parquet"
+                )
             )
         )
     ]
@@ -702,7 +831,6 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
             .write_parquet(glex_dir)
         )
 
-    phase_seconds["lexicon_merge"] = round(time.time() - t0, 3)
     total_tokens = sum(m["tokens"] for m in manifests)
     stats = {
         "N": n_docs,
@@ -725,15 +853,7 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
         ],
     }
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
-    return BuildResult(
-        out_dir=out_dir,
-        n_docs=n_docs,
-        total_tokens=total_tokens,
-        n_chunks=len(chunks),
-        chunks_skipped=skipped,
-        hot_terms=hot,
-        phase_seconds=phase_seconds,
-    )
+    return {"lexicon_merge": round(time.time() - t0, 3)}
 
 
 def load_stats(out_dir: str) -> dict:
