@@ -1,0 +1,214 @@
+"""Chunk compaction — the LSM-style companion to ``append_index``.
+
+Every append creates new chunks; a long-running ingest therefore
+accumulates many small chunks, each with its own docmap, lexicon partials
+and under-full trailing posting blocks per term.  ``compact_index`` merges
+a group of chunks into one: posting blocks of the same term are decoded,
+concatenated in docID order and re-packed into full blocks (restoring the
+skip/block-max density of a from-scratch build), docmaps and lexicon
+partials are carried over, and the chunk list in ``stats.json`` is
+rewritten.  Query results are bit-identical before and after (test-pinned)
+— only the layout changes.
+
+The reference's analogue is its dictionary-optimize/rewrite step over a
+finished chunk (SURVEY.md §2 T2; ``/root/reference/index.h:286-328`` keeps
+one mutable in-memory chunk precisely because it cannot do this).
+
+Scale shape: one term-hash shuffle over the packed block rows (blobs move
+once), re-pack vectorized per partition — the same cost class as the
+original pack stage, run as an offline maintenance pass per chunk group.
+Global stats (N, avgdl, lexicon) are unchanged by construction.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..stages.pack import (
+    PACKED_POS_SCHEMA,
+    PACKED_SCHEMA,
+    pack_sorted,
+    unpack_block,
+    unpack_positions,
+)
+from ..state.manifest import (
+    list_output_files,
+    manifest_path,
+    read_json,
+    write_json_atomic,
+)
+from .build import load_stats
+
+
+def _repack_rows(t: pa.Table, max_block_postings: int, positions: bool) -> pa.Table:
+    """Decode one hash partition of packed block rows and re-pack per term.
+
+    Rows are blocks (term, df, cf, postings, ...); all blocks of a term are
+    in this partition (term-keyed shuffle).  Chunks cover disjoint docID
+    ranges, so per term the blocks concatenate into one strictly-increasing
+    posting stream once ordered by first docID.
+    """
+    if len(t) == 0:
+        return (PACKED_POS_SCHEMA if positions else PACKED_SCHEMA).empty_table()
+    t = t.combine_chunks()
+    terms = t["term"].combine_chunks().dictionary_encode()
+    codes_row = terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = terms.dictionary
+    dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    post_col = t["postings"]
+    pos_col = t["positions"] if positions else None
+
+    docs_l, tfs_l, pos_l, first = [], [], [], np.empty(len(t), np.int64)
+    for i in range(len(t)):
+        docs, tfs = unpack_block(post_col[i].as_py(), int(dfs[i]))
+        docs_l.append(docs)
+        tfs_l.append(tfs)
+        first[i] = docs[0] if len(docs) else -1
+        if positions:
+            pos_l.append(unpack_positions(pos_col[i].as_py(), tfs))
+
+    order = np.lexsort((first, codes_row))
+    doc = np.concatenate([docs_l[i] for i in order])
+    tf = np.concatenate([tfs_l[i] for i in order])
+    codes = np.repeat(codes_row[order], dfs[order])
+    salt = np.zeros(len(doc), np.int64)
+    pos = np.concatenate([pos_l[i] for i in order]) if positions else None
+    return pack_sorted(
+        codes, dictionary, salt, doc, tf, max_block_postings, pos=pos
+    )
+
+
+def compact_index(
+    out_dir: str,
+    group_docs: int | None = None,
+    max_block_postings: int = 1 << 17,
+) -> dict:
+    """Merge the index's chunks into groups of ~``group_docs`` documents
+    (default: all chunks into one), re-packing posting blocks.
+
+    Returns the updated stats dict.  Crash window: the swap (remove old
+    chunk dirs, move merged ones into place, rewrite stats.json) is not
+    atomic across directories — re-run compaction after a crash; merged
+    tmp dirs are rebuilt from whatever chunk layout survived.
+    """
+    stats = load_stats(out_dir)
+    chunks = sorted(stats["chunks"], key=lambda c: c["chunk"])
+    manifests = [
+        read_json(manifest_path(os.path.join(out_dir, "chunks", f"chunk-{c['chunk']:05d}")))
+        for c in chunks
+    ]
+    positions = bool(stats.get("positions"))
+
+    # group adjacent chunks (docID order == chunk order) up to group_docs
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_docs = 0
+    for m in manifests:
+        if cur and group_docs is not None and cur_docs + m["docs"] > group_docs:
+            groups.append(cur)
+            cur, cur_docs = [], 0
+        cur.append(m)
+        cur_docs += m["docs"]
+    if cur:
+        groups.append(cur)
+    if all(len(g) == 1 for g in groups):
+        return stats  # nothing to merge
+
+    t0 = time.time()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    tmp_dirs, new_manifests = [], []
+    for gi, group in enumerate(groups):
+        gdirs = [
+            os.path.join(out_dir, "chunks", f"chunk-{m['chunk']:05d}") for m in group
+        ]
+        tmp = os.path.join(out_dir, "chunks", f".compact-tmp-{gi:05d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        parts_dir = os.path.join(tmp, "parts")
+        os.makedirs(parts_dir)
+        if len(group) == 1:
+            # singleton group: carry the chunk over untouched
+            shutil.rmtree(tmp)
+            shutil.copytree(gdirs[0], tmp)
+            os.remove(manifest_path(tmp))
+        else:
+            part_files = [
+                f for d in gdirs for f in sorted(glob.glob(os.path.join(d, "parts", "*.parquet")))
+            ]
+            nparts = max(4, min(len(part_files), 4 * cpus))
+            from ray.data.context import ShuffleStrategy
+
+            ctx = ray.data.DataContext.get_current()
+            saved = ctx.shuffle_strategy
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            try:
+                (
+                    ray.data.read_parquet(part_files)
+                    .repartition(nparts, keys=["term"], sort=False)
+                    .map_batches(
+                        lambda t: _repack_rows(t, max_block_postings, positions),
+                        batch_size=None,
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                    .write_parquet(parts_dir)
+                )
+            finally:
+                ctx.shuffle_strategy = saved
+            # docmap + lexicon partials carry over (renamed per source chunk)
+            for sub in ("docmap", "lexicon"):
+                os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+                for m, d in zip(group, gdirs):
+                    for f in sorted(glob.glob(os.path.join(d, sub, "*"))):
+                        shutil.copy(
+                            f,
+                            os.path.join(
+                                tmp, sub, f"c{m['chunk']:05d}-{os.path.basename(f)}"
+                            ),
+                        )
+        new_manifests.append(
+            {
+                "chunk": gi,
+                "phase_seconds": {},
+                "config_fingerprint": stats["config_fingerprint"],
+                "input_fragments": [
+                    fr for m in group for fr in m.get("input_fragments", [])
+                ],
+                "docs": sum(m["docs"] for m in group),
+                "tokens": sum(m["tokens"] for m in group),
+                "doc_min": min(m["doc_min"] for m in group),
+                "doc_max": max(m["doc_max"] for m in group),
+            }
+        )
+        tmp_dirs.append(tmp)
+
+    # swap: drop old chunk dirs, move merged ones into place, write manifests
+    for m in manifests:
+        shutil.rmtree(os.path.join(out_dir, "chunks", f"chunk-{m['chunk']:05d}"))
+    for gi, (tmp, nm) in enumerate(zip(tmp_dirs, new_manifests)):
+        dst = os.path.join(out_dir, "chunks", f"chunk-{gi:05d}")
+        os.rename(tmp, dst)
+        nm["files"] = list_output_files(dst)
+        write_json_atomic(manifest_path(dst), nm)
+
+    stats["chunks"] = [
+        {
+            "chunk": nm["chunk"],
+            "docs": nm["docs"],
+            "doc_min": nm["doc_min"],
+            "doc_max": nm["doc_max"],
+        }
+        for nm in new_manifests
+    ]
+    stats["compacted_seconds"] = round(time.time() - t0, 3)
+    write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
+    return stats
