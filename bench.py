@@ -78,7 +78,12 @@ def run_bench() -> dict:
 
     index_dir = f"/tmp/bench_index_{BENCH_DOCS}_{NCPU}"
     cfg = BuildConfig(
-        chunk_docs=max(BENCH_DOCS, 1000),  # single chunk: resume granularity amortizes at scale
+        # many chunks: the streaming chunk pipeline overlaps chunk k's
+        # (memory-bound) shuffle+pack with chunk k+1's (compute-bound)
+        # tokenize — measured: 2-cpu warm build 146s single-chunk vs 85s
+        # with 50k-doc chunks (pack_drain 37s -> 5s); a single chunk
+        # serializes the two phases and leaves the pack tail unhidden
+        chunk_docs=int(os.environ.get("BENCH_CHUNK_DOCS", "50000")),
         # fine partitions: pack working set per task stays ~100MB so the
         # sandbox's fresh-page fault wall (~30-80 MB/s) never dominates
         num_parts=max(64, BENCH_DOCS // 5000),
