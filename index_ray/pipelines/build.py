@@ -393,35 +393,57 @@ class _TokenizeWorker:
 
 
 @ray.remote
-def _pack_bucket(
-    parts_dir: str,
-    lex_dir: str,
-    max_block_postings: int,
-    positions: bool,
-    *tables: pa.Table,
-) -> int:
-    """Reduce side of the bucket shuffle: merge+pack one bucket's blob rows
-    (possibly several ``part`` values — ``merge_blob_partition`` sorts by
-    (term, salt) itself and a (term, salt) group lives in exactly one
-    bucket) and write the part + lexicon-partial parquet atomically."""
-    import pyarrow.compute as pc
+class _PackWorker:
+    """Reduce side of the bucket shuffle, as a PERSISTENT actor.
 
-    tabs = [t for t in tables if t is not None and len(t)]
-    if not tabs:
-        return 0
-    group = pa.concat_tables(tabs)
-    part = int(pc.min(group["part"]).as_py())  # stable name: parts are
-    packed = merge_blob_partition(group, max_block_postings, positions)
-    path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
-    tmp = path + f".{os.getpid()}.tmp"
-    pq.write_table(packed, tmp)
-    os.replace(tmp, path)  # idempotent under task retry
-    lex = packed.select(["term", "df", "cf"])
-    lpath = os.path.join(lex_dir, f"lex-{part:05d}.parquet")
-    ltmp = lpath + f".{os.getpid()}.tmp"
-    pq.write_table(lex, ltmp)
-    os.replace(ltmp, lpath)
-    return len(packed)
+    A stateless ``@ray.remote`` pack task lands on whichever worker process
+    is idle, and on this host class a cold process re-pays its whole merge
+    working set (~hundreds of MB) at fresh-page speed — measured 5-20x the
+    warm cost.  A fixed pool of pack actors, round-robined so every actor
+    warms during the (compute-bound) tokenize stream, keeps each arena
+    faulted exactly once per build instead of once per task."""
+
+    def __init__(self):
+        from ..util import retain_malloc_pages
+
+        retain_malloc_pages()
+
+    def pack(
+        self,
+        parts_dir: str,
+        lex_dir: str,
+        max_block_postings: int,
+        positions: bool,
+        *tables: pa.Table,
+    ) -> int:
+        """Merge+pack one bucket's blob rows (possibly several ``part``
+        values — ``merge_blob_partition`` sorts by (term, salt) itself and
+        a (term, salt) group lives in exactly one bucket) and write the
+        part + lexicon-partial parquet atomically."""
+        import pyarrow.compute as pc
+
+        t0 = time.time()
+        tabs = [t for t in tables if t is not None and len(t)]
+        if not tabs:
+            return 0
+        group = pa.concat_tables(tabs)
+        part = int(pc.min(group["part"]).as_py())  # stable name: parts are
+        packed = merge_blob_partition(group, max_block_postings, positions)
+        if os.environ.get("INDEX_RAY_PACK_LOG"):
+            with open(os.environ["INDEX_RAY_PACK_LOG"], "a") as fh:
+                fh.write(
+                    f"{os.getpid()} {time.time() - t0:.2f} {len(group)}\n"
+                )
+        path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
+        tmp = path + f".{os.getpid()}.tmp"
+        pq.write_table(packed, tmp)
+        os.replace(tmp, path)  # idempotent under task retry
+        lex = packed.select(["term", "df", "cf"])
+        lpath = os.path.join(lex_dir, f"lex-{part:05d}.parquet")
+        ltmp = lpath + f".{os.getpid()}.tmp"
+        pq.write_table(lex, ltmp)
+        os.replace(ltmp, lpath)
+        return len(packed)
 
 
 def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: int = 0):
@@ -496,12 +518,33 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
     idle = list(workers)
     inflight: dict = {}
     pack_futs: dict = {}   # sort/hash: driver threads running Dataset jobs
-    pack_refs: dict = {}   # bucket: plain pack tasks, one per bucket
+    manifests = dict(done_manifests)
+
+    # bucket mode: a persistent pack-actor pool.  num_cpus=0 + a driver-side
+    # inflight cap: `reserve`-wide while tokenize streams (pack steals only
+    # the reserved CPUs), full-width once tokenize drains.  FIFO rotation
+    # through the pool warms EVERY actor's arena during the stream, so the
+    # drain runs entirely on recycled pages (fresh-page faults are the wall
+    # on this host class — a cold process packs 5-20x slower than a warm one).
+    from collections import deque
+
+    n_pack = min(cpus, len(todo) * nb) if bucket_mode else 0
+    pack_workers = [
+        _PackWorker.options(num_cpus=0).remote() for _ in range(n_pack)
+    ]
+    pack_idle = deque(pack_workers)
+    pack_queue: deque = deque()   # (cid, bucket refs)
+    pack_inflight: dict = {}      # fut -> (cid, actor)
+    packs_left = {cid: nb for cid in todo}
+    t_tok_done = None
+    tok_killed = False
     qi = 0
     head = 0  # rank of the oldest chunk whose phase A is incomplete
     window = max(1, cfg.pipeline_chunks)
     try:
-        while qi < len(queue) or inflight:
+        while (
+            qi < len(queue) or inflight or pack_queue or pack_inflight
+        ):
             while idle and qi < len(queue):
                 cid, item = queue[qi]
                 if rank[cid] > head + window:
@@ -517,8 +560,38 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                     fut = w.run.remote(item, dm)
                 inflight[fut] = (cid, w)
                 qi += 1
-            ready, _ = ray.wait(list(inflight), num_returns=1)
+            tok_done = qi >= len(queue) and not inflight
+            if tok_done and t_tok_done is None:
+                t_tok_done = time.time()
+                if not tok_killed:  # free pool CPUs + arenas for the drain
+                    for w in workers:
+                        ray.kill(w)
+                    tok_killed = True
+            cap = cpus if tok_done else reserve
+            while pack_queue and pack_idle and len(pack_inflight) < cap:
+                pcid, bucket = pack_queue.popleft()
+                pw = pack_idle.popleft()
+                lex_dir = os.path.join(chunk_dirs[pcid], "lexicon")
+                parts_dir = os.path.join(chunk_dirs[pcid], "parts")
+                fut = pw.pack.remote(
+                    parts_dir, lex_dir, cfg.max_block_postings,
+                    cfg.positions, *bucket,
+                )
+                pack_inflight[fut] = (pcid, pw)
+            waitable = list(inflight) + list(pack_inflight)
+            if not waitable:
+                break  # only driver-thread pack_futs left
+            ready, _ = ray.wait(waitable, num_returns=1)
             for fut in ready:
+                if fut in pack_inflight:
+                    pcid, pw = pack_inflight.pop(fut)
+                    pack_idle.append(pw)  # FIFO: rotate through the pool
+                    packs_left[pcid] -= 1
+                    if packs_left[pcid] == 0:
+                        manifests[pcid] = _finish_chunk(
+                            chunk_dirs[pcid], chunks[pcid], cid0 + pcid, cfg, {}
+                        )
+                    continue
                 cid, w = inflight.pop(fut)
                 idle.append(w)
                 if not bucket_mode:
@@ -526,19 +599,16 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                 remaining[cid] -= 1
                 if remaining[cid] == 0:
                     if bucket_mode:
-                        # reduce side: one plain task per bucket, scheduled
-                        # the moment the chunk's last spec lands — runs on
-                        # the reserved CPUs while later chunks tokenize
-                        lex_dir = os.path.join(chunk_dirs[cid], "lexicon")
-                        os.makedirs(lex_dir, exist_ok=True)
-                        parts_dir = os.path.join(chunk_dirs[cid], "parts")
-                        pack_refs[cid] = [
-                            _pack_bucket.remote(
-                                parts_dir, lex_dir, cfg.max_block_postings,
-                                cfg.positions, *bucket,
-                            )
-                            for bucket in brefs.pop(cid)
-                        ]
+                        # reduce side: one pack-actor call per bucket,
+                        # queued the moment the chunk's last spec lands —
+                        # runs on the reserved CPUs while later chunks
+                        # tokenize, full-width once tokenize drains
+                        os.makedirs(
+                            os.path.join(chunk_dirs[cid], "lexicon"),
+                            exist_ok=True,
+                        )
+                        for bucket in brefs.pop(cid):
+                            pack_queue.append((cid, bucket))
                     else:
                         state = (
                             ray.data.from_arrow_refs(refs.pop(cid)),
@@ -552,21 +622,17 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                     while head < len(todo) and remaining[todo[head]] == 0:
                         head += 1
     finally:
-        for w in workers:  # free pool CPUs for the trailing pack tasks
-            ray.kill(w)
-    t_stream = time.time()
-    manifests = dict(done_manifests)
+        if not tok_killed:
+            for w in workers:
+                ray.kill(w)
+        for pw in pack_workers:
+            ray.kill(pw)
     for cid, f in pack_futs.items():
         manifests[cid] = f.result()
-    for cid, prefs in pack_refs.items():
-        ray.get(prefs)
-        manifests[cid] = _finish_chunk(
-            chunk_dirs[cid], chunks[cid], cid0 + cid, cfg, {}
-        )
-    if manifests:  # wall-clock attribution: stream loop vs trailing drain
-        any_m = manifests[todo[0]] if todo else next(iter(manifests.values()))
+    if manifests and todo:  # wall-clock attribution: tokenize stream vs drain
+        any_m = manifests[todo[0]]
         any_m.setdefault("phase_seconds", {})["pack_drain"] = round(
-            time.time() - t_stream, 3
+            time.time() - (t_tok_done or time.time()), 3
         )
     return [manifests[c] for c in range(len(chunks))], len(done_manifests)
 
