@@ -491,7 +491,8 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
     ]
     n_specs = sum(len(chunks[c]) for c in todo)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    reserve = max(1, cpus // 4)
+    reserve = int(os.environ.get("INDEX_RAY_RESERVE", "0")) or max(1, cpus // 4)
+    drain_cap = int(os.environ.get("INDEX_RAY_DRAIN_CAP", "0")) or cpus
     # one worker per CPU, each declaring a FRACTIONAL num_cpus so Ray still
     # sees `reserve` logical CPUs free for the overlapped pack tasks: the
     # tokenize pool is physically oversubscribed instead of shrunk (pure
@@ -567,7 +568,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                     for w in workers:
                         ray.kill(w)
                     tok_killed = True
-            cap = cpus if tok_done else reserve
+            cap = drain_cap if tok_done else reserve
             while pack_queue and pack_idle and len(pack_inflight) < cap:
                 pcid, bucket = pack_queue.popleft()
                 pw = pack_idle.popleft()
