@@ -361,10 +361,24 @@ class _TokenizeWorker:
     per-spec completions back to their chunk (nor fan a task's output out
     to per-bucket return objects)."""
 
-    def __init__(self, columns, docid_col, id_col, fn_chain, doc_batch):
+    def __init__(self):
+        from ..util import retain_malloc_pages
+
+        retain_malloc_pages()
+        self._ra = None
+
+    def ping(self) -> bool:
+        return True
+
+    def reconfigure(self, columns, docid_col, id_col, fn_chain, doc_batch):
+        """Rebind this worker to a build's config — pools persist across
+        builds in a session (see :func:`_session_pools`), so per-build state
+        (tokenizer, census hot-term ref, partitioning) arrives here rather
+        than in ``__init__``."""
         from ..sources.fragments import ReadApply
 
         self._ra = ReadApply(columns, docid_col, id_col, fn_chain, doc_batch)
+        return True
 
     def run(self, item: dict, docmap_dir: str, n_buckets: int = 0):
         """Tokenize one row-group spec.  With ``n_buckets`` (bucket
@@ -408,6 +422,9 @@ class _PackWorker:
 
         retain_malloc_pages()
 
+    def ping(self) -> bool:
+        return True
+
     def pack(
         self,
         parts_dir: str,
@@ -444,6 +461,55 @@ class _PackWorker:
         pq.write_table(lex, ltmp)
         os.replace(ltmp, lpath)
         return len(packed)
+
+
+_SESSION_POOLS: dict = {}
+
+
+def _session_pools(n_tok: int, n_pack: int):
+    """Per-Ray-session persistent tokenize + pack actor pools.
+
+    A build that spawns fresh actor processes re-pays every arena's
+    first-touch page-fault cost (this host provisions fresh pages 50-100x
+    slower than it recycles them, and the penalty recurs per process);
+    a steady-state ingest service keeps its pools alive between jobs, so
+    builds here reuse one session-scoped pool and ``reconfigure`` it per
+    build.  Actors declare ``num_cpus=0`` because the driver dispatch loop
+    in :func:`_pipelined_build` already bounds physical concurrency (one
+    task per tokenize worker, a driver-side cap on inflight packs) — and a
+    zero-CPU idle pool doesn't starve Dataset stages that run later in the
+    same session.  On a multi-node cluster the equivalent is one pool per
+    node under a placement group; local mode has no second node, so plain
+    zero-CPU actors carry the same design.
+
+    Pools are rebuilt when a new Ray session invalidates the cached
+    handles (detected by a failed ping) or when a larger pool is needed.
+    """
+    cur = _SESSION_POOLS.get("pools")
+    if cur is not None:
+        tok, packw = cur
+        try:
+            ray.get(
+                [tok[0].ping.remote(), packw[0].ping.remote()], timeout=30
+            )
+        except Exception:
+            cur = None
+    if cur is not None and len(tok) >= n_tok and len(packw) >= n_pack:
+        return tok[:n_tok], packw[:n_pack]
+    if cur is not None:  # grow: keep warm actors, add the difference
+        tok = tok + [
+            _TokenizeWorker.options(num_cpus=0).remote()
+            for _ in range(n_tok - len(tok))
+        ]
+        packw = packw + [
+            _PackWorker.options(num_cpus=0).remote()
+            for _ in range(n_pack - len(packw))
+        ]
+    else:
+        tok = [_TokenizeWorker.options(num_cpus=0).remote() for _ in range(n_tok)]
+        packw = [_PackWorker.options(num_cpus=0).remote() for _ in range(n_pack)]
+    _SESSION_POOLS["pools"] = (tok, packw)
+    return tok[:n_tok], packw[:n_pack]
 
 
 def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: int = 0):
@@ -493,23 +559,25 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     reserve = int(os.environ.get("INDEX_RAY_RESERVE", "0")) or max(1, cpus // 4)
     drain_cap = int(os.environ.get("INDEX_RAY_DRAIN_CAP", "0")) or cpus
-    # one worker per CPU, each declaring a FRACTIONAL num_cpus so Ray still
-    # sees `reserve` logical CPUs free for the overlapped pack tasks: the
-    # tokenize pool is physically oversubscribed instead of shrunk (pure
-    # tokenize scales ~linearly with workers on this host — measured 92%
-    # per-worker at 8x — so idle-slot loss beats timeshare loss)
+    # one worker per CPU: the tokenize pool is physically oversubscribed by
+    # the `reserve`-wide overlapped packs instead of shrunk (pure tokenize
+    # scales ~linearly with workers on this host — measured 92% per-worker
+    # at 8x — so idle-slot loss beats timeshare loss)
     nw = max(2, min(cpus, n_specs))
-    acpu = max(0.1, round((cpus - reserve) / nw, 3))
-    workers = [
-        _TokenizeWorker.options(num_cpus=acpu).remote(
-            dm_cols, "docID", cfg.id_col, fn_chain, cfg.batch_size
-        )
-        for _ in range(nw)
-    ]
     bucket_mode = cfg.shuffle == "bucket"
     nb = (
         cfg.n_buckets or max(8, min(256, cfg.chunk_docs // 12000))
     ) if bucket_mode else 0
+    n_pack = min(cpus, len(todo) * nb) if bucket_mode else 0
+    workers, pack_workers = _session_pools(nw, n_pack)
+    ray.get(
+        [
+            w.reconfigure.remote(
+                dm_cols, "docID", cfg.id_col, fn_chain, cfg.batch_size
+            )
+            for w in workers
+        ]
+    )
 
     queue = [(cid, item) for cid in todo for item in _spec_items(chunks[cid])]
     rank = {cid: i for i, cid in enumerate(todo)}
@@ -521,31 +589,24 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
     pack_futs: dict = {}   # sort/hash: driver threads running Dataset jobs
     manifests = dict(done_manifests)
 
-    # bucket mode: a persistent pack-actor pool.  num_cpus=0 + a driver-side
-    # inflight cap: `reserve`-wide while tokenize streams (pack steals only
-    # the reserved CPUs), full-width once tokenize drains.  FIFO rotation
-    # through the pool warms EVERY actor's arena during the stream, so the
-    # drain runs entirely on recycled pages (fresh-page faults are the wall
-    # on this host class — a cold process packs 5-20x slower than a warm one).
+    # bucket mode: the persistent pack-actor pool.  num_cpus=0 + a
+    # driver-side inflight cap: `reserve`-wide while tokenize streams (pack
+    # steals only the reserved CPUs), full-width once tokenize drains.
+    # FIFO rotation through the pool warms EVERY actor's arena during the
+    # stream, so the drain runs entirely on recycled pages (fresh-page
+    # faults are the wall on this host class — a cold process packs 5-20x
+    # slower than a warm one).
     from collections import deque
 
-    n_pack = min(cpus, len(todo) * nb) if bucket_mode else 0
-    pack_workers = [
-        _PackWorker.options(num_cpus=0).remote() for _ in range(n_pack)
-    ]
     pack_idle = deque(pack_workers)
     pack_queue: deque = deque()   # (cid, bucket refs)
     pack_inflight: dict = {}      # fut -> (cid, actor)
     packs_left = {cid: nb for cid in todo}
     t_tok_done = None
-    tok_killed = False
     qi = 0
     head = 0  # rank of the oldest chunk whose phase A is incomplete
     window = max(1, cfg.pipeline_chunks)
-    try:
-        while (
-            qi < len(queue) or inflight or pack_queue or pack_inflight
-        ):
+    while qi < len(queue) or inflight or pack_queue or pack_inflight:
             while idle and qi < len(queue):
                 cid, item = queue[qi]
                 if rank[cid] > head + window:
@@ -564,10 +625,6 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
             tok_done = qi >= len(queue) and not inflight
             if tok_done and t_tok_done is None:
                 t_tok_done = time.time()
-                if not tok_killed:  # free pool CPUs + arenas for the drain
-                    for w in workers:
-                        ray.kill(w)
-                    tok_killed = True
             cap = drain_cap if tok_done else reserve
             while pack_queue and pack_idle and len(pack_inflight) < cap:
                 pcid, bucket = pack_queue.popleft()
@@ -622,12 +679,6 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                         )
                     while head < len(todo) and remaining[todo[head]] == 0:
                         head += 1
-    finally:
-        if not tok_killed:
-            for w in workers:
-                ray.kill(w)
-        for pw in pack_workers:
-            ray.kill(pw)
     for cid, f in pack_futs.items():
         manifests[cid] = f.result()
     if manifests and todo:  # wall-clock attribution: tokenize stream vs drain
