@@ -97,11 +97,18 @@ def run_bench() -> dict:
     t0 = time.time()
     build_index(corpus_dir, index_dir, cfg)
     timings["index_build_cold"] = round(time.time() - t0, 3)
-    shutil.rmtree(index_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(corpus_dir, index_dir, cfg)
-    build_sec = time.time() - t0
+    # two warm builds, min-of-2: actor pools persist across builds in the
+    # session (build.py _session_pools), so these measure the steady state a
+    # long-running ingest sustains; min-of-2 rides out host-speed drift
+    warms = []
+    for _ in range(2):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(corpus_dir, index_dir, cfg)
+        warms.append(time.time() - t0)
+    build_sec = min(warms)
     timings["index_build"] = round(build_sec, 3)
+    timings["index_build_warms"] = [round(w, 3) for w in warms]
     timings["index_build_docs_per_sec"] = round(BENCH_DOCS / build_sec, 1)
 
     if not FAST:  # scaling runs time the build only
