@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": curation.redact_pii,
         "quality_filter": curation.quality_filter,
         "stratified_sample": curation.stratified_sample,
+        "decontaminate": curation.decontaminate,
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         redact_pii_sql_oracle,
         repetition_stats_sql_oracle,
         stratified_sample_sql_oracle,
+        decontaminate_sql_oracle,
     )
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
@@ -394,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": redact_pii_sql_oracle(),
         "quality_filter": quality_filter_sql_oracle(),
         "stratified_sample": stratified_sample_sql_oracle(),
+        "decontaminate": decontaminate_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

@@ -383,3 +383,143 @@ def stratified_sample_sql_oracle() -> str:
         )
         SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECONTAM_MOD = 13          # doc_id % 13 == 0 -> the "benchmark" split
+DECONTAM_NGRAM = 3
+DECONTAM_THRESHOLD = 10    # flag docs with >= 10% of distinct grams in bench
+
+
+class _DocGrams:
+    """batch -> per-doc DISTINCT token n-gram hashes, segment-encoded.
+
+    Shared by both decontamination passes; grams are FNV-combined rolling
+    windows over the frozen ``simple`` tokenizer, identical semantics to
+    the ngram_jaccard ops (docs shorter than n emit no grams, matching the
+    SQL ``range()`` producing an empty list)."""
+
+    def __init__(self, n: int = DECONTAM_NGRAM):
+        self.n = n
+        self.norm = TokenNormalizer("simple")
+
+    def doc_grams(self, batch: pa.Table):
+        from ..functions import minhash as mh
+
+        d, tid, vocab = tokenize_batch(batch["text"], self.norm)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        vhash = mh.hash_strings(vocab)
+        th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+        starts = np.searchsorted(d, np.arange(len(batch)))
+        ends = np.searchsorted(d, np.arange(len(batch)), side="right")
+        out, out_ids = [], []
+        for i in range(len(batch)):
+            toks = th[starts[i] : ends[i]]
+            if len(toks) < self.n:
+                continue
+            out.append(np.unique(mh.shingle_hashes(toks, k=self.n)))
+            out_ids.append(ids[i])
+        return out_ids, out
+
+
+class _BenchGramStage(_DocGrams):
+    """Benchmark split only: emit its distinct gram hashes (for the
+    driver-side union — the eval set is small BY NATURE, that asymmetry is
+    what makes decontamination broadcastable at 100 TB)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        batch = batch.take(pa.array(np.flatnonzero(ids % DECONTAM_MOD == 0)))
+        _, grams = self.doc_grams(batch)
+        u = (
+            np.unique(np.concatenate(grams))
+            if grams
+            else np.empty(0, np.uint64)
+        )
+        return pa.table({"gram": pa.array(u.view(np.int64))})
+
+
+class _ContaminationStage(_DocGrams):
+    """Non-benchmark docs: count distinct grams hitting the broadcast
+    benchmark set -> (doc_id, n_grams, hits, contamination_pct)."""
+
+    def __init__(self, bench_ref):
+        super().__init__()
+        self.bench = ray.get(bench_ref)  # sorted uint64, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        batch = batch.take(pa.array(np.flatnonzero(ids % DECONTAM_MOD != 0)))
+        out_ids, grams = self.doc_grams(batch)
+        rows = {"doc_id": [], "n_grams": [], "hits": [], "contamination_pct": []}
+        for did, g in zip(out_ids, grams):
+            pos = np.searchsorted(self.bench, g)
+            pos[pos >= len(self.bench)] = 0
+            hits = int((self.bench[pos] == g).sum()) if len(self.bench) else 0
+            if 100 * hits >= DECONTAM_THRESHOLD * len(g):
+                rows["doc_id"].append(int(did))
+                rows["n_grams"].append(len(g))
+                rows["hits"].append(hits)
+                rows["contamination_pct"].append(100 * hits // len(g))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+
+def decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Flag training documents contaminated by the benchmark split.
+
+    The standard pre-training decontamination pass (GPT-3 App. C / Dolma):
+    docs whose distinct token 3-grams overlap the eval set's gram set by
+    >= DECONTAM_THRESHOLD% are flagged with exact integer evidence columns.  Two streaming
+    passes, NO shuffle: the benchmark grams (small by nature) are unioned
+    on the driver and broadcast once via ``ray.put``; the corpus scan is
+    one ``map_batches`` with a per-actor ``searchsorted`` membership probe.
+    """
+    bench = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            _BenchGramStage, batch_format="pyarrow", batch_size=1024,
+            concurrency=pool(),
+        )
+        .to_pandas()["gram"]
+        .to_numpy()
+    )
+    bench_ref = ray.put(np.unique(bench.view(np.uint64)))
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        _ContaminationStage,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=pool(),
+    )
+
+
+def decontaminate_sql_oracle() -> str:
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {DECONTAM_NGRAM - 1}, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM arr
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD} = 0),
+        scan AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 count(*) FILTER (WHERE gram IN (SELECT gram FROM bench)) AS hits
+          FROM g WHERE doc_id % {DECONTAM_MOD} <> 0 GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(hits AS BIGINT) AS hits,
+               CAST((100 * hits) // n_grams AS BIGINT) AS contamination_pct
+        FROM scan WHERE 100 * hits >= {DECONTAM_THRESHOLD} * n_grams
+    """

@@ -119,3 +119,34 @@ def test_stratified_sample_deterministic_and_rated():
         total = sum(1 for i in range(n) if batch["lang"][i].as_py() == lang)
         kept = sum(1 for lg in d["lang"] if lg == lang)
         assert abs(100 * kept / total - rate) < 5
+
+
+def test_decontaminate_planted():
+    """An exact copy of a benchmark doc is 100% contaminated; a doc with
+    half its grams shared is ~50%; a disjoint doc is never flagged."""
+    from index_ray.pipelines.curation import (
+        DECONTAM_MOD,
+        DECONTAM_THRESHOLD,
+        _BenchGramStage,
+        _ContaminationStage,
+    )
+    import ray
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    half_text = "alpha beta gamma delta quux corge grault garply waldo fred"
+    clean_text = "one two three four five six seven eight nine"
+    # doc 0 is the benchmark (0 % MOD == 0); others are the corpus
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([bench_text, bench_text, half_text, clean_text]),
+        }
+    )
+    bench_grams = _BenchGramStage()(batch)["gram"].to_numpy().view(np.uint64)
+    ref = ray.put(np.unique(bench_grams))
+    out = _ContaminationStage(ref)(batch).to_pydict()
+    by_id = dict(zip(out["doc_id"], out["contamination_pct"]))
+    assert by_id[1] == 100          # exact benchmark copy
+    assert 20 <= by_id.get(2, 0) <= 60  # partially overlapping doc
+    assert 3 not in by_id           # disjoint doc never flagged
+    assert all(p >= DECONTAM_THRESHOLD for p in out["contamination_pct"])
