@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lookup": flagship.doc_lookup,
+        "term_prefix_stats": flagship.term_prefix_stats,
+        "near_match": flagship.near_match,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "bm25_head_boost": flagship.bm25_head_boost,
@@ -178,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         bm25_meta_sql_oracle,
         bm25_sql_oracle,
         doc_lookup_sql_oracle,
+        term_prefix_stats_sql_oracle,
+        near_match_sql_oracle,
         field_term_stats_sql_oracle,
         phrase_sql_oracle,
     )
@@ -208,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "doc_lookup": doc_lookup_sql_oracle(),
+        "term_prefix_stats": term_prefix_stats_sql_oracle(),
+        "near_match": near_match_sql_oracle(),
         "bm25_head_boost": bm25_head_boost_sql_oracle(),
         "bm25_field_scoped": bm25_field_scoped_sql_oracle(),
         "bm25_topk": bm25_sql_oracle(),

@@ -556,3 +556,91 @@ def index_terms(sf_dir: str) -> pa.Table:
     return ds.to_pandas().pipe(pa.Table.from_pandas, preserve_index=False).select(
         ["term", "df", "cf"]
     )
+
+
+def term_prefix_stats(sf_dir: str, prefix: str = "s") -> pa.Table:
+    """Dictionary prefix query: one sorted-lexicon range scan.
+
+    The reference keeps its dictionary sorted for exactly this ordered
+    iteration (``/root/reference/index.h:320-326``); here the merged
+    lexicon parquet is term-sorted and term-unique, so a prefix query is a
+    row-group-pruned range read over ``[prefix, prefix+1)`` — no posting
+    decode, no shuffle, O(matching vocabulary) I/O at any corpus size.
+    """
+    import pyarrow.dataset as pads
+
+    out = documents_index(sf_dir)
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    t = pads.dataset(
+        sorted(glob.glob(os.path.join(out, "lexicon", "*.parquet")))
+    ).to_table(
+        columns=["term", "df", "cf"],
+        filter=(pads.field("term") >= prefix) & (pads.field("term") < hi),
+    )
+    return t.sort_by([("term", "ascending")])
+
+
+def term_prefix_stats_sql_oracle(prefix: str = "s") -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> '')
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+        FROM t WHERE term LIKE '{prefix}%' GROUP BY term
+    """
+
+
+NEAR_QUERIES: list[tuple[int, str, str, int]] = [
+    (1, "slow", "fast", 1),
+    (2, "key", "value", 3),
+    (3, "table", "part", 2),
+    (4, "xyzzy", "warp", 5),  # absent term: empty result path
+]
+
+
+def near_match(sf_dir: str) -> pa.Table:
+    """Proximity query over the positional index: (qid, doc_id, n_matches).
+
+    Docs where the two terms occur within ``w`` token positions of each
+    other; completes the positional Post model's query surface next to
+    ``phrase_match`` (reference position space:
+    ``/root/reference/index.h:56-60``).
+    """
+    out = documents_index(sf_dir, positions=True)
+    searcher = BM25Searcher(out)
+    results = searcher.near_many([(a, b, w) for _, a, b, w in NEAR_QUERIES])
+    tables = []
+    for (qid, *_), r in zip(NEAR_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "doc_id", "n_matches"])
+
+
+def near_match_sql_oracle() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}', {w})" for qid, a, b, w in NEAR_QUERIES)
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM arr
+        ),
+        q(qid, ta, tb, w) AS (VALUES {values}),
+        hits AS (
+          SELECT DISTINCT q.qid, a.doc_id, a.pos
+          FROM q
+          JOIN p a ON a.term = q.ta
+          JOIN p b ON b.doc_id = a.doc_id AND b.term = q.tb
+                   AND abs(a.pos - b.pos) <= q.w
+        )
+        SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        FROM hits GROUP BY qid, doc_id
+    """

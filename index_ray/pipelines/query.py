@@ -389,26 +389,11 @@ def _score_chunk_and(
     return cand[order], scores[order]
 
 
-def _phrase_chunk(ci: _ChunkIndex, ordered_terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Docs of this chunk containing the exact phrase -> (docIDs, n_matches).
-
-    Candidates come from the conjunctive skip-seek intersection; adjacency
-    is verified over the positional streams: the phrase starts at p iff for
-    every ordinal i, term_i occurs at position p + i.  Verification is the
-    vectorized "count distinct ordinals per (doc, p)" trick — per ordinal a
-    (doc, pos - i) key appears at most once, so a key reaching
-    len(ordered_terms) is a full phrase match.
-    """
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
-    if not ci.has_positions:
-        raise ValueError("index built without positions — rebuild with positions=True")
-    if not ordered_terms:
-        return empty
-    uniq = sorted(set(ordered_terms))
-    cand, _ = _and_candidates(ci, uniq)
-    if len(cand) == 0:
-        return empty
-    # per unique term: (doc, pos) occurrence arrays restricted to candidates
+def _term_occurrences(
+    ci: _ChunkIndex, uniq: list[str], cand: np.ndarray
+) -> dict[str, tuple[np.ndarray, np.ndarray]] | None:
+    """Per term: (doc, within-doc position) occurrence arrays restricted to
+    the candidate docs; None if any term has no occurrence among them."""
     occs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for t in uniq:
         docs_parts, pos_parts = [], []
@@ -435,8 +420,71 @@ def _phrase_chunk(ci: _ChunkIndex, ordered_terms: list[str]) -> tuple[np.ndarray
             docs_parts.append(np.repeat(docs[sel], lens_sel))
             pos_parts.append(pos_flat[oidx])
         if not docs_parts:
-            return empty
+            return None
         occs[t] = (np.concatenate(docs_parts), np.concatenate(pos_parts))
+    return occs
+
+
+def _near_chunk(
+    ci: _ChunkIndex, term_a: str, term_b: str, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Docs where ``term_a`` occurs within ``window`` token positions of
+    ``term_b`` -> (docIDs, n_matches = a-occurrences with a near b).
+
+    Proximity generalizes the phrase path's positional verify: candidates
+    from the conjunctive skip-seek intersection, then one vectorized
+    sorted-key range probe — an a-occurrence (doc, p) matches iff the
+    b-occurrence key stream intersects [doc<<32 | p-w, doc<<32 | p+w]
+    (within-doc positions are uint32 by the pack contract, so the +-w
+    offsets never cross a doc boundary in key space)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not ci.has_positions:
+        raise ValueError("index built without positions — rebuild with positions=True")
+    uniq = sorted({term_a, term_b})
+    cand, _ = _and_candidates(ci, uniq)
+    if len(cand) == 0:
+        return empty
+    occs = _term_occurrences(ci, uniq, cand)
+    if occs is None:
+        return empty
+    da, pa_ = occs[term_a]
+    db, pb = occs[term_b]
+    ka = da.astype(np.int64) * (1 << 32) + pa_
+    order = np.argsort(ka)
+    ka = ka[order]
+    da_s = da[order]
+    kb = np.sort(db.astype(np.int64) * (1 << 32) + pb)
+    lo = np.searchsorted(kb, ka - window)
+    hi = np.searchsorted(kb, ka + window, side="right")
+    hit = hi > lo
+    if not hit.any():
+        return empty
+    mdocs, mcounts = np.unique(da_s[hit], return_counts=True)
+    return mdocs.astype(np.int64), mcounts.astype(np.int64)
+
+
+def _phrase_chunk(ci: _ChunkIndex, ordered_terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Docs of this chunk containing the exact phrase -> (docIDs, n_matches).
+
+    Candidates come from the conjunctive skip-seek intersection; adjacency
+    is verified over the positional streams: the phrase starts at p iff for
+    every ordinal i, term_i occurs at position p + i.  Verification is the
+    vectorized "count distinct ordinals per (doc, p)" trick — per ordinal a
+    (doc, pos - i) key appears at most once, so a key reaching
+    len(ordered_terms) is a full phrase match.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not ci.has_positions:
+        raise ValueError("index built without positions — rebuild with positions=True")
+    if not ordered_terms:
+        return empty
+    uniq = sorted(set(ordered_terms))
+    cand, _ = _and_candidates(ci, uniq)
+    if len(cand) == 0:
+        return empty
+    occs = _term_occurrences(ci, uniq, cand)
+    if occs is None:
+        return empty
     # adjacency: count ordinals agreeing on (doc, start = pos - ordinal)
     n_ord = len(ordered_terms)
     keys_parts = []
@@ -493,6 +541,25 @@ class SearchShard:
             docs_parts, cnt_parts = [], []
             for ci in self.chunks:
                 d, c = _phrase_chunk(ci, terms)
+                docs_parts.append(d)
+                cnt_parts.append(c)
+            out.append((np.concatenate(docs_parts), np.concatenate(cnt_parts)))
+        return out
+
+    def near_many(
+        self, pairs: list[tuple[str, str, int] | None]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per (term_a, term_b, window): (matching docIDs, near-counts)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        out = []
+        for p in pairs:
+            if p is None:
+                out.append(empty)
+                continue
+            a, b, w = p
+            docs_parts, cnt_parts = [], []
+            for ci in self.chunks:
+                d, c = _near_chunk(ci, a, b, w)
                 docs_parts.append(d)
                 cnt_parts.append(c)
             out.append((np.concatenate(docs_parts), np.concatenate(cnt_parts)))
@@ -638,6 +705,46 @@ class BM25Searcher:
                 terms = []  # a term absent from the corpus: no match anywhere
             prepared.append(terms)
         futs = [a.phrase_many.remote(prepared) for a in self.actors]
+        per_actor = ray.get(futs)
+        out = []
+        for qi in range(len(prepared)):
+            docs = np.concatenate([res[qi][0] for res in per_actor])
+            cnts = np.concatenate([res[qi][1] for res in per_actor])
+            order = np.argsort(docs)
+            out.append(
+                pa.table(
+                    {
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "n_matches": pa.array(cnts[order], type=pa.int64()),
+                    }
+                )
+            )
+        return out
+
+    def near_many(self, pairs: list[tuple[str, str, int]]) -> list[pa.Table]:
+        """Proximity match over the positional index.
+
+        One table per (term_a, term_b, window): (docID, n_matches) for
+        every document where the two terms occur within ``window`` token
+        positions of each other; n_matches counts term_a occurrences with a
+        term_b nearby.  Requires an index built with ``positions=True``.
+        """
+        if not self.stats.get("positions"):
+            raise ValueError(
+                f"index at {self.index_dir} was built without positions=True"
+            )
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared: list[tuple[str, str, int] | None] = []
+        for a, b, w in pairs:
+            ta = query_terms_ordered(a, tok_mode)
+            tb = query_terms_ordered(b, tok_mode)
+            if len(ta) != 1 or len(tb) != 1:
+                raise ValueError("near_many takes single-term operands")
+            weights = self.lexicon.idf(sorted({ta[0], tb[0]}))
+            prepared.append(
+                (ta[0], tb[0], int(w)) if len(weights) == len({ta[0], tb[0]}) else None
+            )
+        futs = [a.near_many.remote(prepared) for a in self.actors]
         per_actor = ray.get(futs)
         out = []
         for qi in range(len(prepared)):

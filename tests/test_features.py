@@ -320,3 +320,32 @@ def test_min_label_propagation():
     chain_b = chain_a + 1
     m2, r2 = min_label_propagation(chain_a, chain_b)
     assert set(r2.tolist()) == {100}
+
+
+def test_near_matches_bruteforce(pos_index_dir, tiny_corpus_table):
+    toks = _doc_tokens(tiny_corpus_table)
+    searcher = BM25Searcher(pos_index_dir, num_shards=2)
+    # pairs sampled from real documents (+ one absent term), varied windows
+    pairs = [
+        (toks[0][3], toks[0][4], 1),
+        (toks[7][0], toks[7][5], 3),
+        (toks[11][2], toks[11][2], 0),   # same term: trivially near itself
+        ("zzzabsent", toks[0][0], 5),
+    ]
+    results = searcher.near_many(pairs)
+    for (a, b, w), r in zip(pairs, results):
+        expect = {}
+        for docid, tk in enumerate(toks):
+            pa_pos = [i for i, t in enumerate(tk) if t == a]
+            pb_pos = [i for i, t in enumerate(tk) if t == b]
+            n = sum(1 for p in pa_pos if any(abs(p - q) <= w for q in pb_pos))
+            if n:
+                expect[docid] = n
+        got = dict(zip(r["docID"].to_pylist(), r["n_matches"].to_pylist()))
+        assert got == expect, (a, b, w)
+
+
+def test_near_requires_positions(tiny_index_dir):
+    searcher = BM25Searcher(tiny_index_dir, num_shards=1)
+    with pytest.raises(ValueError, match="positions"):
+        searcher.near_many([("a", "b", 2)])
