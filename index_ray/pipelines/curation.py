@@ -25,7 +25,7 @@ import ray.data
 
 from ..functions.minhash import md5_strings
 from ..functions.tokenize import TokenNormalizer, doc_term_tf, tokenize_batch
-from ..util import pool
+from ..util import pool, stage_fn
 from .text import STOPWORDS, docs_dataset
 
 # ---------------------------------------------------------------------------
@@ -101,7 +101,7 @@ class RepetitionStage:
 
 def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        RepetitionStage, batch_format="pyarrow", batch_size=512, concurrency=pool()
+        stage_fn(RepetitionStage), batch_format="pyarrow", batch_size=512
     )
 
 
@@ -202,7 +202,7 @@ class RedactStage:
 
 def redact_pii(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        RedactStage, batch_format="pyarrow", batch_size=1024, concurrency=pool()
+        stage_fn(RedactStage), batch_format="pyarrow", batch_size=1024
     )
 
 
@@ -279,7 +279,7 @@ class QualityFilterStage:
 
 def quality_filter(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityFilterStage, batch_format="pyarrow", batch_size=1024, concurrency=pool()
+        stage_fn(QualityFilterStage), batch_format="pyarrow", batch_size=1024
     )
 
 
@@ -365,7 +365,7 @@ class StratifiedSampleStage:
 
 def stratified_sample(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "lang"]).map_batches(
-        StratifiedSampleStage, batch_format="pyarrow", batch_size=4096, concurrency=pool()
+        stage_fn(StratifiedSampleStage), batch_format="pyarrow", batch_size=4096
     )
 
 
@@ -482,19 +482,17 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
     bench = (
         docs_dataset(sf_dir, ["doc_id", "text"])
         .map_batches(
-            _BenchGramStage, batch_format="pyarrow", batch_size=1024,
-            concurrency=pool(),
+            stage_fn(_BenchGramStage), batch_format="pyarrow",
+            batch_size=1024,
         )
         .to_pandas()["gram"]
         .to_numpy()
     )
     bench_ref = ray.put(np.unique(bench.view(np.uint64)))
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        _ContaminationStage,
-        fn_constructor_args=(bench_ref,),
+        stage_fn(_ContaminationStage, bench_ref),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=pool(),
     )
 
 

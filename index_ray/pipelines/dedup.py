@@ -29,7 +29,7 @@ from ray.data.aggregate import Count, Min
 
 from ..functions import minhash as mh
 from ..functions.tokenize import TokenNormalizer, tokenize_batch
-from ..util import pairs_table, pool
+from ..util import pairs_table, pool, stage_fn
 from .text import docs_dataset
 
 import logging
@@ -158,8 +158,8 @@ def minhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
     """Near-duplicate pairs (a < b), reference LSH constants, sorted/unique."""
     ds = (
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(_SignStage, fn_constructor_args=(mode,), batch_format="pyarrow",
-                     batch_size=256, concurrency=pool())
+        .map_batches(stage_fn(_SignStage, mode), batch_format="pyarrow",
+                     batch_size=256)
         .groupby(["band", "band_hash"])
         .map_groups(_pairs_from_bucket, batch_format="pyarrow")
     )
@@ -327,8 +327,8 @@ def _simhash_pairs(group: pa.Table) -> pa.Table:
 def simhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
     ds = (
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(_SimhashStage, fn_constructor_args=(mode,), batch_format="pyarrow",
-                     batch_size=256, concurrency=pool())
+        .map_batches(stage_fn(_SimhashStage, mode), batch_format="pyarrow",
+                     batch_size=256)
         .groupby(["band", "band_val"])
         .map_groups(_simhash_pairs, batch_format="pyarrow")
     )

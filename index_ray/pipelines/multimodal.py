@@ -202,11 +202,11 @@ def media_features(sf_dir: str, n: int = 200):
     """
     import ray.data
 
-    from ..util import pool
+    from ..util import pool, stage_fn
 
     ds = ray.data.from_arrow(synth_media_table(n, kind="image"))
     return ds.map_batches(
-        DecodeFeatures, batch_format="pyarrow", batch_size=32, concurrency=pool()
+        stage_fn(DecodeFeatures), batch_format="pyarrow", batch_size=32
     )
 
 
@@ -219,7 +219,7 @@ def video_frame_sample(sf_dir: str, n: int = 64):
     """
     import ray.data
 
-    from ..util import pool
+    from ..util import pool, stage_fn
 
     def frame_meta(batch: pa.Table) -> pa.Table:
         col = batch["frame"]
@@ -236,5 +236,5 @@ def video_frame_sample(sf_dir: str, n: int = 64):
 
     ds = ray.data.from_arrow(synth_media_table(n, kind="video"))
     return ds.map_batches(
-        FrameSample, batch_format="pyarrow", batch_size=16, concurrency=pool()
+        stage_fn(FrameSample), batch_format="pyarrow", batch_size=16
     ).map_batches(frame_meta, batch_format="pyarrow")

@@ -23,7 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.tokenize import TokenNormalizer, doc_term_tf
-from ..util import pool
+from ..util import pool, stage_fn
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
@@ -89,7 +89,7 @@ def term_stats(sf_dir: str) -> ray.data.Dataset:
     """(term, cf, df) — reference A1 (getUseCount) + A2 (documentCount)."""
     return (
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(_TermPartials, batch_format="pyarrow", batch_size=512, concurrency=pool())
+        .map_batches(stage_fn(_TermPartials), batch_format="pyarrow", batch_size=512)
         .groupby("term")
         .aggregate(Sum("cf_part", alias_name="cf"), Sum("df_part", alias_name="df"))
     )
@@ -106,7 +106,7 @@ def doc_lengths(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_tokens) — reference A4 per-doc length."""
     return (
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(_DocTokenStats, batch_format="pyarrow", batch_size=512, concurrency=pool())
+        .map_batches(stage_fn(_DocTokenStats), batch_format="pyarrow", batch_size=512)
         .select_columns(["doc_id", "n_tokens"])
     )
 
@@ -114,7 +114,7 @@ def doc_lengths(sf_dir: str) -> ray.data.Dataset:
 def quality_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-doc quality features: token/unique/char/stopword counts."""
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        _DocTokenStats, batch_format="pyarrow", batch_size=512, concurrency=pool()
+        stage_fn(_DocTokenStats), batch_format="pyarrow", batch_size=512
     )
 
 
@@ -206,7 +206,7 @@ def bigram_counts(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     return (
         docs_dataset(sf_dir, ["doc_id", "text"])
         .map_batches(
-            _BigramPartials, batch_format="pyarrow", batch_size=512, concurrency=pool()
+            stage_fn(_BigramPartials), batch_format="pyarrow", batch_size=512
         )
         .groupby("bigram")
         .aggregate(Sum("cf_part", alias_name="cf"))

@@ -15,7 +15,7 @@ import ray.data
 
 from ..functions.minhash import hash_strings
 from ..functions.tokenize import TokenNormalizer, tokenize_batch
-from ..util import pool
+from ..util import pool, stage_fn
 from .text import docs_dataset
 
 # tiny stopword profiles; scores are integer hit counts -> deterministic
@@ -73,7 +73,7 @@ class LangIdStage:
 
 def language_id(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdStage, batch_format="pyarrow", batch_size=512, concurrency=pool()
+        stage_fn(LangIdStage), batch_format="pyarrow", batch_size=512
     )
 
 
@@ -134,7 +134,7 @@ class FingerprintStage:
 
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        FingerprintStage, batch_format="pyarrow", batch_size=512, concurrency=pool()
+        stage_fn(FingerprintStage), batch_format="pyarrow", batch_size=512
     )
 
 
@@ -180,7 +180,7 @@ class TokenCountStage:
 
 def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenCountStage, batch_format="pyarrow", batch_size=1024, concurrency=pool()
+        stage_fn(TokenCountStage), batch_format="pyarrow", batch_size=1024
     )
 
 
