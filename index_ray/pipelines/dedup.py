@@ -338,6 +338,101 @@ def simhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
 # ------------------------------------------------------- ngram jaccard ----
 
 
+
+class _GramEmit:
+    """batch -> (gram, doc_id) rows of per-doc DISTINCT token n-gram hashes."""
+
+    def __init__(self, n: int, mode: str):
+        self.n = n
+        self.norm = TokenNormalizer(mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, tid, vocab = tokenize_batch(batch["text"], self.norm)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        vhash = mh.hash_strings(vocab)
+        th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+        starts = np.searchsorted(d, np.arange(len(batch)))
+        ends = np.searchsorted(d, np.arange(len(batch)), side="right")
+        out_gram, out_id = [], []
+        for i in range(len(batch)):
+            toks = th[starts[i] : ends[i]]
+            if len(toks) < self.n:
+                continue  # SQL emits no grams for short docs
+            grams = np.unique(mh.shingle_hashes(toks, k=self.n))
+            out_gram.append(grams.view(np.int64))
+            out_id.append(np.full(len(grams), ids[i], dtype=np.int64))
+        if not out_gram:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(out_gram)),
+                "doc_id": pa.array(np.concatenate(out_id)),
+            }
+        )
+
+
+class _NgramBandSign:
+    """batch -> LSH band rows over MinHash signatures of token n-grams."""
+
+    def __init__(self, n: int, mode: str):
+        self.n = n
+        self.norm = TokenNormalizer(mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, tid, vocab = tokenize_batch(batch["text"], self.norm)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        vhash = mh.hash_strings(vocab)
+        th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+        starts = np.searchsorted(d, np.arange(len(batch)))
+        ends = np.searchsorted(d, np.arange(len(batch)), side="right")
+        bhs = np.empty((len(batch), mh.NUM_BANDS), dtype=np.int64)
+        for i in range(len(batch)):
+            grams = np.unique(mh.shingle_hashes(th[starts[i]:ends[i]], k=self.n))
+            bhs[i] = mh.band_hashes(mh.minhash_signature(grams)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(mh.NUM_BANDS, dtype=np.int32), len(batch))
+                ),
+                "band_hash": pa.array(bhs.ravel(), pa.int64()),
+            }
+        )
+
+
+class _CandGramSets:
+    """batch -> (doc_id, packed gram set) for broadcast candidate ids only."""
+
+    def __init__(self, n: int, mode: str, cand_ids_ref):
+        self.n = n
+        self.norm = TokenNormalizer(mode)
+        self.want = ray.get(cand_ids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, self.want)
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "grams": pa.array([], pa.binary()),
+                }
+            )
+        sub = batch.filter(pa.array(mask))
+        d, tid, vocab = tokenize_batch(sub["text"], self.norm)
+        vhash = mh.hash_strings(vocab)
+        th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
+        starts = np.searchsorted(d, np.arange(len(sub)))
+        ends = np.searchsorted(d, np.arange(len(sub)), side="right")
+        sets = [
+            np.unique(mh.shingle_hashes(th[starts[i]:ends[i]], k=self.n)).tobytes()
+            for i in range(len(sub))
+        ]
+        return pa.table({"doc_id": sub["doc_id"], "grams": pa.array(sets, pa.binary())})
+
+
 def ngram_jaccard_dedup(
     sf_dir: str, n: int = 3, threshold_pct: int = 80, mode: str = "simple"
 ) -> pa.Table:
@@ -351,36 +446,6 @@ def ngram_jaccard_dedup(
     sub-quadratic banded scale path.
     """
 
-    class GramStage:
-        def __init__(self):
-            self.norm = TokenNormalizer(mode)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            d, tid, vocab = tokenize_batch(batch["text"], self.norm)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            vhash = mh.hash_strings(vocab)
-            th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
-            starts = np.searchsorted(d, np.arange(len(batch)))
-            ends = np.searchsorted(d, np.arange(len(batch)), side="right")
-            out_gram, out_id = [], []
-            for i in range(len(batch)):
-                toks = th[starts[i] : ends[i]]
-                if len(toks) < n:
-                    continue  # SQL emits no grams for short docs
-                grams = np.unique(mh.shingle_hashes(toks, k=n))
-                out_gram.append(grams.view(np.int64))
-                out_id.append(np.full(len(grams), ids[i], dtype=np.int64))
-            if not out_gram:
-                return pa.table(
-                    {"gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
-                )
-            return pa.table(
-                {
-                    "gram": pa.array(np.concatenate(out_gram)),
-                    "doc_id": pa.array(np.concatenate(out_id)),
-                }
-            )
-
     def gram_pairs(group: pa.Table) -> pa.Table:
         ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
@@ -390,7 +455,7 @@ def ngram_jaccard_dedup(
 
     grams = (
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(GramStage, batch_format="pyarrow", batch_size=256, concurrency=pool())
+        .map_batches(stage_fn(_GramEmit, n, mode), batch_format="pyarrow", batch_size=256)
         .materialize()  # consumed twice (sizes + pairs); bounded by distinct (doc, gram)
     )
     sizes_t = grams.groupby("doc_id").count().to_pandas()
@@ -463,31 +528,6 @@ def ngram_jaccard_lsh(
        candidate/verify split is unchanged.
     """
 
-    class NgramSign:
-        def __init__(self):
-            self.norm = TokenNormalizer(mode)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            d, tid, vocab = tokenize_batch(batch["text"], self.norm)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            vhash = mh.hash_strings(vocab)
-            th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
-            starts = np.searchsorted(d, np.arange(len(batch)))
-            ends = np.searchsorted(d, np.arange(len(batch)), side="right")
-            bhs = np.empty((len(batch), mh.NUM_BANDS), dtype=np.int64)
-            for i in range(len(batch)):
-                grams = np.unique(mh.shingle_hashes(th[starts[i]:ends[i]], k=n))
-                bhs[i] = mh.band_hashes(mh.minhash_signature(grams)).view(np.int64)
-            return pa.table(
-                {
-                    "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
-                    "band": pa.array(
-                        np.tile(np.arange(mh.NUM_BANDS, dtype=np.int32), len(batch))
-                    ),
-                    "band_hash": pa.array(bhs.ravel(), pa.int64()),
-                }
-            )
-
     def bucket_cands(group: pa.Table) -> pa.Table:
         ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
@@ -503,7 +543,7 @@ def ngram_jaccard_lsh(
 
     cand = pairs_table(
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(NgramSign, batch_format="pyarrow", batch_size=256, concurrency=pool())
+        .map_batches(stage_fn(_NgramBandSign, n, mode), batch_format="pyarrow", batch_size=256)
         .groupby(["band", "band_hash"])
         .map_groups(bucket_cands, batch_format="pyarrow")
     )
@@ -515,36 +555,9 @@ def ngram_jaccard_lsh(
     # stage 3: gram sets for candidate docs only
     cand_ids_ref = ray.put(np.unique(np.concatenate([a, b])))
 
-    class GramSets:
-        def __init__(self):
-            self.norm = TokenNormalizer(mode)
-            self.want = ray.get(cand_ids_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            mask = np.isin(ids, self.want)
-            if not mask.any():
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], pa.int64()),
-                        "grams": pa.array([], pa.binary()),
-                    }
-                )
-            sub = batch.filter(pa.array(mask))
-            d, tid, vocab = tokenize_batch(sub["text"], self.norm)
-            vhash = mh.hash_strings(vocab)
-            th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
-            starts = np.searchsorted(d, np.arange(len(sub)))
-            ends = np.searchsorted(d, np.arange(len(sub)), side="right")
-            sets = [
-                np.unique(mh.shingle_hashes(th[starts[i]:ends[i]], k=n)).tobytes()
-                for i in range(len(sub))
-            ]
-            return pa.table({"doc_id": sub["doc_id"], "grams": pa.array(sets, pa.binary())})
-
     gt = (
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(GramSets, batch_format="pyarrow", batch_size=256, concurrency=pool())
+        .map_batches(stage_fn(_CandGramSets, n, mode, cand_ids_ref), batch_format="pyarrow", batch_size=256)
         .to_pandas()  # bounded: one row per candidate doc
     )
     gram_of = {

@@ -26,7 +26,7 @@ import ray.data
 
 _HYPERPLANE_SEED = 0x5EED
 
-from ..util import pairs_table, pool
+from ..util import stage_fn, pairs_table, pool
 
 
 def emb_dataset(sf_dir: str) -> ray.data.Dataset:
@@ -297,6 +297,45 @@ def embedding_lsh_consistency(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     )
 
 
+class _HyperplaneSign:
+    """Sign stage: hyperplanes built once per worker process (deterministic
+    seed, so every worker holds the same H); emits base + Hamming-1 probes."""
+
+    def __init__(self, nbits: int):
+        self.nbits = nbits
+        self.H: np.ndarray | None = None
+        self.pow2 = np.full(nbits, 1, dtype=np.uint64) << np.arange(
+            nbits, dtype=np.uint64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nbits = self.nbits
+        m = _to_matrix(batch["embedding"])
+        if self.H is None:
+            self.H = _hyperplanes(m.shape[1], nbits)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = (mn @ self.H.T > 0).astype(np.uint64)
+        base = (sig * self.pow2[None, :]).sum(axis=1).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        keys = [base]
+        for b in range(nbits):
+            keys.append(base ^ (1 << b))
+        key_col = np.concatenate(keys)
+        id_col = np.tile(ids, nbits + 1)
+        vec_col = np.tile(mn, (nbits + 1, 1))
+        return pa.table(
+            {
+                "key": pa.array(key_col, pa.int64()),
+                "vec_id": pa.array(id_col, pa.int64()),
+                "vec": pa.array(list(vec_col)),
+                "is_base": pa.array(
+                    np.repeat([True] + [False] * nbits, n), pa.bool_()
+                ),
+            }
+        )
+
+
 def embedding_neardup_lsh(
     sf_dir: str, threshold: float = 0.45, nbits: int = 6
 ) -> pa.Table:
@@ -307,44 +346,6 @@ def embedding_neardup_lsh(
     verify within buckets.  Approximate: recall vs ``embedding_neardup``
     is measured in tests.
     """
-    class SignStage:
-        """Stateful sign stage: hyperplanes built once per actor, not per
-        task (deterministic seed, so every actor holds the same H)."""
-
-        def __init__(self):
-            self.H: np.ndarray | None = None
-            self.pow2 = np.full(nbits, 1, dtype=np.uint64) << np.arange(
-                nbits, dtype=np.uint64
-            )
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _to_matrix(batch["embedding"])
-            if self.H is None:
-                self.H = _hyperplanes(m.shape[1], nbits)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sig = (mn @ self.H.T > 0).astype(np.uint64)
-            base = (sig * self.pow2[None, :]).sum(axis=1).astype(np.int64)
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            n = len(ids)
-            # multi-probe: emit the base bucket and every Hamming-1 neighbor
-            keys = [base]
-            for b in range(nbits):
-                keys.append(base ^ (1 << b))
-            key_col = np.concatenate(keys)
-            id_col = np.tile(ids, nbits + 1)
-            vec_col = np.tile(mn, (nbits + 1, 1))
-            return pa.table(
-                {
-                    "key": pa.array(key_col, pa.int64()),
-                    "vec_id": pa.array(id_col, pa.int64()),
-                    "vec": pa.array(list(vec_col)),
-                    "is_base": pa.array(
-                        np.repeat([True] + [False] * nbits, n), pa.bool_()
-                    ),
-                }
-            )
-
-    sign_stage = SignStage
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
@@ -366,7 +367,8 @@ def embedding_neardup_lsh(
     ds = (
         emb_dataset(sf_dir)
         .map_batches(
-            sign_stage, batch_format="pyarrow", batch_size=4096, concurrency=pool()
+            stage_fn(_HyperplaneSign, nbits), batch_format="pyarrow",
+            batch_size=4096,
         )
         .groupby("key")
         .map_groups(bucket_pairs, batch_format="pyarrow")

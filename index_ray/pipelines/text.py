@@ -134,31 +134,34 @@ def corpus_stats(sf_dir: str) -> pa.Table:
     )
 
 
+class _PerLangPartials:
+    """batch -> per-lang (docs_part, tokens_part) partials."""
+
+    def __init__(self):
+        self.norm = TokenNormalizer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, _, tf, _ = doc_term_tf(batch["text"], self.norm)
+        n_tokens = np.bincount(d, weights=tf, minlength=len(batch)).astype(np.int64)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        return pa.table(
+            {
+                "lang": pa.array(uniq),
+                "docs_part": pa.array(np.bincount(inv).astype(np.int64)),
+                "tokens_part": pa.array(
+                    np.bincount(inv, weights=n_tokens).astype(np.int64)
+                ),
+            }
+        )
+
+
 def token_count_by_lang(sf_dir: str) -> ray.data.Dataset:
     """(lang, docs, tokens) — doc counts + exact token sums per lang."""
 
-    class PerLang:
-        def __init__(self):
-            self.norm = TokenNormalizer("simple")
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            d, _, tf, _ = doc_term_tf(batch["text"], self.norm)
-            n_tokens = np.bincount(d, weights=tf, minlength=len(batch)).astype(np.int64)
-            langs = batch["lang"].to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(langs, return_inverse=True)
-            return pa.table(
-                {
-                    "lang": pa.array(uniq),
-                    "docs_part": pa.array(np.bincount(inv).astype(np.int64)),
-                    "tokens_part": pa.array(
-                        np.bincount(inv, weights=n_tokens).astype(np.int64)
-                    ),
-                }
-            )
-
     return (
         docs_dataset(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(PerLang, batch_format="pyarrow", batch_size=512, concurrency=pool())
+        .map_batches(stage_fn(_PerLangPartials), batch_format="pyarrow", batch_size=512)
         .groupby("lang")
         .aggregate(Sum("docs_part", alias_name="docs"), Sum("tokens_part", alias_name="tokens"))
     )
@@ -236,6 +239,69 @@ def bigram_counts_sql_oracle(min_count: int = 5) -> str:
     """
 
 
+class _TopKwStage:
+    """batch -> per-doc top-k TF-IDF keywords; (df map, N, k) via ctor."""
+
+    def __init__(self, df_ref, n_docs: int, k: int):
+        self.df: dict = ray.get(df_ref)
+        self.n_docs = n_docs
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        n_docs, k = self.n_docs, self.k
+        d, tid, tf, vocab = doc_term_tf(batch["text"], TokenNormalizer("simple"))
+        if not vocab:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        dfget = self.df.get
+        vdf = np.fromiter(
+            (dfget(v, 1) for v in vocab), dtype=np.int64, count=len(vocab)
+        )
+        vidf = np.fromiter(
+            (math.log(n_docs / x) for x in vdf.tolist()),
+            dtype=np.float64,
+            count=len(vdf),
+        )
+        score = tf * vidf[tid]
+        # per-vocab sorted rank = the "term ASC" tie-break as an int key
+        trank = np.empty(len(vocab), dtype=np.int64)
+        trank[np.argsort(np.array(vocab, dtype=object), kind="stable")] = np.arange(
+            len(vocab)
+        )
+        order = np.lexsort((trank[tid], -score, d))
+        ds_, tids_, tfs_ = d[order], tid[order], tf[order]
+        new_doc = np.empty(len(ds_), dtype=bool)
+        new_doc[0] = True
+        np.not_equal(ds_[1:], ds_[:-1], out=new_doc[1:])
+        seg = np.cumsum(new_doc) - 1
+        starts = np.flatnonzero(new_doc)
+        rank = np.arange(len(ds_)) - starts[seg] + 1
+        keep = rank <= k
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        terms = pa.array(vocab, pa.string()).take(
+            pa.array(tids_[keep], pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ds_[keep]], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "term": terms,
+                "tf": pa.array(tfs_[keep], pa.int64()),
+                "df": pa.array(vdf[tids_[keep]], pa.int64()),
+            }
+        )
+
+
+
 def keywords_tfidf(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     """Per-doc top-k TF-IDF keywords: (doc_id, rank, term, tf, df).
 
@@ -261,62 +327,10 @@ def keywords_tfidf(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_numpy(zero_copy_only=False)))
     )
 
-    class _TopKw:
-        def __init__(self):
-            self.df: dict = ray.get(df_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            d, tid, tf, vocab = doc_term_tf(batch["text"], TokenNormalizer("simple"))
-            if not vocab:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], pa.int64()),
-                        "rank": pa.array([], pa.int64()),
-                        "term": pa.array([], pa.string()),
-                        "tf": pa.array([], pa.int64()),
-                        "df": pa.array([], pa.int64()),
-                    }
-                )
-            dfget = self.df.get
-            vdf = np.fromiter(
-                (dfget(v, 1) for v in vocab), dtype=np.int64, count=len(vocab)
-            )
-            vidf = np.fromiter(
-                (math.log(n_docs / x) for x in vdf.tolist()),
-                dtype=np.float64,
-                count=len(vdf),
-            )
-            score = tf * vidf[tid]
-            # per-vocab sorted rank = the "term ASC" tie-break as an int key
-            trank = np.empty(len(vocab), dtype=np.int64)
-            trank[np.argsort(np.array(vocab, dtype=object), kind="stable")] = np.arange(
-                len(vocab)
-            )
-            order = np.lexsort((trank[tid], -score, d))
-            ds_, tids_, tfs_ = d[order], tid[order], tf[order]
-            new_doc = np.empty(len(ds_), dtype=bool)
-            new_doc[0] = True
-            np.not_equal(ds_[1:], ds_[:-1], out=new_doc[1:])
-            seg = np.cumsum(new_doc) - 1
-            starts = np.flatnonzero(new_doc)
-            rank = np.arange(len(ds_)) - starts[seg] + 1
-            keep = rank <= k
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            terms = pa.array(vocab, pa.string()).take(
-                pa.array(tids_[keep], pa.int64())
-            )
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids[ds_[keep]], pa.int64()),
-                    "rank": pa.array(rank[keep], pa.int64()),
-                    "term": terms,
-                    "tf": pa.array(tfs_[keep], pa.int64()),
-                    "df": pa.array(vdf[tids_[keep]], pa.int64()),
-                }
-            )
-
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        _TopKw, batch_format="pyarrow", batch_size=512, concurrency=pool()
+        stage_fn(_TopKwStage, df_ref, n_docs, k),
+        batch_format="pyarrow",
+        batch_size=512,
     )
 
 
