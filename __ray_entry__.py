@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lookup": flagship.doc_lookup,
         "term_prefix_stats": flagship.term_prefix_stats,
         "near_match": flagship.near_match,
+        "search_snippets": flagship.search_snippets,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "bm25_head_boost": flagship.bm25_head_boost,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         doc_lookup_sql_oracle,
         term_prefix_stats_sql_oracle,
         near_match_sql_oracle,
+        search_snippets_sql_oracle,
         field_term_stats_sql_oracle,
         phrase_sql_oracle,
     )
@@ -214,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lookup": doc_lookup_sql_oracle(),
         "term_prefix_stats": term_prefix_stats_sql_oracle(),
         "near_match": near_match_sql_oracle(),
+        "search_snippets": search_snippets_sql_oracle(),
         "bm25_head_boost": bm25_head_boost_sql_oracle(),
         "bm25_field_scoped": bm25_field_scoped_sql_oracle(),
         "bm25_topk": bm25_sql_oracle(),

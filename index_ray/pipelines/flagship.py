@@ -644,3 +644,78 @@ def near_match_sql_oracle() -> str:
         SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_matches
         FROM hits GROUP BY qid, doc_id
     """
+
+
+def search_snippets(sf_dir: str, w: int = 3) -> pa.Table:
+    """BM25 results with a keyword-in-context snippet:
+    (qid, rank, doc_id, snippet).
+
+    The snippet is the +-w-token window (normalized token space, so the
+    SQL oracle can mirror it exactly) around the FIRST occurrence of any
+    query term.  Document text is fetched with ONE predicate-pushdown read
+    for all result docs — the result set is the small side; the corpus is
+    never rescanned.
+    """
+    import pyarrow.dataset as pads
+
+    from ..functions.tokenize import TokenNormalizer, tokenize_batch
+
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+    )
+    all_ids = sorted({i for r in results for i in r["docID"].to_pylist()})
+    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(all_ids)
+    )
+    d, tid, vocab = tokenize_batch(tbl["text"].combine_chunks(), TokenNormalizer("simple"))
+    toks_of: dict[int, list[str]] = {i: [] for i in tbl["doc_id"].to_pylist()}
+    ids = tbl["doc_id"].to_pylist()
+    for row, t in zip(d, tid):
+        toks_of[ids[row]].append(vocab[t])
+    rows = {"qid": [], "rank": [], "doc_id": [], "snippet": []}
+    for (qid, terms, _), r in zip(DOC_QUERIES, results):
+        tset = set(terms)
+        for rank, did in zip(r["rank"].to_pylist(), r["docID"].to_pylist()):
+            toks = toks_of[did]
+            p = next((i for i, t in enumerate(toks) if t in tset), None)
+            if p is None:
+                continue  # unreachable for OR-mode results; defensive
+            rows["qid"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(did)
+            rows["snippet"].append(" ".join(toks[max(0, p - w) : p + w + 1]))
+    return pa.table(
+        {
+            "qid": pa.array(rows["qid"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "snippet": pa.array(rows["snippet"], pa.string()),
+        }
+    )
+
+
+def search_snippets_sql_oracle(w: int = 3) -> str:
+    return _bm25_ctes() + f""",
+        arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        firstpos AS (
+          SELECT r.qid, r.rank, r.doc_id,
+                 min(list_position(a.toks, q.term)) AS p
+          FROM ranked r
+          JOIN q ON q.qid = r.qid
+          JOIN arr a ON a.doc_id = r.doc_id
+          WHERE r.rank <= 10 AND list_position(a.toks, q.term) IS NOT NULL
+          GROUP BY 1, 2, 3
+        )
+        SELECT f.qid, f.rank, f.doc_id,
+               array_to_string(
+                 list_slice(a.toks, greatest(1, f.p - {w}),
+                            least(len(a.toks), f.p + {w})), ' ') AS snippet
+        FROM firstpos f JOIN arr a USING (doc_id)
+    """
