@@ -25,7 +25,7 @@ import ray.data
 
 from ..functions.minhash import md5_strings
 from ..functions.tokenize import TokenNormalizer, doc_term_tf, tokenize_batch
-from ..util import pool, stage_fn
+from ..util import stage_fn
 from .text import STOPWORDS, docs_dataset
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from ray.data.aggregate import Count, Min
 
 from ..functions import minhash as mh
 from ..functions.tokenize import TokenNormalizer, tokenize_batch
-from ..util import pairs_table, pool, stage_fn
+from ..util import pairs_table, stage_fn
 from .text import docs_dataset
 
 import logging

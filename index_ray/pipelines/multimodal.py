@@ -202,7 +202,7 @@ def media_features(sf_dir: str, n: int = 200):
     """
     import ray.data
 
-    from ..util import pool, stage_fn
+    from ..util import stage_fn
 
     ds = ray.data.from_arrow(synth_media_table(n, kind="image"))
     return ds.map_batches(
@@ -219,7 +219,7 @@ def video_frame_sample(sf_dir: str, n: int = 64):
     """
     import ray.data
 
-    from ..util import pool, stage_fn
+    from ..util import stage_fn
 
     def frame_meta(batch: pa.Table) -> pa.Table:
         col = batch["frame"]

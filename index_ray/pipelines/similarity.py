@@ -26,7 +26,7 @@ import ray.data
 
 _HYPERPLANE_SEED = 0x5EED
 
-from ..util import stage_fn, pairs_table, pool
+from ..util import pairs_table, stage_fn
 
 
 def emb_dataset(sf_dir: str) -> ray.data.Dataset:

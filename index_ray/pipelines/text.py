@@ -23,7 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.tokenize import TokenNormalizer, doc_term_tf
-from ..util import pool, stage_fn
+from ..util import stage_fn
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 

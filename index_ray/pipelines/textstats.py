@@ -15,7 +15,7 @@ import ray.data
 
 from ..functions.minhash import hash_strings
 from ..functions.tokenize import TokenNormalizer, tokenize_batch
-from ..util import pool, stage_fn
+from ..util import stage_fn
 from .text import docs_dataset
 
 # tiny stopword profiles; scores are integer hit counts -> deterministic

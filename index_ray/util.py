@@ -25,12 +25,6 @@ def retain_malloc_pages(threshold: int = 1 << 30) -> None:
         pass  # non-glibc platform: harmless no-op
 
 
-def pool() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster's CPUs."""
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus))
-
-
 def pairs_table(ds, extra_cols: tuple[str, ...] = ()) -> pa.Table:
     """Collect a (a, b[, ...]) pair dataset -> unique sorted Arrow table."""
     import pandas as pd
