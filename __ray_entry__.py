@@ -66,6 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
         "customers_without_big_orders": relational.customers_without_big_orders,
+        "returned_items_by_nation": relational.returned_items_by_nation,
+        "top_suppliers": relational.top_suppliers,
+        "market_share_by_year": relational.market_share_by_year,
+        "orders_with_big_items": relational.orders_with_big_items,
+        "regex_search": text.regex_search,
         # time-ordered event-stream operators (one user-bucket shuffle)
         "sessionize": events.sessionize,
         "asof_purchase_click": events.asof_purchase_click,
@@ -202,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.text import (
         bigram_counts_sql_oracle,
         keywords_tfidf_sql_oracle,
+        regex_search_sql_oracle,
     )
     from index_ray.pipelines.curation import (
         quality_filter_sql_oracle,
@@ -497,6 +503,51 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_totalprice > 400000)
             GROUP BY 1
         """,
+        "returned_items_by_nation": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1
+        """,
+        "top_suppliers": """
+            SELECT rank, s_suppkey, s_name, revenue_cents FROM (
+              SELECT CAST(row_number() OVER (
+                       ORDER BY revenue_cents DESC, s_suppkey ASC) AS BIGINT) AS rank,
+                     s_suppkey, s_name, revenue_cents
+              FROM (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY 1
+              ) JOIN supplier USING (s_suppkey)
+            ) WHERE rank <= 10
+        """,
+        "market_share_by_year": """
+            SELECT strftime(o_orderdate, '%Y') AS o_year,
+                   CAST(sum(CASE WHEN r_name = 'ASIA'
+                            THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS region_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "orders_with_big_items": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= 49)
+            GROUP BY 1
+        """,
+        "regex_search": regex_search_sql_oracle(),
         "parts_revenue_by_brand": """
             SELECT p_brand,
                    CAST(count(*) AS BIGINT) AS n_items,

@@ -373,6 +373,245 @@ def customers_without_big_orders(
     )
 
 
+def returned_items_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q10 flavor: revenue of RETURNED lineitems rolled up to the
+    customer's nation — (n_name, n_items, revenue_cents).
+
+    lineitem filters l_returnflag='R' at the read (row-level predicate,
+    nothing else leaves storage), pre-aggregates per orderkey per batch,
+    then bucket-shuffle-joins orders; customer->nation is broadcast.
+    """
+    from .join import hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    order_c = np.argsort(ck)
+    cnat_sorted = cust["c_nationkey"].to_numpy(zero_copy_only=False)[order_c]
+    nnames = {
+        int(k): v
+        for k, v in zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    }
+    lookup_ref = ray.put((ck[order_c], cnat_sorted, nnames))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_returnflag"], pa.scalar("R"))
+        b = batch.filter(m)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"o_orderkey": b["l_orderkey"], "rev_cents": _cents(rev)})
+        g = t.group_by(["o_orderkey"], use_threads=False).aggregate(
+            [("rev_cents", "count"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(["o_orderkey", "n_part", "rev_part"])
+
+    def o_nation(batch: pa.Table) -> pa.Table:
+        ck_sorted, cnat, names = ray.get(lookup_ref)
+        pos = np.searchsorted(
+            ck_sorted, batch["o_custkey"].to_numpy(zero_copy_only=False)
+        )
+        nat = cnat[pos]
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "n_name": pa.array([names[int(x)] for x in nat], pa.string()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=16384)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(o_nation, batch_format="pyarrow", batch_size=16384)
+    return (
+        hash_join(li, orders, on="o_orderkey", num_buckets=32)
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_part", alias_name="n_items"),
+            Sum("rev_part", alias_name="revenue_cents"),
+        )
+    )
+
+
+def top_suppliers(sf_dir: str, k: int = 10) -> pa.Table:
+    """TPC-H Q15 flavor: the k suppliers with the highest lineitem revenue.
+
+    (rank, s_suppkey, s_name, revenue_cents) — per-batch partial aggregate
+    per suppkey, one small groupby (rows = distinct suppliers), per-batch
+    local top-k candidates, driver merge of k x n_batches rows; supplier
+    names broadcast.  Ties break (revenue desc, suppkey asc).
+    """
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    snames = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"s_suppkey": batch["l_suppkey"], "rev_cents": _cents(rev)})
+        g = t.group_by(["s_suppkey"], use_threads=False).aggregate(
+            [("rev_cents", "sum")]
+        )
+        return g.rename_columns(["s_suppkey", "rev_part"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        key = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -rev))[:k]
+        return batch.take(pa.array(order))
+
+    cand = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_part", alias_name="revenue_cents"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["revenue_cents", "s_suppkey"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(cand) + 1, dtype=np.int64)),
+            "s_suppkey": pa.array(cand["s_suppkey"].to_numpy(), pa.int64()),
+            "s_name": pa.array(
+                [snames[int(x)] for x in cand["s_suppkey"]], pa.string()
+            ),
+            "revenue_cents": pa.array(cand["revenue_cents"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def market_share_by_year(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
+    """TPC-H Q8 flavor: per order year, lineitem revenue supplied from
+    ``region`` vs total — (o_year, region_cents, total_cents).
+
+    The share is reported as exact integer numerator/denominator (a float
+    ratio would be order-dependent).  supplier->nation->region membership
+    is broadcast as a sorted-key bool array; lineitem pre-aggregates per
+    orderkey per batch; ONE bucket shuffle joins the order year on.
+    """
+    from .join import hash_join
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rkeys = {
+        int(k)
+        for k, v in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if v == region
+    }
+    nat_in = {
+        int(k): (int(v) in rkeys)
+        for k, v in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    order_s = np.argsort(sk)
+    s_in = np.array(
+        [nat_in[int(x)] for x in sup["s_nationkey"].to_numpy(zero_copy_only=False)],
+        dtype=bool,
+    )[order_s]
+    lookup_ref = ray.put((sk[order_s], s_in))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sk_sorted, in_region = ray.get(lookup_ref)
+        pos = np.searchsorted(
+            sk_sorted, batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        )
+        inr = in_region[pos]
+        rev = _cents(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            )
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "reg_cents": pa.array(np.where(inr, rev, 0)),
+                "tot_cents": pa.array(rev),
+            }
+        )
+        g = t.group_by(["o_orderkey"], use_threads=False).aggregate(
+            [("reg_cents", "sum"), ("tot_cents", "sum")]
+        )
+        return g.rename_columns(["o_orderkey", "reg_part", "tot_part"])
+
+    def o_year(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pc.strftime(batch["o_orderdate"], format="%Y"),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=16384)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(o_year, batch_format="pyarrow", batch_size=16384)
+    return (
+        hash_join(li, orders, on="o_orderkey", num_buckets=32)
+        .groupby("o_year")
+        .aggregate(
+            Sum("reg_part", alias_name="region_cents"),
+            Sum("tot_part", alias_name="total_cents"),
+        )
+    )
+
+
+def orders_with_big_items(sf_dir: str, min_qty: float = 49.0) -> ray.data.Dataset:
+    """TPC-H Q4 flavor SEMI-join: orders having at least one lineitem with
+    quantity >= ``min_qty``, counted per order priority.
+
+    (o_orderpriority, n_orders).  The right side collapses each lineitem
+    batch to its distinct qualifying orderkeys before the shuffle;
+    ``hash_join(..., how="left semi")`` keeps each order exactly once no
+    matter how many qualifying items it has (per-bucket pyarrow semi-join
+    dedups, and orderkeys never repeat across left batches).
+    """
+    from .join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["l_quantity"], pa.scalar(min_qty))
+        u = np.unique(batch["l_orderkey"].filter(m).to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": pa.array(u, pa.int64())})
+
+    big = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(big_keys, batch_format="pyarrow", batch_size=16384)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderpriority"], use_threads=False).aggregate(
+            [("o_orderkey", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "n_part"])
+
+    return (
+        hash_join(orders, big, on="o_orderkey", num_buckets=32, how="left semi")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+    )
+
+
 def revenue_by_month(sf_dir: str) -> ray.data.Dataset:
     """(month, n_items, revenue_cents) — tumbling month windows over
     l_shipdate; month is the ISO 'YYYY-MM' string."""

@@ -415,3 +415,40 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
             Max("vmax_part", alias_name="value_max"),
         )
     )
+
+
+GREP_PATTERN = "(data|stream|window)[a-z]*"
+
+
+def regex_search(sf_dir: str, pattern: str = GREP_PATTERN) -> ray.data.Dataset:
+    """Distributed grep: per-document regex match counts over ``text``.
+
+    (doc_id, n_matches) for every document with >= 1 non-overlapping match
+    of ``pattern`` (RE2 semantics, case-sensitive over lowercased text —
+    identical on both sides: pyarrow's count_substring_regex and DuckDB's
+    regexp_extract_all are both RE2).  Vectorized per batch; the filter
+    prunes non-matching docs before anything leaves the task.  The workhorse
+    for content-based corpus triage at scale (license scan, marker strings,
+    contamination probes).
+    """
+
+    def grep(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.utf8_lower(batch["text"]), pattern)
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "n_matches": n.cast(pa.int64())}
+        )
+        return t.filter(pc.greater(t["n_matches"], 0))
+
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        grep, batch_format="pyarrow"
+    )
+
+
+def regex_search_sql_oracle(pattern: str = GREP_PATTERN) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{pattern}')) AS BIGINT)
+                 AS n_matches
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '{pattern}')) > 0
+    """

@@ -223,3 +223,21 @@ def test_keywords_tfidf_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # every doc with tokens contributes ranks 1..min(k, n_unique)
     assert (got.groupby("doc_id")["rank"].min() == 1).all()
+
+
+def test_regex_search_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.text import regex_search, regex_search_sql_oracle
+
+    got = regex_search(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(regex_search_sql_oracle()).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (got["n_matches"] > 0).all()

@@ -20,6 +20,10 @@ NAMES = [
     "supplier_balance_by_region",
     "value_percentiles",
     "customers_without_big_orders",
+    "returned_items_by_nation",
+    "top_suppliers",
+    "market_share_by_year",
+    "orders_with_big_items",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
