@@ -42,6 +42,15 @@ DOC_QUERIES: list[tuple[int, list[str], int]] = [
 ]
 
 
+# (qid, positive terms, excluded terms, k) — boolean NOT fixtures
+NOT_QUERIES: list[tuple[int, list[str], list[str], int]] = [
+    (1, ["fast", "key", "merge", "sort"], ["window"], 10),
+    (2, ["group", "query", "spark"], ["customer"], 10),
+    (3, ["scan", "table"], ["xyzzy"], 10),  # absent excluded term == plain OR
+    (4, ["customer", "stream"], ["batch", "line"], 10),
+]
+
+
 PHRASES: list[tuple[int, str]] = [
     (1, "batch batch"),
     (2, "merge sort"),
@@ -114,6 +123,27 @@ def bm25_and_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def bm25_not_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k with boolean NOT: docs containing any excluded term are
+    barred before ranking.  (qid, rank, doc_id); oracle anti-joins the
+    excluded (qid, doc) membership off the scored set before the window."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, _, k in NOT_QUERIES],
+        exclude=[" ".join(exc) for _, _, exc, _ in NOT_QUERIES],
+    )
+    tables = []
+    for (qid, _, _, _), r in zip(NOT_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
 def bm25_topk_meta(sf_dir: str) -> pa.Table:
     """BM25 top-k joined back to document metadata: (qid, rank, doc_id, lang).
 
@@ -136,11 +166,18 @@ def bm25_topk_meta(sf_dir: str) -> pa.Table:
     )
 
 
-def _bm25_ctes(conjunctive: bool = False) -> str:
+def _bm25_ctes(
+    conjunctive: bool = False,
+    queries: list[tuple[int, list[str], int]] | None = None,
+    exclude_map: dict[int, list[str]] | None = None,
+) -> str:
     """Shared DuckDB CTEs recomputing BM25 from scratch; ``conjunctive``
-    restricts scored docs to those matching every query term."""
+    restricts scored docs to those matching every query term;
+    ``exclude_map`` (qid -> excluded terms) anti-joins excluded docs off
+    the scored set before ranking (boolean NOT)."""
+    qlist = queries if queries is not None else DOC_QUERIES
     values = ", ".join(
-        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+        f"({qid}, '{t}')" for qid, terms, _ in qlist for t in terms
     )
     having = (
         "HAVING count(DISTINCT tf.term) = "
@@ -148,6 +185,23 @@ def _bm25_ctes(conjunctive: bool = False) -> str:
         if conjunctive
         else ""
     )
+    not_ctes = ""
+    ranked_src = "scored"
+    if exclude_map:
+        xvalues = ", ".join(
+            f"({qid}, '{t}')" for qid, terms in sorted(exclude_map.items()) for t in terms
+        )
+        not_ctes = f""",
+xq(qid, term) AS (VALUES {xvalues}),
+excluded AS (
+  SELECT DISTINCT xq.qid, t.doc_id FROM xq JOIN t ON t.term = xq.term
+),
+kept AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN excluded e ON e.qid = s.qid AND e.doc_id = s.doc_id
+  WHERE e.doc_id IS NULL
+)"""
+        ranked_src = "kept"
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
@@ -175,16 +229,26 @@ scored AS (
   CROSS JOIN stats
   GROUP BY q.qid, tf.doc_id
   {having}
-),
+){not_ctes},
 ranked AS (
   SELECT qid, doc_id,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-  FROM scored
+  FROM {ranked_src}
 )"""
 
 
 def bm25_sql_oracle() -> str:
     return _bm25_ctes() + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+
+
+def bm25_not_sql_oracle() -> str:
+    return (
+        _bm25_ctes(
+            queries=[(qid, terms, k) for qid, terms, _, k in NOT_QUERIES],
+            exclude_map={qid: exc for qid, _, exc, _ in NOT_QUERIES},
+        )
+        + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+    )
 
 
 def bm25_and_sql_oracle() -> str:

@@ -235,11 +235,23 @@ def _score_chunk(
     k: int,
     avgdl: float,
     prune: bool,
+    excluded: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Score one chunk -> (top docIDs, scores), deterministic order."""
+    """Score one chunk -> (top docIDs, scores), deterministic order.
+
+    ``excluded``: docIDs barred from the results (boolean NOT); their
+    contributions are masked at decode time so the prune threshold tau is
+    never inflated by a doc that can't be returned.
+    """
     base = ci.doc_min
     scores = np.zeros_like(ci.doclen)
     norm_dl = K1 * (1.0 - B + B * ci.doclen / avgdl)
+    allowed: np.ndarray | None = None
+    if excluded is not None and len(excluded):
+        inr = excluded[(excluded >= base) & (excluded <= ci.doc_max)] - base
+        if len(inr):
+            allowed = np.ones(len(ci.doclen), dtype=bool)
+            allowed[inr] = False
 
     # upper bound per term: shortest-doc assumption (dl -> 0 lower-bounds
     # the denominator at tf + k1*(1-b)); monotone in tf => block max valid
@@ -283,6 +295,11 @@ def _score_chunk(
             if len(docs) == 0:
                 continue
             idx = docs - base
+            if allowed is not None:
+                m = allowed[idx]
+                idx, tfs = idx[m], tfs[m]
+                if len(idx) == 0:
+                    continue
             contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_dl[idx])
             scores[idx] += contrib  # (term, doc) unique => no collision
         if prune:
@@ -296,6 +313,20 @@ def _score_chunk(
     order = np.lexsort((nz, -scores[nz]))[:k]
     top = nz[order]
     return top + base, scores[top]
+
+
+def _excluded_docs(ci: _ChunkIndex, terms: list[str]) -> np.ndarray:
+    """Union of this chunk's docIDs containing ANY of ``terms`` — the
+    boolean-NOT membership set (the complement side of the reference's
+    ``Seek`` intersection surface, ``/root/reference/index.h:141``)."""
+    parts = []
+    for t in terms:
+        for i in ci.terms.get(t, []):
+            docs, _ = unpack_block(ci.posting(i), int(ci.df[i]))
+            parts.append(docs)
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 def _decode_for_candidates(
@@ -518,15 +549,20 @@ class SearchShard:
         queries: list[tuple[list[str], list[float], int]],
         prune: bool,
         mode: str = "or",
+        excludes: list[list[str]] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
-        for terms, idfs, k in queries:
+        for qi, (terms, idfs, k) in enumerate(queries):
+            exc_terms = excludes[qi] if excludes else []
             tops, scs = [], []
             for ci in self.chunks:
                 if mode == "and":
                     t, s = _score_chunk_and(ci, terms, np.asarray(idfs), k, self.avgdl)
                 else:
-                    t, s = _score_chunk(ci, terms, np.asarray(idfs), k, self.avgdl, prune)
+                    exc = _excluded_docs(ci, exc_terms) if exc_terms else None
+                    t, s = _score_chunk(
+                        ci, terms, np.asarray(idfs), k, self.avgdl, prune, exc
+                    )
                 tops.append(t)
                 scs.append(s)
             out.append((np.concatenate(tops), np.concatenate(scs)))
@@ -610,6 +646,7 @@ class BM25Searcher:
         meta_cols: list[str] | None = None,
         field: str | None = None,
         boost: dict[str, float] | None = None,
+        exclude: list[str | None] | None = None,
     ) -> list[pa.Table]:
         """Top-k BM25 per query.
 
@@ -617,6 +654,10 @@ class BM25Searcher:
         mode="and": conjunctive — only docs containing EVERY query term
         (skip-seek posting intersection inside the shard actors); a term
         absent from the whole lexicon empties the result.
+        exclude: one exclusion string per query (or None) — boolean NOT:
+        documents containing ANY excluded term are barred from that query's
+        results (masked inside the shards before the prune threshold forms,
+        so pruning stays score-lossless over the allowed set).
         meta_cols: join these docmap columns (repo/path/lang/...) onto the
         results — the reference's ``getDocument(i)`` docID -> URL lookup
         (``/root/reference/index.cpp:16-19``) as a broadcast-small-side join.
@@ -641,7 +682,17 @@ class BM25Searcher:
                 raise ValueError(
                     f"index at {self.index_dir} has no marker namespaces to boost"
                 )
+        if exclude is not None:
+            if mode == "and":
+                raise ValueError("exclude is only supported with mode='or'")
+            if len(exclude) != len(queries):
+                raise ValueError("exclude must parallel queries (use None slots)")
         tok_mode = self.stats.get("tokenizer", "code")
+        exc_terms: list[list[str]] | None = None
+        if exclude is not None:
+            exc_terms = [
+                query_terms(x, tok_mode) if x else [] for x in exclude
+            ]
         prepared = []
         dead = set()  # AND queries with a term missing from the lexicon
         for qi, (q, k) in enumerate(queries):
@@ -661,7 +712,10 @@ class BM25Searcher:
                     present = present + bpresent
                     idfs = idfs + [w * bw[t][1] for t in bpresent]
             prepared.append((present, idfs, k))
-        futs = [a.score_many.remote(prepared, prune, mode) for a in self.actors]
+        futs = [
+            a.score_many.remote(prepared, prune, mode, exc_terms)
+            for a in self.actors
+        ]
         per_actor = ray.get(futs)
         out = []
         for qi, (_, _, k) in enumerate(prepared):

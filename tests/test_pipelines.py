@@ -241,3 +241,35 @@ def test_regex_search_matches_duckdb(ray_session):
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert (got["n_matches"] > 0).all()
+
+
+def test_bm25_not_matches_duckdb_and_prune_invariant(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.flagship import (
+        NOT_QUERIES,
+        bm25_not_sql_oracle,
+        bm25_not_topk,
+        documents_index,
+    )
+    from index_ray.pipelines.query import BM25Searcher
+
+    got = bm25_not_topk(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(bm25_not_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # prune must be lossless over the allowed set
+    searcher = BM25Searcher(documents_index(SF))
+    qs = [(" ".join(t), k) for _, t, _, k in NOT_QUERIES]
+    exc = [" ".join(e) for _, _, e, _ in NOT_QUERIES]
+    pruned = searcher.search_many(qs, prune=True, exclude=exc)
+    full = searcher.search_many(qs, prune=False, exclude=exc)
+    for p, f in zip(pruned, full):
+        assert p["docID"].to_pylist() == f["docID"].to_pylist()
+        assert p["score"].to_pylist() == f["score"].to_pylist()
