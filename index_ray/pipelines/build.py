@@ -926,28 +926,7 @@ def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> d
             )
         )
     ]
-    glex_dir = os.path.join(out_dir, "lexicon")
-    if os.path.exists(glex_dir):
-        shutil.rmtree(glex_dir)
-    total_bytes = sum(os.path.getsize(f) for f in lex_files)
-    if total_bytes < 256 << 20:
-        # vocabulary fits on the driver: merge without a Ray job
-        os.makedirs(glex_dir, exist_ok=True)
-        t = pa.concat_tables([pq.read_table(f) for f in lex_files])
-        df = t.to_pandas().groupby("term", as_index=False)[["df", "cf"]].sum()
-        df = df.sort_values("term").reset_index(drop=True)
-        pq.write_table(
-            pa.Table.from_pandas(df, preserve_index=False),
-            os.path.join(glex_dir, "part-00000.parquet"),
-        )
-    else:
-        (
-            ray.data.read_parquet(lex_files)
-            .groupby("term", num_partitions=int(ray.cluster_resources().get("CPU", 8)))
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-            .sort("term")
-            .write_parquet(glex_dir)
-        )
+    merge_lexicon(out_dir, lex_files)
 
     total_tokens = sum(m["tokens"] for m in manifests)
     stats = {
@@ -972,6 +951,36 @@ def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> d
     }
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
     return {"lexicon_merge": round(time.time() - t0, 3)}
+
+
+def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
+    """Re-merge per-chunk (term, df, cf) partials into the global lexicon —
+    driver-side when the vocabulary fits, a Ray groupby otherwise.  Shared
+    by the build epilogue and compaction's tombstone purge."""
+    glex_dir = os.path.join(out_dir, "lexicon")
+    if os.path.exists(glex_dir):
+        shutil.rmtree(glex_dir)
+    total_bytes = sum(os.path.getsize(f) for f in lex_files)
+    if total_bytes < 256 << 20:
+        # vocabulary fits on the driver: merge without a Ray job
+        os.makedirs(glex_dir, exist_ok=True)
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=["term", "df", "cf"]) for f in lex_files]
+        )
+        df = t.to_pandas().groupby("term", as_index=False)[["df", "cf"]].sum()
+        df = df.sort_values("term").reset_index(drop=True)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(glex_dir, "part-00000.parquet"),
+        )
+    else:
+        (
+            ray.data.read_parquet(lex_files)
+            .groupby("term", num_partitions=int(ray.cluster_resources().get("CPU", 8)))
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .sort("term")
+            .write_parquet(glex_dir)
+        )
 
 
 def load_stats(out_dir: str) -> dict:

@@ -46,10 +46,48 @@ from ..state.manifest import (
     read_json,
     write_json_atomic,
 )
-from .build import load_stats
+from .build import load_stats, merge_lexicon
 
 
-def _repack_rows(t: pa.Table, max_block_postings: int, positions: bool) -> pa.Table:
+def delete_docs(out_dir: str, doc_ids) -> dict:
+    """Tombstone-delete documents from a built index (LSM delete marker).
+
+    Appends ``doc_ids`` to ``out_dir/tombstones/``; the posting shards are
+    immutable, so deletion is logical until the next ``compact_index``
+    (which purges tombstoned postings/docmap rows and re-merges the
+    lexicon + corpus stats).  Until then ``BM25Searcher`` bars tombstoned
+    docs from every result while scoring with the PRE-delete N/avgdl/idf —
+    the standard deferred-merge semantics.  Returns the updated stats.
+    """
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    tomb_dir = os.path.join(out_dir, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+    seq = len(glob.glob(os.path.join(tomb_dir, "*.parquet")))
+    path = os.path.join(tomb_dir, f"tomb-{seq:05d}.parquet")
+    tmp = path + f".{os.getpid()}.tmp"
+    pq.write_table(pa.table({"docID": pa.array(ids, pa.int64())}), tmp)
+    os.replace(tmp, path)
+    stats = load_stats(out_dir)
+    stats["n_tombstoned"] = int(len(load_tombstones(out_dir)))
+    write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
+    return stats
+
+
+def load_tombstones(out_dir: str) -> np.ndarray:
+    """Sorted unique tombstoned docIDs (empty array if none)."""
+    files = sorted(glob.glob(os.path.join(out_dir, "tombstones", "*.parquet")))
+    if not files:
+        return np.empty(0, np.int64)
+    t = pa.concat_tables(pq.read_table(f) for f in files)
+    return np.unique(t["docID"].to_numpy(zero_copy_only=False))
+
+
+def _repack_rows(
+    t: pa.Table,
+    max_block_postings: int,
+    positions: bool,
+    tomb: np.ndarray | None = None,
+) -> pa.Table:
     """Decode one hash partition of packed block rows and re-pack per term.
 
     Rows are blocks (term, df, cf, postings, ...); all blocks of a term are
@@ -80,8 +118,16 @@ def _repack_rows(t: pa.Table, max_block_postings: int, positions: bool) -> pa.Ta
     doc = np.concatenate([docs_l[i] for i in order])
     tf = np.concatenate([tfs_l[i] for i in order])
     codes = np.repeat(codes_row[order], dfs[order])
-    salt = np.zeros(len(doc), np.int64)
     pos = np.concatenate([pos_l[i] for i in order]) if positions else None
+    if tomb is not None and len(tomb):
+        keep = ~np.isin(doc, tomb)
+        if not keep.all():
+            if pos is not None:
+                pos = pos[np.repeat(keep, tf)]
+            doc, tf, codes = doc[keep], tf[keep], codes[keep]
+    if len(doc) == 0:
+        return (PACKED_POS_SCHEMA if positions else PACKED_SCHEMA).empty_table()
+    salt = np.zeros(len(doc), np.int64)
     return pack_sorted(
         codes, dictionary, salt, doc, tf, max_block_postings, pos=pos
     )
@@ -107,6 +153,9 @@ def compact_index(
         for c in chunks
     ]
     positions = bool(stats.get("positions"))
+    tomb = load_tombstones(out_dir)
+    purging = len(tomb) > 0
+    tomb_arr = tomb if purging else None
 
     # group adjacent chunks (docID order == chunk order) up to group_docs
     groups: list[list[dict]] = []
@@ -120,8 +169,8 @@ def compact_index(
         cur_docs += m["docs"]
     if cur:
         groups.append(cur)
-    if all(len(g) == 1 for g in groups):
-        return stats  # nothing to merge
+    if not purging and all(len(g) == 1 for g in groups):
+        return stats  # nothing to merge, nothing to purge
 
     t0 = time.time()
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -135,7 +184,7 @@ def compact_index(
             shutil.rmtree(tmp)
         parts_dir = os.path.join(tmp, "parts")
         os.makedirs(parts_dir)
-        if len(group) == 1:
+        if len(group) == 1 and not purging:
             # singleton group: carry the chunk over untouched
             shutil.rmtree(tmp)
             shutil.copytree(gdirs[0], tmp)
@@ -150,12 +199,18 @@ def compact_index(
             ctx = ray.data.DataContext.get_current()
             saved = ctx.shuffle_strategy
             ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            tomb_ref = ray.put(tomb_arr) if purging else None
+
+            def repack(t: pa.Table) -> pa.Table:
+                tb = ray.get(tomb_ref) if tomb_ref is not None else None
+                return _repack_rows(t, max_block_postings, positions, tb)
+
             try:
                 (
                     ray.data.read_parquet(part_files)
                     .repartition(nparts, keys=["term"], sort=False)
                     .map_batches(
-                        lambda t: _repack_rows(t, max_block_postings, positions),
+                        repack,
                         batch_size=None,
                         batch_format="pyarrow",
                         zero_copy_batch=True,
@@ -164,31 +219,75 @@ def compact_index(
                 )
             finally:
                 ctx.shuffle_strategy = saved
-            # docmap + lexicon partials carry over (renamed per source chunk)
-            for sub in ("docmap", "lexicon"):
+            if purging:
+                # the repacked parts ARE the (term, df, cf) partials —
+                # regenerate the chunk lexicon from them post-purge
+                lex_dir = os.path.join(tmp, "lexicon")
+                os.makedirs(lex_dir, exist_ok=True)
+                new_parts = sorted(glob.glob(os.path.join(parts_dir, "*.parquet")))
+                lex_t = pa.concat_tables(
+                    pq.read_table(f, columns=["term", "df", "cf"])
+                    for f in new_parts
+                ) if new_parts else pa.table(
+                    {"term": pa.array([], pa.string()),
+                     "df": pa.array([], pa.int64()),
+                     "cf": pa.array([], pa.int64())}
+                )
+                pq.write_table(lex_t, os.path.join(lex_dir, "part-00000.parquet"))
+            # docmap carries over (purge filters tombstoned rows); lexicon
+            # partials carry over only when no purge happened
+            import pyarrow.compute as pc
+
+            subs = ("docmap",) if purging else ("docmap", "lexicon")
+            for sub in subs:
                 os.makedirs(os.path.join(tmp, sub), exist_ok=True)
                 for m, d in zip(group, gdirs):
                     for f in sorted(glob.glob(os.path.join(d, sub, "*"))):
-                        shutil.copy(
-                            f,
-                            os.path.join(
-                                tmp, sub, f"c{m['chunk']:05d}-{os.path.basename(f)}"
-                            ),
+                        dst = os.path.join(
+                            tmp, sub, f"c{m['chunk']:05d}-{os.path.basename(f)}"
                         )
-        new_manifests.append(
-            {
-                "chunk": gi,
-                "phase_seconds": {},
-                "config_fingerprint": stats["config_fingerprint"],
-                "input_fragments": [
-                    fr for m in group for fr in m.get("input_fragments", [])
-                ],
-                "docs": sum(m["docs"] for m in group),
-                "tokens": sum(m["tokens"] for m in group),
-                "doc_min": min(m["doc_min"] for m in group),
-                "doc_max": max(m["doc_max"] for m in group),
-            }
-        )
+                        if (
+                            purging
+                            and sub == "docmap"
+                            and f.endswith(".parquet")
+                        ):
+                            dt = pq.read_table(f)
+                            keep = pc.invert(
+                                pc.is_in(
+                                    dt["docID"],
+                                    value_set=pa.array(tomb_arr, pa.int64()),
+                                )
+                            )
+                            pq.write_table(dt.filter(keep), dst)
+                        elif purging and sub == "docmap" and f.endswith(".stats.json"):
+                            continue  # stale post-purge; manifests recomputed below
+                        else:
+                            shutil.copy(f, dst)
+        nm = {
+            "chunk": gi,
+            "phase_seconds": {},
+            "config_fingerprint": stats["config_fingerprint"],
+            "input_fragments": [
+                fr for m in group for fr in m.get("input_fragments", [])
+            ],
+            "docs": sum(m["docs"] for m in group),
+            "tokens": sum(m["tokens"] for m in group),
+            "doc_min": min(m["doc_min"] for m in group),
+            "doc_max": max(m["doc_max"] for m in group),
+        }
+        if purging:
+            dm_files = sorted(glob.glob(os.path.join(tmp, "docmap", "*.parquet")))
+            dm = pa.concat_tables(
+                pq.read_table(f, columns=["docID", "n_tokens"]) for f in dm_files
+            )
+            nm["docs"] = len(dm)
+            nm["tokens"] = (
+                int(pa.compute.sum(dm["n_tokens"]).as_py()) if len(dm) else 0
+            )
+            if len(dm):
+                ids = dm["docID"].to_numpy(zero_copy_only=False)
+                nm["doc_min"], nm["doc_max"] = int(ids.min()), int(ids.max())
+        new_manifests.append(nm)
         tmp_dirs.append(tmp)
 
     # swap: drop old chunk dirs, move merged ones into place, write manifests
@@ -209,6 +308,29 @@ def compact_index(
         }
         for nm in new_manifests
     ]
+    if purging:
+        # tombstones are now physically purged: recompute corpus stats and
+        # re-merge the global lexicon so BM25 == a from-scratch build over
+        # the remaining documents
+        n_docs = sum(nm["docs"] for nm in new_manifests)
+        total_tokens = sum(nm["tokens"] for nm in new_manifests)
+        stats["N"] = n_docs
+        stats["total_tokens"] = total_tokens
+        stats["avgdl"] = (total_tokens / n_docs) if n_docs else 0.0
+        stats.pop("n_tombstoned", None)
+        lex_files = [
+            f
+            for nm in new_manifests
+            for f in sorted(
+                glob.glob(
+                    os.path.join(
+                        out_dir, "chunks", f"chunk-{nm['chunk']:05d}", "lexicon", "*.parquet"
+                    )
+                )
+            )
+        ]
+        merge_lexicon(out_dir, lex_files)
+        shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
     stats["compacted_seconds"] = round(time.time() - t0, 3)
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
     return stats

@@ -144,6 +144,65 @@ def bm25_not_topk(sf_dir: str) -> pa.Table:
     )
 
 
+DELETE_MOD = 7  # doc_id % DELETE_MOD == 0 is tombstoned in the delete fixture
+
+
+def bm25_after_delete(sf_dir: str) -> pa.Table:
+    """Full delete lifecycle: build -> tombstone doc_id%7==0 -> compact
+    (physical purge + lexicon/stats re-merge) -> BM25 top-k.
+
+    (qid, rank, doc_id).  Post-compaction the index must be semantically
+    identical to a from-scratch build over the remaining documents — the
+    oracle recomputes BM25 (N, avgdl, df included) over that filtered
+    corpus.
+    """
+    import shutil as _shutil
+
+    from .compact import compact_index, delete_docs
+
+    out = _index_dir_for(sf_dir) + "_del"
+    marker = os.path.join(out, ".deleted_compacted")
+    if not os.path.exists(marker):
+        _shutil.rmtree(out, ignore_errors=True)
+        cfg = BuildConfig(
+            tokenizer="simple",
+            text_col="text",
+            id_col="doc_id",
+            chunk_docs=250_000,
+            num_parts=16,
+            batch_size=512,
+            salt_docs=4096,
+        )
+        build_index(f"{sf_dir}/documents.parquet", out, cfg)
+        ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy(zero_copy_only=False)
+        delete_docs(out, ids[ids % DELETE_MOD == 0])
+        compact_index(out)
+        with open(marker, "w") as fh:
+            fh.write("1")
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_after_delete_sql_oracle() -> str:
+    return (
+        _bm25_ctes(doc_where=f"doc_id % {DELETE_MOD} <> 0")
+        + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+    )
+
+
 def bm25_topk_meta(sf_dir: str) -> pa.Table:
     """BM25 top-k joined back to document metadata: (qid, rank, doc_id, lang).
 
@@ -170,11 +229,14 @@ def _bm25_ctes(
     conjunctive: bool = False,
     queries: list[tuple[int, list[str], int]] | None = None,
     exclude_map: dict[int, list[str]] | None = None,
+    doc_where: str = "",
 ) -> str:
     """Shared DuckDB CTEs recomputing BM25 from scratch; ``conjunctive``
     restricts scored docs to those matching every query term;
     ``exclude_map`` (qid -> excluded terms) anti-joins excluded docs off
-    the scored set before ranking (boolean NOT)."""
+    the scored set before ranking (boolean NOT); ``doc_where`` (a SQL
+    predicate) restricts the corpus itself — N, avgdl and df are computed
+    over the restricted set (the post-compaction delete semantics)."""
     qlist = queries if queries is not None else DOC_QUERIES
     values = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in qlist for t in terms
@@ -202,16 +264,18 @@ kept AS (
   WHERE e.doc_id IS NULL
 )"""
         ranked_src = "kept"
+    where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
-WITH tok AS (
+WITH d0 AS (SELECT * FROM documents {where}),
+tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
-  FROM documents
+  FROM d0
 ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
-         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+  SELECT (SELECT count(*) FROM d0) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM d0) AS avgdl
 ),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
 q(qid, term) AS (VALUES {values}),

@@ -402,11 +402,14 @@ def _score_chunk_and(
     idfs: np.ndarray,
     k: int,
     avgdl: float,
+    excluded: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunctive BM25: score only docs containing every query term."""
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cand, decoded = _and_candidates(ci, terms)
+    if excluded is not None and len(excluded) and len(cand):
+        cand = cand[~np.isin(cand, excluded)]
     if len(cand) == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     norm_dl = K1 * (1.0 - B + B * ci.doclen[cand - ci.doc_min] / avgdl)
@@ -537,12 +540,27 @@ def _phrase_chunk(ci: _ChunkIndex, ordered_terms: list[str]) -> tuple[np.ndarray
 class SearchShard:
     """Stateful query actor: loads its chunks once, serves score requests."""
 
-    def __init__(self, chunk_dirs: list[str], avgdl: float):
+    def __init__(
+        self,
+        chunk_dirs: list[str],
+        avgdl: float,
+        tombstones: np.ndarray | None = None,
+    ):
         self.chunks = [_ChunkIndex(d) for d in chunk_dirs]
         self.avgdl = avgdl
+        # sorted unique docIDs logically deleted but not yet compacted away;
+        # barred from every result (scores keep the pre-delete stats)
+        self.tombstones = (
+            tombstones if tombstones is not None and len(tombstones) else None
+        )
 
     def ready(self) -> bool:
         return True
+
+    def _mask_tomb(self, docs: np.ndarray) -> np.ndarray:
+        if self.tombstones is None or len(docs) == 0:
+            return np.ones(len(docs), dtype=bool)
+        return ~np.isin(docs, self.tombstones)
 
     def score_many(
         self,
@@ -557,9 +575,18 @@ class SearchShard:
             tops, scs = [], []
             for ci in self.chunks:
                 if mode == "and":
-                    t, s = _score_chunk_and(ci, terms, np.asarray(idfs), k, self.avgdl)
+                    t, s = _score_chunk_and(
+                        ci, terms, np.asarray(idfs), k, self.avgdl,
+                        excluded=self.tombstones,
+                    )
                 else:
                     exc = _excluded_docs(ci, exc_terms) if exc_terms else None
+                    if self.tombstones is not None:
+                        exc = (
+                            np.union1d(exc, self.tombstones)
+                            if exc is not None
+                            else self.tombstones
+                        )
                     t, s = _score_chunk(
                         ci, terms, np.asarray(idfs), k, self.avgdl, prune, exc
                     )
@@ -579,7 +606,10 @@ class SearchShard:
                 d, c = _phrase_chunk(ci, terms)
                 docs_parts.append(d)
                 cnt_parts.append(c)
-            out.append((np.concatenate(docs_parts), np.concatenate(cnt_parts)))
+            d = np.concatenate(docs_parts)
+            c = np.concatenate(cnt_parts)
+            m = self._mask_tomb(d)
+            out.append((d[m], c[m]))
         return out
 
     def near_many(
@@ -598,7 +628,10 @@ class SearchShard:
                 d, c = _near_chunk(ci, a, b, w)
                 docs_parts.append(d)
                 cnt_parts.append(c)
-            out.append((np.concatenate(docs_parts), np.concatenate(cnt_parts)))
+            d = np.concatenate(docs_parts)
+            c = np.concatenate(cnt_parts)
+            m = self._mask_tomb(d)
+            out.append((d[m], c[m]))
         return out
 
 
@@ -617,8 +650,14 @@ class BM25Searcher:
         groups: list[list[str]] = [[] for _ in range(num_shards)]
         for i, d in enumerate(chunk_dirs):
             groups[i % num_shards].append(d)
+        from .compact import load_tombstones
+
+        tomb = load_tombstones(index_dir)
+        tomb_ref = ray.put(tomb) if len(tomb) else None
         self.actors = [
-            SearchShard.remote(g, float(self.stats["avgdl"])) for g in groups if g
+            SearchShard.remote(g, float(self.stats["avgdl"]), tomb_ref)
+            for g in groups
+            if g
         ]
         self.lexicon = Lexicon(index_dir, self.stats["N"])
         ray.get([a.ready.remote() for a in self.actors])

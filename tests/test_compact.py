@@ -101,3 +101,70 @@ def test_compact_positions_index(tmp_path):
     for b, a in zip(before, after):
         assert a["docID"].to_pylist() == b["docID"].to_pylist()
         assert a["n_matches"].to_pylist() == b["n_matches"].to_pylist()
+
+
+def test_delete_tombstones_then_purge(tmp_path):
+    import numpy as np
+
+    from index_ray.pipelines.compact import delete_docs, load_tombstones
+
+    corp = tmp_path / "corp"
+    write_corpus(str(corp), TINY_DOCS, seed=TINY_SEED, n_files=4)
+    cfg = BuildConfig(**{**TINY_CFG, "chunk_docs": 50})
+    idx = str(tmp_path / "idx")
+    build_index(str(corp), idx, cfg)
+
+    s_full = BM25Searcher(idx)
+    big = {q: s_full.search(q, k=TINY_DOCS) for q in QUERIES}
+    deleted = set(range(0, TINY_DOCS, 7))
+
+    delete_docs(idx, sorted(deleted))
+    assert len(load_tombstones(idx)) == len(deleted)
+
+    # pre-compact: deleted docs barred, survivors keep IDENTICAL scores
+    # (N/avgdl/idf unchanged until the purge)
+    s_del = BM25Searcher(idx)
+    for q in QUERIES:
+        got = s_del.search(q, k=10)
+        full = big[q]
+        keep = [i for i, d in enumerate(full["docID"].to_pylist()) if d not in deleted]
+        want_docs = [full["docID"][i].as_py() for i in keep][:10]
+        want_scores = [full["score"][i].as_py() for i in keep][:10]
+        assert got["docID"].to_pylist() == want_docs
+        assert got["score"].to_pylist() == want_scores
+        assert not (set(got["docID"].to_pylist()) & deleted)
+        # prune losslessness holds over the allowed set
+        nop = s_del.search(q, k=10, prune=False)
+        assert got["docID"].to_pylist() == nop["docID"].to_pylist()
+        assert got["score"].to_pylist() == nop["score"].to_pylist()
+
+    # compact purges: must equal a from-scratch build over remaining docs
+    stats = compact_index(idx)
+    assert stats["N"] == TINY_DOCS - len(deleted)
+    assert len(load_tombstones(idx)) == 0
+
+    import pyarrow.parquet as pq
+
+    from index_ray.sources.corpus import generate_corpus
+
+    tbl = generate_corpus(TINY_DOCS, TINY_SEED)
+    keep_mask = [i not in deleted for i in range(TINY_DOCS)]
+    filt = tbl.filter(keep_mask).append_column(
+        "doc_id",
+        __import__("pyarrow").array(
+            [i for i in range(TINY_DOCS) if i not in deleted],
+            __import__("pyarrow").int64(),
+        ),
+    )
+    fcorp = tmp_path / "fcorp"
+    fcorp.mkdir()
+    pq.write_table(filt, str(fcorp / "part-0.parquet"))
+    fidx = str(tmp_path / "fidx")
+    cfg_id = BuildConfig(**{**TINY_CFG, "chunk_docs": 50, "id_col": "doc_id"})
+    build_index(str(fcorp), fidx, cfg_id)
+
+    s_purged, s_fresh = BM25Searcher(idx), BM25Searcher(fidx)
+    for q in QUERIES:
+        a, b = s_purged.search(q, k=10), s_fresh.search(q, k=10)
+        assert a["docID"].to_pylist() == b["docID"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
