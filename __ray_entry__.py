@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": sketches.distinct_users_hll,
         "cms_term_counts": sketches.cms_term_counts,
         "bigram_counts": text.bigram_counts,
+        "collocations": text.collocations,
         # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from index_ray.pipelines.text import (
         bigram_counts_sql_oracle,
+        collocations_sql_oracle,
         keywords_tfidf_sql_oracle,
         regex_search_sql_oracle,
     )
@@ -352,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll": distinct_users_hll_sql_oracle(),
         "cms_term_counts": cms_term_counts_sql_oracle(),
         "bigram_counts": bigram_counts_sql_oracle(),
+        "collocations": collocations_sql_oracle(),
         "keywords_tfidf": keywords_tfidf_sql_oracle(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

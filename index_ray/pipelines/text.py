@@ -452,3 +452,86 @@ def regex_search_sql_oracle(pattern: str = GREP_PATTERN) -> str:
         FROM documents
         WHERE len(regexp_extract_all(lower(text), '{pattern}')) > 0
     """
+
+
+def collocations(
+    sf_dir: str, min_pair: int = 5, lift_x10: int = 14
+) -> ray.data.Dataset:
+    """Statistically associated word pairs: adjacent bigrams whose observed
+    count exceeds the independence expectation by ``lift_x10/10``x.
+
+    (a, b, n_ab, n_a, n_b) where lift = n_ab * T / (n_a * n_b) and the
+    comparison is the exact integer cross-multiply
+    ``10 * n_ab * T >= lift_x10 * n_a * n_b`` (no float ordering anywhere).
+    Bigram counts stream through the existing partial-agg groupby; the
+    unigram table is collected once and broadcast (at a vocabulary too big
+    for that, the finish step becomes two hash_joins on a and b — same
+    downstream filter).
+    """
+    uni = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_TermPartials), batch_format="pyarrow", batch_size=512
+        )
+        .groupby("term")
+        .aggregate(Sum("cf_part", alias_name="cf"))
+        .to_pandas()
+    )
+    cf_map = dict(zip(uni["term"], uni["cf"].astype(int)))
+    total = int(uni["cf"].sum())
+    ref = ray.put(cf_map)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cf = ray.get(ref)
+        pair = pc.split_pattern(t["bigram"], " ")
+        flat = pair.combine_chunks().flatten().to_pylist()
+        a, b = flat[0::2], flat[1::2]
+        n_ab = t["cf"].to_numpy(zero_copy_only=False)
+        n_a = np.fromiter((cf[x] for x in a), dtype=np.int64, count=len(a))
+        n_b = np.fromiter((cf[x] for x in b), dtype=np.int64, count=len(b))
+        keep = 10 * n_ab * total >= lift_x10 * n_a * n_b
+        return pa.table(
+            {
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+            }
+        ).filter(pa.array(keep))
+
+    return bigram_counts(sf_dir, min_count=min_pair).map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+def collocations_sql_oracle(min_pair: int = 5, lift_x10: int = 14) -> str:
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        t AS (SELECT unnest(toks) AS term FROM arr),
+        u AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        tot AS (SELECT count(*) AS T FROM t),
+        bg AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM arr
+        ),
+        b AS (
+          SELECT split_part(bigram, ' ', 1) AS a,
+                 split_part(bigram, ' ', 2) AS b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM bg GROUP BY 1, 2 HAVING count(*) >= {min_pair}
+        )
+        SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b
+        FROM b
+        JOIN u ua ON ua.term = a
+        JOIN u ub ON ub.term = b
+        CROSS JOIN tot
+        WHERE 10 * n_ab * T >= {lift_x10} * ua.n * ub.n
+    """

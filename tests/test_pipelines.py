@@ -273,3 +273,21 @@ def test_bm25_not_matches_duckdb_and_prune_invariant(ray_session):
     for p, f in zip(pruned, full):
         assert p["docID"].to_pylist() == f["docID"].to_pylist()
         assert p["score"].to_pylist() == f["score"].to_pylist()
+
+
+def test_collocations_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.text import collocations, collocations_sql_oracle
+
+    got = collocations(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(collocations_sql_oracle()).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(got) > 0  # threshold is calibrated to produce matches
