@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "distinct_users_hll": sketches.distinct_users_hll,
         "cms_term_counts": sketches.cms_term_counts,
+        "approx_percentiles": sketches.approx_percentiles,
         "bigram_counts": text.bigram_counts,
         "collocations": text.collocations,
         # text analysis
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         value_percentiles_sql_oracle,
     )
     from index_ray.pipelines.sketches import (
+        approx_percentiles_sql_oracle,
         cms_term_counts_sql_oracle,
         distinct_users_hll_sql_oracle,
     )
@@ -353,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users_hll": distinct_users_hll_sql_oracle(),
         "cms_term_counts": cms_term_counts_sql_oracle(),
+        "approx_percentiles": approx_percentiles_sql_oracle(),
         "bigram_counts": bigram_counts_sql_oracle(),
         "collocations": collocations_sql_oracle(),
         "keywords_tfidf": keywords_tfidf_sql_oracle(),

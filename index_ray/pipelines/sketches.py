@@ -232,3 +232,101 @@ def cms_term_counts_sql_oracle(k: int = 100) -> str:
         SELECT term, cf, CAST(1 AS BIGINT) AS cms_no_undercount
         FROM s ORDER BY cf DESC, term ASC LIMIT {k}
     """
+
+
+# -------------------------------------------------- DDSketch quantiles
+
+
+_DD_ALPHA = 0.01  # relative-accuracy guarantee of the sketch
+
+
+def approx_percentiles(sf_dir: str) -> pa.Table:
+    """(event_type, n, p50_cents, p90_cents, p99_cents, sketch_within_2pct)
+    — exact per-type percentiles (the oracle pins them) next to a
+    1-if-within-bound flag for a DDSketch-style log-bucket quantile sketch.
+
+    The sketch is the unbounded-domain companion to the exact
+    bounded-integer histogram of ``events.value_percentiles``: bucket
+    ``ceil(log_gamma(v))`` with gamma=(1+a)/(1-a) guarantees every read
+    quantile is within relative error ``a`` of the true rank value, while
+    the shuffle moves O(types x buckets) rows (a few hundred) no matter
+    how many events stream through.  Merge = bucket-count sum, so partial
+    sketches combine associatively across batches/nodes.
+    """
+    gamma = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
+    log_gamma = np.log(gamma)
+    qs = (0.5, 0.9, 0.99)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bucket = np.ceil(np.log(v) / log_gamma).astype(np.int64)  # v > 0
+        t = pa.table(
+            {"event_type": pa.array(et, pa.string()), "bucket": pa.array(bucket)}
+        )
+        g = t.group_by(["event_type", "bucket"], use_threads=False).aggregate(
+            [("bucket", "count")]
+        )
+        return g.rename_columns(["event_type", "bucket", "cnt"])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        b = group["bucket"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        cnt = np.bincount(inv, weights=c).astype(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        ests = []
+        for q in qs:
+            i = int(ub[np.searchsorted(cum, int(np.ceil(q * n)))])
+            ests.append(2.0 * gamma**i / (gamma + 1.0))
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()]),
+                "n_sk": pa.array([n], pa.int64()),
+                "est50": pa.array([ests[0]], pa.float64()),
+                "est90": pa.array([ests[1]], pa.float64()),
+                "est99": pa.array([ests[2]], pa.float64()),
+            }
+        )
+
+    sk = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+        .to_pandas()
+    )
+    from .events import value_percentiles
+
+    exact = value_percentiles(sf_dir).to_pandas()
+    j = exact.merge(sk, on="event_type")
+    ok = np.ones(len(j), dtype=np.int64)
+    for q, est in (("p50_cents", "est50"), ("p90_cents", "est90"), ("p99_cents", "est99")):
+        # sketch guarantee is relative alpha on the value; allow 2*alpha
+        # plus one cent of rounding slack against the exact-cents oracle
+        bad = (j[est] * 100.0 - j[q]).abs() > 2 * _DD_ALPHA * j[q] + 1.0
+        ok[bad.to_numpy()] = 0
+    return pa.table(
+        {
+            "event_type": pa.array(j["event_type"], pa.string()),
+            "n": pa.array(j["n"].to_numpy(), pa.int64()),
+            "p50_cents": pa.array(j["p50_cents"].to_numpy(), pa.int64()),
+            "p90_cents": pa.array(j["p90_cents"].to_numpy(), pa.int64()),
+            "p99_cents": pa.array(j["p99_cents"].to_numpy(), pa.int64()),
+            "sketch_within_2pct": pa.array(ok, pa.int64()),
+        }
+    )
+
+
+def approx_percentiles_sql_oracle() -> str:
+    return """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS BIGINT) AS p50_cents,
+               CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_cents,
+               CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_cents,
+               CAST(1 AS BIGINT) AS sketch_within_2pct
+        FROM events GROUP BY 1
+    """

@@ -65,3 +65,25 @@ def test_bigram_counts_spot_check(ray_session):
     want = con.sql(bigram_counts_sql_oracle()).df().sort_values(["bigram"]).reset_index(drop=True)
     assert got["bigram"].tolist() == want["bigram"].tolist()
     assert got["cf"].tolist() == want["cf"].tolist()
+
+
+def test_approx_percentiles_within_bound(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.sketches import (
+        approx_percentiles,
+        approx_percentiles_sql_oracle,
+    )
+
+    got = approx_percentiles("/root/testdata/sf0.001").to_pandas()
+    assert (got["sketch_within_2pct"] == 1).all()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    want = con.sql(approx_percentiles_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
