@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share_by_year": relational.market_share_by_year,
         "orders_with_big_items": relational.orders_with_big_items,
         "regex_search": text.regex_search,
+        "customer_order_counts": relational.customer_order_counts,
+        "term_freq_spectrum": text.term_freq_spectrum,
         # time-ordered event-stream operators (one user-bucket shuffle)
         "sessionize": events.sessionize,
         "asof_purchase_click": events.asof_purchase_click,
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         collocations_sql_oracle,
         keywords_tfidf_sql_oracle,
         regex_search_sql_oracle,
+        term_freq_spectrum_sql_oracle,
     )
     from index_ray.pipelines.curation import (
         quality_filter_sql_oracle,
@@ -560,6 +563,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "regex_search": regex_search_sql_oracle(),
+        "term_freq_spectrum": term_freq_spectrum_sql_oracle(),
+        "customer_order_counts": """
+            SELECT c_custkey,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+              ON o_custkey = c_custkey
+        """,
         "parts_revenue_by_brand": """
             SELECT p_brand,
                    CAST(count(*) AS BIGINT) AS n_items,

@@ -639,3 +639,47 @@ def revenue_by_month(sf_dir: str) -> ray.data.Dataset:
             Sum("rev_part", alias_name="revenue_cents"),
         )
     )
+
+
+def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER bucket join: every customer with their order count,
+    INCLUDING zero-order customers — (c_custkey, n_orders).
+
+    Orders pre-aggregate to one row per custkey per batch before the
+    shuffle; the per-bucket pyarrow left-outer join emits null for
+    order-less customers, coalesced to 0 in the same task.
+    """
+    from .join import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": batch["o_custkey"]})
+        g = t.group_by(["c_custkey"], use_threads=False).aggregate(
+            [("c_custkey", "count")]
+        )
+        return g.rename_columns(["c_custkey", "n_part"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(o_partial, batch_format="pyarrow", batch_size=16384)
+
+    joined = hash_join(cust, orders, on="c_custkey", num_buckets=32, how="left outer")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_part": pc.coalesce(batch["n_part"], pa.scalar(0, pa.int64())),
+            }
+        )
+        g = t.group_by(["c_custkey"], use_threads=False).aggregate([("n_part", "sum")])
+        return g.rename_columns(["c_custkey", "n_part"])
+
+    return (
+        joined.map_batches(merge, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+    )

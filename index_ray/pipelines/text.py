@@ -535,3 +535,39 @@ def collocations_sql_oracle(min_pair: int = 5, lift_x10: int = 14) -> str:
         CROSS JOIN tot
         WHERE 10 * n_ab * T >= {lift_x10} * ua.n * ub.n
     """
+
+
+def term_freq_spectrum(sf_dir: str) -> ray.data.Dataset:
+    """Zipf diagnostic: (cf, n_terms) — how many distinct terms occur with
+    each corpus frequency.  Two small shuffles over already-collapsed rows
+    (term partials, then one row per distinct cf value per batch)."""
+
+    def spectrum(batch: pa.Table) -> pa.Table:
+        cf = batch["cf"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(cf, return_counts=True)
+        return pa.table(
+            {"cf": pa.array(u, pa.int64()), "n_part": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_TermPartials), batch_format="pyarrow", batch_size=512
+        )
+        .groupby("term")
+        .aggregate(Sum("cf_part", alias_name="cf"))
+        .map_batches(spectrum, batch_format="pyarrow")
+        .groupby("cf")
+        .aggregate(Sum("n_part", alias_name="n_terms"))
+    )
+
+
+def term_freq_spectrum_sql_oracle() -> str:
+    return """
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT term FROM tok WHERE term <> ''),
+        u AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM t GROUP BY 1)
+        SELECT cf, CAST(count(*) AS BIGINT) AS n_terms FROM u GROUP BY 1
+    """

@@ -74,3 +74,19 @@ def test_percentile_definition_matches_quantile_disc(ray_session, tmp_path):
     r = out.iloc[0]
     assert r["n"] == 4
     assert (r["p50_cents"], r["p90_cents"], r["p99_cents"]) == (2, 4, 4)
+
+
+def test_customer_order_counts_includes_zero_order_customers(ray_session):
+    import duckdb
+
+    res = entrymod.queries()["customer_order_counts"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()["customer_order_counts"]).df()
+    cols = sorted(res.columns)
+    a = res[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    n_cust = con.sql(f"SELECT count(*) FROM '{SF}/customer.parquet'").fetchone()[0]
+    assert len(res) == n_cust  # outer join keeps every customer
