@@ -168,3 +168,42 @@ def test_delete_tombstones_then_purge(tmp_path):
         a, b = s_purged.search(q, k=10), s_fresh.search(q, k=10)
         assert a["docID"].to_pylist() == b["docID"].to_pylist()
         assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_fsck_clean_and_detects_corruption(tmp_path):
+    import pyarrow.parquet as pq
+
+    from index_ray.state.fsck import fsck_index
+
+    corp = tmp_path / "corp"
+    write_corpus(str(corp), TINY_DOCS, seed=TINY_SEED, n_files=4)
+    cfg = BuildConfig(**{**TINY_CFG, "chunk_docs": 100})
+    idx = str(tmp_path / "idx")
+    build_index(str(corp), idx, cfg)
+
+    rep = fsck_index(idx).to_pandas()
+    assert (rep["n_issues"] == 0).all(), rep[rep["n_issues"] > 0]
+
+    # corrupt: truncate one part file -> size mismatch must be flagged
+    part = sorted(glob.glob(os.path.join(idx, "chunks", "chunk-*", "parts", "*.parquet")))[0]
+    data = open(part, "rb").read()
+    with open(part, "wb") as f:
+        f.write(data[: len(data) // 2])
+    rep2 = fsck_index(idx).to_pandas()
+    assert (rep2["n_issues"] > 0).any()
+    assert rep2[rep2["n_issues"] > 0]["issues"].str.contains("size mismatch").any()
+
+    # corrupt: doctor a docmap docID -> docmap/manifest disagreement flagged
+    with open(part, "wb") as f:
+        f.write(data)  # restore parts
+    dm = sorted(glob.glob(os.path.join(idx, "chunks", "chunk-*", "docmap", "*.parquet")))[0]
+    t = pq.read_table(dm)
+    import pyarrow as pa_
+
+    ids = t["docID"].to_numpy(zero_copy_only=False).copy()
+    ids[0] = ids[1]  # duplicate docID
+    t = t.set_column(t.schema.get_field_index("docID"), "docID", pa_.array(ids))
+    pq.write_table(t, dm)
+    rep3 = fsck_index(idx).to_pandas()
+    flagged = rep3[rep3["n_issues"] > 0]["issues"].str.cat(sep="; ")
+    assert "duplicate docIDs" in flagged or "size mismatch" in flagged
