@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": curation.quality_filter,
         "stratified_sample": curation.stratified_sample,
         "decontaminate": curation.decontaminate,
+        "epoch_mix": curation.epoch_mix,
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         repetition_stats_sql_oracle,
         stratified_sample_sql_oracle,
         decontaminate_sql_oracle,
+        epoch_mix_sql_oracle,
     )
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
@@ -427,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": quality_filter_sql_oracle(),
         "stratified_sample": stratified_sample_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
+        "epoch_mix": epoch_mix_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

@@ -521,3 +521,74 @@ def decontaminate_sql_oracle() -> str:
                CAST((100 * hits) // n_grams AS BIGINT) AS contamination_pct
         FROM scan WHERE 100 * hits >= {DECONTAM_THRESHOLD} * n_grams
     """
+
+
+# ---------------------------------------------------------------------------
+# domain mixing (epoch-weighted upsampling per source)
+# ---------------------------------------------------------------------------
+
+# target epochs per source in PERCENT (250 = 2.5 epochs, 40 = 0.4, 100 = 1x)
+MIX_EPOCHS_PCT = {"src0": 250, "src1": 40, "src2": 0}
+MIX_DEFAULT_PCT = 100
+
+
+class _EpochMixStage:
+    """batch -> (doc_id, source, copy) repeated per the source's epoch
+    weight: floor(e/100) whole copies plus one more iff the doc's md5
+    bucket < e%100 — deterministic fractional upsampling, so the mixture
+    is exactly reproducible shard-by-shard (and SQL-verifiable)."""
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        h = md5_strings([str(int(i)) for i in ids], self._cache)
+        bucket = ((h >> np.uint64(32)) % np.uint64(100)).astype(np.int64)
+        epct = np.fromiter(
+            (MIX_EPOCHS_PCT.get(s, MIX_DEFAULT_PCT) for s in srcs),
+            dtype=np.int64,
+            count=len(srcs),
+        )
+        copies = epct // 100 + (bucket < epct % 100)
+        idx = np.repeat(np.arange(len(ids)), copies)
+        starts = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(copies[:-1], out=starts[1:])
+        copy_no = np.arange(len(idx)) - np.repeat(starts, copies)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                "source": pa.array([srcs[i] for i in idx], pa.string()),
+                "copy": pa.array(copy_no, pa.int64()),
+            }
+        )
+
+
+def epoch_mix(sf_dir: str) -> ray.data.Dataset:
+    """Training-mixture materialization: upsample/downsample each source to
+    its target epoch count.  (doc_id, source, copy); copy enumerates the
+    repeats so a downstream shuffle can interleave epochs.  Pure streaming
+    map (no shuffle); the mixture proportions are exact in expectation and
+    deterministic given doc_id."""
+    return docs_dataset(sf_dir, ["doc_id", "source"]).map_batches(
+        stage_fn(_EpochMixStage), batch_format="pyarrow", batch_size=4096
+    )
+
+
+def epoch_mix_sql_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in sorted(MIX_EPOCHS_PCT.items())
+    )
+    return f"""
+        WITH e AS (
+          SELECT doc_id, source,
+                 (CASE source {case} ELSE {MIX_DEFAULT_PCT} END) AS epct,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      % 100 AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy
+        FROM e, unnest(range(0, epct // 100 +
+                 (CASE WHEN bucket < epct % 100 THEN 1 ELSE 0 END))) u(c)
+    """

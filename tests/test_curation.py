@@ -150,3 +150,25 @@ def test_decontaminate_planted():
     assert 20 <= by_id.get(2, 0) <= 60  # partially overlapping doc
     assert 3 not in by_id           # disjoint doc never flagged
     assert all(p >= DECONTAM_THRESHOLD for p in out["contamination_pct"])
+
+
+def test_epoch_mix_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.curation import epoch_mix, epoch_mix_sql_oracle
+
+    got = epoch_mix("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(epoch_mix_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # src0 upsampled (2 or 3 copies per doc), src2 dropped entirely
+    per = got.groupby("source")["copy"].max()
+    assert per.get("src0", 0) >= 1
+    assert "src2" not in set(got["source"])
