@@ -403,17 +403,29 @@ def windowed_events(sf_dir: str) -> ray.data.Dataset:
             ["user_id", "window_start", "event_type", "n_part", "cents_part", "vmin_part", "vmax_part"]
         )
 
-    return (
+    def finalize(t: pa.Table) -> pa.Table:
+        # partition holds every row of its user_ids -> plain Arrow groupby
+        # is exact; (user, window, type) cardinality ~ event count on this
+        # stream, so the sort-based Aggregate would re-sort ~everything
+        g = t.group_by(
+            ["user_id", "window_start", "event_type"], use_threads=False
+        ).aggregate(
+            [("n_part", "sum"), ("cents_part", "sum"),
+             ("vmin_part", "min"), ("vmax_part", "max")]
+        )
+        return g.rename_columns(
+            ["user_id", "window_start", "event_type",
+             "n", "value_cents", "value_min", "value_max"]
+        )
+
+    from ..util import hash_groupby
+
+    return hash_groupby(
         ray.data.read_parquet(f"{sf_dir}/events.parquet",
                               columns=["user_id", "ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
-        .groupby(["user_id", "window_start", "event_type"])
-        .aggregate(
-            Sum("n_part", alias_name="n"),
-            Sum("cents_part", alias_name="value_cents"),
-            Min("vmin_part", alias_name="value_min"),
-            Max("vmax_part", alias_name="value_max"),
-        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        keys=["user_id"],
+        finalize=finalize,
     )
 
 

@@ -68,3 +68,39 @@ def stage_fn(cls, *args):
         return cached[1](batch)
 
     return fn
+
+
+def hash_groupby(
+    ds,
+    keys: list[str],
+    finalize,
+    num_partitions: int | None = None,
+):
+    """groupby-aggregate via ONE hash-shuffle repartition + a per-partition
+    Arrow finalize — the pattern the index build's shuffle/pack uses.
+
+    Ray Data's ``groupby().aggregate()`` is sort-based (a full range sort
+    of the keyed rows); when group keys barely collapse (cardinality ~
+    rows), the sort dominates.  ``repartition(keys=...)`` under the
+    HASH_SHUFFLE strategy co-locates equal keys without sorting, and
+    ``finalize`` (pa.Table -> pa.Table) sees each partition whole, so a
+    plain ``pa.Table.group_by`` inside it is exact.  ``keys`` may be a
+    PREFIX of the true group key (e.g. user_id for (user_id, window)) —
+    anything the prefix determines lands in one partition.
+    """
+    from ray.data.context import ShuffleStrategy
+
+    if num_partitions is None:
+        # each partition becomes a hash-shuffle aggregator actor; for the
+        # row volumes these analytic aggregates see, actor spawn overhead
+        # beats parallelism past ~cpus/2 (measured: 8 parts 2.1s, 128 parts
+        # 5.8s on the same 100k-row input) — callers with huge inputs pass
+        # their own count
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    # each Dataset chain carries its own DataContext copy — flip the
+    # strategy on THIS chain only (the flag is read at execution time, so
+    # a save/restore around plan construction would not survive laziness)
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds.repartition(num_partitions, keys=keys, sort=False).map_batches(
+        finalize, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
