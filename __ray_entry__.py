@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_signup_window": events.events_in_signup_window,
         "value_percentiles": events.value_percentiles,
         "rolling_user_value": events.rolling_user_value,
+        "running_user_total": events.running_user_total,
+        "event_gaps": events.event_gaps,
         "distinct_users_daily": events.distinct_users_daily,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
@@ -204,7 +206,9 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.events import (
         asof_sql_oracle,
         distinct_users_daily_sql_oracle,
+        event_gaps_sql_oracle,
         rolling_sql_oracle,
+        running_user_total_sql_oracle,
         sessionize_sql_oracle,
         signup_window_sql_oracle,
         value_percentiles_sql_oracle,
@@ -512,6 +516,8 @@ def oracle_sql() -> dict[str, str]:
         "events_in_signup_window": signup_window_sql_oracle(),
         "value_percentiles": value_percentiles_sql_oracle(),
         "rolling_user_value": rolling_sql_oracle(),
+        "running_user_total": running_user_total_sql_oracle(),
+        "event_gaps": event_gaps_sql_oracle(),
         "distinct_users_daily": distinct_users_daily_sql_oracle(),
         "customers_without_big_orders": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers

@@ -529,3 +529,123 @@ def signup_window_sql_oracle(window_us: int = WINDOW_US) -> str:
          AND epoch_us(e.ts) < epoch_us(s.ts) + {window_us}
         GROUP BY 1, 2
     """
+
+
+# -------------------------------------------- cumulative / lag windows
+
+
+def running_user_total(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative SQL window: per event, the running count and cents-sum of
+    the same user's events up to AND INCLUDING it, in (ts, event_id) order
+    — ``ROWS UNBOUNDED PRECEDING`` frame semantics.
+
+    Output: (event_id, user_id, running_n, running_cents).  Same one
+    user-bucket shuffle as the other event operators; inside a bucket the
+    kernel is a lexsort plus one segment-reset cumulative sum.
+    """
+
+    def running(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _RUNNING_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        c = _cents(group["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, e, c = u[order], e[order], c[order]
+        new_user, useg = _user_segments(u)
+        starts = np.flatnonzero(new_user)
+        idx = np.arange(len(u))
+        running_n = idx - np.repeat(starts, np.diff(np.append(starts, len(u)))) + 1
+        cum = np.cumsum(c)
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = cum[starts[1:] - 1]
+        running_c = cum - np.repeat(base, np.diff(np.append(starts, len(u))))
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "running_n": pa.array(running_n, pa.int64()),
+                "running_cents": pa.array(running_c, pa.int64()),
+            }
+        )
+
+    return (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id", "value"], 64)
+        .groupby(_BUCKET)
+        .map_groups(running, batch_format="pyarrow")
+    )
+
+
+_RUNNING_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("running_n", pa.int64()),
+        ("running_cents", pa.int64()),
+    ]
+)
+
+
+def running_user_total_sql_oracle() -> str:
+    return """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS running_n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS running_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """
+
+
+def event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """LAG window: per event, microseconds since the same user's previous
+    event (-1 for the user's first event) — (event_id, user_id, gap_us).
+
+    The lag is one shifted subtraction over the lexsorted bucket; the
+    session-gap distribution this yields is the standard input to
+    activity modeling and bot filtering.
+    """
+
+    def gaps(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _GAPS_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, e = u[order], t[order], e[order]
+        new_user, _ = _user_segments(u)
+        gap = np.empty(len(t), dtype=np.int64)
+        gap[0] = -1
+        np.subtract(t[1:], t[:-1], out=gap[1:])
+        gap[new_user] = -1
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id"], 64)
+        .groupby(_BUCKET)
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+_GAPS_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()), ("gap_us", pa.int64())]
+)
+
+
+def event_gaps_sql_oracle() -> str:
+    return """
+        SELECT event_id, user_id,
+               CAST(coalesce(date_diff('microsecond',
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      ts), -1) AS BIGINT) AS gap_us
+        FROM events
+    """
