@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_big_items": relational.orders_with_big_items,
         "regex_search": text.regex_search,
         "customer_order_counts": relational.customer_order_counts,
+        "top_parts_by_brand": relational.top_parts_by_brand,
         "term_freq_spectrum": text.term_freq_spectrum,
         # time-ordered event-stream operators (one user-bucket shuffle)
         "sessionize": events.sessionize,
@@ -562,6 +563,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "top_parts_by_brand": """
+            SELECT p_brand, rank, p_partkey, revenue_cents FROM (
+              SELECT p_brand,
+                     CAST(row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY revenue_cents DESC, p_partkey ASC) AS BIGINT) AS rank,
+                     p_partkey, revenue_cents
+              FROM (
+                SELECT p_brand, l_partkey AS p_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem JOIN part ON l_partkey = part.p_partkey
+                GROUP BY 1, 2
+              )
+            ) WHERE rank <= 3
         """,
         "orders_with_big_items": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

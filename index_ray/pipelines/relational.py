@@ -683,3 +683,83 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
         .groupby("c_custkey")
         .aggregate(Sum("n_part", alias_name="n_orders"))
     )
+
+
+def top_parts_by_brand(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Grouped top-N THROUGH the shuffle (no driver merge): the k parts
+    with the highest lineitem revenue per brand.
+
+    (p_brand, rank, p_partkey, revenue_cents).  ONE brand-keyed hash
+    shuffle: the per-batch partial collapses lineitem to (brand, part)
+    rows, and the per-partition finalize does the final part-revenue sum
+    AND the per-brand rank in the same Arrow pass — the scale shape for
+    "top N per group" when the group count is too large for the driver
+    merge `top_customers_by_segment` uses.
+    """
+    from ..util import hash_groupby
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    order_p = np.argsort(pk)
+    brand_sorted = part["p_brand"].to_numpy(zero_copy_only=False)[order_p]
+    lookup_ref = ray.put((pk[order_p], brand_sorted))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_sorted, brands = ray.get(lookup_ref)
+        pos = np.searchsorted(
+            pk_sorted, batch["l_partkey"].to_numpy(zero_copy_only=False)
+        )
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "p_brand": pa.array(brands[pos], pa.string()),
+                "p_partkey": batch["l_partkey"],
+                "rev_cents": _cents(rev),
+            }
+        )
+        g = t.group_by(["p_brand", "p_partkey"], use_threads=False).aggregate(
+            [("rev_cents", "sum")]
+        )
+        return g.rename_columns(["p_brand", "p_partkey", "rev_part"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "p_partkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["p_brand", "p_partkey"], use_threads=False).aggregate(
+            [("rev_part", "sum")]
+        )
+        brands = g["p_brand"].to_numpy(zero_copy_only=False)
+        keys = g["p_partkey"].to_numpy(zero_copy_only=False)
+        rev = g["rev_part_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev, brands))
+        b_s, k_s, r_s = brands[order], keys[order], rev[order]
+        new_b = np.empty(len(b_s), dtype=bool)
+        new_b[0] = True
+        np.not_equal(b_s[1:], b_s[:-1], out=new_b[1:])
+        starts = np.flatnonzero(new_b)
+        idx = np.arange(len(b_s))
+        rank = idx - np.repeat(starts, np.diff(np.append(starts, len(b_s)))) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "p_brand": pa.array(b_s[keep], pa.string()),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "p_partkey": pa.array(k_s[keep], pa.int64()),
+                "revenue_cents": pa.array(r_s[keep], pa.int64()),
+            }
+        )
+
+    per_part = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    return hash_groupby(per_part, keys=["p_brand"], finalize=topk)

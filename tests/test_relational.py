@@ -24,6 +24,7 @@ NAMES = [
     "top_suppliers",
     "market_share_by_year",
     "orders_with_big_items",
+    "top_parts_by_brand",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
