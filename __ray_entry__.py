@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_after_delete": flagship.bm25_after_delete,
+        "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lookup": flagship.doc_lookup,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_and_sql_oracle,
         bm25_not_sql_oracle,
         bm25_after_delete_sql_oracle,
+        bm25_prefix_sql_oracle,
         bm25_field_scoped_sql_oracle,
         bm25_head_boost_sql_oracle,
         bm25_meta_sql_oracle,
@@ -247,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_not_topk": bm25_not_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
+        "bm25_prefix_topk": bm25_prefix_sql_oracle(),
         "bm25_topk_meta": bm25_meta_sql_oracle(),
         "phrase_match": phrase_sql_oracle(),
         "field_term_stats": field_term_stats_sql_oracle(),

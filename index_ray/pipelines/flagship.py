@@ -144,6 +144,78 @@ def bm25_not_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# (qid, query with * wildcards, k) — prefix-expansion fixtures
+PREFIX_QUERIES: list[tuple[int, str, int]] = [
+    (1, "s* table", 10),
+    (2, "qu* c*", 10),
+    (3, "merge so*", 10),
+    (4, "zzz*", 10),  # no lexicon term matches: empty result path
+]
+
+
+def bm25_prefix_topk(sf_dir: str) -> pa.Table:
+    """Wildcard BM25 top-k: ``term*`` tokens expand via a sorted-lexicon
+    range probe into an OR over every matching term (each with its own
+    idf).  (qid, rank, doc_id); oracle expands the same prefixes with
+    SQL LIKE over the distinct vocabulary."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_prefix_many([(q, k) for _, q, k in PREFIX_QUERIES])
+    tables = []
+    for (qid, _, _), r in zip(PREFIX_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_prefix_sql_oracle() -> str:
+    pats = []
+    for qid, q, _ in PREFIX_QUERIES:
+        for tok in q.split():
+            pat = tok[:-1].lower() + "%" if tok.endswith("*") else tok.lower()
+            pats.append(f"({qid}, '{pat}')")
+    values = ", ".join(pats)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+qp(qid, pat) AS (VALUES {values}),
+q AS (SELECT DISTINCT qp.qid, df.term FROM qp JOIN df ON df.term LIKE qp.pat),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""
+
+
 DELETE_MOD = 7  # doc_id % DELETE_MOD == 0 is tombstoned in the delete fixture
 
 

@@ -91,6 +91,33 @@ class Lexicon:
         else:
             self._ds = pads.dataset(files)
 
+    def prefix_terms(self, prefix: str, limit: int = 1024) -> list[str]:
+        """Every lexicon term starting with ``prefix`` (ascending, capped at
+        ``limit`` — the wildcard-expansion budget).  Resident map: one
+        lazily-built sorted key list + bisect range; parquet fallback: a
+        row-group-pruned range read over the term-sorted lexicon."""
+        if not prefix:
+            return []
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        if self._map is not None:
+            if not hasattr(self, "_sorted_terms"):
+                self._sorted_terms = sorted(self._map)
+            import bisect
+
+            st = self._sorted_terms
+            lo_i = bisect.bisect_left(st, prefix)
+            hi_i = bisect.bisect_left(st, hi)
+            out = st[lo_i:hi_i]
+        else:
+            t = self._ds.to_table(
+                columns=["term"],
+                filter=(pads.field("term") >= prefix) & (pads.field("term") < hi),
+            )
+            out = sorted(t["term"].to_pylist())
+        if len(out) > limit:
+            out = out[:limit]
+        return out
+
     def idf(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         if not terms:
             return {}
@@ -776,6 +803,55 @@ class BM25Searcher:
             )
         if meta_cols:
             out = self._join_meta(out, meta_cols)
+        return out
+
+    def search_prefix_many(
+        self,
+        queries: list[tuple[str, int]],
+        prune: bool = True,
+        max_expand: int = 1024,
+    ) -> list[pa.Table]:
+        """Wildcard BM25: query tokens ending in ``*`` expand to EVERY
+        lexicon term with that prefix (ascending, capped at ``max_expand``),
+        then score as a disjunction — each expanded term contributes with
+        its own idf, exactly as if the user had typed them all.  The
+        expansion is one sorted-lexicon range probe per wildcard (the same
+        dictionary-ordering property the reference keeps its dict sorted
+        for, ``/root/reference/index.h:320-326``)."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared = []
+        for q, k in queries:
+            terms: set[str] = set()
+            for tok in q.split():
+                if tok.endswith("*") and len(tok) > 1:
+                    terms.update(
+                        self.lexicon.prefix_terms(tok[:-1].lower(), max_expand)
+                    )
+                else:
+                    terms.update(query_terms(tok, tok_mode))
+            ordered = sorted(terms)
+            weights = self.lexicon.idf(ordered)
+            present = [t for t in ordered if t in weights]
+            idfs = [weights[t][1] for t in present]
+            prepared.append((present, idfs, k))
+        futs = [a.score_many.remote(prepared, prune, "or") for a in self.actors]
+        per_actor = ray.get(futs)
+        out = []
+        for qi, (_, _, k) in enumerate(prepared):
+            docs = np.concatenate([pa_res[qi][0] for pa_res in per_actor])
+            scores = np.concatenate([pa_res[qi][1] for pa_res in per_actor])
+            order = np.lexsort((docs, -scores))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "rank": pa.array(
+                            np.arange(1, len(order) + 1, dtype=np.int64)
+                        ),
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "score": pa.array(scores[order], type=pa.float64()),
+                    }
+                )
+            )
         return out
 
     def phrase_many(self, phrases: list[str]) -> list[pa.Table]:

@@ -291,3 +291,34 @@ def test_collocations_matches_duckdb(ray_session):
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(got) > 0  # threshold is calibrated to produce matches
+
+
+def test_bm25_prefix_matches_duckdb_and_prune_invariant(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.flagship import (
+        PREFIX_QUERIES,
+        bm25_prefix_sql_oracle,
+        bm25_prefix_topk,
+        documents_index,
+    )
+    from index_ray.pipelines.query import BM25Searcher
+
+    got = bm25_prefix_topk(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(bm25_prefix_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    searcher = BM25Searcher(documents_index(SF))
+    qs = [(q, k) for _, q, k in PREFIX_QUERIES]
+    pruned = searcher.search_prefix_many(qs, prune=True)
+    full = searcher.search_prefix_many(qs, prune=False)
+    for p, f in zip(pruned, full):
+        assert p["docID"].to_pylist() == f["docID"].to_pylist()
+        assert p["score"].to_pylist() == f["score"].to_pylist()
+    assert len(pruned[3]) == 0  # zzz* matches nothing
