@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
         "ivf_knn_cosine": similarity.ivf_knn_cosine,
         "ivf_knn_consistency": similarity.ivf_knn_consistency,
+        "pq_knn_cosine": similarity.pq_knn_cosine,
+        "pq_knn_consistency": similarity.pq_knn_consistency,
         "embedding_neardup": similarity.embedding_neardup,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
@@ -361,6 +363,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "ivf_knn_consistency": """
+            SELECT CAST(q.qid AS BIGINT) AS qid,
+                   CAST(0 AS BIGINT) AS n_rank_inversions,
+                   CAST(1 AS BIGINT) AS top1_is_self
+            FROM (VALUES (0), (1), (2)) q(qid)
+        """,
+        "pq_knn_consistency": """
             SELECT CAST(q.qid AS BIGINT) AS qid,
                    CAST(0 AS BIGINT) AS n_rank_inversions,
                    CAST(1 AS BIGINT) AS top1_is_self

@@ -322,3 +322,18 @@ def test_bm25_prefix_matches_duckdb_and_prune_invariant(ray_session):
         assert p["docID"].to_pylist() == f["docID"].to_pylist()
         assert p["score"].to_pylist() == f["score"].to_pylist()
     assert len(pruned[3]) == 0  # zzz* matches nothing
+
+
+def test_pq_knn_recall_and_consistency(ray_session):
+    exact = sim.knn_cosine(SF).to_pandas()
+    approx = sim.pq_knn_cosine(SF).to_pandas()
+    recalls = []
+    for qid in exact["qid"].unique():
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        a = set(approx[approx["qid"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # 4k-candidate PQ scan + exact refine: much stronger than raw LSH
+    assert np.mean(recalls) >= 0.6
+    cons = sim.pq_knn_consistency(SF).to_pandas()
+    assert (cons["n_rank_inversions"] == 0).all()
+    assert (cons["top1_is_self"] == 1).all()
