@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
+        "media_consistency": multimodal.media_consistency,
     }
 
 
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
     )
+    from index_ray.pipelines.multimodal import media_consistency_sql_oracle
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
     return {
@@ -368,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS top1_is_self
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
+        "media_consistency": media_consistency_sql_oracle(),
         "pq_knn_consistency": """
             SELECT CAST(q.qid AS BIGINT) AS qid,
                    CAST(0 AS BIGINT) AS n_rank_inversions,

@@ -238,3 +238,41 @@ def video_frame_sample(sf_dir: str, n: int = 64):
     return ds.map_batches(
         stage_fn(FrameSample), batch_format="pyarrow", batch_size=16
     ).map_batches(frame_meta, batch_format="pyarrow")
+
+
+def media_consistency(sf_dir: str):
+    """Golden pinning for the (non-SQL-expressible) media pipelines: the
+    synthetic payloads are seed-deterministic, so these aggregate
+    invariants are constants — the oracle inlines them as VALUES, turning
+    both rows-only media paths into a hash-checked row.
+
+    (n_images, hist_hash_sum, n_sampled_frames, frame_bytes_sum)
+    """
+    from ray.data.aggregate import Count, Sum
+
+    f = media_features(sf_dir).aggregate(
+        Count(alias_name="n_images"), Sum("hist_hash", alias_name="hist_hash_sum")
+    )
+    v = video_frame_sample(sf_dir).aggregate(
+        Count(alias_name="n_sampled_frames"),
+        Sum("frame_bytes", alias_name="frame_bytes_sum"),
+    )
+    return pa.table(
+        {
+            "n_images": pa.array([int(f["n_images"])], pa.int64()),
+            "hist_hash_sum": pa.array([int(f["hist_hash_sum"])], pa.int64()),
+            "n_sampled_frames": pa.array([int(v["n_sampled_frames"])], pa.int64()),
+            "frame_bytes_sum": pa.array([int(v["frame_bytes_sum"])], pa.int64()),
+        }
+    )
+
+
+def media_consistency_sql_oracle() -> str:
+    # golden constants of the seed-42 synthetic media tables (see
+    # media_consistency docstring)
+    return """
+        SELECT CAST(200 AS BIGINT) AS n_images,
+               CAST(943404 AS BIGINT) AS hist_hash_sum,
+               CAST(171 AS BIGINT) AS n_sampled_frames,
+               CAST(857982 AS BIGINT) AS frame_bytes_sum
+    """

@@ -349,3 +349,13 @@ def test_near_requires_positions(tiny_index_dir):
     searcher = BM25Searcher(tiny_index_dir, num_shards=1)
     with pytest.raises(ValueError, match="positions"):
         searcher.near_many([("a", "b", 2)])
+
+
+def test_media_consistency_goldens(ray_session):
+    from index_ray.pipelines.multimodal import media_consistency
+
+    t = media_consistency("ignored").to_pandas().iloc[0]
+    assert int(t["n_images"]) == 200
+    assert int(t["hist_hash_sum"]) == 943404
+    assert int(t["n_sampled_frames"]) == 171
+    assert int(t["frame_bytes_sum"]) == 857982
