@@ -299,6 +299,16 @@ def quality_filter_sql_oracle() -> str:
                    AS stop_count
           FROM t GROUP BY doc_id
         ),
+        -- documents LEFT JOIN so token-less docs still get a row (the engine
+        -- emits every doc; bincount gives them all-zero stats, keep = 0)
+        s0 AS (
+          SELECT d.doc_id,
+                 coalesce(s.n_tokens, 0) AS n_tokens,
+                 coalesce(s.n_unique, 0) AS n_unique,
+                 coalesce(s.token_chars, 0) AS token_chars,
+                 coalesce(s.stop_count, 0) AS stop_count
+          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        ),
         f AS (
           SELECT doc_id, n_tokens, n_unique,
                  CASE WHEN n_tokens BETWEEN {LEN_LO} AND {LEN_HI}
@@ -309,7 +319,7 @@ def quality_filter_sql_oracle() -> str:
                  CASE WHEN token_chars BETWEEN {WLEN_LO} * n_tokens
                                            AND {WLEN_HI} * n_tokens
                       THEN 1 ELSE 0 END AS wordlen_ok
-          FROM s
+          FROM s0
         )
         SELECT doc_id, n_tokens, n_unique,
                CAST(len_ok AS BIGINT) AS len_ok,

@@ -100,6 +100,24 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return flagship(sf_dir).select(["qid", "rank", "doc_id"])
 
 
+def bm25_scores(sf_dir: str) -> pa.Table:
+    """Flagship result with integer-lifted scores: (qid, rank, doc_id,
+    score_e6).  BM25 accumulates in float64 on both sides (engine and the
+    DuckDB CTE oracle), so floor(score*1e6 + 0.5) — round-half-away for the
+    positive scores — is deterministic and hash-safe for the driver."""
+    t = flagship(sf_dir)
+    s = t["score"].to_numpy(zero_copy_only=False)
+    e6 = np.floor(s * 1e6 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "qid": t["qid"],
+            "rank": t["rank"],
+            "doc_id": t["doc_id"],
+            "score_e6": pa.array(e6, type=pa.int64()),
+        }
+    )
+
+
 def bm25_and_topk(sf_dir: str) -> pa.Table:
     """Conjunctive BM25 top-k: only docs containing EVERY query term.
 
@@ -375,6 +393,16 @@ ranked AS (
 
 def bm25_sql_oracle() -> str:
     return _bm25_ctes() + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+
+
+def bm25_scores_sql_oracle() -> str:
+    """Same CTEs as bm25_sql_oracle but keeps the score, integer-lifted with
+    the identical floor(x*1e6 + 0.5) rule the engine-side projection uses."""
+    return _bm25_ctes() + """
+SELECT r.qid, r.rank, r.doc_id,
+       CAST(floor(s.score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM ranked r JOIN scored s ON s.qid = r.qid AND s.doc_id = r.doc_id
+WHERE r.rank <= 10"""
 
 
 def bm25_not_sql_oracle() -> str:
