@@ -2,8 +2,10 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
+import ray.data
 
 
 def retain_malloc_pages(threshold: int = 1 << 30) -> None:
@@ -70,37 +72,97 @@ def stage_fn(cls, *args):
     return fn
 
 
+def _bucket_of(t: pa.Table, keys: list[str], nparts: int) -> np.ndarray:
+    """Vectorized per-row bucket ids from the key columns (any dtype)."""
+    import pandas as pd
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = t[k].to_numpy(zero_copy_only=False)
+        h = h * np.uint64(1000003) ^ pd.util.hash_array(col)
+    return (h % np.uint64(nparts)).astype(np.int64)
+
+
+@ray.remote
+def _hg_split(block, keys: list[str], nparts: int):
+    """Map side: split one upstream block into ``nparts`` bucket tables.
+
+    Returned via ``num_returns`` fan-out so each bucket's rows become their
+    own object — a reduce task pulls only its bucket, never the whole block.
+    Buckets a block doesn't touch come back as 0-row tables (keeps the
+    reduce-side schema known even for empty buckets)."""
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    b = _bucket_of(t, keys, nparts)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(nparts + 1))
+    # per-bucket take (not slice-of-sorted): take materializes compact
+    # buffers, so each return object holds only its own rows
+    out = tuple(t.take(order[bounds[i] : bounds[i + 1]]) for i in range(nparts))
+    return out if nparts > 1 else out[0]
+
+
+@ray.remote
+def _hg_reduce(finalize, *parts: pa.Table) -> pa.Table:
+    """Reduce side: a bucket holds EVERY row of its keys -> the plain Arrow
+    ``finalize`` (pa.Table -> pa.Table) is exact."""
+    live = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(live, promote_options="default") if live else parts[0]
+    return finalize(t)
+
+
 def hash_groupby(
     ds,
     keys: list[str],
     finalize,
     num_partitions: int | None = None,
 ):
-    """groupby-aggregate via ONE hash-shuffle repartition + a per-partition
-    Arrow finalize — the pattern the index build's shuffle/pack uses.
+    """groupby-aggregate via ONE task-based bucket shuffle + a per-bucket
+    Arrow finalize — the same map-side fan-out pattern the index build's
+    shuffle/pack uses (``build.py``), generalized.
 
     Ray Data's ``groupby().aggregate()`` is sort-based (a full range sort
     of the keyed rows); when group keys barely collapse (cardinality ~
-    rows), the sort dominates.  ``repartition(keys=...)`` under the
-    HASH_SHUFFLE strategy co-locates equal keys without sorting, and
-    ``finalize`` (pa.Table -> pa.Table) sees each partition whole, so a
-    plain ``pa.Table.group_by`` inside it is exact.  ``keys`` may be a
-    PREFIX of the true group key (e.g. user_id for (user_id, window)) —
-    anything the prefix determines lands in one partition.
-    """
-    from ray.data.context import ShuffleStrategy
+    rows), the sort dominates.  Its HASH_SHUFFLE repartition co-locates
+    keys without sorting but spawns a fresh aggregator-actor pool per
+    execution — on this host class a new process re-pays its arena's
+    first-touch page faults, which made a cold-session call ~4x slower
+    than the same call warm.  Plain tasks reuse Ray's warm workers, so:
 
+      split task per upstream block -> ``num_returns`` bucket fan-out ->
+      one reduce task per bucket (concat + ``finalize``).
+
+    Data movement is identical to a hash shuffle (each row crosses the
+    object store once on each side); ``keys`` may be a PREFIX of the true
+    group key (e.g. user_id for (user_id, window)) — anything the prefix
+    determines lands in one bucket.  The driver only brokers ObjectRefs
+    (blocks x buckets of them); callers shuffling very wide inputs should
+    keep ``num_partitions`` moderate and rely on larger upstream blocks —
+    ref bookkeeping, not data, is the driver-side cost.
+    """
     if num_partitions is None:
-        # each partition becomes a hash-shuffle aggregator actor; for the
-        # row volumes these analytic aggregates see, actor spawn overhead
-        # beats parallelism past ~cpus/2 (measured: 8 parts 2.1s, 128 parts
-        # 5.8s on the same 100k-row input) — callers with huge inputs pass
-        # their own count
+        # one reduce task per bucket; past ~cpus/2 the extra buckets only
+        # add scheduling overhead at these row volumes (callers with huge
+        # inputs pass their own count)
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    # each Dataset chain carries its own DataContext copy — flip the
-    # strategy on THIS chain only (the flag is read at execution time, so
-    # a save/restore around plan construction would not survive laziness)
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return ds.repartition(num_partitions, keys=keys, sort=False).map_batches(
-        finalize, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    nparts = num_partitions
+    per_block: list = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            if nparts > 1:
+                per_block.append(
+                    _hg_split.options(num_returns=nparts).remote(bref, keys, nparts)
+                )
+            else:
+                per_block.append((_hg_split.remote(bref, keys, nparts),))
+    if not per_block:
+        # empty upstream: finalize an empty projection driver-side
+        try:
+            empty = pa.schema(ds.schema().base_schema).empty_table()
+        except Exception:
+            empty = pa.table({})
+        return ray.data.from_arrow(finalize(empty))
+    out = [
+        _hg_reduce.remote(finalize, *[pb[p] for pb in per_block])
+        for p in range(nparts)
+    ]
+    return ray.data.from_arrow_refs(out)
