@@ -489,9 +489,12 @@ def _session_pools(n_tok: int, n_pack: int):
     if cur is not None:
         tok, packw = cur
         try:
-            ray.get(
-                [tok[0].ping.remote(), packw[0].ping.remote()], timeout=30
-            )
+            # only ping non-empty pools: a cached (tok, []) pool from a
+            # shuffle='hash'/'sort' build must not be discarded (and its
+            # warm tokenize actors respawned) over an IndexError
+            pings = [p[0].ping.remote() for p in (tok, packw) if p]
+            if pings:
+                ray.get(pings, timeout=30)
         except Exception:
             cur = None
     if cur is not None and len(tok) >= n_tok and len(packw) >= n_pack:
@@ -984,6 +987,9 @@ def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
 
 
 def load_stats(out_dir: str) -> dict:
+    from .compact import recover_swap  # deferred: compact imports build
+
+    recover_swap(out_dir)  # heal any crash-interrupted compaction swap
     s = read_json(os.path.join(out_dir, "stats.json"))
     if s is None:
         raise FileNotFoundError(f"no stats.json under {out_dir} — build first")

@@ -82,6 +82,64 @@ def load_tombstones(out_dir: str) -> np.ndarray:
     return np.unique(t["docID"].to_numpy(zero_copy_only=False))
 
 
+def swap_journal_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "chunks", ".swap-journal.json")
+
+
+def recover_swap(out_dir: str) -> None:
+    """Heal a compaction swap interrupted by a crash (cheap no-op normally).
+
+    ``compact_index`` journals the swap before touching the live layout:
+    phase "trash" renames every old chunk dir into ``chunks/.trash-swap/``;
+    phase "place" renames the merged tmp dirs into the live namespace; the
+    atomic ``stats.json`` rewrite carrying the journal's token is the
+    COMMIT POINT.  On open (``load_stats`` calls this), a journal found on
+    disk is rolled FORWARD past the commit (delete trash + journal) or
+    BACK before it (restore old dirs; rename any placed merged dir back to
+    its tmp name, where the next compaction wipes and rebuilds it).  The
+    phase marker removes name ambiguity: in phase "trash" no merged dir
+    was placed yet, in phase "place" every old dir is already in trash —
+    so a ``chunk-NNNNN`` present in the live namespace is unambiguously
+    old or new respectively."""
+    jp = swap_journal_path(out_dir)
+    if not os.path.exists(jp):
+        return
+    j = read_json(jp)
+    chunks_root = os.path.join(out_dir, "chunks")
+    trash = os.path.join(chunks_root, ".trash-swap")
+    if not j:
+        return  # unreadable journal: leave evidence in place
+    stats = read_json(os.path.join(out_dir, "stats.json"))
+    if stats and stats.get("swap_token") == j.get("token"):
+        # committed: finish the cleanup the crash skipped
+        shutil.rmtree(trash, ignore_errors=True)
+        if j.get("purged"):
+            shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
+        os.remove(jp)
+        return
+    # not committed: roll back to the pre-swap layout
+    if j.get("phase") == "place":
+        for tmpname, dstname in j.get("new", []):
+            dst = os.path.join(chunks_root, dstname)
+            tmp = os.path.join(chunks_root, tmpname)
+            if os.path.isdir(dst) and not os.path.isdir(tmp):
+                os.rename(dst, tmp)
+    for name in j.get("old", []):
+        src = os.path.join(trash, name)
+        dst = os.path.join(chunks_root, name)
+        if os.path.isdir(src) and not os.path.isdir(dst):
+            os.rename(src, dst)
+    if j.get("purged"):
+        # a purging compaction re-merges the global lexicon from the NEW
+        # chunks before the commit; re-derive it from the restored layout
+        lex_files = sorted(
+            glob.glob(os.path.join(chunks_root, "chunk-*", "lexicon", "*.parquet"))
+        )
+        merge_lexicon(out_dir, lex_files)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.remove(jp)
+
+
 def _repack_rows(
     t: pa.Table,
     max_block_postings: int,
@@ -141,11 +199,14 @@ def compact_index(
     """Merge the index's chunks into groups of ~``group_docs`` documents
     (default: all chunks into one), re-packing posting blocks.
 
-    Returns the updated stats dict.  Crash window: the swap (remove old
-    chunk dirs, move merged ones into place, rewrite stats.json) is not
-    atomic across directories — re-run compaction after a crash; merged
-    tmp dirs are rebuilt from whatever chunk layout survived.
+    Returns the updated stats dict.  The swap is crash-safe: old chunk
+    dirs are renamed aside into ``chunks/.trash-swap/`` under a journal,
+    the atomic ``stats.json`` rewrite is the commit point, and
+    :func:`recover_swap` (run here and by every ``load_stats``) rolls an
+    interrupted swap back to the pre-compaction layout or forward past
+    the commit — no window loses the live index.
     """
+    recover_swap(out_dir)
     stats = load_stats(out_dir)
     chunks = sorted(stats["chunks"], key=lambda c: c["chunk"])
     manifests = [
@@ -290,12 +351,31 @@ def compact_index(
         new_manifests.append(nm)
         tmp_dirs.append(tmp)
 
-    # swap: drop old chunk dirs, move merged ones into place, write manifests
-    for m in manifests:
-        shutil.rmtree(os.path.join(out_dir, "chunks", f"chunk-{m['chunk']:05d}"))
-    for gi, (tmp, nm) in enumerate(zip(tmp_dirs, new_manifests)):
-        dst = os.path.join(out_dir, "chunks", f"chunk-{gi:05d}")
-        os.rename(tmp, dst)
+    # crash-safe swap (see recover_swap): journal -> old dirs into trash
+    # (phase "trash") -> merged dirs placed (phase "place") -> stats.json
+    # with the journal token is the commit -> cleanup
+    chunks_root = os.path.join(out_dir, "chunks")
+    trash = os.path.join(chunks_root, ".trash-swap")
+    token = os.urandom(8).hex()
+    journal = {
+        "token": token,
+        "phase": "trash",
+        "purged": purging,
+        "old": [f"chunk-{m['chunk']:05d}" for m in manifests],
+        "new": [
+            [os.path.basename(tmp), f"chunk-{gi:05d}"]
+            for gi, tmp in enumerate(tmp_dirs)
+        ],
+    }
+    write_json_atomic(swap_journal_path(out_dir), journal)
+    os.makedirs(trash, exist_ok=True)
+    for name in journal["old"]:
+        os.rename(os.path.join(chunks_root, name), os.path.join(trash, name))
+    journal["phase"] = "place"
+    write_json_atomic(swap_journal_path(out_dir), journal)
+    for (tmpname, dstname), nm in zip(journal["new"], new_manifests):
+        dst = os.path.join(chunks_root, dstname)
+        os.rename(os.path.join(chunks_root, tmpname), dst)
         nm["files"] = list_output_files(dst)
         write_json_atomic(manifest_path(dst), nm)
 
@@ -330,7 +410,11 @@ def compact_index(
             )
         ]
         merge_lexicon(out_dir, lex_files)
-        shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
     stats["compacted_seconds"] = round(time.time() - t0, 3)
+    stats["swap_token"] = token  # commit point for recover_swap
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
+    shutil.rmtree(trash, ignore_errors=True)
+    if purging:
+        shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
+    os.remove(swap_journal_path(out_dir))
     return stats

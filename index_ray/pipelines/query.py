@@ -91,11 +91,13 @@ class Lexicon:
         else:
             self._ds = pads.dataset(files)
 
-    def prefix_terms(self, prefix: str, limit: int = 1024) -> list[str]:
-        """Every lexicon term starting with ``prefix`` (ascending, capped at
-        ``limit`` — the wildcard-expansion budget).  Resident map: one
-        lazily-built sorted key list + bisect range; parquet fallback: a
-        row-group-pruned range read over the term-sorted lexicon."""
+    def prefix_terms(self, prefix: str, limit: int | None = None) -> list[str]:
+        """Every lexicon term starting with ``prefix`` (ascending).  Resident
+        map: one lazily-built sorted key list + bisect range; parquet
+        fallback: a row-group-pruned range read over the term-sorted
+        lexicon.  ``limit`` is an explicit caller opt-in budget; by default
+        expansion is unbounded and a truncating cap raises instead of
+        silently diverging from an exhaustive oracle."""
         if not prefix:
             return []
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
@@ -114,8 +116,11 @@ class Lexicon:
                 filter=(pads.field("term") >= prefix) & (pads.field("term") < hi),
             )
             out = sorted(t["term"].to_pylist())
-        if len(out) > limit:
-            out = out[:limit]
+        if limit is not None and len(out) > limit:
+            raise ValueError(
+                f"wildcard '{prefix}*' expands to {len(out)} terms, over the "
+                f"caller's limit={limit}; raise the budget or narrow the prefix"
+            )
         return out
 
     def idf(self, terms: list[str]) -> dict[str, tuple[int, float]]:
@@ -809,10 +814,12 @@ class BM25Searcher:
         self,
         queries: list[tuple[str, int]],
         prune: bool = True,
-        max_expand: int = 1024,
+        max_expand: int | None = None,
     ) -> list[pa.Table]:
         """Wildcard BM25: query tokens ending in ``*`` expand to EVERY
-        lexicon term with that prefix (ascending, capped at ``max_expand``),
+        lexicon term with that prefix (ascending; ``max_expand`` is an
+        explicit opt-in budget that RAISES when it would truncate — a
+        silent cap would quietly diverge from the exhaustive semantics),
         then score as a disjunction — each expanded term contributes with
         its own idf, exactly as if the user had typed them all.  The
         expansion is one sorted-lexicon range probe per wildcard (the same

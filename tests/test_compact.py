@@ -207,3 +207,67 @@ def test_fsck_clean_and_detects_corruption(tmp_path):
     rep3 = fsck_index(idx).to_pandas()
     flagged = rep3[rep3["n_issues"] > 0]["issues"].str.cat(sep="; ")
     assert "duplicate docIDs" in flagged or "size mismatch" in flagged
+
+
+def test_compact_crash_recovery(tmp_path, monkeypatch):
+    """A crash anywhere in the swap window must not lose the live index:
+    recover_swap (run by every load_stats) rolls the layout back, queries
+    are bit-identical, and re-running compact_index completes normally."""
+    import index_ray.pipelines.compact as C
+    from index_ray.pipelines.compact import delete_docs, recover_swap
+    from index_ray.state.manifest import write_json_atomic
+
+    corp = tmp_path / "corp"
+    write_corpus(str(corp), TINY_DOCS, seed=TINY_SEED, n_files=4)
+    cfg = BuildConfig(**{**TINY_CFG, "chunk_docs": 50})
+    idx = str(tmp_path / "idx")
+    build_index(str(corp), idx, cfg)
+    delete_docs(idx, list(range(0, TINY_DOCS, 7)))  # purging compaction
+    before = _results(idx)
+
+    # crash just before the commit point (stats.json write): everything is
+    # post-swap on disk — old dirs in trash, merged dirs placed — but
+    # uncommitted
+    def crash_on_stats(path, obj):
+        if path.endswith("stats.json"):
+            raise RuntimeError("simulated crash before commit")
+        return write_json_atomic(path, obj)
+
+    monkeypatch.setattr(C, "write_json_atomic", crash_on_stats)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_index(idx)
+    monkeypatch.setattr(C, "write_json_atomic", write_json_atomic)
+
+    assert os.path.exists(C.swap_journal_path(idx))
+    # load_stats (via BM25Searcher) heals: pre-compaction layout + results
+    assert _results(idx) == before
+    assert not os.path.exists(C.swap_journal_path(idx))
+    assert not os.path.exists(os.path.join(idx, "chunks", ".trash-swap"))
+    assert glob.glob(os.path.join(idx, "chunks", "chunk-*"))
+
+    # crash mid phase "trash" (only some old dirs renamed aside yet)
+    chunks = sorted(glob.glob(os.path.join(idx, "chunks", "chunk-*")))
+    assert len(chunks) >= 2
+    trash = os.path.join(idx, "chunks", ".trash-swap")
+    os.makedirs(trash)
+    moved = os.path.basename(chunks[0])
+    os.rename(chunks[0], os.path.join(trash, moved))
+    write_json_atomic(
+        C.swap_journal_path(idx),
+        {
+            "token": "deadbeef", "phase": "trash", "purged": True,
+            "old": [os.path.basename(c) for c in chunks],
+            "new": [[".compact-tmp-00000", "chunk-00000"]],
+        },
+    )
+    recover_swap(idx)
+    assert sorted(glob.glob(os.path.join(idx, "chunks", "chunk-*"))) == chunks
+    assert _results(idx) == before
+
+    # and a clean re-run completes + purges, bit-identical to from-scratch
+    stats = compact_index(idx)
+    assert "swap_token" in stats
+    assert not os.path.exists(C.swap_journal_path(idx))
+    assert not os.path.exists(os.path.join(idx, "tombstones"))
+    keep_docs = [i for i in range(TINY_DOCS) if i % 7 != 0]
+    assert load_stats(idx)["N"] == len(keep_docs)
