@@ -299,7 +299,12 @@ def embedding_lsh_consistency(sf_dir: str, threshold: float = 0.45) -> pa.Table:
 
 class _HyperplaneSign:
     """Sign stage: hyperplanes built once per worker process (deterministic
-    seed, so every worker holds the same H); emits base + Hamming-1 probes."""
+    seed, so every worker holds the same H); emits base + Hamming-1 probes.
+
+    Only ``(key, vec_id)`` crosses the shuffle — 16 bytes per probe row
+    instead of the full unit vector (round 2 shipped each vector
+    x(nbits+1) through the groupby, ~dim x 8 bytes per row); the verify
+    stage refetches vectors for the surviving candidates only."""
 
     def __init__(self, nbits: int):
         self.nbits = nbits
@@ -311,28 +316,61 @@ class _HyperplaneSign:
     def __call__(self, batch: pa.Table) -> pa.Table:
         nbits = self.nbits
         m = _to_matrix(batch["embedding"])
-        if self.H is None:
+        if self.H is None or self.H.shape[1] != m.shape[1]:
+            # keyed on dim: stage_fn reuses the instance across datasets
             self.H = _hyperplanes(m.shape[1], nbits)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sig = (mn @ self.H.T > 0).astype(np.uint64)
         base = (sig * self.pow2[None, :]).sum(axis=1).astype(np.int64)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        n = len(ids)
         keys = [base]
         for b in range(nbits):
             keys.append(base ^ (1 << b))
-        key_col = np.concatenate(keys)
-        id_col = np.tile(ids, nbits + 1)
-        vec_col = np.tile(mn, (nbits + 1, 1))
         return pa.table(
             {
-                "key": pa.array(key_col, pa.int64()),
-                "vec_id": pa.array(id_col, pa.int64()),
-                "vec": pa.array(list(vec_col)),
-                "is_base": pa.array(
-                    np.repeat([True] + [False] * nbits, n), pa.bool_()
-                ),
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, nbits + 1), pa.int64()),
             }
+        )
+
+
+class _CandVectors:
+    """batch -> (vec_id, unit vector) for broadcast candidate ids only —
+    the same refetch-by-broadcast-id-filter shape as dedup._CandGramSets."""
+
+    def __init__(self, cand_ids_ref):
+        self.want = ray.get(cand_ids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, self.want)
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "embedding": batch["embedding"].slice(0, 0)}
+            )
+        sub = batch.filter(pa.array(mask))
+        return pa.table({"vec_id": sub["vec_id"], "embedding": sub["embedding"]})
+
+
+class _PairCosVerify:
+    """Vectorized exact-cosine verify over candidate-pair partitions: the
+    (small) candidate vector matrix is broadcast once; each pair batch is a
+    row-gather + one einsum — no per-pair Python loop, nothing on the
+    driver."""
+
+    def __init__(self, cand_vec_ref, threshold: float):
+        self.ids, self.m = ray.get(cand_vec_ref)  # ids sorted ascending
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        sims = np.einsum("ij,ij->i", self.m[ia], self.m[ib])
+        keep = sims >= self.threshold
+        return pa.table(
+            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
         )
 
 
@@ -343,37 +381,77 @@ def embedding_neardup_lsh(
 
     Hyperplane-LSH blocking (nbits-bit key, multi-probe Hamming<=1 — two
     vectors collide when their sign keys differ by <= 2 bits) + exact
-    verify within buckets.  Approximate: recall vs ``embedding_neardup``
-    is measured in tests.
+    verify.  Three stages, only fixed-width (key, vec_id) rows cross the
+    shuffle:
+
+    1. sign: (key, vec_id) probe rows, nbits+1 per vector.
+    2. candidates: groupby(key) -> unique id pairs (vectorized triu).
+    3. verify: candidate vectors are refetched via a broadcast-id filter
+       on the scan, and exact cosine is computed per candidate pair in
+       ``map_batches`` over the (deduped) pair table — so every emitted
+       pair is exact (precision 1; recall measured in tests).
+
+    Approximate: recall vs ``embedding_neardup`` is measured in tests.
     """
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        base = group["is_base"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, base = ids[order], base[order]
-        vecs = np.stack(group["vec"].to_pylist())[order]
-        a_out, b_out = [], []
-        if len(ids) >= 2:
-            sims = vecs @ vecs.T
-            ii, jj = np.where(np.triu(sims >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                if ids[i] == ids[j]:
-                    continue  # same vector via different probes
-                a_out.append(int(min(ids[i], ids[j])))
-                b_out.append(int(max(ids[i], ids[j])))
-        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+    def bucket_cands(group: pa.Table) -> pa.Table:
+        import logging
 
-    ds = (
+        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        if len(ids) > 4096:
+            logging.getLogger(__name__).warning(
+                "embedding-LSH bucket with %d members — key needs more bits", len(ids)
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    cand = pairs_table(
         emb_dataset(sf_dir)
         .map_batches(
             stage_fn(_HyperplaneSign, nbits), batch_format="pyarrow",
             batch_size=4096,
         )
         .groupby("key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(bucket_cands, batch_format="pyarrow")
     )
-    return pairs_table(ds)
+    if cand.num_rows == 0:
+        return cand
+
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                cand["a"].to_numpy(zero_copy_only=False),
+                cand["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    vt = pa.concat_tables(
+        ray.get(
+            emb_dataset(sf_dir)
+            .map_batches(
+                stage_fn(_CandVectors, ray.put(cand_ids)),
+                batch_format="pyarrow",
+                batch_size=4096,
+            )
+            .to_arrow_refs()
+        )
+    )
+    ids = vt["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    m = _to_matrix(vt["embedding"])[order]
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    vec_ref = ray.put((ids[order], m))
+    return pairs_table(
+        ray.data.from_arrow(cand).map_batches(
+            stage_fn(_PairCosVerify, vec_ref, threshold),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+    )
 
 
 # ------------------------------------------------------------------- IVF
@@ -415,16 +493,21 @@ def kmeans_fit(
                 }
             )
 
-        parts = (
-            emb_dataset(sf_dir)
-            .map_batches(partial, batch_format="pyarrow", batch_size=4096)
-            .to_pandas()
+        parts = pa.concat_tables(
+            ray.get(
+                emb_dataset(sf_dir)
+                .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+                .to_arrow_refs()
+            )
+        )
+        cid = parts["cid"].to_numpy(zero_copy_only=False)
+        cnt = parts["count"].to_numpy(zero_copy_only=False)
+        vsum = np.asarray(parts["vsum"].combine_chunks().flatten()).reshape(
+            len(parts), cents.shape[1]
         )
         sums = np.zeros_like(cents)
-        counts = np.zeros(len(cents), dtype=np.int64)
-        for _, row in parts.iterrows():
-            sums[int(row["cid"])] += np.asarray(row["vsum"])
-            counts[int(row["cid"])] += int(row["count"])
+        np.add.at(sums, cid, vsum)
+        counts = np.bincount(cid, weights=cnt, minlength=len(cents)).astype(np.int64)
         nz = counts > 0
         cents = cents.copy()
         cents[nz] = sums[nz] / counts[nz, None]

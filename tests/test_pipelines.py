@@ -120,6 +120,51 @@ def test_embedding_neardup_lsh_subset_of_exact(ray_session):
     assert lsh <= exact
 
 
+def test_hyperplane_sign_payload_is_fixed_width(ray_session):
+    """The LSH shuffle payload must be (key, vec_id) only — no vector column
+    crosses the groupby (round-2 regression guard: vectors were shipped
+    x(nbits+1) through the shuffle)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    batch = pa.table(
+        {
+            "vec_id": pa.array(np.arange(8), pa.int64()),
+            "embedding": pa.array(list(rng.standard_normal((8, 16)))),
+        }
+    )
+    out = sim._HyperplaneSign(6)(batch)
+    assert out.column_names == ["key", "vec_id"]
+    assert len(out) == 8 * 7  # base + 6 Hamming-1 probes per vector
+
+
+def test_embedding_neardup_lsh_planted_equality(ray_session, tmp_path):
+    """On a corpus whose only >=0.9-cosine pairs are exact duplicates,
+    the LSH path must return EXACTLY the exact-path pair set (identical
+    vectors share every bucket, so recall is 1 by construction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 32))
+    vecs = np.concatenate([base, base[:6]])  # ids 30..35 duplicate 0..5
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+                "embedding": pa.array(list(vecs)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    exact = set(map(tuple, sim.embedding_neardup(str(d), 0.9).to_pandas().values))
+    lsh = set(map(tuple, sim.embedding_neardup_lsh(str(d), 0.9).to_pandas().values))
+    assert {(i, 30 + i) for i in range(6)} <= exact
+    assert lsh == exact
+
+
 def test_hash_join_matches_pandas(ray_session):
     import pandas as pd
     import pyarrow as pa
