@@ -98,6 +98,53 @@ def test_ngram_lsh_subset_and_planted_recall(ray_session, tmp_path):
     assert (0, 2) in {(a, b) for a, b, _ in ex}  # near pair is a real exact pair
 
 
+def test_pair_jaccard_verify_matches_bruteforce(ray_session):
+    """The vectorized pair-partitioned verify must agree with per-pair
+    np.intersect1d on random gram sets — including empty sets (short docs)
+    and the 0-union guard."""
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.default_rng(17)
+    n_docs = 300
+    ids = np.arange(100, 100 + n_docs, dtype=np.int64)
+    sets = [
+        np.unique(rng.integers(0, 120, size=rng.integers(0, 60)).astype(np.uint64))
+        for _ in range(n_docs)
+    ]
+    sets[7] = sets[7][:0]  # planted empty set
+    sets[8] = sets[8][:0]  # pair (107,108) has union 0 -> must be dropped
+    gt = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "grams": pa.array([s.tobytes() for s in sets], pa.binary()),
+        }
+    )
+    npairs = 5000
+    pi = rng.integers(0, n_docs, size=npairs)
+    pj = rng.integers(0, n_docs, size=npairs)
+    keep = pi != pj
+    pa_ids = ids[np.minimum(pi, pj)[keep]]
+    pb_ids = ids[np.maximum(pi, pj)[keep]]
+    pa_ids = np.append(pa_ids, 107)
+    pb_ids = np.append(pb_ids, 108)
+    batch = pa.table(
+        {"a": pa.array(pa_ids, pa.int64()), "b": pa.array(pb_ids, pa.int64())}
+    )
+    pct = 30
+    stage = dedup._PairJaccardVerify((ray.put(gt),), pct)
+    got = stage(batch).to_pandas()
+    got_set = set(zip(got["a"], got["b"], got["jaccard_pct"]))
+    want = set()
+    for x, y in zip(pa_ids, pb_ids):
+        gx, gy = sets[int(x) - 100], sets[int(y) - 100]
+        inter = len(np.intersect1d(gx, gy, assume_unique=True))
+        union = len(gx) + len(gy) - inter
+        if union and 100 * inter >= pct * union:
+            want.add((int(x), int(y), 100 * inter // union))
+    assert got_set == want and len(want) > 10
+
+
 def test_lsh_knn_recall(ray_session):
     exact = sim.knn_cosine(SF).to_pandas()
     approx = sim.lsh_knn_cosine(SF).to_pandas()
