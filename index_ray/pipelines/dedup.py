@@ -156,16 +156,20 @@ def _pairs_from_bucket(group: pa.Table) -> pa.Table:
     )
 
 
-def minhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
-    """Near-duplicate pairs (a < b), reference LSH constants, sorted/unique."""
-    ds = (
+def minhash_pairs_ds(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
+    """Near-dup pair Dataset (a, b), a < b, possibly duplicated across bands."""
+    return (
         docs_dataset(sf_dir, ["doc_id", "text"])
         .map_batches(stage_fn(_SignStage, mode), batch_format="pyarrow",
                      batch_size=256)
         .groupby(["band", "band_hash"])
         .map_groups(_pairs_from_bucket, batch_format="pyarrow")
     )
-    return pairs_table(ds)
+
+
+def minhash_dedup(sf_dir: str, mode: str = "simple") -> pa.Table:
+    """Near-duplicate pairs (a < b), reference LSH constants, sorted/unique."""
+    return pairs_table(minhash_pairs_ds(sf_dir, mode))
 
 
 def min_label_propagation(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -238,9 +242,222 @@ def minhash_exact_consistency(sf_dir: str, mode: str = "simple") -> pa.Table:
     )
 
 
-def minhash_clusters(sf_dir: str, mode: str = "simple") -> pa.Table:
-    """Connected components over the near-dup pairs: (doc_id, cluster_rep)."""
-    pairs = minhash_dedup(sf_dir, mode)
+CC_DRIVER_MAX_PAIRS = 200_000  # below this the in-memory path wins outright
+
+
+def _h2m_mix(k: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """64-bit mix of (key, member) rows — splitmix-style finalizer."""
+    h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= m.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+_CC_EMPTY = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+
+
+def _cc_init(t: pa.Table) -> pa.Table:
+    """Edge batch (a, b) -> state rows (u, v)."""
+    return pa.table({"u": t["a"].cast(pa.int64()), "v": t["b"].cast(pa.int64())})
+
+
+def _cc_both_dirs(t: pa.Table) -> pa.Table:
+    """State batch -> both directions, so a bucket keyed on ``u`` holds the
+    FULL neighborhood of each of its nodes (large-star's grouping)."""
+    if t.num_rows == 0:
+        return _CC_EMPTY
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate([u, v]), pa.int64()),
+            "v": pa.array(np.concatenate([v, u]), pa.int64()),
+        }
+    )
+
+
+def _cc_orient(t: pa.Table) -> pa.Table:
+    """State batch -> (max, min) orientation (small-star's grouping)."""
+    if t.num_rows == 0:
+        return _CC_EMPTY
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"u": pa.array(np.maximum(u, v), pa.int64()),
+         "v": pa.array(np.minimum(u, v), pa.int64())}
+    )
+
+
+def _cc_dedupe(t: pa.Table):
+    """Bucket rows -> (u, v, group starts, counts) with self-loops dropped,
+    (u, v) deduped, sorted by u."""
+    if t.num_rows == 0:  # may even be schema-less (empty-block fan-out)
+        z = np.empty(0, np.int64)
+        return z, z, z, z
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    keep = u != v
+    if not keep.all():
+        u, v = u[keep], v[keep]
+    if len(u) == 0:
+        return u, v, u, u
+    uv = np.unique(np.stack([u, v], axis=1), axis=0)
+    u, v = uv[:, 0], uv[:, 1]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    counts = np.diff(np.r_[starts, len(u)])
+    return u, v, starts, counts
+
+
+def _ls_bucket(t: pa.Table) -> pa.Table:
+    """Large-star over one bucket (all both-direction rows of its ``u``
+    keys): for each node u with neighborhood Γ(u) and m = min(Γ(u) ∪ {u}),
+    emit (w, m) for every neighbor w > u.  Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — LS preserves connectivity and
+    never grows the edge set (each undirected edge yields exactly one
+    output edge, from its smaller endpoint's group)."""
+    u, v, starts, counts = _cc_dedupe(t)
+    if len(u) == 0:
+        return _CC_EMPTY
+    m = np.minimum(np.minimum.reduceat(v, starts), u[starts])
+    minv = np.repeat(m, counts)
+    sel = v > u
+    return pa.table(
+        {"u": pa.array(v[sel], pa.int64()), "v": pa.array(minv[sel], pa.int64())}
+    )
+
+
+def _ss_bucket(t: pa.Table) -> pa.Table:
+    """Small-star over one bucket of (max, min)-oriented rows: for each
+    node u with smaller-neighbors N and m = min(N), emit (u, m) plus
+    (w, m) for every w ∈ N \\ {m} — rewires u's star onto its minimum."""
+    u, v, starts, counts = _cc_dedupe(t)
+    if len(u) == 0:
+        return _CC_EMPTY
+    m = np.minimum.reduceat(v, starts)
+    minv = np.repeat(m, counts)
+    sel = v != minv
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate([u[starts], v[sel]]), pa.int64()),
+            "v": pa.array(np.concatenate([m, minv[sel]]), pa.int64()),
+        }
+    )
+
+
+def _cc_stats(t: pa.Table) -> pa.Table:
+    """Per-batch (row count, checksum-partial) for the fixpoint test."""
+    if t.num_rows == 0:
+        return pa.table({"n": pa.array([0], pa.int64()), "chk": pa.array([0], pa.int64())})
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    chk = int(_h2m_mix(u, v).sum(dtype=np.uint64) % np.uint64(1 << 31))
+    return pa.table(
+        {"n": pa.array([t.num_rows], pa.int64()), "chk": pa.array([chk], pa.int64())}
+    )
+
+
+def _cc_self_rows(t: pa.Table) -> pa.Table:
+    """State batch -> (u, v) plus (v, v), so every node (incl. component
+    minima, which only ever appear on the v side) gets a label row."""
+    if t.num_rows == 0:
+        return _CC_EMPTY
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate([u, v]), pa.int64()),
+            "v": pa.array(np.concatenate([v, v]), pa.int64()),
+        }
+    )
+
+
+def _cc_labels(t: pa.Table) -> pa.Table:
+    """Star-state bucket -> (doc_id, cluster_rep) via per-node min partner."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_rep": pa.array([], pa.int64())}
+        )
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    return pa.table(
+        {
+            "doc_id": pa.array(u[starts], pa.int64()),
+            "cluster_rep": pa.array(np.minimum.reduceat(v, starts), pa.int64()),
+        }
+    )
+
+
+def cc_clusters(
+    edges: ray.data.Dataset,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Distributed connected components over an edge Dataset (a, b).
+
+    Alternating large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each half-round is ONE bucket
+    shuffle (``util.hash_groupby``) + a vectorized per-bucket star rewrite
+    — no driver-resident edge list, no join, and the edge set never grows
+    (unlike hash-to-min, which blows up exponentially on high-diameter
+    graphs — measured: a 10^4-node path reached 10^8 state rows by round
+    12; LS/SS converges on the same input in ~7 rounds at ≤2·|E| rows).
+    Converges to stars: every node points at its component minimum.  The
+    fixpoint test compares (row count, multiset checksum) of successive
+    small-star outputs — both steps are deterministic functions of the
+    canonical edge set, so equal successive stats mean the state is final.
+
+    Returns a Dataset of (doc_id, cluster_rep), one row per node.
+    """
+    from ..util import hash_groupby
+
+    state = edges.map_batches(_cc_init, batch_format="pyarrow").materialize()
+    if state.count() == 0:
+        return ray.data.from_arrow(_cc_labels(_CC_EMPTY))
+    prev: tuple | None = None
+    for _ in range(max_rounds):
+        both = state.map_batches(_cc_both_dirs, batch_format="pyarrow")
+        state = hash_groupby(both, ["u"], _ls_bucket, num_partitions)
+        oriented = state.map_batches(_cc_orient, batch_format="pyarrow")
+        state = hash_groupby(oriented, ["u"], _ss_bucket, num_partitions).materialize()
+        stats = (
+            state.map_batches(_cc_stats, batch_format="pyarrow").to_pandas().sum()
+        )
+        cur = (int(stats["n"]), int(stats["chk"]))
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"cc_clusters: no fixpoint within {max_rounds} rounds")
+    with_self = state.map_batches(_cc_self_rows, batch_format="pyarrow")
+    return hash_groupby(with_self, ["u"], _cc_labels, num_partitions)
+
+
+def minhash_clusters(
+    sf_dir: str, mode: str = "simple", distributed: bool | None = None
+) -> pa.Table:
+    """Connected components over the near-dup pairs: (doc_id, cluster_rep).
+
+    Small pair sets (< CC_DRIVER_MAX_PAIRS) collapse on the driver with the
+    vectorized ``min_label_propagation``; larger ones run the distributed
+    ``cc_clusters`` rounds so no edge list ever materializes in one process.
+    """
+    pairs_ds = minhash_pairs_ds(sf_dir, mode).materialize()
+    if distributed is None:
+        distributed = pairs_ds.count() > CC_DRIVER_MAX_PAIRS
+    if distributed:
+        df = (
+            cc_clusters(pairs_ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+    pairs = pairs_table(pairs_ds)
     a = pairs["a"].to_numpy(zero_copy_only=False)
     b = pairs["b"].to_numpy(zero_copy_only=False)
     members, rep = min_label_propagation(a, b)

@@ -92,6 +92,11 @@ def _hg_split(block, keys: list[str], nparts: int):
     Buckets a block doesn't touch come back as 0-row tables (keeps the
     reduce-side schema known even for empty buckets)."""
     t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    if t.num_rows == 0:
+        # a 0-row block may be schema-less (Ray Data's map_batches emits
+        # column-less empties for empty inputs) — fan it out as-is; the
+        # reduce side drops 0-row parts whenever any live part exists
+        return tuple(t for _ in range(nparts)) if nparts > 1 else t
     b = _bucket_of(t, keys, nparts)
     order = np.argsort(b, kind="stable")
     bounds = np.searchsorted(b[order], np.arange(nparts + 1))
@@ -106,7 +111,12 @@ def _hg_reduce(finalize, *parts: pa.Table) -> pa.Table:
     """Reduce side: a bucket holds EVERY row of its keys -> the plain Arrow
     ``finalize`` (pa.Table -> pa.Table) is exact."""
     live = [p for p in parts if p.num_rows]
-    t = pa.concat_tables(live, promote_options="default") if live else parts[0]
+    if live:
+        t = pa.concat_tables(live, promote_options="default")
+    else:
+        # all-empty bucket: prefer a part that still carries the schema
+        # (schema-less empties exist — see _hg_split's 0-row fast path)
+        t = max(parts, key=lambda p: p.num_columns)
     return finalize(t)
 
 

@@ -429,3 +429,48 @@ def test_pq_knn_recall_and_consistency(ray_session):
     cons = sim.pq_knn_consistency(SF).to_pandas()
     assert (cons["n_rank_inversions"] == 0).all()
     assert (cons["top1_is_self"] == 1).all()
+
+
+def test_cc_clusters_matches_driver_path(ray_session):
+    # planted graph: one 10^4-edge path component (worst-case diameter for
+    # label propagation), a star, a triangle, and isolated pairs — the
+    # distributed hash-to-min rounds must produce the identical label map
+    # to the in-memory min_label_propagation
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    chain = np.arange(10_000, dtype=np.int64) + 100
+    a_parts = [chain[:-1], np.full(50, 50_000, np.int64), np.array([1, 2, 1], np.int64)]
+    b_parts = [chain[1:], 50_001 + np.arange(50), np.array([2, 3, 3], np.int64)]
+    iso = 60_000 + rng.permutation(200).astype(np.int64)
+    a_parts.append(iso[:100])
+    b_parts.append(iso[100:])
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    # shuffle edge order and orientation so nothing depends on input layout
+    flip = rng.random(len(a)) < 0.5
+    a2 = np.where(flip, b, a)
+    b2 = np.where(flip, a, b)
+    perm = rng.permutation(len(a2))
+    edges = pa.table({"a": pa.array(a2[perm]), "b": pa.array(b2[perm])})
+    ds = ray.data.from_arrow(edges).repartition(8)
+
+    got = (
+        dedup.cc_clusters(ds, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    members, rep = dedup.min_label_propagation(a, b)
+    assert got["doc_id"].to_numpy().tolist() == members.tolist()
+    assert got["cluster_rep"].to_numpy().tolist() == rep.tolist()
+    # structural spot checks
+    lab = dict(zip(got["doc_id"], got["cluster_rep"]))
+    assert lab[chain[-1]] == 100 and lab[50_030] == 50_000 and lab[3] == 1
+
+
+def test_minhash_clusters_distributed_flag_equivalence(ray_session):
+    t_driver = dedup.minhash_clusters(SF, distributed=False)
+    t_dist = dedup.minhash_clusters(SF, distributed=True)
+    assert t_driver.to_pydict() == t_dist.to_pydict()
