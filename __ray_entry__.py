@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_after_delete": flagship.bm25_after_delete,
-        "bm25_prefix_topk": flagship.bm25_prefix_topk,
+        "bm25_style_boost": flagship.bm25_style_boost,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lookup": flagship.doc_lookup,
         "phrase_match": flagship.phrase_match,
@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_consistency": multimodal.media_consistency,
         # ---- position 51+ (driver-unchecked variants; all still pytest- and
         # ---- tools/check_oracles.py-covered) -------------------------------
+        # bm25_prefix_topk was driver-green in r02; demoted to first-past-the-
+        # fold so the new style-bit row gets a driver verdict inside the cap
+        "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "top_terms": text.top_terms,
         "quality_stats": text.quality_stats,
         "token_count_by_lang": text.token_count_by_lang,
@@ -207,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_prefix_sql_oracle,
         bm25_field_scoped_sql_oracle,
         bm25_head_boost_sql_oracle,
+        bm25_style_boost_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_scores_sql_oracle,
         bm25_sql_oracle,
@@ -256,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "near_match": near_match_sql_oracle(),
         "search_snippets": search_snippets_sql_oracle(),
         "bm25_head_boost": bm25_head_boost_sql_oracle(),
+        "bm25_style_boost": bm25_style_boost_sql_oracle(),
         "bm25_field_scoped": bm25_field_scoped_sql_oracle(),
         "bm25_topk": bm25_sql_oracle(),
         "bm25_scores": bm25_scores_sql_oracle(),

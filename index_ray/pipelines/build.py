@@ -75,6 +75,13 @@ class BuildConfig:
     positions: bool = False              # store within-doc token positions (phrase queries)
     field_col: str | None = None         # index terms ALSO under "{field}:{term}" keys
     head_tokens: int = 0                 # first H tokens ALSO under "head:{term}" keys
+    # style_head > 0: per-posting 1-bit style flag (term first occurs within
+    # the first H tokens), stored in the wire tf slot as (tf << 1) | style —
+    # the reference's per-posting style/weight bits
+    # (/root/reference/index.h:44-49, payload layout index.h:56-60) without
+    # head_tokens' posting duplication.  Weighted at rank time via
+    # ``BM25Searcher.search(..., style_weight=w)``.
+    style_head: int = 0
 
     pipeline_chunks: int = 2             # concurrent phase-B shuffles (driver threads)
     # "bucket" (default): map-side bucketing — tokenize workers return one
@@ -189,7 +196,12 @@ def census_hot_terms(specs, cfg: BuildConfig, n_docs: int):
     return (ray.put(frozenset(hot)) if hot else None), hot
 
 
-def _make_packer(parts_dir: str, max_block_postings: int, positions: bool = False):
+def _make_packer(
+    parts_dir: str,
+    max_block_postings: int,
+    positions: bool = False,
+    style: bool = False,
+):
     def pack_and_write(group: pa.Table) -> pa.Table:
         if len(group) == 0:
             return pa.table(
@@ -204,7 +216,7 @@ def _make_packer(parts_dir: str, max_block_postings: int, positions: bool = Fals
         import pyarrow.compute as pc
 
         part = int(pc.min(group["part"]).as_py())
-        packed = merge_blob_partition(group, max_block_postings, positions)
+        packed = merge_blob_partition(group, max_block_postings, positions, style)
         path = os.path.join(parts_dir, f"part-{part:05d}.parquet")
         tmp = path + f".{os.getpid()}.tmp"
         pq.write_table(packed, tmp)
@@ -262,6 +274,7 @@ def tokenize_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_re
                     cfg.positions,
                     cfg.field_col,
                     cfg.head_tokens,
+                    cfg.style_head,
                 ),
             )
         ],
@@ -278,7 +291,9 @@ def pack_chunk(state, chunk_specs, cid: int, cfg: BuildConfig):
     posting shards, and write the per-chunk lexicon + manifest."""
     runs, chunk_dir, parts_dir, phases = state
     t0 = time.time()
-    packer = _make_packer(parts_dir, cfg.max_block_postings, cfg.positions)
+    packer = _make_packer(
+        parts_dir, cfg.max_block_postings, cfg.positions, bool(cfg.style_head)
+    )
     if cfg.shuffle == "hash":
         # streaming exchange: shuffle-map tasks partition tokenize output
         # blocks as they appear (overlapping the tokenize stage) and push
@@ -431,6 +446,7 @@ class _PackWorker:
         lex_dir: str,
         max_block_postings: int,
         positions: bool,
+        style: bool,
         *tables: pa.Table,
     ) -> int:
         """Merge+pack one bucket's blob rows (possibly several ``part``
@@ -445,7 +461,7 @@ class _PackWorker:
             return 0
         group = pa.concat_tables(tabs)
         part = int(pc.min(group["part"]).as_py())  # stable name: parts are
-        packed = merge_blob_partition(group, max_block_postings, positions)
+        packed = merge_blob_partition(group, max_block_postings, positions, style)
         if os.environ.get("INDEX_RAY_PACK_LOG"):
             with open(os.environ["INDEX_RAY_PACK_LOG"], "a") as fh:
                 fh.write(
@@ -554,7 +570,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
             (
                 cfg.tokenizer, cfg.text_col, "docID", cfg.num_parts,
                 max(cfg.salt_docs, 1), hot_ref, None, cfg.positions,
-                cfg.field_col, cfg.head_tokens,
+                cfg.field_col, cfg.head_tokens, cfg.style_head,
             ),
         )
     ]
@@ -636,7 +652,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                 parts_dir = os.path.join(chunk_dirs[pcid], "parts")
                 fut = pw.pack.remote(
                     parts_dir, lex_dir, cfg.max_block_postings,
-                    cfg.positions, *bucket,
+                    cfg.positions, bool(cfg.style_head), *bucket,
                 )
                 pack_inflight[fut] = (pcid, pw)
             waitable = list(inflight) + list(pack_inflight)
@@ -941,6 +957,7 @@ def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> d
         "positions": cfg.positions,
         "field_col": cfg.field_col,
         "head_tokens": cfg.head_tokens,
+        "style_head": cfg.style_head,
         "hot_terms": hot,
         "chunks": [
             {

@@ -145,6 +145,7 @@ def _repack_rows(
     max_block_postings: int,
     positions: bool,
     tomb: np.ndarray | None = None,
+    style: bool = False,
 ) -> pa.Table:
     """Decode one hash partition of packed block rows and re-pack per term.
 
@@ -167,27 +168,38 @@ def _repack_rows(
     for i in range(len(t)):
         docs, tfs = unpack_block(post_col[i].as_py(), int(dfs[i]))
         docs_l.append(docs)
-        tfs_l.append(tfs)
+        tfs_l.append(tfs)  # style-built: wire (tf << 1) | style, split below
         first[i] = docs[0] if len(docs) else -1
         if positions:
-            pos_l.append(unpack_positions(pos_col[i].as_py(), tfs))
+            pos_l.append(
+                unpack_positions(
+                    pos_col[i].as_py(), tfs >> 1 if style else tfs
+                )
+            )
 
     order = np.lexsort((first, codes_row))
     doc = np.concatenate([docs_l[i] for i in order])
     tf = np.concatenate([tfs_l[i] for i in order])
     codes = np.repeat(codes_row[order], dfs[order])
     pos = np.concatenate([pos_l[i] for i in order]) if positions else None
+    sbits = None
+    if style:
+        sbits = tf & 1
+        tf = tf >> 1
     if tomb is not None and len(tomb):
         keep = ~np.isin(doc, tomb)
         if not keep.all():
             if pos is not None:
                 pos = pos[np.repeat(keep, tf)]
             doc, tf, codes = doc[keep], tf[keep], codes[keep]
+            if sbits is not None:
+                sbits = sbits[keep]
     if len(doc) == 0:
         return (PACKED_POS_SCHEMA if positions else PACKED_SCHEMA).empty_table()
     salt = np.zeros(len(doc), np.int64)
     return pack_sorted(
-        codes, dictionary, salt, doc, tf, max_block_postings, pos=pos
+        codes, dictionary, salt, doc, tf, max_block_postings, pos=pos,
+        style=sbits,
     )
 
 
@@ -214,6 +226,7 @@ def compact_index(
         for c in chunks
     ]
     positions = bool(stats.get("positions"))
+    style = bool(stats.get("style_head"))
     tomb = load_tombstones(out_dir)
     purging = len(tomb) > 0
     tomb_arr = tomb if purging else None
@@ -264,7 +277,7 @@ def compact_index(
 
             def repack(t: pa.Table) -> pa.Table:
                 tb = ray.get(tomb_ref) if tomb_ref is not None else None
-                return _repack_rows(t, max_block_postings, positions, tb)
+                return _repack_rows(t, max_block_postings, positions, tb, style)
 
             try:
                 (

@@ -604,6 +604,94 @@ SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
 """
 
 
+def bm25_style_boost(sf_dir: str) -> pa.Table:
+    """BM25 over a style-bit index: each posting carries a 1-bit style flag
+    (term first occurs within the first 8 tokens of the document) folded
+    into the wire tf slot — the reference's per-posting style/weight bits
+    (``/root/reference/index.h:44-49``, payload layout ``index.h:56-60``).
+    Styled postings score with ``tf * 2.0`` at rank time.  Returns
+    (qid, rank, doc_id); the oracle recomputes BM25 in SQL with the same
+    tf inflation on head-styled (doc, term) pairs."""
+    out = _index_dir_for(sf_dir) + "_style"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        style_head=8,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], style_weight=2.0
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_style_boost_sql_oracle() -> str:
+    """BM25 with tf' = tf * 2 for (doc, term) pairs whose first occurrence
+    ordinal is < 8 — the SQL mirror of the style-bit semantics (style =
+    "first occurrence in the head window", weight applied inside the tf
+    saturation, df/dl/avgdl untouched)."""
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+th AS (SELECT DISTINCT doc_id, unnest(toks[1:8]) AS term FROM arr),
+tf0 AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+tf AS (
+  SELECT tf0.doc_id, tf0.term,
+         tf0.tf * CASE WHEN th.term IS NOT NULL THEN 2.0 ELSE 1.0 END AS tf
+  FROM tf0 LEFT JOIN th ON th.doc_id = tf0.doc_id AND th.term = tf0.term
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""
+
+
 def bm25_field_scoped(sf_dir: str) -> pa.Table:
     """BM25 scoped to one field namespace: query terms are looked up under
     their ``en:{term}`` marker keys (the reference's prefixed dictionary,

@@ -178,12 +178,19 @@ def _binary_views(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _ChunkIndex:
-    """In-memory image of one build chunk: term dict + doclens."""
+    """In-memory image of one build chunk: term dict + doclens.
 
-    def __init__(self, chunk_dir: str):
+    ``style``: the chunk was built with ``BuildConfig.style_head`` — wire tf
+    slots carry ``(tf << 1) | style_bit`` (the reference's per-posting
+    style/weight bit, ``/root/reference/index.h:44-49``); decoders must
+    shift before using tf values.  Skip max_tf and lexicon df/cf are REAL.
+    """
+
+    def __init__(self, chunk_dir: str, style: bool = False):
         self.terms: dict[str, list[int]] = {}
         self.block_seq: np.ndarray
         self.has_positions = False
+        self.style = style
         from concurrent.futures import ThreadPoolExecutor
 
         cols = ["term", "block_seq", "df", "cf", "postings", "skips"]
@@ -260,6 +267,19 @@ class _ChunkIndex:
         return self._pos_data[self._pos_offs[i] : self._pos_offs[i + 1]]
 
 
+def _eff_tf(ci: _ChunkIndex, tfs: np.ndarray, style_weight: float) -> np.ndarray:
+    """Wire tf slots -> effective tf for scoring.  On a style-built chunk the
+    slot is ``(tf << 1) | style``; styled postings score with
+    ``tf * style_weight`` (the reference's rank-time style weighting,
+    ``/root/reference/index.h:44-49``)."""
+    if not ci.style:
+        return tfs
+    tf = tfs >> 1
+    if style_weight == 1.0:
+        return tf
+    return np.where(tfs & 1, tf * style_weight, tf)
+
+
 def _score_chunk(
     ci: _ChunkIndex,
     terms: list[str],
@@ -268,12 +288,17 @@ def _score_chunk(
     avgdl: float,
     prune: bool,
     excluded: np.ndarray | None = None,
+    style_weight: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one chunk -> (top docIDs, scores), deterministic order.
 
     ``excluded``: docIDs barred from the results (boolean NOT); their
     contributions are masked at decode time so the prune threshold tau is
     never inflated by a doc that can't be returned.
+
+    ``style_weight`` (style-built chunks only, must be >= 1): styled
+    postings score with ``tf * style_weight``; skip max_tf is real tf, so
+    pruning bounds are multiplied by the weight to stay sound.
     """
     base = ci.doc_min
     scores = np.zeros_like(ci.doclen)
@@ -295,9 +320,11 @@ def _score_chunk(
     ]
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    # skip max_tf is REAL tf; a styled posting can reach tf * style_weight
+    wmax = style_weight if (ci.style and style_weight > 1.0) else 1.0
     remaining_ub = np.array(
         [
-            ub(max(float(ci.skip_maxtf[i].max()) for i in rows), idf)
+            ub(wmax * max(float(ci.skip_maxtf[i].max()) for i in rows), idf)
             for _, idf, rows in present
         ]
     )
@@ -313,7 +340,7 @@ def _score_chunk(
                 # reduceat segments run to the next sub-block start (last one
                 # to chunk end) — conservative, hence sound.
                 sfirst = ci.skip_first[i]
-                sub_ub = ub(ci.skip_maxtf[i].astype(np.float64), idf)
+                sub_ub = ub(wmax * ci.skip_maxtf[i].astype(np.float64), idf)
                 pmax = np.maximum.reduceat(scores, sfirst - base)
                 keep = (pmax + sub_ub + tail_ub[j + 1]) >= tau
                 if not keep.all():
@@ -332,7 +359,8 @@ def _score_chunk(
                 idx, tfs = idx[m], tfs[m]
                 if len(idx) == 0:
                     continue
-            contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_dl[idx])
+            tfe = _eff_tf(ci, tfs, style_weight)
+            contrib = idf * (tfe * (K1 + 1.0)) / (tfe + norm_dl[idx])
             scores[idx] += contrib  # (term, doc) unique => no collision
         if prune:
             nz = np.flatnonzero(scores)
@@ -435,6 +463,7 @@ def _score_chunk_and(
     k: int,
     avgdl: float,
     excluded: np.ndarray | None = None,
+    style_weight: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunctive BM25: score only docs containing every query term."""
     if not terms:
@@ -449,7 +478,8 @@ def _score_chunk_and(
     for j in range(len(terms)):  # ascending term order: oracle-identical sums
         docs, tfs = decoded[j]
         pos = np.searchsorted(docs, cand)
-        tf = tfs[pos].astype(np.float64)  # cand subset of docs by construction
+        # cand subset of docs by construction
+        tf = _eff_tf(ci, tfs[pos], style_weight).astype(np.float64)
         scores += idfs[j] * (tf * (K1 + 1.0)) / (tf + norm_dl)
     order = np.lexsort((cand, -scores))[:k]
     return cand[order], scores[order]
@@ -466,6 +496,8 @@ def _term_occurrences(
         for i in ci.terms[t]:
             df_i = int(ci.df[i])
             docs, tfs = unpack_block(ci.posting(i), df_i)
+            if ci.style:
+                tfs = tfs >> 1  # positions stream is sized by REAL tf
             lo = np.searchsorted(docs, cand[0])
             hi = np.searchsorted(docs, cand[-1], side="right")
             if lo == hi:
@@ -577,8 +609,9 @@ class SearchShard:
         chunk_dirs: list[str],
         avgdl: float,
         tombstones: np.ndarray | None = None,
+        style: bool = False,
     ):
-        self.chunks = [_ChunkIndex(d) for d in chunk_dirs]
+        self.chunks = [_ChunkIndex(d, style=style) for d in chunk_dirs]
         self.avgdl = avgdl
         # sorted unique docIDs logically deleted but not yet compacted away;
         # barred from every result (scores keep the pre-delete stats)
@@ -600,6 +633,7 @@ class SearchShard:
         prune: bool,
         mode: str = "or",
         excludes: list[list[str]] | None = None,
+        style_weight: float = 1.0,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
         for qi, (terms, idfs, k) in enumerate(queries):
@@ -609,7 +643,7 @@ class SearchShard:
                 if mode == "and":
                     t, s = _score_chunk_and(
                         ci, terms, np.asarray(idfs), k, self.avgdl,
-                        excluded=self.tombstones,
+                        excluded=self.tombstones, style_weight=style_weight,
                     )
                 else:
                     exc = _excluded_docs(ci, exc_terms) if exc_terms else None
@@ -620,7 +654,8 @@ class SearchShard:
                             else self.tombstones
                         )
                     t, s = _score_chunk(
-                        ci, terms, np.asarray(idfs), k, self.avgdl, prune, exc
+                        ci, terms, np.asarray(idfs), k, self.avgdl, prune, exc,
+                        style_weight=style_weight,
                     )
                 tops.append(t)
                 scs.append(s)
@@ -686,8 +721,11 @@ class BM25Searcher:
 
         tomb = load_tombstones(index_dir)
         tomb_ref = ray.put(tomb) if len(tomb) else None
+        self.style = bool(self.stats.get("style_head"))
         self.actors = [
-            SearchShard.remote(g, float(self.stats["avgdl"]), tomb_ref)
+            SearchShard.remote(
+                g, float(self.stats["avgdl"]), tomb_ref, self.style
+            )
             for g in groups
             if g
         ]
@@ -703,10 +741,11 @@ class BM25Searcher:
         meta_cols: list[str] | None = None,
         field: str | None = None,
         boost: dict[str, float] | None = None,
+        style_weight: float = 1.0,
     ) -> pa.Table:
         return self.search_many(
             [(query, k)], prune, mode=mode, meta_cols=meta_cols, field=field,
-            boost=boost,
+            boost=boost, style_weight=style_weight,
         )[0]
 
     def search_many(
@@ -718,6 +757,7 @@ class BM25Searcher:
         field: str | None = None,
         boost: dict[str, float] | None = None,
         exclude: list[str | None] | None = None,
+        style_weight: float = 1.0,
     ) -> list[pa.Table]:
         """Top-k BM25 per query.
 
@@ -741,7 +781,21 @@ class BM25Searcher:
         on top of the content score (the reference's style/weight bits,
         ``/root/reference/index.h:44-49``, as a rank-time weighting hook);
         requires an index built with ``head_tokens`` or ``field_col``.
+        style_weight (>= 1): on an index built with ``style_head``, postings
+        whose style bit is set score with ``tf * style_weight`` — the
+        per-posting variant of the reference's style weighting (the bit
+        rides the wire tf slot; bits cost ~1 varint bit per posting instead
+        of head_tokens' duplicated marker postings).
         """
+        if style_weight != 1.0:
+            if not self.style:
+                raise ValueError(
+                    f"index at {self.index_dir} was built without style_head"
+                )
+            if style_weight < 1.0:
+                raise ValueError(
+                    "style_weight must be >= 1 (block-max bounds assume it)"
+                )
         if field and not self.stats.get("field_col"):
             raise ValueError(
                 f"index at {self.index_dir} was built without field_col"
@@ -784,7 +838,7 @@ class BM25Searcher:
                     idfs = idfs + [w * bw[t][1] for t in bpresent]
             prepared.append((present, idfs, k))
         futs = [
-            a.score_many.remote(prepared, prune, mode, exc_terms)
+            a.score_many.remote(prepared, prune, mode, exc_terms, style_weight)
             for a in self.actors
         ]
         per_actor = ray.get(futs)

@@ -120,11 +120,19 @@ def pack_sorted(
     max_block_postings: int = 1 << 17,
     max_bytes: int = int(np.iinfo(np.int32).max),
     pos: np.ndarray | None = None,
+    style: np.ndarray | None = None,
 ) -> pa.Table:
     """Pack pre-sorted posting arrays (term-code, salt, docID ascending).
 
     ``codes`` index into ``dictionary`` (sorted-unique term strings not
     required — codes must merely be grouped and in final output order).
+
+    ``style`` (0/1 per posting, the reference's per-posting style/weight
+    bit, ``/root/reference/index.h:44-49``): when given, the wire tf slot
+    carries ``(tf << 1) | style`` — readers of a style-built index shift
+    before scoring.  All block stats (df, cf, max_tf) stay in REAL tf so
+    block-max pruning bounds remain valid (the query side multiplies the
+    bound by the style weight).
 
     Partitions whose encoded postings exceed ``max_bytes`` (the pa.binary
     int32 offset ceiling) are split at block boundaries into byte-bounded
@@ -164,7 +172,12 @@ def pack_sorted(
     reset = newblock | (off_pre % SKIP_INTERVAL == 0)
     gaps[reset] = doc[reset].astype(np.uint64)
 
-    flat, lens = varint.pack_interleaved(gaps, tf.astype(np.uint64))
+    tf_wire = (
+        ((tf.astype(np.uint64) << 1) | style.astype(np.uint64))
+        if style is not None
+        else tf.astype(np.uint64)
+    )
+    flat, lens = varint.pack_interleaved(gaps, tf_wire)
     cum = np.zeros(2 * n + 1, dtype=np.int64)
     np.cumsum(lens, out=cum[1:])
     if pos is not None:
@@ -194,6 +207,7 @@ def pack_sorted(
                 codes[s:e], dictionary, salt[s:e], doc[s:e], tf[s:e],
                 max_block_postings, max_bytes,
                 pos[occ_cum[s] : occ_cum[e]] if pos is not None else None,
+                style[s:e] if style is not None else None,
             )
             for s, e in zip(row_bounds[:-1], row_bounds[1:])
         ]
@@ -288,6 +302,7 @@ def encode_batch_blobs(
     tf: np.ndarray,
     salt: np.ndarray,
     pos: np.ndarray | None = None,
+    style: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """Per-batch combiner: pack (code, salt)-grouped postings into one blob
     per group — the map-side combine the north rule's "per-partition posting
@@ -319,7 +334,15 @@ def encode_batch_blobs(
     gaps = np.empty(n, dtype=np.int64)
     gaps[1:] = doc[1:] - doc[:-1]
     gaps[newg] = 0
-    if rel.max(initial=0) >= 1 << 32 or int(tf.max(initial=0)) >= 1 << 32:
+    # style bit (reference's per-posting style/weight marker,
+    # /root/reference/index.h:44-49) rides the blob's tf slot as
+    # (tf << 1) | style; df/cf stats stay REAL tf (computed by the caller)
+    tf_wire = (
+        ((tf.astype(np.int64) << 1) | style.astype(np.int64))
+        if style is not None
+        else tf
+    )
+    if rel.max(initial=0) >= 1 << 32 or int(tf_wire.max(initial=0)) >= 1 << 32:
         raise ValueError(
             "docID span within one read batch must fit uint32 "
             "(use contiguous docIDs or a smaller doc_batch)"
@@ -331,7 +354,7 @@ def encode_batch_blobs(
     slots = np.empty(total_slots, dtype=np.uint64)
     if pos is None:
         slots[0::2] = gaps.astype(np.uint64)   # interleaved (gap, tf) pairs
-        slots[1::2] = tf.astype(np.uint64)
+        slots[1::2] = tf_wire.astype(np.uint64)
         gofs = np.empty(len(starts) + 1, dtype=np.int64)
         gofs[:-1] = 2 * starts
         gofs[-1] = 2 * n
@@ -342,7 +365,7 @@ def encode_batch_blobs(
         base = gofs[:-1]
         idx_in_g = idx - starts[gid]
         slots[base[gid] + idx_in_g] = gaps.astype(np.uint64)
-        slots[base[gid] + df_g[gid] + idx_in_g] = tf.astype(np.uint64)
+        slots[base[gid] + df_g[gid] + idx_in_g] = tf_wire.astype(np.uint64)
         occ_excl = np.zeros(len(starts), dtype=np.int64)
         np.cumsum(cf_g[:-1], out=occ_excl[1:])
         ogid = np.repeat(np.arange(len(starts)), cf_g)
@@ -367,13 +390,18 @@ def encode_batch_blobs(
 
 
 def merge_blob_partition(
-    group: pa.Table, max_block_postings: int = 1 << 17, positions: bool = False
+    group: pa.Table,
+    max_block_postings: int = 1 << 17,
+    positions: bool = False,
+    style: bool = False,
 ) -> pa.Table:
     """Merge a hash partition of per-batch blobs into final posting blocks.
 
     One vectorized decode of the concatenated fixed-width stream (blobs from
     disjoint docID ranges concatenate into valid per-group streams), then
     :func:`pack_sorted` re-encodes with skip resets and block-max skips.
+    With ``style`` the blob tf slots are ``(tf << 1) | style`` — split here
+    so block stats stay real tf and the bit re-rides the final wire.
     """
     if len(group) == 0:
         return (PACKED_POS_SCHEMA if positions else PACKED_SCHEMA).empty_table()
@@ -436,9 +464,13 @@ def merge_blob_partition(
         row_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64), dfp
     )
     salts = np.repeat(t["salt"].to_numpy(zero_copy_only=False), dfp)
+    sbits = None
+    if style:
+        sbits = tfs & 1
+        tfs = tfs >> 1
     return pack_sorted(
         codes, row_codes.dictionary, salts, docs, tfs, max_block_postings,
-        pos=pos_flat,
+        pos=pos_flat, style=sbits,
     )
 
 

@@ -43,6 +43,7 @@ class TokenizeBlob:
         positions: bool = False,
         field_col: str | None = None,
         head_tokens: int = 0,
+        style_head: int = 0,
     ):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
@@ -52,6 +53,12 @@ class TokenizeBlob:
         self.positions = positions
         self.field_col = field_col
         self.head_tokens = head_tokens
+        # style_head > 0: each posting carries a 1-bit style flag (term's
+        # first occurrence ordinal < style_head) folded into the wire tf as
+        # (tf << 1) | style — the reference's per-posting style/weight bit
+        # (/root/reference/index.h:44-49) without the marker-namespace
+        # posting duplication head_tokens costs.
+        self.style_head = style_head
         self.hot: frozenset = (
             ray.get(hot_ref) if hot_ref is not None else frozenset()
         )
@@ -214,7 +221,7 @@ class TokenizeBlob:
             return BLOB_SCHEMA.empty_table()
         posocc = (
             np.arange(len(docc)) - np.searchsorted(docc, docc)
-            if self.positions
+            if self.positions or self.style_head
             else None
         )
         if self.field_col or self.head_tokens:
@@ -240,7 +247,17 @@ class TokenizeBlob:
             salt = np.where(vhot[tcode], doc // self.salt_docs, 0).astype(np.int64)
         else:
             salt = np.zeros(len(doc), dtype=np.int64)
-        starts, ends, blob_arr = encode_batch_blobs(tcode, doc, tfs, salt, pos=pos_o)
+        style = None
+        if self.style_head:
+            # occurrences within a posting keep document order (the lexsort
+            # chain is stable), so pos_o[pstarts] is each posting's FIRST
+            # occurrence ordinal — styled iff it falls in the head window
+            style = (pos_o[pstarts] < self.style_head).astype(np.uint64)
+        starts, ends, blob_arr = encode_batch_blobs(
+            tcode, doc, tfs, salt,
+            pos=pos_o if self.positions else None,
+            style=style,
+        )
         gcodes = tcode[starts]
         gsalt = salt[starts]
         part = ((vhash[gcodes] + gsalt * _GOLDEN64) % self.num_parts).astype(np.int32)
