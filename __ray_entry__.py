@@ -72,10 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": flagship.bm25_topk,
         "bm25_scores": flagship.bm25_scores,
         "bm25_and_topk": flagship.bm25_and_topk,
-        "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_after_delete": flagship.bm25_after_delete,
         "bm25_style_boost": flagship.bm25_style_boost,
-        "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lookup": flagship.doc_lookup,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
@@ -86,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "ngram_lsh_consistency": dedup.ngram_lsh_consistency,
+        # span-level (substring) dedup: duplicated-k-gram stats + boilerplate
+        "repeated_ngrams": dedup.repeated_ngrams,
+        "hot_ngrams": dedup.hot_ngrams,
         # similarity search over embeddings
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
@@ -114,9 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_consistency": multimodal.media_consistency,
         # ---- position 51+ (driver-unchecked variants; all still pytest- and
         # ---- tools/check_oracles.py-covered) -------------------------------
-        # bm25_prefix_topk was driver-green in r02; demoted to first-past-the-
-        # fold so the new style-bit row gets a driver verdict inside the cap
+        # bm25_prefix_topk/not_topk/topk_meta were driver-green in r02;
+        # demoted to first-past-the-fold so the new style-bit and span-dedup
+        # rows get driver verdicts inside the 50-entry cap
         "bm25_prefix_topk": flagship.bm25_prefix_topk,
+        "bm25_not_topk": flagship.bm25_not_topk,
+        "bm25_topk_meta": flagship.bm25_topk_meta,
         "top_terms": text.top_terms,
         "quality_stats": text.quality_stats,
         "token_count_by_lang": text.token_count_by_lang,
@@ -251,6 +255,10 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
     )
+    from index_ray.pipelines.dedup import (
+        hot_ngrams_sql_oracle,
+        repeated_ngrams_sql_oracle,
+    )
     from index_ray.pipelines.multimodal import media_consistency_sql_oracle
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
@@ -281,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY sha256(text)
         """,
+        "repeated_ngrams": repeated_ngrams_sql_oracle(),
+        "hot_ngrams": hot_ngrams_sql_oracle(),
         "minhash_exact_consistency": """
             SELECT CAST(count(*) AS BIGINT) AS n_dup_sha_groups,
                    CAST(0 AS BIGINT) AS n_groups_split
@@ -372,6 +382,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
+        # The three *_knn_consistency oracles below are constant VALUES rows:
+        # they pin the engine-computed invariant (rank order matches exact
+        # cosine on the candidate set; top-1 of a self-query is the vector
+        # itself) but cannot detect the engine returning the constant.  The
+        # discriminating checks — exact recomputation of the invariant and
+        # recall floors against brute force — live in pytest
+        # (tests/test_pipelines.py::test_lsh_knn_recall,
+        #  tests/test_pipelines.py::test_pq_knn_recall_and_consistency,
+        #  tests/test_sketches.py::test_ivf_consistency_and_recall).
         "lsh_knn_consistency": """
             SELECT CAST(q.qid AS BIGINT) AS qid,
                    CAST(0 AS BIGINT) AS n_rank_inversions,

@@ -891,3 +891,215 @@ def ngram_lsh_consistency(sf_dir: str, mode: str = "simple") -> pa.Table:
             "n_lsh_false_pairs": pa.array([len(got - ex)], pa.int64()),
         }
     )
+
+
+# --------------------------------------------- span-level (substring) dedup ----
+#
+# Doc-level dedup (everything above) keeps or drops whole documents; web-scale
+# training corpora also need SPAN-level dedup — boilerplate headers, license
+# blocks and templated paragraphs recur verbatim inside otherwise-unique
+# documents (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", ACL 2022, builds a suffix array to find them).  A suffix array
+# doesn't distribute; the Ray-Data-native equivalent is a fixed-k token
+# n-gram pass: a k-gram occurring in >= min_df distinct documents marks a
+# duplicated span.  Two bucket shuffles, no broadcast, no driver residency:
+#
+#     tokenize -> (gram, doc_id, n_occ) per-doc occurrence rows
+#     -> hash_groupby(gram): df per gram, tag each row hot = df >= min_df
+#     -> hash_groupby(doc_id): per-doc totals (repeated_ngrams)
+#        / per-bucket top-N + tiny driver merge (hot_ngrams)
+#
+# Gram keys are the joined token STRINGS, which keeps the op exact (and
+# value-comparable to the SQL oracle) at any corpus size; at petabyte scale
+# the same pipeline runs with a 128-bit hash of the string as the shuffle
+# key — the shape is unchanged, only the key narrows.
+
+
+class _GramOccStage:
+    """batch -> (gram, doc_id, n_occ): per-doc k-gram occurrence counts.
+
+    Fully vectorized: grams are built with k-1 elementwise concatenations
+    over the flat token stream; spans crossing a document boundary are
+    masked out; per-(doc, gram) counts come from one pandas groupby.
+    """
+
+    def __init__(self, k: int, mode: str):
+        self.k = k
+        self.norm = TokenNormalizer(mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_occ": pa.array([], pa.int64()),
+            }
+        )
+        d, tid, vocab = tokenize_batch(batch["text"], self.norm)
+        k = self.k
+        if len(tid) < k:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = np.asarray(vocab, dtype=object)[tid]
+        n = len(toks) - k + 1
+        gram = toks[:n]
+        for j in range(1, k):
+            gram = gram + " "
+            gram = gram + toks[j : j + n]
+        valid = d[:n] == d[k - 1 :]  # gram must not straddle documents
+        if not valid.any():
+            return empty
+        grp = (
+            pd.DataFrame({"doc": d[:n][valid], "gram": gram[valid]})
+            .groupby(["doc", "gram"], sort=False)
+            .size()
+        )
+        idx = grp.index
+        return pa.table(
+            {
+                "gram": pa.array(idx.get_level_values(1), pa.string()),
+                "doc_id": pa.array(ids[idx.get_level_values(0)], pa.int64()),
+                "n_occ": pa.array(grp.to_numpy().astype(np.int64)),
+            }
+        )
+
+
+def _gram_occ_ds(sf_dir: str, k: int, mode: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, columns=["doc_id", "text"]).map_batches(
+        stage_fn(_GramOccStage, k, mode), batch_format="pyarrow", batch_size=512
+    )
+
+
+def repeated_ngrams(
+    sf_dir: str, k: int = 4, min_df: int = 2, mode: str = "simple"
+) -> ray.data.Dataset:
+    """Per-document duplicated-span stats: (doc_id, n_grams, n_rep_occ,
+    n_rep_grams) where a k-gram is "repeated" if it occurs in >= min_df
+    distinct documents.  n_grams counts all k-gram positions, n_rep_occ the
+    positions covered by repeated grams (the curation signal: high
+    n_rep_occ / n_grams = boilerplate-heavy document), n_rep_grams the
+    distinct repeated grams.  Documents shorter than k tokens emit no row
+    (they have no spans to deduplicate) — the SQL oracle matches.
+    """
+    from ..util import hash_groupby
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        # the bucket holds EVERY (doc, gram) row of its grams -> df is exact
+        import pandas as pd
+
+        codes, _ = pd.factorize(t["gram"].to_numpy(zero_copy_only=False))
+        df_per_gram = np.bincount(codes)
+        hot = (df_per_gram[codes] >= min_df).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_occ": t["n_occ"], "hot": pa.array(hot)}
+        )
+
+    def doc_fold(t: pa.Table) -> pa.Table:
+        n_occ = t["n_occ"].to_numpy(zero_copy_only=False)
+        hot = t["hot"].to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_occ": t["n_occ"],
+                    "rep_occ": pa.array(n_occ * hot),
+                    "hot": t["hot"],
+                }
+            )
+            .group_by(["doc_id"], use_threads=False)
+            .aggregate([("n_occ", "sum"), ("rep_occ", "sum"), ("hot", "sum")])
+        )
+        return g.rename_columns(["doc_id", "n_grams", "n_rep_occ", "n_rep_grams"])
+
+    per_gram = hash_groupby(_gram_occ_ds(sf_dir, k, mode), ["gram"], attach_df)
+    return hash_groupby(per_gram, ["doc_id"], doc_fold)
+
+
+def hot_ngrams(
+    sf_dir: str, k: int = 4, min_df: int = 2, top: int = 100, mode: str = "simple"
+) -> pa.Table:
+    """Corpus-wide boilerplate detector: the `top` k-grams by document
+    frequency (ties: total occurrences desc, then gram asc) among grams
+    seen in >= min_df distinct documents.  Per-bucket top-N inside the
+    gram shuffle, then a <= top x n_buckets driver merge — the global sort
+    never touches more than n_buckets * top rows."""
+
+    def bucket_top(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = (
+            t.group_by(["gram"], use_threads=False)
+            .aggregate([("doc_id", "count"), ("n_occ", "sum")])
+            .rename_columns(["gram", "df", "total_occ"])
+        )
+        g = g.filter(pc.greater_equal(g["df"], min_df))
+        df = g.to_pandas().sort_values(
+            ["df", "total_occ", "gram"], ascending=[False, False, True]
+        )
+        return pa.Table.from_pandas(df.head(top), preserve_index=False)
+
+    from ..util import hash_groupby
+
+    merged = hash_groupby(
+        _gram_occ_ds(sf_dir, k, mode), ["gram"], bucket_top
+    ).to_pandas()
+    merged = merged.sort_values(
+        ["df", "total_occ", "gram"], ascending=[False, False, True]
+    ).head(top)
+    out = pa.Table.from_pandas(merged.reset_index(drop=True), preserve_index=False)
+    return pa.table(
+        {
+            "gram": out["gram"].cast(pa.string()),
+            "df": out["df"].cast(pa.int64()),
+            "total_occ": out["total_occ"].cast(pa.int64()),
+        }
+    )
+
+
+def _gram_cte(k: int) -> str:
+    """Shared CTE: (doc_id, gram, n_occ) per-doc k-gram occurrence counts,
+    mirroring ``_GramOccStage`` over ``mode='simple'`` tokens."""
+    concat = " || ' ' || ".join(f"a[i+{j}]" if j else "a[i]" for j in range(k))
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS a
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, a, unnest(range(1, len(a) - {k - 2})) AS i
+          FROM arr WHERE len(a) >= {k}
+        ),
+        g AS (SELECT doc_id, {concat} AS gram FROM pos),
+        occ AS (SELECT doc_id, gram, count(*) AS n_occ FROM g GROUP BY doc_id, gram),
+        dfreq AS (SELECT gram, count(*) AS df, sum(n_occ) AS total_occ
+                  FROM occ GROUP BY gram)
+    """
+
+
+def repeated_ngrams_sql_oracle(k: int = 4, min_df: int = 2) -> str:
+    return f"""
+        {_gram_cte(k)}
+        SELECT o.doc_id,
+               CAST(sum(o.n_occ) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN d.df >= {min_df} THEN o.n_occ ELSE 0 END)
+                    AS BIGINT) AS n_rep_occ,
+               CAST(sum(CASE WHEN d.df >= {min_df} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rep_grams
+        FROM occ o JOIN dfreq d USING (gram)
+        GROUP BY o.doc_id
+    """
+
+
+def hot_ngrams_sql_oracle(k: int = 4, min_df: int = 2, top: int = 100) -> str:
+    return f"""
+        {_gram_cte(k)}
+        SELECT gram, CAST(df AS BIGINT) AS df,
+               CAST(total_occ AS BIGINT) AS total_occ
+        FROM dfreq WHERE df >= {min_df}
+        ORDER BY df DESC, total_occ DESC, gram ASC
+        LIMIT {top}
+    """

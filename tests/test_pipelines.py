@@ -474,3 +474,64 @@ def test_minhash_clusters_distributed_flag_equivalence(ray_session):
     t_driver = dedup.minhash_clusters(SF, distributed=False)
     t_dist = dedup.minhash_clusters(SF, distributed=True)
     assert t_driver.to_pydict() == t_dist.to_pydict()
+
+
+def test_repeated_ngrams_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    got = dedup.repeated_ngrams(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(dedup.repeated_ngrams_sql_oracle()).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # structural invariants: repeated occurrences never exceed totals
+    assert (got["n_rep_occ"] <= got["n_grams"]).all()
+    assert (got["n_rep_grams"] <= got["n_grams"]).all()
+
+
+def test_hot_ngrams_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    got = dedup.hot_ngrams(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(dedup.hot_ngrams_sql_oracle()).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (got["df"] >= 2).all()
+
+
+def test_repeated_ngrams_planted_boilerplate(ray_session, tmp_path):
+    """Documents sharing a verbatim license header are flagged span-level
+    even though every document is globally unique (doc-level dedup keeps
+    them all)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    header = "permission is hereby granted free of charge to any person"
+    texts = [f"{header} body variant {i} with unique tail tokens t{i}" for i in range(6)]
+    texts.append("a completely different document about walruses and pack ice")
+    t = pa.table({"doc_id": pa.array(range(7), pa.int64()), "text": texts})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = dedup.repeated_ngrams(str(tmp_path), k=4, min_df=2).to_pandas()
+    rep = out.set_index("doc_id")
+    # every header-carrying doc shows the 7 repeated header 4-grams
+    assert (rep.loc[0:5, "n_rep_grams"] >= 7).all()
+    assert rep.loc[6, "n_rep_occ"] == 0
+    # doc-level exact dedup would NOT collapse these (all texts distinct)
+    ex = dedup.exact_dedup(str(tmp_path)).to_pandas()
+    assert (ex["n_docs"] == 1).all()
+
+    hot = dedup.hot_ngrams(str(tmp_path), k=4, min_df=2).to_pandas()
+    assert hot.iloc[0]["df"] == 6
+    assert hot.iloc[0]["gram"].split()[0] in header
