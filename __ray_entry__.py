@@ -109,7 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": curation.redact_pii,
         "quality_filter": curation.quality_filter,
         "stratified_sample": curation.stratified_sample,
-        "decontaminate": curation.decontaminate,
+        # decontamination: the Bloom two-tier variant holds the fold slot
+        # (same SQL oracle as the exact pass; pytest pins row-identity)
+        "decontaminate_bloom": curation.decontaminate_bloom,
         "epoch_mix": curation.epoch_mix,
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_consistency": multimodal.media_consistency,
@@ -146,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": flagship.search_snippets,
         "bm25_head_boost": flagship.bm25_head_boost,
         "bm25_field_scoped": flagship.bm25_field_scoped,
+        "decontaminate": curation.decontaminate,
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
@@ -481,6 +484,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": quality_filter_sql_oracle(),
         "stratified_sample": stratified_sample_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
+        # bloom variant is output-identical to the exact pass by construction
+        "decontaminate_bloom": decontaminate_sql_oracle(),
         "epoch_mix": epoch_mix_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -479,6 +479,21 @@ class _ContaminationStage(_DocGrams):
         )
 
 
+def _bench_gram_set(sf_dir: str) -> np.ndarray:
+    """Distinct eval-split gram hashes, sorted uint64 (driver-side union —
+    small by nature: the eval split is a fixed fraction of the corpus)."""
+    bench = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_BenchGramStage), batch_format="pyarrow",
+            batch_size=1024,
+        )
+        .to_pandas()["gram"]
+        .to_numpy()
+    )
+    return np.unique(bench.view(np.uint64))
+
+
 def decontaminate(sf_dir: str) -> ray.data.Dataset:
     """Flag training documents contaminated by the benchmark split.
 
@@ -489,16 +504,7 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
     on the driver and broadcast once via ``ray.put``; the corpus scan is
     one ``map_batches`` with a per-actor ``searchsorted`` membership probe.
     """
-    bench = (
-        docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            stage_fn(_BenchGramStage), batch_format="pyarrow",
-            batch_size=1024,
-        )
-        .to_pandas()["gram"]
-        .to_numpy()
-    )
-    bench_ref = ray.put(np.unique(bench.view(np.uint64)))
+    bench_ref = ray.put(_bench_gram_set(sf_dir))
     return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         stage_fn(_ContaminationStage, bench_ref),
         batch_format="pyarrow",
@@ -531,6 +537,131 @@ def decontaminate_sql_oracle() -> str:
                CAST((100 * hits) // n_grams AS BIGINT) AS contamination_pct
         FROM scan WHERE 100 * hits >= {DECONTAM_THRESHOLD} * n_grams
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the sharded-eval-set scale path)
+# ---------------------------------------------------------------------------
+
+# ~1.2% false-positive rate at 10 bits/key with 4 probes; FPs only cost an
+# extra exact-confirm lookup, they can never change the output.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 4
+
+
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two avalanched 64-bit hashes per key (Kirsch-Mitzenmacher double
+    hashing: probe_i = h1 + i*h2).  h2 is forced odd so with a power-of-two
+    table every probe lands on a distinct slot."""
+    from .sketches import _splitmix64
+
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+    return h1, h2
+
+
+def bloom_build(keys: np.ndarray) -> tuple[np.ndarray, np.uint64]:
+    """Bloom bitmap (uint64 words) + slot mask over a uint64 key set.
+
+    m = next power of two >= BLOOM_BITS_PER_KEY * n slots.  All array ops
+    keep the numpy array on the LEFT (this host's scalar-dispatch path is
+    pathologically slow, see BENCH/BASELINE.md)."""
+    n = max(int(len(keys)), 1)
+    m = 1 << max(6, int(np.ceil(np.log2(n * BLOOM_BITS_PER_KEY))))
+    words = np.zeros(m >> 6, np.uint64)
+    mask = np.uint64(m - 1)
+    h1, h2 = _bloom_hashes(keys)
+    ones = np.ones(len(keys), np.uint64)
+    for i in range(BLOOM_K):
+        idx = (h1 + h2 * np.uint64(i)) & mask
+        np.bitwise_or.at(
+            words,
+            (idx >> np.uint64(6)).astype(np.int64),
+            ones << (idx & np.uint64(63)),
+        )
+    return words, mask
+
+
+def bloom_probe(
+    words: np.ndarray, mask: np.uint64, keys: np.ndarray
+) -> np.ndarray:
+    """Vectorized membership test.  True may be a false positive; False is
+    never wrong (zero false negatives by construction)."""
+    hit = np.ones(len(keys), bool)
+    h1, h2 = _bloom_hashes(keys)
+    for i in range(BLOOM_K):
+        idx = (h1 + h2 * np.uint64(i)) & mask
+        w = words[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= ((w >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+        if not hit.any():
+            break
+    return hit
+
+
+class _BloomContaminationStage(_DocGrams):
+    """`_ContaminationStage` with a Bloom prefilter: every gram is probed
+    against the broadcast bitmap first, and only bloom-positive grams are
+    confirmed against the exact sorted set — so the output is row-identical
+    to the exact stage (the bitmap only prunes confirm work, never flips a
+    verdict).
+
+    Why this is the 100 TB shape: a multi-benchmark eval gram set can reach
+    1e9+ distinct grams — 8+ GB resident per worker as raw sorted uint64,
+    but ~BLOOM_BITS_PER_KEY/64 of that (~1.25 GB) as a bitmap — and clean
+    documents (the overwhelming majority) short-circuit after the bitmap
+    probe without touching the exact set at all.  At that scale the
+    exact-confirm side becomes a gram-range-sharded fetch instead of this
+    broadcast; the two-tier bitmap->confirm shape is unchanged."""
+
+    def __init__(self, bloom_ref, bench_ref):
+        super().__init__()
+        self.words, self.mask = ray.get(bloom_ref)
+        self.bench = ray.get(bench_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        batch = batch.take(
+            pa.array(np.flatnonzero(ids_np % DECONTAM_MOD != 0))
+        )
+        out_ids, grams = self.doc_grams(batch)
+        rows = {"doc_id": [], "n_grams": [], "hits": [], "contamination_pct": []}
+        if out_ids:
+            flat = np.concatenate(grams)
+            lens = np.fromiter((len(g) for g in grams), np.int64, len(grams))
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            pos_mask = bloom_probe(self.words, self.mask, flat)
+            for j, (did, g) in enumerate(zip(out_ids, grams)):
+                m = pos_mask[offs[j] : offs[j + 1]]
+                if not m.any():  # clean doc: bitmap-only, no exact lookups
+                    continue
+                cand = g[m]
+                pos = np.searchsorted(self.bench, cand)
+                pos[pos >= len(self.bench)] = 0
+                hits = (
+                    int((self.bench[pos] == cand).sum())
+                    if len(self.bench)
+                    else 0
+                )
+                if 100 * hits >= DECONTAM_THRESHOLD * len(g):
+                    rows["doc_id"].append(int(did))
+                    rows["n_grams"].append(len(g))
+                    rows["hits"].append(hits)
+                    rows["contamination_pct"].append(100 * hits // len(g))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+def decontaminate_bloom(sf_dir: str) -> ray.data.Dataset:
+    """`decontaminate` through the Bloom two-tier scale path — identical
+    output (same rows, same integer evidence), checked by the same SQL
+    oracle; pytest additionally pins row-identity to the exact pass."""
+    bench = _bench_gram_set(sf_dir)
+    bloom_ref = ray.put(bloom_build(bench))
+    bench_ref = ray.put(bench)
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage_fn(_BloomContaminationStage, bloom_ref, bench_ref),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
 
 
 # ---------------------------------------------------------------------------

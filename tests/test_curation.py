@@ -172,3 +172,39 @@ def test_epoch_mix_matches_duckdb(ray_session):
     per = got.groupby("source")["copy"].max()
     assert per.get("src0", 0) >= 1
     assert "src2" not in set(got["source"])
+
+
+def test_bloom_filter_contract():
+    """Zero false negatives ever; false-positive rate near the design point
+    (~1.2% at 10 bits/key, 4 probes)."""
+    from index_ray.pipelines.curation import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 63, 20_000, dtype=np.uint64)
+    others = rng.integers(0, 1 << 63, 50_000, dtype=np.uint64)
+    others = others[~np.isin(others, members)]
+    words, mask = bloom_build(members)
+    assert bloom_probe(words, mask, members).all()  # no false negatives
+    fp = bloom_probe(words, mask, others).mean()
+    assert fp < 0.05, fp
+    # empty and tiny sets don't crash and stay sound
+    w0, m0 = bloom_build(np.empty(0, np.uint64))
+    assert not bloom_probe(w0, m0, members[:10]).any() or True  # may FP, never raises
+    w1, m1 = bloom_build(members[:1])
+    assert bloom_probe(w1, m1, members[:1]).all()
+
+
+def test_decontaminate_bloom_row_identical(ray_session):
+    """The Bloom two-tier path returns exactly the exact pass's rows."""
+    import pandas as pd
+
+    from index_ray.pipelines.curation import decontaminate, decontaminate_bloom
+
+    a = decontaminate("/root/testdata/sf0.001").to_pandas()
+    b = decontaminate_bloom("/root/testdata/sf0.001").to_pandas()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the planted eval split does contaminate sf0.001
