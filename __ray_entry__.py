@@ -58,7 +58,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": text.corpus_stats,
         "keywords_tfidf": text.keywords_tfidf,
         "windowed_events": text.windowed_events,
-        "sha256_map": text.sha256_map,
         # relational representatives (full family below the fold)
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
@@ -98,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": sketches.distinct_users_hll,
         "cms_term_counts": sketches.cms_term_counts,
         "approx_percentiles": sketches.approx_percentiles,
+        # exact heavy hitters through a 2-pass Misra-Gries candidate sweep
+        # (took sha256_map's fold slot — that one is a trivial stateless map
+        # whose sha256 path exact_dedup also exercises)
+        "heavy_hitter_terms": sketches.heavy_hitter_terms,
         "bigram_counts": text.bigram_counts,
         "collocations": text.collocations,
         # text analysis
@@ -149,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_head_boost": flagship.bm25_head_boost,
         "bm25_field_scoped": flagship.bm25_field_scoped,
         "decontaminate": curation.decontaminate,
+        "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
@@ -242,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         approx_percentiles_sql_oracle,
         cms_term_counts_sql_oracle,
         distinct_users_hll_sql_oracle,
+        heavy_hitter_terms_sql_oracle,
     )
     from index_ray.pipelines.text import (
         bigram_counts_sql_oracle,
@@ -416,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll": distinct_users_hll_sql_oracle(),
         "cms_term_counts": cms_term_counts_sql_oracle(),
         "approx_percentiles": approx_percentiles_sql_oracle(),
+        "heavy_hitter_terms": heavy_hitter_terms_sql_oracle(),
         "bigram_counts": bigram_counts_sql_oracle(),
         "collocations": collocations_sql_oracle(),
         "keywords_tfidf": keywords_tfidf_sql_oracle(),

@@ -330,3 +330,161 @@ def approx_percentiles_sql_oracle() -> str:
                CAST(1 AS BIGINT) AS sketch_within_2pct
         FROM events GROUP BY 1
     """
+
+
+# -------------------------------------------------- Misra-Gries heavy hitters
+
+
+# k counters; the two-level merge (per-batch MG + one global reduction)
+# deducts at most 2N/(k+1) from any term's count, so every term with
+# cf >= T = floor(2N/(k+1)) + 1 is GUARANTEED to survive as a candidate.
+MG_COUNTERS = 512
+
+
+def _mg_reduce(
+    terms: np.ndarray, wts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One Misra-Gries(k) reduction over exact (or summed-MG) weights:
+    subtract the (k+1)-th largest weight from everyone, keep positives —
+    the vectorized equivalent of classic counter eviction (at most k
+    survivors, each underestimated by exactly the deduction)."""
+    keep = wts > 0
+    if keep.sum() <= k:
+        return terms[keep], wts[keep]
+    d = np.partition(wts, len(wts) - k - 1)[len(wts) - k - 1]
+    keep = wts > d
+    return terms[keep], wts[keep] - d
+
+
+def heavy_hitter_terms(sf_dir: str) -> pa.Table:
+    """(term, cf) for every term with cf >= floor(2N/(k+1)) + 1 — EXACT
+    counts, found without ever shuffling the full vocabulary.
+
+    Two-pass deterministic heavy hitters (Misra-Gries 1982 + the mergeable-
+    summaries bound of Agarwal et al., PODS'12):
+
+    1. Candidate sweep: each batch reduces its exact term counts to an
+       MG(k) summary (<= k (term, weight) rows, deduction <= n_batch/(k+1));
+       the summaries are summed per term through one small bucket shuffle
+       (``util.hash_groupby`` — rows crossing it are <= batches x k, never
+       vocabulary-sized), each bucket emits its local top-(k+1), and one
+       global reduction on the driver keeps <= k candidate terms.  Total
+       deduction <= 2N/(k+1), so candidates is a SUPERSET of every term
+       with cf >= T regardless of batch/merge order.
+    2. Exact confirm: the candidate list (<= k strings) is broadcast once;
+       each batch emits one dense k-vector of candidate counts (the CMS
+       partial pattern — O(k) per batch, no shuffle), the driver sums and
+       filters cf >= T.
+
+    The output is exactly the SQL answer (the oracle recomputes T from the
+    corpus), independent of partitioning — the sketch only bounds WHERE
+    the candidates can hide, never what is reported."""
+    import pandas as pd
+
+    from ..functions.tokenize import TokenNormalizer, doc_term_tf
+    from ..util import hash_groupby, stage_fn
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, tid, tf, vocab = doc_term_tf(batch["text"], TokenNormalizer("simple"))
+        if not vocab:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "wt": pa.array([], pa.int64())}
+            )
+        cf = np.bincount(tid, weights=tf, minlength=len(vocab)).astype(np.int64)
+        n_tok = int(cf.sum())
+        terms, wts = _mg_reduce(np.asarray(vocab, object), cf, MG_COUNTERS)
+        # sentinel row "" carries the batch token count (the simple
+        # tokenizer never emits an empty token, so no collision); it always
+        # survives the merge because N >= any single term's weight
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + [""], pa.string()),
+                "wt": pa.array(np.concatenate([wts, [n_tok]]), pa.int64()),
+            }
+        )
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("term", as_index=False)["wt"].sum()
+        sent = df[df["term"] == ""]
+        rest = df[df["term"] != ""].nlargest(MG_COUNTERS + 1, "wt")
+        return pa.Table.from_pandas(
+            pd.concat([rest, sent], ignore_index=True), preserve_index=False
+        )
+
+    tops = hash_groupby(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=512),
+        ["term"],
+        bucket_topk,
+    ).to_pandas()
+
+    n_total = int(tops.loc[tops["term"] == "", "wt"].sum())
+    cand_df = tops[tops["term"] != ""]
+    terms, wts = _mg_reduce(
+        cand_df["term"].to_numpy(object),
+        cand_df["wt"].to_numpy(np.int64),
+        MG_COUNTERS,
+    )
+    threshold = 2 * n_total // (MG_COUNTERS + 1) + 1
+    candidates = sorted(terms.tolist())
+
+    import ray as _ray
+
+    cand_ref = _ray.put(candidates)
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(
+            stage_fn(_HHConfirmStage, cand_ref),
+            batch_format="pyarrow",
+            batch_size=512,
+        )
+        .to_pandas()
+    )
+    total = np.zeros(len(candidates), np.int64)
+    for b in counts["cnt"]:
+        total += np.frombuffer(b, dtype=np.int64)
+    keep = total >= threshold
+    return pa.table(
+        {
+            "term": pa.array([c for c, k_ in zip(candidates, keep) if k_], pa.string()),
+            "cf": pa.array(total[keep], pa.int64()),
+        }
+    )
+
+
+class _HHConfirmStage:
+    """batch -> one dense int64 vector of exact counts over the broadcast
+    candidate terms (resolved once per worker process)."""
+
+    def __init__(self, cand_ref):
+        import pandas as pd
+        import ray as _ray
+
+        self.index = pd.Index(_ray.get(cand_ref))
+        self.norm = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import TokenNormalizer, doc_term_tf
+
+        if self.norm is None:
+            self.norm = TokenNormalizer("simple")
+        out = np.zeros(len(self.index), np.int64)
+        _, tid, tf, vocab = doc_term_tf(batch["text"], self.norm)
+        if vocab:
+            pos = self.index.get_indexer(np.asarray(vocab, object))
+            sel = pos >= 0
+            cf = np.bincount(tid, weights=tf, minlength=len(vocab)).astype(np.int64)
+            np.add.at(out, pos[sel], cf[sel])
+        return pa.table({"cnt": pa.array([out.tobytes()], pa.binary())})
+
+
+def heavy_hitter_terms_sql_oracle() -> str:
+    return f"""
+        WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+')) AS term FROM documents),
+        t AS (SELECT term FROM tok WHERE term <> ''),
+        s AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM t GROUP BY term)
+        SELECT term, cf FROM s
+        WHERE cf >= 2 * (SELECT count(*) FROM t) // {MG_COUNTERS + 1} + 1
+    """

@@ -87,3 +87,58 @@ def test_approx_percentiles_within_bound(ray_session):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_mg_reduce_contract():
+    """<= k survivors; every survivor underestimated by exactly the
+    deduction; any item with weight > total/(k+1) always survives."""
+    from index_ray.pipelines.sketches import _mg_reduce
+
+    rng = np.random.default_rng(3)
+    wts = rng.integers(1, 50, 2000).astype(np.int64)
+    wts[7] = wts.sum()  # one true heavy hitter
+    terms = np.array([f"t{i}" for i in range(len(wts))], object)
+    st, sw = _mg_reduce(terms, wts, 16)
+    assert len(st) <= 16
+    assert "t7" in set(st)  # > total/17 by construction
+    lookup = dict(zip(st, sw))
+    d = wts[7] - lookup["t7"]
+    assert d >= 0
+    for t, w in lookup.items():  # uniform deduction, exact residuals
+        assert wts[int(t[1:])] - w == d
+
+
+def test_heavy_hitters_planted_eviction(ray_session):
+    """Vocab >> MG_COUNTERS with a Zipf head: the pipeline must return
+    EXACTLY the terms meeting the 2N/(k+1)+1 threshold with exact counts,
+    despite per-batch evictions."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.sketches import MG_COUNTERS, heavy_hitter_terms
+
+    rng = np.random.default_rng(11)
+    # 4000 distinct tail terms + 5 hot terms woven through 600 docs
+    docs = []
+    for i in range(600):
+        toks = [f"w{rng.integers(0, 4000)}" for _ in range(30)]
+        if i % 2 == 0:
+            toks += [f"hot{i % 5}"] * 20
+        docs.append(" ".join(toks))
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="hh_")
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+    got = heavy_hitter_terms(d).to_pandas().sort_values("term").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    from index_ray.pipelines.sketches import heavy_hitter_terms_sql_oracle
+
+    want = con.sql(heavy_hitter_terms_sql_oracle()).df().sort_values("term").reset_index(drop=True)
+    assert len(want) >= 5  # the planted hot terms qualify
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
