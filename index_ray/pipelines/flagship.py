@@ -320,9 +320,12 @@ def _bm25_ctes(
     queries: list[tuple[int, list[str], int]] | None = None,
     exclude_map: dict[int, list[str]] | None = None,
     doc_where: str = "",
+    min_match: int | None = None,
 ) -> str:
     """Shared DuckDB CTEs recomputing BM25 from scratch; ``conjunctive``
     restricts scored docs to those matching every query term;
+    ``min_match`` (mutually exclusive with conjunctive) restricts them to
+    those matching at least that many distinct query terms;
     ``exclude_map`` (qid -> excluded terms) anti-joins excluded docs off
     the scored set before ranking (boolean NOT); ``doc_where`` (a SQL
     predicate) restricts the corpus itself — N, avgdl and df are computed
@@ -331,12 +334,15 @@ def _bm25_ctes(
     values = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in qlist for t in terms
     )
-    having = (
-        "HAVING count(DISTINCT tf.term) = "
-        "(SELECT count(*) FROM q q2 WHERE q2.qid = q.qid)"
-        if conjunctive
-        else ""
-    )
+    if conjunctive:
+        having = (
+            "HAVING count(DISTINCT tf.term) = "
+            "(SELECT count(*) FROM q q2 WHERE q2.qid = q.qid)"
+        )
+    elif min_match is not None:
+        having = f"HAVING count(DISTINCT tf.term) >= {min_match}"
+    else:
+        having = ""
     not_ctes = ""
     ranked_src = "scored"
     if exclude_map:
@@ -418,6 +424,42 @@ def bm25_not_sql_oracle() -> str:
 def bm25_and_sql_oracle() -> str:
     return (
         _bm25_ctes(conjunctive=True)
+        + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+    )
+
+
+MSM_MIN_MATCH = 2
+
+
+def bm25_msm_topk(sf_dir: str) -> pa.Table:
+    """Minimum-should-match BM25 top-k: docs matching >= MSM_MIN_MATCH
+    distinct query terms (the standard mid-point between OR recall and AND
+    precision).  Same fixture queries as the flagship; q5's two absent
+    terms prove the empty edge.  Engine: ``mode='msm'`` counts distinct
+    matched terms per doc inside the shard scorer (unpruned decode — a
+    skipped sub-block could lose a match COUNT, not just score mass);
+    oracle: the shared BM25 CTEs with HAVING count(DISTINCT term) >= m."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES],
+        mode="msm",
+        msm=MSM_MIN_MATCH,
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_msm_sql_oracle() -> str:
+    return (
+        _bm25_ctes(min_match=MSM_MIN_MATCH)
         + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
     )
 

@@ -485,6 +485,62 @@ def _score_chunk_and(
     return cand[order], scores[order]
 
 
+def _score_chunk_msm(
+    ci: _ChunkIndex,
+    terms: list[str],
+    idfs: np.ndarray,
+    k: int,
+    avgdl: float,
+    msm: int,
+    excluded: np.ndarray | None = None,
+    style_weight: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-should-match BM25: only docs matching >= ``msm`` DISTINCT
+    query terms are scored (the middle ground between OR and AND).
+
+    No block-max pruning here — skipping a sub-block could lose a doc's
+    match COUNT (not just score mass) and wrongly disqualify it, so the
+    sound fast paths are msm=1 (plain pruned OR) and msm=len(terms)
+    (skip-seek AND), both dispatched by the caller; the general case
+    decodes every present term's postings once, like the OR path unpruned.
+    ``terms`` must be distinct (the query pipeline dedups them)."""
+    base = ci.doc_min
+    scores = np.zeros_like(ci.doclen)
+    nmatch = np.zeros(len(ci.doclen), dtype=np.int64)
+    norm_dl = K1 * (1.0 - B + B * ci.doclen / avgdl)
+    allowed: np.ndarray | None = None
+    if excluded is not None and len(excluded):
+        inr = excluded[(excluded >= base) & (excluded <= ci.doc_max)] - base
+        if len(inr):
+            allowed = np.ones(len(ci.doclen), dtype=bool)
+            allowed[inr] = False
+    present = [
+        (idfs[j], ci.terms[term]) for j, term in enumerate(terms) if term in ci.terms
+    ]
+    if len(present) < msm:  # a doc can only match terms this chunk holds
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    for idf, rows in present:
+        for i in rows:
+            docs, tfs = unpack_block(ci.posting(i), int(ci.df[i]))
+            if len(docs) == 0:
+                continue
+            idx = docs - base
+            if allowed is not None:
+                m = allowed[idx]
+                idx, tfs = idx[m], tfs[m]
+                if len(idx) == 0:
+                    continue
+            tfe = _eff_tf(ci, tfs, style_weight)
+            scores[idx] += idf * (tfe * (K1 + 1.0)) / (tfe + norm_dl[idx])
+            nmatch[idx] += 1  # (term, doc) unique => one hit per term
+    qual = np.flatnonzero(nmatch >= msm)
+    if len(qual) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    order = np.lexsort((qual, -scores[qual]))[:k]
+    top = qual[order]
+    return top + base, scores[top]
+
+
 def _term_occurrences(
     ci: _ChunkIndex, uniq: list[str], cand: np.ndarray
 ) -> dict[str, tuple[np.ndarray, np.ndarray]] | None:
@@ -634,6 +690,7 @@ class SearchShard:
         mode: str = "or",
         excludes: list[list[str]] | None = None,
         style_weight: float = 1.0,
+        msm: int = 2,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
         for qi, (terms, idfs, k) in enumerate(queries):
@@ -643,6 +700,11 @@ class SearchShard:
                 if mode == "and":
                     t, s = _score_chunk_and(
                         ci, terms, np.asarray(idfs), k, self.avgdl,
+                        excluded=self.tombstones, style_weight=style_weight,
+                    )
+                elif mode == "msm":
+                    t, s = _score_chunk_msm(
+                        ci, terms, np.asarray(idfs), k, self.avgdl, msm,
                         excluded=self.tombstones, style_weight=style_weight,
                     )
                 else:
@@ -742,10 +804,11 @@ class BM25Searcher:
         field: str | None = None,
         boost: dict[str, float] | None = None,
         style_weight: float = 1.0,
+        msm: int = 2,
     ) -> pa.Table:
         return self.search_many(
             [(query, k)], prune, mode=mode, meta_cols=meta_cols, field=field,
-            boost=boost, style_weight=style_weight,
+            boost=boost, style_weight=style_weight, msm=msm,
         )[0]
 
     def search_many(
@@ -758,6 +821,7 @@ class BM25Searcher:
         boost: dict[str, float] | None = None,
         exclude: list[str | None] | None = None,
         style_weight: float = 1.0,
+        msm: int = 2,
     ) -> list[pa.Table]:
         """Top-k BM25 per query.
 
@@ -765,6 +829,10 @@ class BM25Searcher:
         mode="and": conjunctive — only docs containing EVERY query term
         (skip-seek posting intersection inside the shard actors); a term
         absent from the whole lexicon empties the result.
+        mode="msm": minimum-should-match — only docs matching at least
+        ``msm`` DISTINCT query terms are eligible (duplicate query terms
+        are deduped first); msm=1 is OR, msm=len(terms) is AND — use those
+        modes directly for their pruned/skip-seek fast paths.
         exclude: one exclusion string per query (or None) — boolean NOT:
         documents containing ANY excluded term are barred from that query's
         results (masked inside the shards before the prune threshold forms,
@@ -800,15 +868,17 @@ class BM25Searcher:
             raise ValueError(
                 f"index at {self.index_dir} was built without field_col"
             )
+        if mode == "msm" and (not isinstance(msm, int) or msm < 1):
+            raise ValueError("msm must be a positive int")
         if boost:
-            if mode == "and":
+            if mode in ("and", "msm"):
                 raise ValueError("boost is only supported with mode='or'")
             if not (self.stats.get("head_tokens") or self.stats.get("field_col")):
                 raise ValueError(
                     f"index at {self.index_dir} has no marker namespaces to boost"
                 )
         if exclude is not None:
-            if mode == "and":
+            if mode in ("and", "msm"):
                 raise ValueError("exclude is only supported with mode='or'")
             if len(exclude) != len(queries):
                 raise ValueError("exclude must parallel queries (use None slots)")
@@ -822,6 +892,8 @@ class BM25Searcher:
         dead = set()  # AND queries with a term missing from the lexicon
         for qi, (q, k) in enumerate(queries):
             base_terms = query_terms(q, tok_mode)
+            if mode == "msm":  # match counts are over DISTINCT terms
+                base_terms = list(dict.fromkeys(base_terms))
             terms = [f"{field}:{t}" for t in base_terms] if field else base_terms
             weights = self.lexicon.idf(terms)
             present = [t for t in terms if t in weights]  # absent terms score 0
@@ -838,7 +910,7 @@ class BM25Searcher:
                     idfs = idfs + [w * bw[t][1] for t in bpresent]
             prepared.append((present, idfs, k))
         futs = [
-            a.score_many.remote(prepared, prune, mode, exc_terms, style_weight)
+            a.score_many.remote(prepared, prune, mode, exc_terms, style_weight, msm)
             for a in self.actors
         ]
         per_actor = ray.get(futs)

@@ -359,3 +359,36 @@ def test_media_consistency_goldens(ray_session):
     assert int(t["hist_hash_sum"]) == 943404
     assert int(t["n_sampled_frames"]) == 171
     assert int(t["frame_bytes_sum"]) == 857982
+
+
+def test_msm_mode_counts_distinct_matches(tiny_index_dir, tiny_corpus_table):
+    """msm=m returns exactly the docs matching >= m distinct query terms,
+    with OR-identical scores; msm=1 == OR set, msm=n_terms == AND set."""
+    from index_ray.pipelines.query import query_terms
+
+    toks = _doc_tokens(tiny_corpus_table)
+    searcher = BM25Searcher(tiny_index_dir, num_shards=2)
+    big = 10_000
+    for q in ["parse http request", "def return value", "connection socket"]:
+        terms = query_terms(q, "code")
+        r_or = searcher.search(q, k=big, mode="or")
+        or_scores = dict(zip(r_or["docID"].to_pylist(), r_or["score"].to_pylist()))
+        for m in range(1, len(terms) + 1):
+            expect = {
+                d
+                for d, tk in enumerate(toks)
+                if sum(t in tk for t in set(terms)) >= m
+            }
+            r = searcher.search(q, k=big, mode="msm", msm=m)
+            assert set(r["docID"].to_pylist()) == expect, (q, m)
+            for d, s in zip(r["docID"].to_pylist(), r["score"].to_pylist()):
+                assert s == or_scores[d], (q, m)  # scores are plain OR sums
+    # duplicate query terms are deduped before counting
+    a = searcher.search("connection connection socket", k=big, mode="msm", msm=2)
+    b = searcher.search("connection socket", k=big, mode="msm", msm=2)
+    assert a["docID"].to_pylist() == b["docID"].to_pylist()
+    # absent terms can never satisfy msm
+    r = searcher.search("qqqabsentterm zzzmissing", k=10, mode="msm", msm=2)
+    assert len(r) == 0
+    with pytest.raises(ValueError, match="msm"):
+        searcher.search("connection", k=10, mode="msm", msm=0)
