@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_msm_topk": flagship.bm25_msm_topk,
+        "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "top_terms": text.top_terms,
         "quality_stats": text.quality_stats,
@@ -217,6 +218,7 @@ def _language_id_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.flagship import (
         bm25_and_sql_oracle,
+        bm25_fuzzy_sql_oracle,
         bm25_msm_sql_oracle,
         bm25_not_sql_oracle,
         bm25_after_delete_sql_oracle,
@@ -285,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_not_topk": bm25_not_sql_oracle(),
         "bm25_msm_topk": bm25_msm_sql_oracle(),
+        "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),
         "bm25_topk_meta": bm25_meta_sql_oracle(),

@@ -321,6 +321,7 @@ def _bm25_ctes(
     exclude_map: dict[int, list[str]] | None = None,
     doc_where: str = "",
     min_match: int | None = None,
+    fuzzy: bool = False,
 ) -> str:
     """Shared DuckDB CTEs recomputing BM25 from scratch; ``conjunctive``
     restricts scored docs to those matching every query term;
@@ -334,6 +335,15 @@ def _bm25_ctes(
     values = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in qlist for t in terms
     )
+    if fuzzy:
+        q_cte = f"""q0(qid, term) AS (VALUES {values}),
+q AS (
+  SELECT DISTINCT q0.qid, v.term
+  FROM q0 JOIN (SELECT DISTINCT term FROM t) v
+    ON levenshtein(q0.term, v.term) <= 1
+)"""
+    else:
+        q_cte = f"q(qid, term) AS (VALUES {values})"
     if conjunctive:
         having = (
             "HAVING count(DISTINCT tf.term) = "
@@ -374,7 +384,7 @@ stats AS (
          (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM d0) AS avgdl
 ),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
-q(qid, term) AS (VALUES {values}),
+{q_cte},
 scored AS (
   SELECT q.qid, tf.doc_id,
          sum(
@@ -460,6 +470,48 @@ def bm25_msm_topk(sf_dir: str) -> pa.Table:
 def bm25_msm_sql_oracle() -> str:
     return (
         _bm25_ctes(min_match=MSM_MIN_MATCH)
+        + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+    )
+
+
+# (qid, typo'd terms, k) — every typo is one edit from a corpus term;
+# q5's token has no neighbor at distance 1, proving the empty edge
+FUZZY_QUERIES: list[tuple[int, list[str], int]] = [
+    (1, ["fastt", "merge"], 10),
+    (2, ["grup", "qury"], 10),
+    (3, ["custmer", "strea"], 10),
+    (4, ["scann", "tble", "windoww"], 10),
+    (5, ["zzzzqx"], 10),
+]
+
+
+def bm25_fuzzy_topk(sf_dir: str) -> pa.Table:
+    """Fuzzy BM25 top-k: each query token expands to every vocabulary term
+    within Levenshtein distance <= 1, scored as a disjunction with each
+    expanded term's own idf.  Engine: SymSpell deletion-neighborhood probe
+    over the resident lexicon + exact distance verify
+    (``Lexicon.fuzzy_terms``); oracle: the shared BM25 CTEs with the query
+    terms joined to the corpus vocabulary through ``levenshtein() <= 1``.
+    """
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_fuzzy_many(
+        [(" ".join(terms), k) for _, terms, k in FUZZY_QUERIES]
+    )
+    tables = []
+    for (qid, _, _), r in zip(FUZZY_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_fuzzy_sql_oracle() -> str:
+    return (
+        _bm25_ctes(queries=FUZZY_QUERIES, fuzzy=True)
         + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
     )
 

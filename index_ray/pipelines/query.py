@@ -70,6 +70,28 @@ def query_terms_ordered(query: str, tokenizer_mode: str) -> list[str]:
     return [vocab[t] for t in tid]
 
 
+def _deletions1(t: str) -> list[str]:
+    """The string itself plus every single-character deletion."""
+    return [t] + [t[:i] + t[i + 1 :] for i in range(len(t))]
+
+
+def _within_lev1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance-<=-1 check (no DP needed at this radius:
+    equal lengths allow one substitution; a length gap of one allows one
+    insertion, checked by splicing at the first mismatch)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
 class Lexicon:
     """Driver-resident term -> df lookup over the merged lexicon.
 
@@ -122,6 +144,35 @@ class Lexicon:
                 f"caller's limit={limit}; raise the budget or narrow the prefix"
             )
         return out
+
+    def fuzzy_terms(self, term: str) -> list[str]:
+        """Every lexicon term within Levenshtein distance <= 1 of ``term``
+        (ascending, includes the term itself when present).
+
+        SymSpell candidate generation: two strings within distance 1 always
+        share a member of each other's 1-deletion neighborhood (the string
+        itself or one single-char deletion), so probing the lazily-built
+        deletion-variant index yields a small candidate SUPERSET, verified
+        with an exact distance check.  The index costs O(vocab x term_len)
+        driver memory, built once; for vocabularies past the resident
+        lexicon bound the deletion index would be sharded by variant hash
+        alongside the lexicon — this raises rather than silently scanning.
+        """
+        if self._map is None:
+            raise NotImplementedError(
+                "fuzzy expansion needs the resident lexicon; shard the "
+                "deletion-variant index with the lexicon at this vocab size"
+            )
+        if not hasattr(self, "_del_index"):
+            idx: dict[str, list[str]] = {}
+            for t in self._map:
+                for v in _deletions1(t):
+                    idx.setdefault(v, []).append(t)
+            self._del_index = idx
+        cands: set[str] = set()
+        for v in _deletions1(term):
+            cands.update(self._del_index.get(v, ()))
+        return sorted(c for c in cands if _within_lev1(term, c))
 
     def idf(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         if not terms:
@@ -962,6 +1013,47 @@ class BM25Searcher:
                     )
                 else:
                     terms.update(query_terms(tok, tok_mode))
+            ordered = sorted(terms)
+            weights = self.lexicon.idf(ordered)
+            present = [t for t in ordered if t in weights]
+            idfs = [weights[t][1] for t in present]
+            prepared.append((present, idfs, k))
+        futs = [a.score_many.remote(prepared, prune, "or") for a in self.actors]
+        per_actor = ray.get(futs)
+        out = []
+        for qi, (_, _, k) in enumerate(prepared):
+            docs = np.concatenate([pa_res[qi][0] for pa_res in per_actor])
+            scores = np.concatenate([pa_res[qi][1] for pa_res in per_actor])
+            order = np.lexsort((docs, -scores))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "rank": pa.array(
+                            np.arange(1, len(order) + 1, dtype=np.int64)
+                        ),
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "score": pa.array(scores[order], type=pa.float64()),
+                    }
+                )
+            )
+        return out
+
+    def search_fuzzy_many(
+        self, queries: list[tuple[str, int]], prune: bool = True
+    ) -> list[pa.Table]:
+        """Fuzzy BM25: each query token expands to EVERY lexicon term
+        within Levenshtein distance <= 1 (SymSpell deletion-neighborhood
+        probe + exact verify, ``Lexicon.fuzzy_terms``), then scores as a
+        disjunction — each expanded term contributes with its own idf,
+        exactly as if the user had typed them all.  An absent-but-typo'd
+        term recovers its neighbors; a token with no neighbors contributes
+        nothing."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared = []
+        for q, k in queries:
+            terms: set[str] = set()
+            for tok in query_terms(q, tok_mode):
+                terms.update(self.lexicon.fuzzy_terms(tok))
             ordered = sorted(terms)
             weights = self.lexicon.idf(ordered)
             present = [t for t in ordered if t in weights]

@@ -392,3 +392,55 @@ def test_msm_mode_counts_distinct_matches(tiny_index_dir, tiny_corpus_table):
     assert len(r) == 0
     with pytest.raises(ValueError, match="msm"):
         searcher.search("connection", k=10, mode="msm", msm=0)
+
+
+def test_within_lev1_matches_duckdb():
+    import duckdb
+
+    from index_ray.pipelines.query import _within_lev1
+
+    words = [
+        "", "a", "ab", "abc", "abcd", "acb", "bac", "cab", "abx", "xbc",
+        "abcx", "xabc", "abxc", "bc", "ac", "abcde", "hello", "hallo",
+        "hell", "shell", "olleh",
+    ]
+    con = duckdb.connect()
+    for a in words:
+        for b in words:
+            want = con.sql(f"SELECT levenshtein('{a}','{b}') <= 1").fetchone()[0]
+            assert _within_lev1(a, b) == want, (a, b)
+
+
+def test_fuzzy_terms_is_exact_neighborhood(tiny_index_dir):
+    import duckdb
+
+    searcher = BM25Searcher(tiny_index_dir, num_shards=1)
+    lex = searcher.lexicon
+    vocab = sorted(lex._map)
+    con = duckdb.connect()
+    for probe in ["connection", "conection", "connectionn", "pars", "zzzz", "def"]:
+        got = lex.fuzzy_terms(probe)
+        want = sorted(
+            v
+            for v in vocab
+            if con.sql(f"SELECT levenshtein('{probe}','{v}') <= 1").fetchone()[0]
+        )
+        assert got == want, probe
+
+
+def test_search_fuzzy_equals_expanded_or(tiny_index_dir):
+    """Fuzzy search == plain OR search over the manually expanded term set."""
+    searcher = BM25Searcher(tiny_index_dir, num_shards=2)
+    lex = searcher.lexicon
+    q = "conection socket"
+    from index_ray.pipelines.query import query_terms
+
+    expanded = sorted(
+        set().union(*[set(lex.fuzzy_terms(t)) for t in query_terms(q, "code")])
+    )
+    assert expanded  # the typo does recover neighbors in the tiny corpus
+    big = 10_000
+    r_fuzzy = searcher.search_fuzzy_many([(q, big)])[0]
+    r_or = searcher.search(" ".join(expanded), k=big, mode="or")
+    assert r_fuzzy["docID"].to_pylist() == r_or["docID"].to_pylist()
+    assert r_fuzzy["score"].to_pylist() == r_or["score"].to_pylist()
