@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_msm_topk": flagship.bm25_msm_topk,
         "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
+        "uniform_sample": curation.uniform_sample,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "top_terms": text.top_terms,
         "quality_stats": text.quality_stats,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         redact_pii_sql_oracle,
         repetition_stats_sql_oracle,
         stratified_sample_sql_oracle,
+        uniform_sample_sql_oracle,
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
     )
@@ -495,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": redact_pii_sql_oracle(),
         "quality_filter": quality_filter_sql_oracle(),
         "stratified_sample": stratified_sample_sql_oracle(),
+        "uniform_sample": uniform_sample_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
         # bloom variant is output-identical to the exact pass by construction
         "decontaminate_bloom": decontaminate_sql_oracle(),

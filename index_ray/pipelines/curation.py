@@ -540,6 +540,68 @@ def decontaminate_sql_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# exactly-k uniform sample (mergeable bottom-k sketch)
+# ---------------------------------------------------------------------------
+
+UNIFORM_SAMPLE_K = 200
+
+
+def uniform_sample(sf_dir: str, k: int = UNIFORM_SAMPLE_K) -> pa.Table:
+    """Exactly-k uniform sample without replacement: the k documents with
+    the smallest md5 hash priority.
+
+    A bottom-k sketch is MERGEABLE — bottom-k of a union is the bottom-k
+    of the parts' bottom-ks — so each batch emits at most k (doc_id,
+    priority) rows and one driver merge finishes (a tree merge at cluster
+    scale); unlike rate-based hash-bernoulli sampling
+    (``stratified_sample``) the output size is exact, not expected.
+    Deterministic in doc_id: priority is the same md5 prefix DuckDB
+    computes as ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+    16))::UBIGINT``, so the oracle is ORDER BY priority LIMIT k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pr = md5_strings([str(int(i)) for i in ids])
+        if len(ids) > k:
+            sel = np.argpartition(pr, k)[:k]
+            ids, pr = ids[sel], pr[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "priority": pa.array(pr, pa.uint64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .to_pandas()
+    )
+    ids = parts["doc_id"].to_numpy(np.int64)
+    pr = parts["priority"].to_numpy(np.uint64)
+    if len(pr) > k:
+        sel = np.argpartition(pr, k)[:k]
+        ids, pr = ids[sel], pr[sel]
+    order = np.argsort(pr, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "priority": pa.array(pr[order], pa.uint64()),
+        }
+    )
+
+
+def uniform_sample_sql_oracle(k: int = UNIFORM_SAMPLE_K) -> str:
+    return f"""
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                 AS priority
+        FROM documents
+        ORDER BY priority, doc_id LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination (the sharded-eval-set scale path)
 # ---------------------------------------------------------------------------
 

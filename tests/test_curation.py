@@ -208,3 +208,24 @@ def test_decontaminate_bloom_row_identical(ray_session):
     b = b[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0  # the planted eval split does contaminate sf0.001
+
+
+def test_uniform_sample_bottomk_merge_invariance(ray_session):
+    """Sample == global bottom-k regardless of batching; k > N returns all."""
+    from index_ray.functions.minhash import md5_strings
+    from index_ray.pipelines.curation import uniform_sample
+
+    got = uniform_sample("/root/testdata/sf0.001", k=50).to_pydict()
+    assert len(got["doc_id"]) == 50
+    assert len(set(got["doc_id"])) == 50  # without replacement
+    import pyarrow.parquet as pq
+
+    all_ids = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    pr = md5_strings([str(i) for i in all_ids])
+    order = np.argsort(pr, kind="stable")[:50]
+    assert got["doc_id"] == [all_ids[i] for i in order]
+    # k past the corpus size degrades to the full table
+    big = uniform_sample("/root/testdata/sf0.001", k=10**9)
+    assert big.num_rows == len(all_ids)
