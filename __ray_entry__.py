@@ -54,18 +54,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # term/corpus statistics (reference A1-A4)
         "term_stats": text.term_stats,
-        "doc_lengths": text.doc_lengths,
         "corpus_stats": text.corpus_stats,
         "keywords_tfidf": text.keywords_tfidf,
         "windowed_events": text.windowed_events,
         # relational representatives (full family below the fold)
         "pricing_summary": relational.pricing_summary,
-        "orders_by_nation": relational.orders_by_nation,
         "top_customers_by_segment": relational.top_customers_by_segment,
         # event-stream representatives (one user-bucket shuffle)
         "sessionize": events.sessionize,
         "asof_purchase_click": events.asof_purchase_click,
-        "value_percentiles": events.value_percentiles,
+        # round-3 search additions (msm + fuzzy) and the bottom-k sample;
+        # doc_lengths / orders_by_nation / value_percentiles (driver-green
+        # in r01+r02, each redundant within its family) moved past the fold
+        "bm25_msm_topk": flagship.bm25_msm_topk,
+        "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
+        "uniform_sample": curation.uniform_sample,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
@@ -125,10 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows get driver verdicts inside the 50-entry cap
         "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
-        "bm25_msm_topk": flagship.bm25_msm_topk,
-        "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
-        "uniform_sample": curation.uniform_sample,
         "bm25_topk_meta": flagship.bm25_topk_meta,
+        "doc_lengths": text.doc_lengths,
+        "orders_by_nation": relational.orders_by_nation,
+        "value_percentiles": events.value_percentiles,
         "top_terms": text.top_terms,
         "quality_stats": text.quality_stats,
         "token_count_by_lang": text.token_count_by_lang,
