@@ -572,9 +572,25 @@ def uniform_sample(sf_dir: str, k: int = UNIFORM_SAMPLE_K) -> pa.Table:
             }
         )
 
+    def fold(batch: pa.Table) -> pa.Table:
+        # tree-fold level: bottom-k over ~64 partial bottom-ks per task,
+        # bounding the driver's final fold at cluster scale
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pr = batch["priority"].to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            sel = np.argpartition(pr, k)[:k]
+            ids, pr = ids[sel], pr[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "priority": pa.array(pr, pa.uint64()),
+            }
+        )
+
     parts = (
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
         .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .map_batches(fold, batch_format="pyarrow", batch_size=64 * k)
         .to_pandas()
     )
     ids = parts["doc_id"].to_numpy(np.int64)

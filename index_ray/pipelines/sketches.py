@@ -186,9 +186,19 @@ def cms_term_counts(sf_dir: str, k: int = 100) -> pa.Table:
                 np.add.at(sk[d], rows[d], cf)
         return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
 
+    def fold(batch: pa.Table) -> pa.Table:
+        # tree-fold level: sum up to 64 partial sketches per task so the
+        # driver's final fold sees O(blocks/64) rows, not one per batch —
+        # at 1e6+ batches the unfolded stream would be driver-unbounded
+        acc = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for b in batch["sk"]:
+            acc += np.frombuffer(b.as_py(), dtype=np.int64).reshape(_CMS_D, _CMS_W)
+        return pa.table({"sk": pa.array([acc.tobytes()], pa.binary())})
+
     parts = (
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         .map_batches(partial, batch_format="pyarrow", batch_size=512)
+        .map_batches(fold, batch_format="pyarrow", batch_size=64)
         .to_pandas()
     )
     sk = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
@@ -432,6 +442,17 @@ def heavy_hitter_terms(sf_dir: str) -> pa.Table:
 
     cand_ref = _ray.put(candidates)
 
+    def cnt_fold(batch: pa.Table) -> pa.Table:
+        # tree-fold level: sum up to 64 partial count vectors per task so
+        # the driver's final fold is O(blocks/64), not one row per batch
+        acc: np.ndarray | None = None
+        for b in batch["cnt"]:
+            v = np.frombuffer(b.as_py(), dtype=np.int64)
+            acc = v.copy() if acc is None else acc + v
+        if acc is None:
+            return pa.table({"cnt": pa.array([], pa.binary())})
+        return pa.table({"cnt": pa.array([acc.tobytes()], pa.binary())})
+
     counts = (
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         .map_batches(
@@ -439,6 +460,7 @@ def heavy_hitter_terms(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
             batch_size=512,
         )
+        .map_batches(cnt_fold, batch_format="pyarrow", batch_size=64)
         .to_pandas()
     )
     total = np.zeros(len(candidates), np.int64)
