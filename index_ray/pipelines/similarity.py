@@ -90,8 +90,26 @@ def knn_cosine(
             }
         )
 
-    cand = emb_dataset(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=4096)
-    df = cand.to_pandas()  # (nq * k * nbatches) candidate rows — tiny
+    def fold(batch: pa.Table) -> pa.Table:
+        # tree-fold level: per-query top-k over ~64 partial top-ks per
+        # task, bounding the driver merge at cluster scale (same
+        # lexsort tie-break as the scorer, so the merge is lossless)
+        qi_arr = batch["qi"].to_numpy(zero_copy_only=False)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = batch["sim"].to_numpy(zero_copy_only=False)
+        keep = []
+        for qi in np.unique(qi_arr):
+            sel = np.flatnonzero(qi_arr == qi)
+            keep.append(sel[np.lexsort((ids[sel], -sims[sel]))[:k]])
+        idx = np.concatenate(keep) if keep else np.empty(0, np.int64)
+        return batch.take(pa.array(np.sort(idx)))
+
+    cand = (
+        emb_dataset(sf_dir)
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .map_batches(fold, batch_format="pyarrow", batch_size=64 * len(query_ids) * k)
+    )
+    df = cand.to_pandas()  # (nq * k * nfolds) candidate rows — tiny
     out_q, out_r, out_v = [], [], []
     for qi, qid in enumerate(qids):
         sub = df[df["qi"] == qi]
