@@ -166,3 +166,33 @@ def test_parallelism_invariance(tiny_corpus_dir, tiny_index_dir, tmp_path, tiny_
         orc = tiny_oracle.search(q["query"], k=q["k"])
         assert eng["docID"].to_pylist() == orc["docID"].to_pylist()
         assert eng["score"].to_pylist() == orc["score"].to_pylist()
+
+
+def test_shuffle_fallbacks_match_bucket(tiny_corpus_dir, tmp_path, tiny_oracle):
+    """The Dataset-native shuffle fallbacks ('sort': range-sort shuffle,
+    'hash': streaming hash exchange) must produce search results identical
+    to the default custom bucket shuffle — they are the documented escape
+    hatch if the raw-task dispatch loop ever misbehaves on a new Ray."""
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher
+
+    from conftest import TINY_CFG
+
+    results = {}
+    for mode in ["bucket", "sort", "hash"]:
+        out = str(tmp_path / f"idx_{mode}")
+        build_index(tiny_corpus_dir, out, BuildConfig(shuffle=mode, **TINY_CFG))
+        s = BM25Searcher(out, num_shards=2)
+        rs = s.search_many(
+            [("parse http request", 10), ("connection", 10), ("def return value", 10)]
+        )
+        results[mode] = [
+            (r["docID"].to_pylist(), r["score"].to_pylist()) for r in rs
+        ]
+    assert results["sort"] == results["bucket"]
+    assert results["hash"] == results["bucket"]
+    # and all three equal the brute-force oracle bitwise
+    for qi, q in enumerate(["parse http request", "connection", "def return value"]):
+        o = tiny_oracle.search(q, k=10)
+        assert results["bucket"][qi][0] == o["docID"].to_pylist()
+        assert results["bucket"][qi][1] == o["score"].to_pylist()
