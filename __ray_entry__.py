@@ -56,7 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": text.term_stats,
         "corpus_stats": text.corpus_stats,
         "keywords_tfidf": text.keywords_tfidf,
-        "windowed_events": text.windowed_events,
+        # end-to-end curation funnel (quality -> dedup -> sample -> sink);
+        # windowed_events (driver-green r01+r02, still timed by bench.py)
+        # moved past the fold to make room
+        "curate_corpus": curation.curate_corpus,
         # relational representatives (full family below the fold)
         "pricing_summary": relational.pricing_summary,
         "top_customers_by_segment": relational.top_customers_by_segment,
@@ -130,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lengths": text.doc_lengths,
+        "windowed_events": text.windowed_events,
         "orders_by_nation": relational.orders_by_nation,
         "value_percentiles": events.value_percentiles,
         "top_terms": text.top_terms,
@@ -268,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         redact_pii_sql_oracle,
         repetition_stats_sql_oracle,
         stratified_sample_sql_oracle,
+        curate_corpus_sql_oracle,
         uniform_sample_sql_oracle,
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
@@ -501,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": quality_filter_sql_oracle(),
         "stratified_sample": stratified_sample_sql_oracle(),
         "uniform_sample": uniform_sample_sql_oracle(),
+        "curate_corpus": curate_corpus_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
         # bloom variant is output-identical to the exact pass by construction
         "decontaminate_bloom": decontaminate_sql_oracle(),

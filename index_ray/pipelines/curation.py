@@ -18,6 +18,7 @@ rest of the oracle-checked suite.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -536,6 +537,220 @@ def decontaminate_sql_oracle() -> str:
                CAST(hits AS BIGINT) AS hits,
                CAST((100 * hits) // n_grams AS BIGINT) AS contamination_pct
         FROM scan WHERE 100 * hits >= {DECONTAM_THRESHOLD} * n_grams
+    """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline with a partitioned parquet sink
+# ---------------------------------------------------------------------------
+
+
+class _CurateKeysStage(QualityFilterStage):
+    """batch -> (doc_id, lang, sha, bucket, q_keep): one text pass emitting
+    the quality verdict plus the dedup key (sha256) and the sample key
+    (md5 bucket, same rule as ``StratifiedSampleStage``)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = super().__call__(batch)
+        sha = [
+            hashlib.sha256(s.encode()).hexdigest()
+            for s in batch[self.text_col].to_pylist()
+        ]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5_strings([str(int(i)) for i in ids])
+        bucket = ((h >> np.uint64(32)) % np.uint64(100)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "sha": pa.array(sha, pa.string()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "q_keep": q["keep"],
+            }
+        )
+
+
+def curate_corpus(sf_dir: str, out_dir: str | None = None) -> pa.Table:
+    """End-to-end curation: quality filter -> exact dedup (first-seen-wins
+    among quality survivors) -> stratified sample -> partitioned parquet
+    sink.  Returns the per-language funnel counts (lang, n_input,
+    n_quality, n_dedup, n_kept) — the SQL-checkable contract.
+
+    Pipeline shape at 100 TB: ONE text pass computes the slim key table
+    (id, lang, sha, bucket, flag — no text), which is materialized once so
+    the counts and the dedup groupby don't re-tokenize; keeper selection is
+    one sha-bucket shuffle (``util.hash_groupby``); every count is a
+    per-batch partial fold.  The sink re-reads only the winning docs
+    (broadcast sorted-id filter here; a doc_id-bucketed hash join once the
+    curated set outgrows a broadcast) and writes ``lang=<l>/`` partition
+    directories, so a failed sink run resumes by skipping finished
+    partitions."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..util import hash_groupby, stage_fn
+
+    keys = (
+        docs_dataset(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(
+            stage_fn(_CurateKeysStage), batch_format="pyarrow", batch_size=1024
+        )
+        .materialize()  # slim (no text); reused by counts + dedup below
+    )
+
+    def lang_counts(t: pa.Table, cols: dict[str, str]) -> pa.Table:
+        df = t.to_pandas().groupby("lang", as_index=False).agg(**cols)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    inq = (
+        keys.map_batches(
+            lambda t: lang_counts(
+                t, {"n_input": ("doc_id", "size"), "n_quality": ("q_keep", "sum")}
+            ),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+    )
+
+    qual = keys.map_batches(
+        lambda t: t.filter(pc.equal(t["q_keep"], 1)), batch_format="pyarrow"
+    )
+
+    def pick_min(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["sha", "doc_id"])
+            .groupby("sha", as_index=False)
+            .first()
+        )
+        return pa.Table.from_pandas(
+            df[["doc_id", "lang", "bucket"]], preserve_index=False
+        )
+
+    keepers = hash_groupby(qual, ["sha"], pick_min)
+
+    def sample_filter(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        rates = np.fromiter(
+            (SAMPLE_RATES.get(l, DEFAULT_RATE) for l in langs),
+            dtype=np.int64,
+            count=len(langs),
+        )
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(b < rates))
+
+    ded = (
+        keepers.map_batches(
+            lambda t: lang_counts(t, {"n_dedup": ("doc_id", "size")}),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+    )
+    sampled = keepers.map_batches(sample_filter, batch_format="pyarrow")
+    sdf = sampled.to_pandas()  # the final curated id set (rate-bounded)
+
+    if out_dir is None:
+        base = os.path.basename(os.path.normpath(sf_dir))
+        out_dir = f"/tmp/index_ray_curated_{base}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ids_ref = ray.put(np.sort(sdf["doc_id"].to_numpy(np.int64)))
+
+    def keep_docs(t: pa.Table) -> pa.Table:
+        s = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            return t.slice(0, 0)
+        pos = np.searchsorted(s, ids)
+        pos[pos >= len(s)] = 0
+        return t.filter(pa.array(s[pos] == ids))
+
+    docs_dataset(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        keep_docs, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["lang"])
+
+    import pandas as pd
+
+    kep = (
+        sdf.groupby("lang", as_index=False)
+        .agg(n_kept=("doc_id", "size"))
+        if len(sdf)
+        else pd.DataFrame({"lang": [], "n_kept": []})
+    )
+    out = (
+        inq.merge(ded, on="lang", how="left")
+        .merge(kep, on="lang", how="left")
+        .fillna(0)
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_input": pa.array(out["n_input"].astype(np.int64), pa.int64()),
+            "n_quality": pa.array(out["n_quality"].astype(np.int64), pa.int64()),
+            "n_dedup": pa.array(out["n_dedup"].astype(np.int64), pa.int64()),
+            "n_kept": pa.array(out["n_kept"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def curate_corpus_sql_oracle() -> str:
+    stop_sql = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        s AS (
+          SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+                 sum(length(term)) AS token_chars,
+                 sum(CASE WHEN term IN {stop_sql} THEN 1 ELSE 0 END) AS stop_count
+          FROM t GROUP BY doc_id
+        ),
+        s0 AS (
+          SELECT d.doc_id, d.lang, d.text,
+                 coalesce(s.n_tokens, 0) AS n_tokens,
+                 coalesce(s.n_unique, 0) AS n_unique,
+                 coalesce(s.token_chars, 0) AS token_chars,
+                 coalesce(s.stop_count, 0) AS stop_count
+          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        ),
+        q AS (
+          SELECT doc_id, lang, sha256(text) AS sha,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 100 AS bucket,
+                 (CASE WHEN n_tokens BETWEEN {LEN_LO} AND {LEN_HI} THEN 1 ELSE 0 END)
+                 * (CASE WHEN 100 * n_unique >= {TTR_PCTx100} * n_tokens THEN 1 ELSE 0 END)
+                 * (CASE WHEN stop_count >= 1 THEN 1 ELSE 0 END)
+                 * (CASE WHEN token_chars BETWEEN {WLEN_LO} * n_tokens
+                                              AND {WLEN_HI} * n_tokens
+                         THEN 1 ELSE 0 END) AS keep
+          FROM s0
+        ),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id FROM q WHERE keep = 1 GROUP BY sha
+        )
+        SELECT q.lang,
+               CAST(count(*) AS BIGINT) AS n_input,
+               CAST(sum(q.keep) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dedup,
+               CAST(sum(CASE WHEN k.doc_id IS NOT NULL
+                              AND q.bucket < (CASE q.lang {rate_case}
+                                              ELSE {DEFAULT_RATE} END)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM q LEFT JOIN keepers k ON q.doc_id = k.doc_id
+        GROUP BY q.lang
     """
 
 

@@ -229,3 +229,40 @@ def test_uniform_sample_bottomk_merge_invariance(ray_session):
     # k past the corpus size degrades to the full table
     big = uniform_sample("/root/testdata/sf0.001", k=10**9)
     assert big.num_rows == len(all_ids)
+
+
+def test_curate_corpus_funnel_and_sink(ray_session, tmp_path):
+    """Funnel counts vs DuckDB on sf0.001; the sink holds exactly n_kept
+    docs per language under lang=<l>/ partition directories."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from index_ray.pipelines.curation import curate_corpus, curate_corpus_sql_oracle
+
+    out_dir = str(tmp_path / "curated")
+    got = curate_corpus("/root/testdata/sf0.001", out_dir=out_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(curate_corpus_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # funnel is monotone
+    assert (got["n_input"] >= got["n_quality"]).all()
+    assert (got["n_quality"] >= got["n_dedup"]).all()
+    assert (got["n_dedup"] >= got["n_kept"]).all()
+    assert got["n_kept"].sum() > 0
+    # sink: one partition dir per language, row counts == n_kept
+    sunk = pads.dataset(out_dir, partitioning="hive").to_table().to_pandas()
+    per = sunk.groupby("lang").size().to_dict()
+    for _, row in got.iterrows():
+        assert per.get(row["lang"], 0) == row["n_kept"], row["lang"]
+    assert sorted(os.listdir(out_dir)) == sorted(
+        f"lang={l}" for l in got[got["n_kept"] > 0]["lang"]
+    )
