@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
+        "centroid_classify": similarity.centroid_classify,
     }
 
 
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         repeated_ngrams_sql_oracle,
     )
     from index_ray.pipelines.multimodal import media_consistency_sql_oracle
+    from index_ray.pipelines.similarity import centroid_classify_sql_oracle
     from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
 
     return {
@@ -455,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 10
         """,
+        "centroid_classify": centroid_classify_sql_oracle(),
         "term_stats": f"""
             {_TOKS}
             SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df

@@ -742,3 +742,128 @@ def pq_knn_consistency(
     maximizes every subspace LUT, so it always survives the candidate
     cut)."""
     return _ann_consistency(sf_dir, pq_knn_cosine(sf_dir, query_ids, k), query_ids)
+
+
+# -------------------------------------------------- nearest-centroid classify
+
+
+_CC_SCALE = 1_000_000  # quantization: floor(x * 1e6 + 0.5), int64-exact
+
+
+def centroid_classify(sf_dir: str) -> pa.Table:
+    """(label, predicted, n) confusion counts of a nearest-centroid
+    classifier over the labeled embeddings — fully INTEGER-deterministic,
+    so the SQL oracle hash-matches exactly.
+
+    Floats never survive a cross-engine comparison (parallel partial sums
+    reorder additions), so everything is quantized first: q = floor(x*1e6
+    + 0.5) per element (identical IEEE arithmetic in numpy and DuckDB),
+    per-label centroids are integer floor-divided sums (order-independent
+    BIGINT addition), and assignment minimizes the exact integer squared
+    distance with ascending-label tie-break.
+
+    Shape: one map_batches pass emits per-label (count, sum-vector)
+    partials — O(labels x dim) per batch, folded on the driver (10x64
+    here; a tree fold past ~1e4 labels); centroids broadcast once; a
+    second pass assigns and emits 10x10 confusion partials.  No shuffle.
+    """
+
+    def q16(m: np.ndarray) -> np.ndarray:
+        return np.floor(m * _CC_SCALE + 0.5).astype(np.int64)
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    nlab_ref = {}
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        q = q16(_to_matrix(batch["embedding"]))
+        labs = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_lab = np.unique(labs)
+        sums = np.zeros((len(out_lab), q.shape[1]), np.int64)
+        cnts = np.zeros(len(out_lab), np.int64)
+        pos = np.searchsorted(out_lab, labs)
+        np.add.at(sums, pos, q)
+        np.add.at(cnts, pos, 1)
+        return pa.table(
+            {
+                "label": pa.array(out_lab, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "sums": pa.array([s.tobytes() for s in sums], pa.binary()),
+            }
+        )
+
+    parts = src.map_batches(
+        partial_sums, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    labels = np.sort(parts["label"].unique())
+    dim = len(np.frombuffer(parts["sums"].iloc[0], np.int64))
+    sums = np.zeros((len(labels), dim), np.int64)
+    cnts = np.zeros(len(labels), np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    for _, row in parts.iterrows():
+        i = lpos[int(row["label"])]
+        sums[i] += np.frombuffer(row["sums"], np.int64)
+        cnts[i] += int(row["cnt"])
+    cents = sums // cnts[:, None]  # floor division, matches SQL's //
+    cents_ref = ray.put((labels, cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs_c, m = ray.get(cents_ref)
+        q = q16(_to_matrix(batch["embedding"]))
+        # exact integer squared distances; values fit int64 (<= 64 * (4e6)^2)
+        d2 = ((q[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        pred = labs_c[np.argmin(d2, axis=1)]  # first min = smallest label
+        true = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = true * len(labs_c) + np.searchsorted(labs_c, pred)
+        cnt = np.bincount(key, minlength=len(labs_c) ** 2).astype(np.int64)
+        return pa.table({"confusion": pa.array([cnt.tobytes()], pa.binary())})
+
+    conf_parts = src.map_batches(
+        assign, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    conf = np.zeros(len(labels) ** 2, np.int64)
+    for b in conf_parts["confusion"]:
+        conf += np.frombuffer(b, np.int64)
+    conf = conf.reshape(len(labels), len(labels))
+    rows = np.nonzero(conf)
+    return pa.table(
+        {
+            "label": pa.array(labels[rows[0]], pa.int64()),
+            "predicted": pa.array(labels[rows[1]], pa.int64()),
+            "n": pa.array(conf[rows], pa.int64()),
+        }
+    )
+
+
+def centroid_classify_sql_oracle() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 generate_subscripts(embedding, 1) AS idx,
+                 CAST(floor(unnest(embedding) * {_CC_SCALE} + 0.5) AS BIGINT) AS q
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, idx,
+                 CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+          FROM e GROUP BY label, idx
+        ),
+        dist AS (
+          SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+                 sum((e.q - c.m) * (e.q - c.m)) AS d2
+          FROM e JOIN cent c USING (idx)
+          GROUP BY e.vec_id, e.label, c.label
+        ),
+        pred AS (
+          SELECT vec_id, true_label, cand,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, cand ASC) AS rn
+          FROM dist
+        )
+        SELECT true_label AS label, cand AS predicted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred WHERE rn = 1
+        GROUP BY true_label, cand
+    """

@@ -142,3 +142,19 @@ def test_heavy_hitters_planted_eviction(ray_session):
     want = con.sql(heavy_hitter_terms_sql_oracle()).df().sort_values("term").reset_index(drop=True)
     assert len(want) >= 5  # the planted hot terms qualify
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_centroid_classify_deterministic_and_total(ray_session):
+    """Integer-deterministic: two runs bit-identical; confusion counts sum
+    to the corpus size; every true label appears."""
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.similarity import centroid_classify
+
+    a = centroid_classify("/root/testdata/sf0.001")
+    b = centroid_classify("/root/testdata/sf0.001")
+    assert a.equals(b)
+    n = pq.read_metadata("/root/testdata/sf0.001/embeddings.parquet").num_rows
+    d = a.to_pydict()
+    assert sum(d["n"]) == n
+    assert set(d["label"]) == set(range(10))
