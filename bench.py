@@ -124,7 +124,7 @@ def run_bench() -> dict:
         timings["bm25_6_queries"] = round(time.time() - t0, 3)
 
     if not FAST:
-        from index_ray.pipelines import dedup, flagship, similarity, text
+        from index_ray.pipelines import curation, dedup, flagship, sketches, similarity, text
 
         # min-of-2 per query: the first run pays the session's worker-spawn
         # page faults (wildly host-window-dependent, see environment note);
@@ -135,6 +135,8 @@ def run_bench() -> dict:
             ("minhash_dedup", lambda: dedup.minhash_dedup(SF_DIR)),
             ("knn_cosine", lambda: similarity.knn_cosine(SF_DIR)),
             ("windowed_events", lambda: text.windowed_events(SF_DIR).materialize()),
+            ("heavy_hitter_terms", lambda: sketches.heavy_hitter_terms(SF_DIR)),
+            ("curate_corpus", lambda: curation.curate_corpus(SF_DIR)),
         ]:
             runs = []
             for _ in range(2):
