@@ -583,8 +583,10 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None) -> pa.Table:
     per-batch partial fold.  The sink re-reads only the winning docs
     (broadcast sorted-id filter here; a doc_id-bucketed hash join once the
     curated set outgrows a broadcast) and writes ``lang=<l>/`` partition
-    directories, so a failed sink run resumes by skipping finished
-    partitions."""
+    directories — the layout a resuming caller needs to re-run only the
+    partitions that are missing (this function itself always writes a
+    fresh sink: the default /tmp scratch dir is recycled, a caller-supplied
+    ``out_dir`` must not already exist)."""
     import shutil
 
     import pyarrow.compute as pc
@@ -657,9 +659,17 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None) -> pa.Table:
     sdf = sampled.to_pandas()  # the final curated id set (rate-bounded)
 
     if out_dir is None:
+        # default scratch sink: ours to recycle between runs
         base = os.path.basename(os.path.normpath(sf_dir))
         out_dir = f"/tmp/index_ray_curated_{base}"
-    shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    elif os.path.exists(out_dir):
+        # never delete a caller-supplied directory; partition dirs from a
+        # partial run are the caller's to inspect or clean
+        raise FileExistsError(
+            f"curate_corpus sink {out_dir!r} already exists; remove it or "
+            "pass a fresh path"
+        )
     ids_ref = ray.put(np.sort(sdf["doc_id"].to_numpy(np.int64)))
 
     def keep_docs(t: pa.Table) -> pa.Table:

@@ -942,9 +942,9 @@ class BM25Searcher:
         prepared = []
         dead = set()  # AND queries with a term missing from the lexicon
         for qi, (q, k) in enumerate(queries):
+            # query_terms returns sorted(set(...)), so terms are already
+            # distinct — the msm match counter relies on this
             base_terms = query_terms(q, tok_mode)
-            if mode == "msm":  # match counts are over DISTINCT terms
-                base_terms = list(dict.fromkeys(base_terms))
             terms = [f"{field}:{t}" for t in base_terms] if field else base_terms
             weights = self.lexicon.idf(terms)
             present = [t for t in terms if t in weights]  # absent terms score 0
@@ -1013,30 +1013,8 @@ class BM25Searcher:
                     )
                 else:
                     terms.update(query_terms(tok, tok_mode))
-            ordered = sorted(terms)
-            weights = self.lexicon.idf(ordered)
-            present = [t for t in ordered if t in weights]
-            idfs = [weights[t][1] for t in present]
-            prepared.append((present, idfs, k))
-        futs = [a.score_many.remote(prepared, prune, "or") for a in self.actors]
-        per_actor = ray.get(futs)
-        out = []
-        for qi, (_, _, k) in enumerate(prepared):
-            docs = np.concatenate([pa_res[qi][0] for pa_res in per_actor])
-            scores = np.concatenate([pa_res[qi][1] for pa_res in per_actor])
-            order = np.lexsort((docs, -scores))[:k]
-            out.append(
-                pa.table(
-                    {
-                        "rank": pa.array(
-                            np.arange(1, len(order) + 1, dtype=np.int64)
-                        ),
-                        "docID": pa.array(docs[order], type=pa.int64()),
-                        "score": pa.array(scores[order], type=pa.float64()),
-                    }
-                )
-            )
-        return out
+            prepared.append((terms, k))
+        return self._expanded_or_search(prepared, prune)
 
     def search_fuzzy_many(
         self, queries: list[tuple[str, int]], prune: bool = True
@@ -1048,21 +1026,41 @@ class BM25Searcher:
         exactly as if the user had typed them all.  An absent-but-typo'd
         term recovers its neighbors; a token with no neighbors contributes
         nothing."""
+        if self.stats.get("field_col") or self.stats.get("head_tokens"):
+            # marker terms ('{ns}:{t}') share the lexicon and sit within
+            # distance 1 of content twins ('en:a' vs 'ena') — fuzzy
+            # expansion would score namespace postings as content
+            raise ValueError(
+                "fuzzy search is not supported on marker-namespace indexes "
+                "(built with field_col/head_tokens)"
+            )
         tok_mode = self.stats.get("tokenizer", "code")
         prepared = []
         for q, k in queries:
             terms: set[str] = set()
             for tok in query_terms(q, tok_mode):
                 terms.update(self.lexicon.fuzzy_terms(tok))
+            prepared.append((terms, k))
+        return self._expanded_or_search(prepared, prune)
+
+    def _expanded_or_search(
+        self, prepared: list[tuple[set[str], int]], prune: bool
+    ) -> list[pa.Table]:
+        """Shared tail of the expansion modes (wildcard, fuzzy): score the
+        expanded term set as a disjunction — each term with its own idf,
+        exactly as if the user had typed them all — and k-way-merge the
+        per-shard results with the standard (score desc, docID asc) order."""
+        ready = []
+        for terms, k in prepared:
             ordered = sorted(terms)
             weights = self.lexicon.idf(ordered)
             present = [t for t in ordered if t in weights]
             idfs = [weights[t][1] for t in present]
-            prepared.append((present, idfs, k))
-        futs = [a.score_many.remote(prepared, prune, "or") for a in self.actors]
+            ready.append((present, idfs, k))
+        futs = [a.score_many.remote(ready, prune, "or") for a in self.actors]
         per_actor = ray.get(futs)
         out = []
-        for qi, (_, _, k) in enumerate(prepared):
+        for qi, (_, _, k) in enumerate(ready):
             docs = np.concatenate([pa_res[qi][0] for pa_res in per_actor])
             scores = np.concatenate([pa_res[qi][1] for pa_res in per_actor])
             order = np.lexsort((docs, -scores))[:k]

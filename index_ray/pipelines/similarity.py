@@ -775,8 +775,6 @@ def centroid_classify(sf_dir: str) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
 
-    nlab_ref = {}
-
     def partial_sums(batch: pa.Table) -> pa.Table:
         q = q16(_to_matrix(batch["embedding"]))
         labs = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -806,7 +804,10 @@ def centroid_classify(sf_dir: str) -> pa.Table:
         i = lpos[int(row["label"])]
         sums[i] += np.frombuffer(row["sums"], np.int64)
         cnts[i] += int(row["cnt"])
-    cents = sums // cnts[:, None]  # floor division, matches SQL's //
+    # TRUNCATING division toward zero — DuckDB's BIGINT // truncates while
+    # numpy's // floors; they differ on negative sums (-7//2: numpy -4,
+    # DuckDB -3), so mirror the SQL semantics explicitly
+    cents = np.sign(sums) * (np.abs(sums) // cnts[:, None])
     cents_ref = ray.put((labels, cents))
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -816,7 +817,11 @@ def centroid_classify(sf_dir: str) -> pa.Table:
         d2 = ((q[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
         pred = labs_c[np.argmin(d2, axis=1)]  # first min = smallest label
         true = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = true * len(labs_c) + np.searchsorted(labs_c, pred)
+        # positions in the sorted label array, NOT raw label values — raw
+        # values overflow the dense matrix when labels aren't 0..L-1
+        key = np.searchsorted(labs_c, true) * len(labs_c) + np.searchsorted(
+            labs_c, pred
+        )
         cnt = np.bincount(key, minlength=len(labs_c) ** 2).astype(np.int64)
         return pa.table({"confusion": pa.array([cnt.tobytes()], pa.binary())})
 
@@ -842,7 +847,11 @@ def centroid_classify_sql_oracle() -> str:
         WITH e AS (
           SELECT vec_id, CAST(label AS BIGINT) AS label,
                  generate_subscripts(embedding, 1) AS idx,
-                 CAST(floor(unnest(embedding) * {_CC_SCALE} + 0.5) AS BIGINT) AS q
+                 -- widen to DOUBLE first: the column is float32, and the
+                 -- engine quantizes after the identical float32->float64
+                 -- widening; float32 arithmetic here would diverge
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_CC_SCALE}
+                            + 0.5) AS BIGINT) AS q
           FROM embeddings
         ),
         cent AS (

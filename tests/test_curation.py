@@ -266,3 +266,14 @@ def test_curate_corpus_funnel_and_sink(ray_session, tmp_path):
     assert sorted(os.listdir(out_dir)) == sorted(
         f"lang={l}" for l in got[got["n_kept"] > 0]["lang"]
     )
+
+
+def test_curate_corpus_refuses_existing_out_dir(ray_session, tmp_path):
+    from index_ray.pipelines.curation import curate_corpus
+
+    existing = tmp_path / "already_there"
+    existing.mkdir()
+    import pytest
+
+    with pytest.raises(FileExistsError, match="already exists"):
+        curate_corpus("/root/testdata/sf0.001", out_dir=str(existing))

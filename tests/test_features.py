@@ -444,3 +444,20 @@ def test_search_fuzzy_equals_expanded_or(tiny_index_dir):
     r_or = searcher.search(" ".join(expanded), k=big, mode="or")
     assert r_fuzzy["docID"].to_pylist() == r_or["docID"].to_pylist()
     assert r_fuzzy["score"].to_pylist() == r_or["score"].to_pylist()
+
+
+def test_fuzzy_rejects_marker_indexes(tiny_corpus_dir, tmp_path):
+    """Marker-namespace lexicons would leak '{ns}:{t}' terms into the
+    fuzzy neighborhood ('en:a' is within distance 1 of 'ena'), so fuzzy
+    search refuses them loudly."""
+    from index_ray.pipelines.build import BuildConfig, build_index
+
+    out = str(tmp_path / "idx_markers")
+    build_index(
+        tiny_corpus_dir, out,
+        BuildConfig(chunk_docs=100, num_parts=4, salt_docs=64, batch_size=64,
+                    head_tokens=4),
+    )
+    s = BM25Searcher(out, num_shards=1)
+    with pytest.raises(ValueError, match="marker-namespace"):
+        s.search_fuzzy_many([("connection", 10)])

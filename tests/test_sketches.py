@@ -158,3 +158,48 @@ def test_centroid_classify_deterministic_and_total(ray_session):
     d = a.to_pydict()
     assert sum(d["n"]) == n
     assert set(d["label"]) == set(range(10))
+
+
+def test_centroid_classify_noncontiguous_labels(ray_session, tmp_path):
+    """Labels {0,5,9} (not 0..L-1) and negative components: the confusion
+    key must index by label POSITION and centroid division must truncate
+    like DuckDB — both pinned against the SQL oracle."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.similarity import (
+        centroid_classify,
+        centroid_classify_sql_oracle,
+    )
+
+    rng = np.random.default_rng(5)
+    labs = np.array([0, 5, 9])
+    rows_lab, vecs = [], []
+    for li, lab in enumerate(labs):
+        c = rng.standard_normal(8) * 2.0 - 1.0  # negative-heavy centers
+        for _ in range(40):
+            vecs.append((c + rng.standard_normal(8) * 0.3).astype(np.float32))
+            rows_lab.append(lab)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(rows_lab, pa.int32()),
+        }
+    )
+    d = str(tmp_path / "emb")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    got = centroid_classify(d).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    want = con.sql(centroid_classify_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert set(got["label"]) == {0, 5, 9}
