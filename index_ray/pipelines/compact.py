@@ -48,6 +48,11 @@ from ..state.manifest import (
 )
 from .build import load_stats, merge_lexicon
 
+# an uncommitted swap journal younger than this is treated as a LIVE
+# compaction in another process (single-writer design): opening the index
+# raises instead of rolling the in-flight swap back under the writer
+SWAP_LIVE_SECONDS = 120.0
+
 
 def delete_docs(out_dir: str, doc_ids) -> dict:
     """Tombstone-delete documents from a built index (LSM delete marker).
@@ -111,12 +116,27 @@ def recover_swap(out_dir: str) -> None:
         return  # unreadable journal: leave evidence in place
     stats = read_json(os.path.join(out_dir, "stats.json"))
     if stats and stats.get("swap_token") == j.get("token"):
-        # committed: finish the cleanup the crash skipped
+        # committed: finish the cleanup the crash skipped — removing ONLY
+        # the tombstone files the journal snapshot consumed, never ones
+        # written after the commit (e.g. a delete_docs whose own
+        # load_stats triggered this recovery)
         shutil.rmtree(trash, ignore_errors=True)
         if j.get("purged"):
-            shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
+            _remove_tomb_files(out_dir, j.get("tombs", []))
         os.remove(jp)
         return
+    # Uncommitted journal: a crash mid-swap — unless the swap is still
+    # LIVE in another process (this index is single-writer; a reader that
+    # rolled back an in-flight swap would corrupt it).  Freshness is the
+    # only signal available without a lock: refuse to open rather than
+    # guess.
+    age = time.time() - os.path.getmtime(jp)
+    if age < SWAP_LIVE_SECONDS:
+        raise RuntimeError(
+            f"index at {out_dir} has a {age:.0f}s-old uncommitted compaction "
+            f"journal — a compaction is likely in progress; retry after "
+            f"{SWAP_LIVE_SECONDS}s or remove {jp} if the writer is known dead"
+        )
     # not committed: roll back to the pre-swap layout
     if j.get("phase") == "place":
         for tmpname, dstname in j.get("new", []):
@@ -230,6 +250,13 @@ def compact_index(
     tomb = load_tombstones(out_dir)
     purging = len(tomb) > 0
     tomb_arr = tomb if purging else None
+    # snapshot the tombstone FILES this purge consumes, at the same moment
+    # their content is read: cleanup may delete exactly these — a tombstone
+    # written later (e.g. delete_docs racing the swap window) must survive
+    tomb_files = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out_dir, "tombstones", "*.parquet"))
+    )
 
     # group adjacent chunks (docID order == chunk order) up to group_docs
     groups: list[list[dict]] = []
@@ -374,6 +401,7 @@ def compact_index(
         "token": token,
         "phase": "trash",
         "purged": purging,
+        "tombs": tomb_files if purging else [],
         "old": [f"chunk-{m['chunk']:05d}" for m in manifests],
         "new": [
             [os.path.basename(tmp), f"chunk-{gi:05d}"]
@@ -428,6 +456,22 @@ def compact_index(
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
     shutil.rmtree(trash, ignore_errors=True)
     if purging:
-        shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
+        _remove_tomb_files(out_dir, tomb_files)
     os.remove(swap_journal_path(out_dir))
     return stats
+
+
+def _remove_tomb_files(out_dir: str, names: list[str]) -> None:
+    """Delete exactly the journaled tombstone files a purge consumed; a
+    tombstone written after the snapshot (delete_docs racing the swap)
+    survives to be purged by the next compaction."""
+    tomb_dir = os.path.join(out_dir, "tombstones")
+    for name in names:
+        try:
+            os.remove(os.path.join(tomb_dir, name))
+        except FileNotFoundError:
+            pass
+    try:  # drop the dir only when nothing new arrived
+        os.rmdir(tomb_dir)
+    except OSError:
+        pass

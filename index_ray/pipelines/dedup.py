@@ -260,6 +260,8 @@ _CC_EMPTY = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64(
 
 def _cc_init(t: pa.Table) -> pa.Table:
     """Edge batch (a, b) -> state rows (u, v)."""
+    if t.num_rows == 0:  # schema-less empty blocks reach map fns too
+        return _CC_EMPTY
     return pa.table({"u": t["a"].cast(pa.int64()), "v": t["b"].cast(pa.int64())})
 
 

@@ -103,8 +103,13 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 def bm25_scores(sf_dir: str) -> pa.Table:
     """Flagship result with integer-lifted scores: (qid, rank, doc_id,
     score_e6).  BM25 accumulates in float64 on both sides (engine and the
-    DuckDB CTE oracle), so floor(score*1e6 + 0.5) — round-half-away for the
-    positive scores — is deterministic and hash-safe for the driver."""
+    DuckDB CTE oracle) and floor(score*1e6 + 0.5) — round-half-away for
+    the positive scores — lifts them to hash-safe ints.  Caveat: SQL does
+    not promise an accumulation ORDER for sum(), so the two float64 sums
+    are equal empirically (ascending-term order on both sides in practice,
+    pinned by every sweep), not by construction; a ~1-ulp difference
+    landing exactly on an e6 boundary would shift one int by 1.  The
+    boundary measure is ~1e-9 per value — accepted."""
     t = flagship(sf_dir)
     s = t["score"].to_numpy(zero_copy_only=False)
     e6 = np.floor(s * 1e6 + 0.5).astype(np.int64)

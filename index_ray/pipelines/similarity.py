@@ -381,6 +381,10 @@ class _PairCosVerify:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-less empty blocks reach map fns
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         ia = np.searchsorted(self.ids, a)
@@ -427,7 +431,13 @@ def embedding_neardup_lsh(
         ii, jj = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
 
-    cand = pairs_table(
+    # candidate pairs STAY in the object store (a hot bucket is O(members²)
+    # pairs — driver-collecting them before the verify cut is the OOM
+    # shape); only the distinct candidate IDs (bounded by N, not pairs)
+    # fold to the driver for the vector refetch.  A pair colliding in
+    # several probe buckets is verified more than once (bounded by the
+    # probe count); the final pairs_table dedups the verified survivors.
+    cand_ds = (
         emb_dataset(sf_dir)
         .map_batches(
             stage_fn(_HyperplaneSign, nbits), batch_format="pyarrow",
@@ -435,17 +445,30 @@ def embedding_neardup_lsh(
         )
         .groupby("key")
         .map_groups(bucket_cands, batch_format="pyarrow")
+        .materialize()
     )
-    if cand.num_rows == 0:
-        return cand
+    if cand_ds.count() == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+
+    def batch_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64())})
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["a"].to_numpy(zero_copy_only=False),
+                    t["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"vec_id": pa.array(u, pa.int64())})
 
     cand_ids = np.unique(
-        np.concatenate(
-            [
-                cand["a"].to_numpy(zero_copy_only=False),
-                cand["b"].to_numpy(zero_copy_only=False),
-            ]
-        )
+        cand_ds.map_batches(batch_ids, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()["vec_id"]
+        .to_numpy(np.int64)
     )
     vt = pa.concat_tables(
         ray.get(
@@ -464,7 +487,7 @@ def embedding_neardup_lsh(
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     vec_ref = ray.put((ids[order], m))
     return pairs_table(
-        ray.data.from_arrow(cand).map_batches(
+        cand_ds.map_batches(
             stage_fn(_PairCosVerify, vec_ref, threshold),
             batch_format="pyarrow",
             batch_size=8192,

@@ -3,6 +3,7 @@ chunk count, merge under-full posting blocks, and stay append-compatible."""
 
 import glob
 import os
+import time
 
 import pytest
 
@@ -239,6 +240,13 @@ def test_compact_crash_recovery(tmp_path, monkeypatch):
     monkeypatch.setattr(C, "write_json_atomic", write_json_atomic)
 
     assert os.path.exists(C.swap_journal_path(idx))
+    # a FRESH uncommitted journal means the writer may still be alive:
+    # opening the index refuses loudly instead of rolling back under it
+    with pytest.raises(RuntimeError, match="in progress"):
+        _results(idx)
+    # backdate the journal past the liveness window = writer known dead
+    old = time.time() - C.SWAP_LIVE_SECONDS - 10
+    os.utime(C.swap_journal_path(idx), (old, old))
     # load_stats (via BM25Searcher) heals: pre-compaction layout + results
     assert _results(idx) == before
     assert not os.path.exists(C.swap_journal_path(idx))
@@ -260,6 +268,8 @@ def test_compact_crash_recovery(tmp_path, monkeypatch):
             "new": [[".compact-tmp-00000", "chunk-00000"]],
         },
     )
+    old = time.time() - C.SWAP_LIVE_SECONDS - 10
+    os.utime(C.swap_journal_path(idx), (old, old))
     recover_swap(idx)
     assert sorted(glob.glob(os.path.join(idx, "chunks", "chunk-*"))) == chunks
     assert _results(idx) == before
@@ -271,3 +281,43 @@ def test_compact_crash_recovery(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(idx, "tombstones"))
     keep_docs = [i for i in range(TINY_DOCS) if i % 7 != 0]
     assert load_stats(idx)["N"] == len(keep_docs)
+
+
+def test_tombstones_survive_committed_swap_recovery(tmp_path, monkeypatch):
+    """A tombstone written AFTER a purging compaction's commit point must
+    survive recovery cleanup: roll-forward deletes only the journaled
+    tombstone files the purge consumed, never later ones."""
+    import shutil as _shutil
+
+    import index_ray.pipelines.compact as C
+    from index_ray.pipelines.compact import delete_docs, load_tombstones
+
+    corp = tmp_path / "corp"
+    write_corpus(str(corp), TINY_DOCS, seed=TINY_SEED, n_files=4)
+    idx = str(tmp_path / "idx")
+    build_index(str(corp), idx, BuildConfig(**{**TINY_CFG, "chunk_docs": 50}))
+    delete_docs(idx, [3, 10])
+
+    # crash AFTER the commit (stats.json written) but before cleanup:
+    # simulate by failing the trash rmtree once
+    calls = {"n": 0}
+    real_rmtree = _shutil.rmtree
+
+    def crash_once(path, *a, **kw):
+        if ".trash-swap" in str(path) and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash after commit")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(C.shutil, "rmtree", crash_once)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_index(idx)
+    monkeypatch.setattr(C.shutil, "rmtree", real_rmtree)
+    assert os.path.exists(C.swap_journal_path(idx))  # committed, uncleaned
+
+    # a NEW deletion lands while the journal is still on disk; its own
+    # load_stats triggers roll-forward — the new tombstone must survive
+    stats = delete_docs(idx, [20])
+    assert not os.path.exists(C.swap_journal_path(idx))
+    assert stats["n_tombstoned"] == 1
+    assert list(load_tombstones(idx)) == [20]
