@@ -103,6 +103,10 @@ class BuildConfig:
 
     def fingerprint(self) -> str:
         d = asdict(self)
+        # pure driver-side execution knobs never change on-disk bytes —
+        # excluding them lets a crashed build resume (and appends proceed)
+        # after the user retunes concurrency
+        d.pop("pipeline_chunks", None)
         d["__format__"] = self.FORMAT_VERSION
         return config_fingerprint(d)
 
@@ -226,66 +230,6 @@ def _make_packer(
     return pack_and_write
 
 
-def tokenize_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
-    """Phase A of a chunk build: the fused read -> docmap-sidecar ->
-    TokenizeBlob pass, materialized into the object store.
-
-    Returns ``(state, manifest)``: ``manifest`` is non-None iff the chunk
-    is already complete (resume hit).  Materializing here (instead of one
-    fused tokenize->shuffle->pack dataset) lets the driver overlap chunk
-    k's shuffle+pack (phase B, a worker thread) with chunk k+1's tokenize
-    — the sort exchange is a barrier, so a single fused pipeline leaves
-    the cluster half-idle during each phase."""
-    chunk_dir = os.path.join(out_dir, "chunks", f"chunk-{cid:05d}")
-    fp = cfg.fingerprint()
-    m = validate_chunk(chunk_dir, fp)
-    if m is not None:
-        return None, m
-    if os.path.exists(chunk_dir):
-        shutil.rmtree(chunk_dir)
-    parts_dir = os.path.join(chunk_dir, "parts")
-    os.makedirs(parts_dir, exist_ok=True)
-
-    # --- fused pass: read row group -> docmap sink (sha256 + doclen)
-    #     -> TokenizeBlob combiner.  Input is read once; the downstream
-    # shuffle carries varint blobs, not raw runs.
-    dm_cols = list(cfg.keep_cols) or None  # None = all columns pass through
-    if dm_cols is not None:
-        dm_cols = [cfg.text_col] + ([cfg.id_col] if cfg.id_col else []) + dm_cols
-        if cfg.field_col and cfg.field_col not in dm_cols:
-            dm_cols.append(cfg.field_col)
-    docmap_dir = os.path.join(chunk_dir, "docmap")
-    t0 = time.time()
-    runs = read_apply_dataset(
-        chunk_specs,
-        dm_cols,
-        cfg.id_col,
-        [
-            (
-                TokenizeBlob,
-                (
-                    cfg.tokenizer,
-                    cfg.text_col,
-                    "docID",
-                    cfg.num_parts,
-                    max(cfg.salt_docs, 1),
-                    hot_ref,
-                    docmap_dir,  # docmap written from the same tokenize pass
-                    cfg.positions,
-                    cfg.field_col,
-                    cfg.head_tokens,
-                    cfg.style_head,
-                ),
-            )
-        ],
-        concurrency=_pool(cfg, len(chunk_specs)),
-        doc_batch=cfg.batch_size,
-    )
-    mat = runs.materialize()
-    phases = {"tokenize": round(time.time() - t0, 3)}
-    return (mat, chunk_dir, parts_dir, phases), None
-
-
 def pack_chunk(state, chunk_specs, cid: int, cfg: BuildConfig):
     """Phase B: shuffle the materialized blob runs, merge+pack+write the
     posting shards, and write the per-chunk lexicon + manifest."""
@@ -357,14 +301,6 @@ def _finish_chunk(chunk_dir, chunk_specs, cid: int, cfg: BuildConfig, phases):
     return manifest
 
 
-def build_chunk(chunk_specs, cid: int, out_dir: str, cfg: BuildConfig, hot_ref):
-    """One chunk end-to-end (phase A then B); returns (manifest, skipped)."""
-    state, m = tokenize_chunk(chunk_specs, cid, out_dir, cfg, hot_ref)
-    if m is not None:
-        return m, True
-    return pack_chunk(state, chunk_specs, cid, cfg), False
-
-
 @ray.remote
 class _TokenizeWorker:
     """Persistent phase-A actor: one ReadApply/TokenizeBlob instance reused
@@ -398,8 +334,9 @@ class _TokenizeWorker:
     def run(self, item: dict, docmap_dir: str, n_buckets: int = 0):
         """Tokenize one row-group spec.  With ``n_buckets`` (bucket
         shuffle), returns one table per bucket (``part % n_buckets``) via
-        ``num_returns`` so each bucket's rows become their own object —
-        the map side of the shuffle, paid inside the tokenize task."""
+        ``num_returns`` PLUS a trailing int sentinel — the driver
+        ``ray.get``s only the sentinel, which is how a task failure
+        surfaces without shipping any bucket bytes to the driver."""
         from ..stages.pack import BLOB_SCHEMA
 
         os.makedirs(docmap_dir, exist_ok=True)
@@ -409,7 +346,7 @@ class _TokenizeWorker:
         if not n_buckets:
             return t
         if len(t) == 0:
-            return tuple([t] * n_buckets)
+            return tuple([t] * n_buckets) + (0,)
         b = t["part"].to_numpy(zero_copy_only=False) % n_buckets
         order = np.argsort(b, kind="stable")
         bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
@@ -418,7 +355,7 @@ class _TokenizeWorker:
         return tuple(
             t.take(pa.array(order[bounds[i] : bounds[i + 1]]))
             for i in range(n_buckets)
-        )
+        ) + (len(t),)
 
 
 @ray.remote
@@ -505,13 +442,20 @@ def _session_pools(n_tok: int, n_pack: int):
     if cur is not None:
         tok, packw = cur
         try:
-            # only ping non-empty pools: a cached (tok, []) pool from a
-            # shuffle='hash'/'sort' build must not be discarded (and its
-            # warm tokenize actors respawned) over an IndexError
-            pings = [p[0].ping.remote() for p in (tok, packw) if p]
+            # ping EVERY actor in each non-empty pool (a cached (tok, [])
+            # pool from a shuffle='hash'/'sort' build must not be discarded
+            # over an IndexError): one dead actor mid-pool would otherwise
+            # be reused and fail every task routed to it
+            pings = [a.ping.remote() for p in (tok, packw) for a in p]
             if pings:
                 ray.get(pings, timeout=30)
         except Exception:
+            for p in (tok, packw):  # release survivors of the dead pool
+                for a in p:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass
             cur = None
     if cur is not None and len(tok) >= n_tok and len(packw) >= n_pack:
         return tok[:n_tok], packw[:n_pack]
@@ -633,10 +577,13 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                 w = idle.pop()
                 dm = os.path.join(chunk_dirs[cid], "docmap")
                 if bucket_mode:
-                    rs = w.run.options(num_returns=nb).remote(item, dm, nb)
+                    # nb bucket tables + one tiny int sentinel (num_returns
+                    # >= 2 always, so rs is always a list — and the sentinel
+                    # is the only ref the driver ever ray.gets)
+                    rs = w.run.options(num_returns=nb + 1).remote(item, dm, nb)
                     for b in range(nb):
                         brefs[cid][b].append(rs[b])
-                    fut = rs[0]  # all returns land together: one sentinel
+                    fut = rs[nb]
                 else:
                     fut = w.run.remote(item, dm)
                 inflight[fut] = (cid, w)
@@ -662,6 +609,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
             for fut in ready:
                 if fut in pack_inflight:
                     pcid, pw = pack_inflight.pop(fut)
+                    ray.get(fut)  # int result: surfaces pack task failures
                     pack_idle.append(pw)  # FIFO: rotate through the pool
                     packs_left[pcid] -= 1
                     if packs_left[pcid] == 0:
@@ -671,7 +619,11 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                     continue
                 cid, w = inflight.pop(fut)
                 idle.append(w)
-                if not bucket_mode:
+                if bucket_mode:
+                    # sentinel int: surfaces tokenize task failures loudly
+                    # instead of writing a manifest over missing buckets
+                    ray.get(fut)
+                else:
                     refs[cid].append(fut)
                 remaining[cid] -= 1
                 if remaining[cid] == 0:
@@ -783,6 +735,13 @@ def append_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildR
         )
         for c in old_chunks
     ]
+    for c, m in zip(old_chunks, old_manifests):
+        if not m:
+            raise FileNotFoundError(
+                f"chunk-{c['chunk']:05d} is listed in stats.json but its "
+                f"MANIFEST.json is missing or unreadable — run fsck_index "
+                f"or rebuild that chunk before appending"
+            )
     # idempotency: fragments already ingested by a previous build/append are
     # dropped (identity = absolute path + row group, the same lineage the
     # chunk manifests record) — re-running the same append is a no-op
@@ -980,6 +939,19 @@ def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
     glex_dir = os.path.join(out_dir, "lexicon")
     if os.path.exists(glex_dir):
         shutil.rmtree(glex_dir)
+    if not lex_files:  # zero-document corpus: an empty lexicon, not a crash
+        os.makedirs(glex_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "cf": pa.array([], pa.int64()),
+                }
+            ),
+            os.path.join(glex_dir, "lex-00000.parquet"),
+        )
+        return
     total_bytes = sum(os.path.getsize(f) for f in lex_files)
     if total_bytes < 256 << 20:
         # vocabulary fits on the driver: merge without a Ray job

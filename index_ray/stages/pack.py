@@ -202,6 +202,17 @@ def pack_sorted(
             if j >= nblocks:
                 break
         row_bounds = [int(block_starts[b]) if b < nblocks else n for b in bounds]
+        if len(row_bounds) == 2 and row_bounds == [0, n]:
+            # a single block already exceeds max_bytes: the split can't
+            # subdivide below block granularity — recursing on identical
+            # arguments would loop forever, so fail with the actual knob
+            raise ValueError(
+                f"one posting block encodes to more than max_bytes="
+                f"{max_bytes} ({int(cum[-1])} posting bytes"
+                + (f" + {int(pcum[-1])} position bytes" if pos is not None else "")
+                + f" across {n} postings); lower max_block_postings "
+                f"(currently {max_block_postings}) or raise max_bytes"
+            )
         parts = [
             pack_sorted(
                 codes[s:e], dictionary, salt[s:e], doc[s:e], tf[s:e],
@@ -324,6 +335,12 @@ def encode_batch_blobs(
     expanded occurrences).  Returns (group_starts, group_ends, blob array).
     """
     n = len(doc)
+    if n == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            pa.array([], pa.binary()),
+        )
     newg = np.empty(n, dtype=bool)
     newg[0] = True
     np.logical_or(codes[1:] != codes[:-1], salt[1:] != salt[:-1], out=newg[1:])
