@@ -1,0 +1,134 @@
+"""``ray job submit``-compatible entrypoint for the index engine.
+
+On a fixed-size multi-node cluster the whole lifecycle runs as driver
+scripts submitted to the head node::
+
+    ray job submit --working-dir . -- python -m index_ray.job build \
+        --source s3://corpus/code/ --out /shared/index --chunk-docs 1000000
+    ray job submit --working-dir . -- python -m index_ray.job append \
+        --source s3://corpus/code-new/ --out /shared/index
+    ray job submit --working-dir . -- python -m index_ray.job query \
+        --index /shared/index --q "vector push_back" --k 10 --meta repo,path
+
+Each subcommand attaches to the running cluster via ``ray.init()`` (which
+honours ``RAY_ADDRESS``; in this sandbox that is preset to ``local``), never
+re-inits an existing session, and prints exactly ONE machine-readable JSON
+line on stdout — ``build``/``append`` echo the per-stage throughput metrics
+that :func:`index_ray.pipelines.build.write_metrics` also persists to
+``<out>/metrics.json``, satisfying the "emit per-stage throughput metrics"
+contract; ``query`` prints the top-k rows.
+
+The reference engine has no CLI (it is linked into a crawler,
+``/root/reference/index.cpp``); this module is the operational surface a
+standalone 100 TB deployment needs instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        # ray.init() honours RAY_ADDRESS ("auto" on a cluster via job
+        # submit, "local" in this sandbox); never owns an existing session.
+        ray.init(include_dashboard=False, ignore_reinit_error=True)
+
+
+def _build_cfg(a: argparse.Namespace):
+    from .pipelines.build import BuildConfig
+
+    kw: dict = {}
+    if a.tokenizer:
+        kw["tokenizer"] = a.tokenizer
+    if a.text_col:
+        kw["text_col"] = a.text_col
+    if a.chunk_docs:
+        kw["chunk_docs"] = a.chunk_docs
+    if a.keep_cols:
+        kw["keep_cols"] = tuple(c for c in a.keep_cols.split(",") if c)
+    if a.positions:
+        kw["positions"] = True
+    if a.field_col:
+        kw["field_col"] = a.field_col
+    if a.shuffle:
+        kw["shuffle"] = a.shuffle
+    if a.style_head:
+        kw["style_head"] = a.style_head
+    return BuildConfig(**kw)
+
+
+def _cmd_build(a: argparse.Namespace) -> dict:
+    from .pipelines.build import append_index, build_index
+    from .state.manifest import read_json
+
+    _init_ray()
+    cfg = _build_cfg(a)
+    fn = append_index if a.cmd == "append" else build_index
+    fn(a.source, a.out, cfg)
+    return read_json(os.path.join(a.out, "metrics.json")) or {}
+
+
+def _cmd_query(a: argparse.Namespace) -> dict:
+    from .pipelines.query import BM25Searcher
+
+    _init_ray()
+    s = BM25Searcher(a.index)
+    meta = [c for c in (a.meta or "").split(",") if c]
+    t = s.search(a.q, k=a.k, mode=a.mode, meta_cols=meta or None)
+    return {"query": a.q, "k": a.k, "mode": a.mode, "rows": t.to_pylist()}
+
+
+def _cmd_fsck(a: argparse.Namespace) -> dict:
+    from .state.fsck import fsck_index
+
+    _init_ray()
+    t = fsck_index(a.index)
+    rows = t.to_pylist()
+    return {"n_issues": sum(r["n_issues"] for r in rows), "rows": rows}
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(prog="python -m index_ray.job")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("build", "append"):
+        b = sub.add_parser(name)
+        b.add_argument("--source", required=True, help="parquet file/dir/glob")
+        b.add_argument("--out", required=True, help="index directory")
+        b.add_argument("--tokenizer", choices=["code", "simple"], default=None)
+        b.add_argument("--text-col", default=None)
+        b.add_argument("--chunk-docs", type=int, default=None)
+        b.add_argument("--keep-cols", default=None, help="docmap passthrough, comma-sep")
+        b.add_argument("--positions", action="store_true")
+        b.add_argument("--field-col", default=None)
+        b.add_argument("--style-head", type=int, default=0)
+        b.add_argument("--shuffle", choices=["bucket", "sort", "hash"], default=None)
+        b.set_defaults(fn=_cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["or", "and", "msm"], default="or")
+    q.add_argument("--meta", default=None, help="docmap columns to join, comma-sep")
+    q.set_defaults(fn=_cmd_query)
+
+    f = sub.add_parser("fsck")
+    f.add_argument("--index", required=True)
+    f.set_defaults(fn=_cmd_fsck)
+
+    a = p.parse_args(argv)
+    out = a.fn(a)
+    json.dump(out, sys.stdout, default=str)
+    sys.stdout.write("\n")
+    return out
+
+
+if __name__ == "__main__":
+    main()

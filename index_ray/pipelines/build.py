@@ -501,7 +501,11 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
             os.makedirs(os.path.join(chunk_dirs[cid], "parts"), exist_ok=True)
             todo.append(cid)
     if not todo:
-        return [done_manifests[c] for c in range(len(chunks))], len(done_manifests)
+        return (
+            [done_manifests[c] for c in range(len(chunks))],
+            len(done_manifests),
+            {"docs": 0, "tokens": 0},
+        )
 
     dm_cols = list(cfg.keep_cols) or None
     if dm_cols is not None:
@@ -657,7 +661,11 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
         any_m.setdefault("phase_seconds", {})["pack_drain"] = round(
             time.time() - (t_tok_done or time.time()), 3
         )
-    return [manifests[c] for c in range(len(chunks))], len(done_manifests)
+    built = {
+        "docs": sum(manifests[c]["docs"] for c in todo),
+        "tokens": sum(manifests[c]["tokens"] for c in todo),
+    }
+    return [manifests[c] for c in range(len(chunks))], len(done_manifests), built
 
 
 def build_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildResult:
@@ -786,13 +794,14 @@ def append_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildR
     saved_ratio = ctx.op_resource_reservation_ratio
     ctx.op_resource_reservation_ratio = min(saved_ratio, 0.2)
     phase_seconds: dict = {}
+    t_run = time.time()
     try:
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.time()
         workers = max(1, min(cfg.pipeline_chunks, len(chunks)))
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            new_manifests, skipped = _pipelined_build(
+            new_manifests, skipped, built = _pipelined_build(
                 chunks, out_dir, cfg, hot_ref, ex, cid0=cid0
             )
         phase_seconds["chunks_total"] = round(time.time() - t0, 3)
@@ -803,7 +812,7 @@ def append_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildR
     manifests = old_manifests + new_manifests
     n_docs = sum(m["docs"] for m in manifests)
     phase_seconds.update(_finalize_index(out_dir, cfg, manifests, hot, n_docs))
-    return BuildResult(
+    result = BuildResult(
         out_dir=out_dir,
         n_docs=n_docs,
         total_tokens=sum(m["tokens"] for m in manifests),
@@ -812,6 +821,52 @@ def append_index(source, out_dir: str, cfg: BuildConfig | None = None) -> BuildR
         hot_terms=hot,
         phase_seconds=phase_seconds,
     )
+    write_metrics(out_dir, "append", result, manifests, built, time.time() - t_run)
+    return result
+
+
+def write_metrics(
+    out_dir: str,
+    kind: str,
+    result: BuildResult,
+    manifests: list,
+    built: dict,
+    wall_s: float,
+) -> dict:
+    """Persist per-stage throughput metrics for this run to ``metrics.json``.
+
+    The multi-node contract: a ``ray job submit`` build leaves a machine-
+    readable record of what it processed and how fast — per-stage wall
+    seconds plus docs/s, tokens/s and output MB/s over the documents this
+    run actually built (resumed/skipped chunks are excluded from the
+    throughput base, so an idempotent re-run reports ~0 docs, not a fake
+    speedup).  One file per index dir, overwritten per run; the per-chunk
+    breakdown lives in the chunk manifests."""
+    out_bytes = sum(sum(m.get("files", {}).values()) for m in manifests)
+    docs, tokens = built.get("docs", 0), built.get("tokens", 0)
+    stages = {
+        name: {
+            "seconds": s,
+            "docs_per_sec": round(docs / s, 1) if s else None,
+        }
+        for name, s in sorted(result.phase_seconds.items())
+    }
+    metrics = {
+        "kind": kind,
+        "num_cpus": int(ray.cluster_resources().get("CPU", 0)),
+        "wall_seconds": round(wall_s, 3),
+        "docs_built": docs,
+        "tokens_built": tokens,
+        "n_docs_total": result.n_docs,
+        "n_chunks": result.n_chunks,
+        "chunks_skipped": result.chunks_skipped,
+        "output_bytes_total": out_bytes,
+        "docs_per_sec": round(docs / wall_s, 1) if wall_s > 0 else None,
+        "tokens_per_sec": round(tokens / wall_s, 1) if wall_s > 0 else None,
+        "stages": stages,
+    }
+    write_json_atomic(os.path.join(out_dir, "metrics.json"), metrics)
+    return metrics
 
 
 def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
@@ -822,7 +877,8 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
     chunks = split_chunks(specs, cfg.chunk_docs)
 
     phase_seconds: dict = {}
-    t0 = time.time()
+    t_run = time.time()
+    t0 = t_run
     hot_ref, hot = census_hot_terms(specs, cfg, n_docs)
     phase_seconds["census"] = round(time.time() - t0, 3)
 
@@ -862,7 +918,7 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
     t0 = time.time()
     workers = max(1, min(cfg.pipeline_chunks, len(chunks)))
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        manifests, skipped = _pipelined_build(chunks, out_dir, cfg, hot_ref, ex)
+        manifests, skipped, built = _pipelined_build(chunks, out_dir, cfg, hot_ref, ex)
     for m in manifests:
         for k, v in m.get("phase_seconds", {}).items():
             phase_seconds[k] = round(phase_seconds.get(k, 0.0) + v, 3)
@@ -873,7 +929,7 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
         _finalize_index(out_dir, cfg, manifests, hot, n_docs)
     )
     total_tokens = sum(m["tokens"] for m in manifests)
-    return BuildResult(
+    result = BuildResult(
         out_dir=out_dir,
         n_docs=n_docs,
         total_tokens=total_tokens,
@@ -882,6 +938,8 @@ def _build_index(source, out_dir: str, cfg: BuildConfig | None) -> BuildResult:
         hot_terms=hot,
         phase_seconds=phase_seconds,
     )
+    write_metrics(out_dir, "build", result, manifests, built, time.time() - t_run)
+    return result
 
 
 def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> dict:

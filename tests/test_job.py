@@ -1,0 +1,71 @@
+"""The ``python -m index_ray.job`` entrypoint and per-stage metrics.json.
+
+Covers the operational contract BASELINE.json's north rule names: the job
+runs via ``ray job submit`` (here: ``main()`` in-process under the session
+Ray, which is what the submitted driver script executes) and emits
+per-stage throughput metrics, persisted next to the index.
+"""
+
+import json
+import os
+
+from index_ray.job import main
+
+
+def test_build_writes_stage_metrics(tiny_corpus_dir, tmp_path, capsys):
+    out = str(tmp_path / "idx")
+    m = main(
+        [
+            "build",
+            "--source", tiny_corpus_dir,
+            "--out", out,
+            "--chunk-docs", "100",
+        ]
+    )
+    # one JSON line on stdout, identical to the returned dict
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line) == json.loads(json.dumps(m, default=str))
+
+    # persisted metrics file with per-stage seconds + throughput
+    path = os.path.join(out, "metrics.json")
+    assert os.path.exists(path)
+    disk = json.load(open(path))
+    assert disk == m
+    assert m["kind"] == "build"
+    assert m["docs_built"] == 200 and m["n_docs_total"] == 200
+    assert m["docs_per_sec"] > 0 and m["tokens_per_sec"] > 0
+    assert m["output_bytes_total"] > 0
+    for stage in ("census", "chunks_total", "lexicon_merge"):
+        assert stage in m["stages"], m["stages"]
+        assert m["stages"][stage]["seconds"] >= 0
+
+    # idempotent re-run: resumed chunks are excluded from the throughput
+    # base — docs_built reports 0, not a fake speedup
+    m2 = main(["build", "--source", tiny_corpus_dir, "--out", out,
+               "--chunk-docs", "100"])
+    assert m2["docs_built"] == 0 and m2["chunks_skipped"] == 2
+    assert m2["n_docs_total"] == 200
+
+    # query through the same CLI returns scored rows
+    r = main(["query", "--index", out, "--q", "return buffer", "--k", "3"])
+    assert 0 < len(r["rows"]) <= 3
+    assert {"docID", "score"} <= set(r["rows"][0])
+
+    # fsck through the CLI is clean
+    f = main(["fsck", "--index", out])
+    assert f["n_issues"] == 0
+
+
+def test_append_writes_metrics(tiny_corpus_dir, tmp_path):
+    from index_ray.sources.corpus import write_corpus
+
+    out = str(tmp_path / "idx")
+    main(["build", "--source", tiny_corpus_dir, "--out", out,
+          "--chunk-docs", "100"])
+    extra = str(tmp_path / "more")
+    write_corpus(extra, 60, seed=7, n_files=1)
+    m = main(["append", "--source", extra, "--out", out,
+              "--chunk-docs", "100"])
+    assert m["kind"] == "append"
+    assert m["docs_built"] == 60
+    assert m["n_docs_total"] == 260
