@@ -77,9 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": flagship.bm25_topk,
         "bm25_scores": flagship.bm25_scores,
         "bm25_and_topk": flagship.bm25_and_topk,
-        "bm25_after_delete": flagship.bm25_after_delete,
         "bm25_style_boost": flagship.bm25_style_boost,
-        "doc_lookup": flagship.doc_lookup,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -124,11 +122,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_mix": curation.epoch_mix,
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_consistency": multimodal.media_consistency,
+        # nearest-centroid classification (integer-exact confusion oracle)
+        "centroid_classify": similarity.centroid_classify,
+        # distributed BPE vocabulary training (rows-only: iterative argmax is
+        # not SQL-expressible; exactness pinned in tests/test_bpe.py against
+        # an independent pure-Python reference)
+        "bpe_train": _bpe_train_q,
         # ---- position 51+ (driver-unchecked variants; all still pytest- and
         # ---- tools/check_oracles.py-covered) -------------------------------
-        # bm25_prefix_topk/not_topk/topk_meta were driver-green in r02;
-        # demoted to first-past-the-fold so the new style-bit and span-dedup
-        # rows get driver verdicts inside the 50-entry cap
+        # bm25_prefix_topk/not_topk/topk_meta were driver-green in r02, as
+        # were bm25_after_delete and doc_lookup (demoted for centroid_classify
+        # and bpe_train); demoted so new rows get verdicts inside the cap
+        "bm25_after_delete": flagship.bm25_after_delete,
+        "doc_lookup": flagship.doc_lookup,
         "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
@@ -172,8 +178,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
-        "centroid_classify": similarity.centroid_classify,
     }
+
+
+def _bpe_train_q(sf_dir: str):
+    from index_ray.pipelines.bpe import bpe_train
+
+    return bpe_train(sf_dir, n_merges=24)
 
 
 def _language_id_sql() -> str:

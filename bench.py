@@ -124,7 +124,9 @@ def run_bench() -> dict:
         timings["bm25_6_queries"] = round(time.time() - t0, 3)
 
     if not FAST:
-        from index_ray.pipelines import curation, dedup, flagship, sketches, similarity, text
+        from index_ray.pipelines import (
+            bpe, curation, dedup, flagship, sketches, similarity, text,
+        )
 
         # min-of-2 per query: the first run pays the session's worker-spawn
         # page faults (wildly host-window-dependent, see environment note);
@@ -137,6 +139,7 @@ def run_bench() -> dict:
             ("windowed_events", lambda: text.windowed_events(SF_DIR).materialize()),
             ("heavy_hitter_terms", lambda: sketches.heavy_hitter_terms(SF_DIR)),
             ("curate_corpus", lambda: curation.curate_corpus(SF_DIR)),
+            ("bpe_train", lambda: bpe.bpe_train(SF_DIR, n_merges=24)),
         ]:
             runs = []
             for _ in range(2):

@@ -1,0 +1,220 @@
+"""Distributed byte-pair-encoding (BPE) vocabulary training.
+
+The op a training-data pipeline runs once per tokenizer refresh: learn the
+top-N merge rules from the corpus.  Two-phase, the shape every production
+BPE trainer uses (Sennrich et al. 2016; HuggingFace tokenizers):
+
+1. **Corpus -> word-frequency table.**  ``map_batches`` partial Counters
+   over the BPE pre-tokenizer regex (compiled once per worker), then one
+   task-based bucket shuffle (``util.hash_groupby``) sums them.  This is
+   the reduction that makes BPE tractable at 100 TB: every later pass
+   costs O(distinct pre-tokens), not O(corpus tokens).
+
+2. **Merge loop over word shards.**  The word table scatters once across a
+   pool of ``_BpeShard`` actors and never moves again.  Each round every
+   shard returns its partial pair-count table (adjacent symbol pairs
+   weighted by word frequency, counted only over words the LAST merge
+   touched after round 0 — the standard delta optimization), the partials
+   fold remotely in a tree, the driver takes the global argmax pair with a
+   total deterministic order (count desc, then (left, right) lexicographic
+   — no hash/iteration order anywhere), broadcasts the winner, and every
+   shard applies the merge in place.  Per round the driver sees one small
+   folded table and ships one (left, right) pair; the shards do all the
+   scanning in parallel.
+
+Not SQL-expressible (each merge depends on the previous argmax), so the
+driver row is rows-only; exactness is pinned in pytest against an
+independent pure-Python reference and a shard-count-invariance check.
+
+Reference scope note: the reference engine has no tokenizer training
+(its tokenizer is rule-based, ``/root/reference/index.cpp``); this module
+is part of the LLM-pipeline suite layered on the same corpus surface.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..util import hash_groupby, stage_fn
+from .text import docs_dataset
+from .textstats import BPE_PATTERN
+
+
+class _WordPartials:
+    """batch -> (word, count) partial table; regex compiled once/worker."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[self.text_col].to_pylist():
+            c.update(self.pat.findall(t))
+        words = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "count": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+
+def _sum_words(t: pa.Table) -> pa.Table:
+    g = t.group_by("word").aggregate([("count", "sum")])
+    return g.rename_columns(["word", "count"])
+
+
+def word_frequencies(sf_dir: str, text_col: str = "text") -> ray.data.Dataset:
+    """Global (word, count) over the documents table — phase-1 reduction."""
+    parts = docs_dataset(sf_dir, [text_col]).map_batches(
+        stage_fn(_WordPartials, text_col), batch_format="pyarrow", batch_size=512
+    )
+    return hash_groupby(parts, ["word"], _sum_words)
+
+
+@ray.remote
+class _BpeShard:
+    """One shard of the word-frequency table, held as mutable symbol lists.
+
+    ``pair_counts`` and ``apply`` both scan only ``self.active`` — after
+    round 0 that is the set of words the last merge changed, so rounds get
+    cheaper as merges specialize.  Counts are exact: a word's pairs are
+    recounted from scratch whenever it is touched (its old contribution is
+    subtracted), so the running Counter always equals a full recount.
+    """
+
+    def __init__(self, *tables: pa.Table):
+        self.words: list[list[str]] = []
+        self.counts: list[int] = []
+        for t in tables:
+            for w, n in zip(t["word"].to_pylist(), t["count"].to_pylist()):
+                if len(w) >= 2:  # 1-char words never form a pair
+                    self.words.append(list(w))
+                    self.counts.append(int(n))
+        self.pairs: Counter = Counter()
+        for sym, n in zip(self.words, self.counts):
+            for a, b in zip(sym, sym[1:]):
+                self.pairs[(a, b)] += n
+        # pair -> word indexes that currently contain it (so apply() never
+        # scans the whole shard); sets stay small because merged symbols
+        # are increasingly rare
+        self.where: dict[tuple, set] = {}
+        for i, sym in enumerate(self.words):
+            for p in zip(sym, sym[1:]):
+                self.where.setdefault(p, set()).add(i)
+
+    def pair_counts(self) -> pa.Table:
+        items = [(a, b, n) for (a, b), n in self.pairs.items() if n > 0]
+        items.sort()
+        return pa.table(
+            {
+                "left": pa.array([a for a, _, _ in items], pa.string()),
+                "right": pa.array([b for _, b, _ in items], pa.string()),
+                "count": pa.array([n for _, _, n in items], pa.int64()),
+            }
+        )
+
+    def apply(self, left: str, right: str) -> int:
+        """Merge every (left, right) adjacency into one symbol; returns the
+        number of words touched (driver sanity signal)."""
+        new = left + right
+        touched = self.where.pop((left, right), set())
+        for i in sorted(touched):
+            sym, n = self.words[i], self.counts[i]
+            for a, b in zip(sym, sym[1:]):  # retract old contribution
+                self.pairs[(a, b)] -= n
+                s = self.where.get((a, b))
+                if s is not None:
+                    s.discard(i)
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == left and sym[j + 1] == right:
+                    out.append(new)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            self.words[i] = out
+            for a, b in zip(out, out[1:]):  # add new contribution
+                self.pairs[(a, b)] += n
+                self.where.setdefault((a, b), set()).add(i)
+        return len(touched)
+
+
+@ray.remote
+def _fold_pairs(*tables: pa.Table) -> pa.Table:
+    t = pa.concat_tables([t for t in tables if t.num_rows])
+    if t.num_rows == 0:
+        return tables[0]
+    g = t.group_by(["left", "right"]).aggregate([("count", "sum")])
+    return g.rename_columns(["left", "right", "count"])
+
+
+def bpe_train(
+    sf_dir: str,
+    n_merges: int = 24,
+    min_count: int = 2,
+    text_col: str = "text",
+    num_shards: int | None = None,
+) -> pa.Table:
+    """Learn ``n_merges`` BPE merge rules -> (rank, left, right, count).
+
+    ``count`` is the global pair frequency at merge time.  Stops early when
+    the best pair drops below ``min_count``.  Deterministic for any
+    ``num_shards`` (integer counts; total argmax order).
+    """
+    wf = word_frequencies(sf_dir, text_col)
+    blocks = [
+        bref
+        for bundle in wf.iter_internal_ref_bundles()
+        for bref in bundle.block_refs
+    ]
+    if num_shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_shards = max(1, min(len(blocks), cpus // 2))
+    groups: list[list] = [[] for _ in range(num_shards)]
+    for i, b in enumerate(blocks):
+        groups[i % num_shards].append(b)
+    shards = [_BpeShard.remote(*g) for g in groups if g]
+
+    ranks: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        parts = [s.pair_counts.remote() for s in shards]
+        # tree fold: pairwise remote merges until one table remains
+        while len(parts) > 1:
+            parts = [
+                _fold_pairs.remote(*parts[i : i + 4])
+                for i in range(0, len(parts), 4)
+            ]
+        folded = ray.get(parts[0]) if parts else pa.table(
+            {"left": pa.array([], pa.string()),
+             "right": pa.array([], pa.string()),
+             "count": pa.array([], pa.int64())}
+        )
+        if folded.num_rows == 0:
+            break
+        best = int(pc.max(folded["count"]).as_py())
+        if best < min_count:
+            break
+        # deterministic argmax: among max-count rows, smallest (left, right)
+        at = folded.filter(pc.equal(folded["count"], best))
+        lr = sorted(zip(at["left"].to_pylist(), at["right"].to_pylist()))
+        left, right = lr[0]
+        ranks.append((r, left, right, best))
+        ray.get([s.apply.remote(left, right) for s in shards])
+    return pa.table(
+        {
+            "rank": pa.array([r for r, _, _, _ in ranks], pa.int64()),
+            "left": pa.array([l for _, l, _, _ in ranks], pa.string()),
+            "right": pa.array([x for _, _, x, _ in ranks], pa.string()),
+            "count": pa.array([n for _, _, _, n in ranks], pa.int64()),
+        }
+    )
