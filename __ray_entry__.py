@@ -78,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": flagship.bm25_scores,
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
-        "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -120,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (same SQL oracle as the exact pass; pytest pins row-identity)
         "decontaminate_bloom": curation.decontaminate_bloom,
         "epoch_mix": curation.epoch_mix,
+        # sequence packing: concat-and-chunk layout over a distributed
+        # two-phase prefix scan (exact-integer SQL oracle); phrase_match
+        # (driver-green r02) demoted for the slot
+        "sequence_pack": curation.sequence_pack,
         # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
         "media_consistency": multimodal.media_consistency,
         # nearest-centroid classification (integer-exact confusion oracle)
@@ -135,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and bpe_train); demoted so new rows get verdicts inside the cap
         "bm25_after_delete": flagship.bm25_after_delete,
         "doc_lookup": flagship.doc_lookup,
+        "phrase_match": flagship.phrase_match,
         "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
@@ -288,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         uniform_sample_sql_oracle,
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
+        sequence_pack_sql_oracle,
     )
     from index_ray.pipelines.dedup import (
         hot_ngrams_sql_oracle,
@@ -525,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         # bloom variant is output-identical to the exact pass by construction
         "decontaminate_bloom": decontaminate_sql_oracle(),
         "epoch_mix": epoch_mix_sql_oracle(),
+        "sequence_pack": sequence_pack_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

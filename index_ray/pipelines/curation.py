@@ -1036,3 +1036,79 @@ def epoch_mix_sql_oracle() -> str:
         FROM e, unnest(range(0, epct // 100 +
                  (CASE WHEN bucket < epct % 100 THEN 1 ELSE 0 END))) u(c)
     """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk training-sequence layout)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 2048  # tokens per training sequence (frozen for the oracle row)
+_WS_TOKEN = "[^ \\t\\n\\r\\f\\v]+"  # whitespace-token regex (RE2 == DuckDB)
+
+
+def sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
+    """GPT-style sequence packing: concatenate all documents in doc_id
+    order and chunk the token stream into ``seq_len``-token training
+    sequences; report where each document lands.
+
+    (doc_id, n_tokens, tok_start, seq_first, seq_last) for every document
+    with >= 1 whitespace token: ``tok_start`` is the document's exclusive
+    global token offset, ``seq_first``/``seq_last`` the first/last training
+    sequence it occupies.  The global offset is a distributed two-phase
+    scan (``util.ordered_prefix_sum``): one narrow (doc_id, n_tokens) sort
+    — the only all-to-all, over 16-byte rows — then per-block sums, driver
+    cumsum of one int per block, and independent per-block rewrites.  The
+    downstream writer can emit each sequence range from whichever shard
+    holds it; docs crossing a boundary (seq_first < seq_last) are the
+    packing-efficiency signal.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import ordered_prefix_sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], _WS_TOKEN).cast(pa.int64())
+        t = pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+        return t.filter(pc.greater(t["n_tokens"], 0))
+
+    toks = docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    scanned = ordered_prefix_sum(toks, "doc_id", "n_tokens", "tok_start")
+
+    def spans(batch: pa.Table) -> pa.Table:
+        start = batch["tok_start"].to_numpy()
+        n = batch["n_tokens"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "tok_start": batch["tok_start"],
+                "seq_first": pa.array(start // seq_len, pa.int64()),
+                "seq_last": pa.array((start + n - 1) // seq_len, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(spans, batch_format="pyarrow")
+
+
+def sequence_pack_sql_oracle(seq_len: int = SEQ_LEN) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{_WS_TOKEN}')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS tok_start
+          FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, n_tokens, tok_start,
+               tok_start // {seq_len} AS seq_first,
+               (tok_start + n_tokens - 1) // {seq_len} AS seq_last
+        FROM p
+    """

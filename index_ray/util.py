@@ -120,6 +120,62 @@ def _hg_reduce(finalize, *parts: pa.Table) -> pa.Table:
     return finalize(t)
 
 
+@ray.remote
+def _block_sum(block, val_col: str) -> tuple[int, int]:
+    """(rows, sum) — rows lets the driver drop 0-row blocks, which Ray Data
+    can emit column-less (no ``val_col`` to scan)."""
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    if t.num_rows == 0:
+        return 0, 0
+    import pyarrow.compute as pc
+
+    return t.num_rows, int(pc.sum(t[val_col]).as_py() or 0)
+
+
+@ray.remote
+def _block_scan(block, val_col: str, out_col: str, offset: int) -> pa.Table:
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    run = np.cumsum(v) - v + offset  # exclusive within-block prefix + offset
+    return t.append_column(out_col, pa.array(run, pa.int64()))
+
+
+def ordered_prefix_sum(ds, key: str, val_col: str, out_col: str):
+    """EXCLUSIVE prefix sum of ``val_col`` over ``ds`` ordered by ``key`` —
+    the classic two-phase distributed scan.
+
+    Phase 0 is ``ds.sort(key)`` (the only all-to-all; Ray Data's range
+    sort yields globally ordered blocks).  Phase 1 reads one integer per
+    block (its sum); the driver cumsums that tiny vector into exclusive
+    block offsets.  Phase 2 rewrites each block independently with its
+    within-block cumsum plus the offset.  Work is two narrow passes over
+    the blocks; driver state is one int per block — scan-scale-safe.
+    """
+    ds = ds.sort(key)
+    blocks = [
+        b
+        for bundle in ds.iter_internal_ref_bundles()
+        for b in bundle.block_refs
+    ]
+    if not blocks:
+        return ds
+    stats = ray.get([_block_sum.remote(b, val_col) for b in blocks])
+    live = [(b, s) for b, (rows, s) in zip(blocks, stats) if rows]
+    if not live:
+        empty = pa.table(
+            {"__none__": pa.array([], pa.int64())}
+        ).drop_columns(["__none__"])
+        return ray.data.from_arrow(empty)
+    sums = [s for _, s in live]
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    return ray.data.from_arrow_refs(
+        [
+            _block_scan.remote(b, val_col, out_col, int(o))
+            for (b, _), o in zip(live, offs)
+        ]
+    )
+
+
 def hash_groupby(
     ds,
     keys: list[str],

@@ -277,3 +277,78 @@ def test_curate_corpus_refuses_existing_out_dir(ray_session, tmp_path):
 
     with pytest.raises(FileExistsError, match="already exists"):
         curate_corpus("/root/testdata/sf0.001", out_dir=str(existing))
+
+
+def test_sequence_pack_matches_duckdb():
+    import duckdb
+
+    from index_ray.pipelines.curation import sequence_pack, sequence_pack_sql_oracle
+
+    got = (
+        sequence_pack("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = (
+        con.execute(sequence_pack_sql_oracle())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # packing invariants: offsets are the exclusive cumsum; some doc crosses
+    # a boundary iff total tokens > seq_len
+    n = got["n_tokens"].to_numpy()
+    assert (got["tok_start"].to_numpy() == n.cumsum() - n).all()
+    if n.sum() > 2048:
+        assert (got["seq_last"] > got["seq_first"]).any()
+
+
+def test_sequence_pack_boundary_micro(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.curation import sequence_pack
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # 3-token docs with seq_len=4: doc1 spans sequences 0-1, doc3 spans 1-2;
+    # the empty doc is dropped
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c", "d e f", "g h i", "   "],
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = sequence_pack(str(d), seq_len=4).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    assert got["tok_start"].tolist() == [0, 3, 6]
+    assert got["seq_first"].tolist() == [0, 0, 1]
+    assert got["seq_last"].tolist() == [0, 1, 2]
+
+
+def test_ordered_prefix_sum_many_blocks():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from index_ray.util import ordered_prefix_sum
+
+    rng = np.random.default_rng(0)
+    ids = rng.permutation(5000)
+    vals = rng.integers(0, 100, 5000)
+    ds = ray.data.from_arrow(
+        pa.table({"k": ids, "v": vals})
+    ).repartition(13)
+    out = ordered_prefix_sum(ds, "k", "v", "run").to_pandas().sort_values("k")
+    order = np.argsort(ids)
+    want = np.cumsum(vals[order]) - vals[order]
+    assert (out["run"].to_numpy() == want).all()
