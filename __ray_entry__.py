@@ -78,12 +78,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": flagship.bm25_scores,
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
-        "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
+        # retention policy over the simhash near-dup relation (keep the
+        # longest copy); field_term_stats (driver-green r02) demoted
+        "dedup_canonical": dedup.dedup_canonical,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "ngram_lsh_consistency": dedup.ngram_lsh_consistency,
         # span-level (substring) dedup: duplicated-k-gram stats + boilerplate
@@ -139,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_delete": flagship.bm25_after_delete,
         "doc_lookup": flagship.doc_lookup,
         "phrase_match": flagship.phrase_match,
+        "field_term_stats": flagship.field_term_stats,
         "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
@@ -360,6 +363,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.doc_id AS a, y.doc_id AS b
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        """,
+        "dedup_canonical": f"""
+            {_TOKS},
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM t GROUP BY doc_id),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            h AS (SELECT doc_id, tf,
+                         ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+                  FROM tf),
+            bits AS (
+              SELECT doc_id, bb.b,
+                     sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN tf ELSE -tf END) AS score
+              FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+              GROUP BY 1, 2
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN score > 0 THEN (1::UBIGINT << b)
+                              ELSE 0 END) AS UBIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            p AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+            ),
+            e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+            d AS (
+              SELECT e.x, e.y, nx.n_tokens AS nx, ny.n_tokens AS ny
+              FROM e
+              JOIN n nx ON nx.doc_id = e.x
+              JOIN n ny ON ny.doc_id = e.y
+              WHERE ny.n_tokens > nx.n_tokens
+                 OR (ny.n_tokens = nx.n_tokens AND e.y < e.x)
+            ),
+            r AS (SELECT x, y, nx,
+                         row_number() OVER (PARTITION BY x
+                                            ORDER BY ny DESC, y ASC) AS rn
+                  FROM d)
+            SELECT x AS doc_id, y AS kept_by, nx AS n_tokens FROM r WHERE rn = 1
         """,
         "ngram_jaccard_dedup": """
             WITH arr AS (

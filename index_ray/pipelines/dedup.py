@@ -1105,3 +1105,102 @@ def hot_ngrams_sql_oracle(k: int = 4, min_df: int = 2, top: int = 100) -> str:
         ORDER BY df DESC, total_occ DESC, gram ASC
         LIMIT {top}
     """
+
+
+# -------------------------------------------------- canonical selection ----
+
+
+class _TokCountFor:
+    """batch -> (doc_id, n_tokens) for broadcast candidate ids only."""
+
+    def __init__(self, mode: str, cand_ids_ref):
+        self.norm = TokenNormalizer(mode)
+        self.want = ray.get(cand_ids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, self.want)
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        sub = batch.filter(pa.array(mask))
+        d, _, _ = tokenize_batch(sub["text"], self.norm)
+        n = np.bincount(d, minlength=len(sub)).astype(np.int64)
+        return pa.table({"doc_id": sub["doc_id"], "n_tokens": pa.array(n)})
+
+
+def dedup_canonical(sf_dir: str, mode: str = "simple") -> pa.Table:
+    """Near-dup supersede rule: which documents should a curation pass DROP,
+    and which neighbor supersedes each.
+
+    (doc_id, kept_by, n_tokens), one row per document that has at least one
+    simhash neighbor (Hamming <= SIMHASH_MAX_HAMMING, the ``simhash_dedup``
+    relation) strictly dominating it on (n_tokens DESC, doc_id ASC);
+    ``kept_by`` is the top such dominator under the same order — the
+    retention policy real pipelines apply after near-dup detection (keep
+    the longest copy, oldest id breaking ties).  Chains are possible
+    (kept_by may itself be dropped toward a better copy) — transitive
+    cluster canonicalization is ``minhash_clusters``' union-find job; this
+    is the exact per-neighbor rule, which makes it fully SQL-checkable.
+
+    Scale shape: the pair set is the banded-LSH output (only near-dups,
+    never the corpus); token counts are refetched for pair members only via
+    a broadcast-id filtered streaming read (the ``_CandGramSets`` pattern);
+    the dominance fold is vectorized over the pair table.
+    """
+    pairs = simhash_dedup(sf_dir, mode)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "kept_by": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    ids = np.unique(np.concatenate([a, b]))
+    counts = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_TokCountFor, mode, ray.put(ids)),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+        .to_pandas()
+    )
+    cid = counts["doc_id"].to_numpy()
+    cn = counts["n_tokens"].to_numpy()
+    order = np.argsort(cid)
+    ntok = cn[order][np.searchsorted(cid[order], ids)]
+
+    # directed edges (x <- y): y dominates x on (n_tokens DESC, doc_id ASC)
+    x = np.concatenate([a, b])
+    y = np.concatenate([b, a])
+    nx = ntok[np.searchsorted(ids, x)]
+    ny = ntok[np.searchsorted(ids, y)]
+    dom = (ny > nx) | ((ny == nx) & (y < x))
+    x, y, nx, ny = x[dom], y[dom], nx[dom], ny[dom]
+    if len(x) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "kept_by": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    # per dropped doc: best dominator = first under (x ASC, ny DESC, y ASC)
+    o = np.lexsort((y, -ny, x))
+    x, y, nx = x[o], y[o], nx[o]
+    first = np.concatenate([[True], x[1:] != x[:-1]])
+    return pa.table(
+        {
+            "doc_id": pa.array(x[first], pa.int64()),
+            "kept_by": pa.array(y[first], pa.int64()),
+            "n_tokens": pa.array(nx[first], pa.int64()),
+        }
+    )

@@ -535,3 +535,29 @@ def test_repeated_ngrams_planted_boilerplate(ray_session, tmp_path):
     hot = dedup.hot_ngrams(str(tmp_path), k=4, min_df=2).to_pandas()
     assert hot.iloc[0]["df"] == 6
     assert hot.iloc[0]["gram"].split()[0] in header
+
+
+def test_dedup_canonical_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.dedup import dedup_canonical
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # docs 1-3 identical (simhash-equal, token tie -> smallest id dominates);
+    # doc 4 is the text doubled: same tf sign pattern -> same simhash, but
+    # twice the tokens -> dominates everything.  doc 9 is unrelated.
+    base = "alpha beta gamma delta epsilon zeta"
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 9],
+            "text": [base, base, base, base + " " + base,
+                     "totally different words here entirely unrelated"],
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = dedup_canonical(str(d)).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    assert got["kept_by"].tolist() == [4, 4, 4]
+    assert got["n_tokens"].tolist() == [6, 6, 6]
