@@ -63,9 +63,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational representatives (full family below the fold)
         "pricing_summary": relational.pricing_summary,
         "top_customers_by_segment": relational.top_customers_by_segment,
-        # event-stream representatives (one user-bucket shuffle)
+        # event-stream representatives (one user-bucket shuffle), plus the
+        # keyless interval join (time-domain bucketing + interval
+        # replication); term_prefix_stats (driver-green r02) demoted
         "sessionize": events.sessionize,
         "asof_purchase_click": events.asof_purchase_click,
+        "session_concurrency": events.session_concurrency,
         # round-3 search additions (msm + fuzzy) and the bottom-k sample;
         # doc_lengths / orders_by_nation / value_percentiles (driver-green
         # in r01+r02, each redundant within its family) moved past the fold
@@ -78,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": flagship.bm25_scores,
         "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
-        "term_prefix_stats": flagship.term_prefix_stats,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
@@ -142,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lookup": flagship.doc_lookup,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
+        "term_prefix_stats": flagship.term_prefix_stats,
         "bm25_prefix_topk": flagship.bm25_prefix_topk,
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
@@ -270,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         rolling_sql_oracle,
         running_user_total_sql_oracle,
         sessionize_sql_oracle,
+        session_concurrency_sql_oracle,
         signup_window_sql_oracle,
         value_percentiles_sql_oracle,
     )
@@ -653,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": sessionize_sql_oracle(),
         "asof_purchase_click": asof_sql_oracle(),
+        "session_concurrency": session_concurrency_sql_oracle(),
         "events_in_signup_window": signup_window_sql_oracle(),
         "value_percentiles": value_percentiles_sql_oracle(),
         "rolling_user_value": rolling_sql_oracle(),

@@ -649,3 +649,202 @@ def event_gaps_sql_oracle() -> str:
                       ts), -1) AS BIGINT) AS gap_us
         FROM events
     """
+
+
+# ------------------------------------------------- interval (band) join ----
+
+CONC_BUCKET_US = 3600 * 1_000_000  # 1 h time-domain buckets
+
+
+def session_concurrency(
+    sf_dir: str,
+    gap_us: int = SESSION_GAP_US,
+    bucket_us: int = CONC_BUCKET_US,
+) -> ray.data.Dataset:
+    """KEYLESS interval join: for every session, how many events — from ANY
+    user — fall inside its [t_start, t_end] span (its own included).
+
+    (user_id, session_seq, n_window_events).  The equality-free band join
+    ``e.ts BETWEEN s.t_start AND s.t_end`` cannot ride the user-bucket
+    shuffle the other event operators share; the distributed shape is
+    time-domain bucketing with interval replication:
+
+    - events land in exactly ONE time bucket (``ts // bucket_us``);
+    - each session interval is REPLICATED to every bucket it overlaps
+      (replication factor = interval span / bucket width, small for
+      gap-bounded sessions);
+    - per bucket, one sorted-array searchsorted counts each interval's
+      events in that bucket — partials are exact because event buckets
+      partition the timeline;
+    - a final (user_id, session_seq) bucket shuffle sums the partials.
+
+    Bucket width trades replication against skew: at 100 TB pick
+    ``bucket_us`` so one bucket's events fit a worker (the kernel is
+    O(n log n) in the bucket).  Both sides cross the object store once.
+    """
+
+    def intervals(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _INTERVAL_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t = u[order], t[order]
+        new_user, useg = _user_segments(u)
+        dt = np.empty(len(t), dtype=np.int64)
+        dt[0] = 0
+        np.subtract(t[1:], t[:-1], out=dt[1:])
+        new_s = new_user | (dt > gap_us)
+        sid = np.cumsum(new_s) - 1
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(t)) - 1
+        user_starts = np.flatnonzero(new_user)
+        seq = sid[starts] - sid[user_starts][useg[starts]] + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_seq": pa.array(seq, pa.int64()),
+                "t_start": pa.array(t[starts], pa.int64()),
+                "t_end": pa.array(t[ends], pa.int64()),
+            }
+        )
+
+    iv = (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id"], 64)
+        .groupby(_BUCKET)
+        .map_groups(intervals, batch_format="pyarrow")
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _SIDE_SCHEMA.empty_table()
+        s = batch["t_start"].to_numpy()
+        e = batch["t_end"].to_numpy()
+        b0 = s // bucket_us
+        nrep = (e // bucket_us - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch)), nrep)
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(nrep)[:-1]]), nrep
+        )
+        return pa.table(
+            {
+                "tbucket": pa.array(b0[idx] + offs, pa.int64()),
+                "side": pa.array(np.ones(len(idx), np.int8)),
+                "ts": pa.array(np.zeros(len(idx), np.int64)),
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy()[idx], pa.int64()
+                ),
+                "session_seq": pa.array(
+                    batch["session_seq"].to_numpy()[idx], pa.int64()
+                ),
+                "t_start": pa.array(s[idx], pa.int64()),
+                "t_end": pa.array(e[idx], pa.int64()),
+            }
+        )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch["ts"])
+        z = np.zeros(len(batch), np.int64)
+        return pa.table(
+            {
+                "tbucket": pa.array(t // bucket_us, pa.int64()),
+                "side": pa.array(np.zeros(len(batch), np.int8)),
+                "ts": pa.array(t, pa.int64()),
+                "user_id": pa.array(z, pa.int64()),
+                "session_seq": pa.array(z, pa.int64()),
+                "t_start": pa.array(z, pa.int64()),
+                "t_end": pa.array(z, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).map_batches(tag_events, batch_format="pyarrow", batch_size=16384)
+    both = ev.union(iv.map_batches(replicate, batch_format="pyarrow"))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ts = np.sort(group["ts"].to_numpy(zero_copy_only=False)[side == 0])
+        ivm = side == 1
+        lo = np.searchsorted(ts, group["t_start"].to_numpy()[ivm], "left")
+        hi = np.searchsorted(ts, group["t_end"].to_numpy()[ivm], "right")
+        return pa.table(
+            {
+                "user_id": pa.array(group["user_id"].to_numpy()[ivm], pa.int64()),
+                "session_seq": pa.array(
+                    group["session_seq"].to_numpy()[ivm], pa.int64()
+                ),
+                "n_part": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = both.groupby("tbucket").map_groups(
+        count_bucket, batch_format="pyarrow"
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "session_seq"]).aggregate([("n_part", "sum")])
+        return g.rename_columns(["user_id", "session_seq", "n_window_events"])
+
+    from ..util import hash_groupby
+
+    return hash_groupby(partials, ["user_id", "session_seq"], fold)
+
+
+_INTERVAL_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_seq", pa.int64()),
+        ("t_start", pa.int64()),
+        ("t_end", pa.int64()),
+    ]
+)
+
+_SIDE_SCHEMA = pa.schema(
+    [
+        ("tbucket", pa.int64()),
+        ("side", pa.int8()),
+        ("ts", pa.int64()),
+        ("user_id", pa.int64()),
+        ("session_seq", pa.int64()),
+        ("t_start", pa.int64()),
+        ("t_end", pa.int64()),
+    ]
+)
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_seq", pa.int64()),
+        ("n_part", pa.int64()),
+    ]
+)
+
+
+def session_concurrency_sql_oracle(gap_us: int = SESSION_GAP_US) -> str:
+    return f"""
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM o
+        ), iv AS (
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 min(ts) AS t_start, max(ts) AS t_end
+          FROM s GROUP BY user_id, session_seq
+        )
+        SELECT iv.user_id, iv.session_seq,
+               CAST(count(*) AS BIGINT) AS n_window_events
+        FROM iv JOIN events e ON e.ts >= iv.t_start AND e.ts <= iv.t_end
+        GROUP BY iv.user_id, iv.session_seq
+    """

@@ -161,3 +161,28 @@ def test_cumulative_windows_match_duckdb(ray_session, name):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_session_concurrency_bucket_invariance():
+    """The time-bucket width is an execution knob, never a semantics knob:
+    any width gives identical counts (interval replication is exact)."""
+    import pandas as pd
+
+    from index_ray.pipelines.events import session_concurrency
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(w):
+        return (
+            session_concurrency(sf, bucket_us=w)
+            .to_pandas()
+            .sort_values(["user_id", "session_seq"])
+            .reset_index(drop=True)
+        )
+
+    base = run(3600 * 1_000_000)
+    assert len(base) > 0
+    # own events always counted: n_window_events >= the session's own size
+    assert (base["n_window_events"] >= 1).all()
+    for w in (600 * 1_000_000, 10**18):  # 10-min buckets; one giant bucket
+        pd.testing.assert_frame_equal(run(w), base)
