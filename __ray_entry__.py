@@ -55,19 +55,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term/corpus statistics (reference A1-A4)
         "term_stats": text.term_stats,
         "corpus_stats": text.corpus_stats,
-        "keywords_tfidf": text.keywords_tfidf,
         # end-to-end curation funnel (quality -> dedup -> sample -> sink);
         # windowed_events (driver-green r01+r02, still timed by bench.py)
         # moved past the fold to make room
         "curate_corpus": curation.curate_corpus,
         # relational representatives (full family below the fold)
         "pricing_summary": relational.pricing_summary,
-        "top_customers_by_segment": relational.top_customers_by_segment,
         # event-stream representatives (one user-bucket shuffle), plus the
         # keyless interval join (time-domain bucketing + interval
         # replication); term_prefix_stats (driver-green r02) demoted
         "sessionize": events.sessionize,
-        "asof_purchase_click": events.asof_purchase_click,
         "session_concurrency": events.session_concurrency,
         # round-3 search additions (msm + fuzzy) and the bottom-k sample;
         # doc_lengths / orders_by_nation / value_percentiles (driver-green
@@ -83,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
+        # corpus-global duplicate-line removal (RefinedWeb/CCNet line dedup;
+        # keywords_tfidf — driver-green r02 — demoted for the slot)
+        "line_dedup": dedup.line_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
         # retention policy over the simhash near-dup relation (keep the
@@ -114,11 +114,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
         "token_count_bpe": textstats.token_count_bpe,
+        # unigram-LM document scoring (CCNet-style quality signal; broadcast
+        # log-prob table; asof_purchase_click — driver-green r02 — demoted)
+        "lm_score": textstats.lm_score,
         # curation passes (C4/Gopher-style filters, scrub, mixing)
         "repetition_stats": curation.repetition_stats,
         "redact_pii": curation.redact_pii,
         "quality_filter": curation.quality_filter,
         "stratified_sample": curation.stratified_sample,
+        # md5-deterministic 90/5/5 train/valid/test split summary
+        # (top_customers_by_segment — driver-green r02 — demoted)
+        "hash_split": curation.hash_split,
         # decontamination: the Bloom two-tier variant holds the fold slot
         # (same SQL oracle as the exact pass; pytest pins row-identity)
         "decontaminate_bloom": curation.decontaminate_bloom,
@@ -142,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and bpe_train); demoted so new rows get verdicts inside the cap
         "bm25_after_delete": flagship.bm25_after_delete,
         "doc_lookup": flagship.doc_lookup,
+        "keywords_tfidf": text.keywords_tfidf,
+        "top_customers_by_segment": relational.top_customers_by_segment,
+        "asof_purchase_click": events.asof_purchase_click,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -566,6 +575,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(text) AS content_sha256 FROM documents
         """,
         "language_id": _language_id_sql(),
+        # corpus-global first-occurrence line dedup; the packed key
+        # doc_id * 2^22 + ord mirrors dedup._LINE_ORD_CAP (ord is 1-based,
+        # split semantics verified identical: empty text -> one empty line)
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+              FROM documents
+            ),
+            firsts AS (
+              SELECT line, min(doc_id * 4194304 + ord) AS fk FROM lines GROUP BY line
+            )
+            SELECT l.doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN l.doc_id * 4194304 + l.ord = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN l.doc_id * 4194304 + l.ord = f.fk THEN length(l.line) ELSE 0 END) AS BIGINT) AS kept_chars
+            FROM lines l JOIN firsts f ON l.line = f.line
+            GROUP BY l.doc_id ORDER BY l.doc_id
+        """,
+        # unigram LM: both sides sum tf * log2(cf/total) over DISTINCT
+        # (doc, term) pairs (few summands -> float agreement well under the
+        # checker's 1e-9); token-less docs have no rows in t on either side
+        "lm_score": f"""
+            {_TOKS},
+            cf AS (SELECT term, count(*) AS cf FROM t GROUP BY term),
+            tot AS (SELECT count(*) AS total FROM t),
+            per AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY doc_id, term)
+            SELECT per.doc_id,
+                   CAST(sum(per.n) AS BIGINT) AS n_tokens,
+                   sum(per.n * log2(cf.cf / tot.total)) AS sum_log2p,
+                   sum(per.n * log2(cf.cf / tot.total)) / sum(per.n) AS avg_log2p
+            FROM per JOIN cf USING (term) CROSS JOIN tot
+            GROUP BY per.doc_id ORDER BY per.doc_id
+        """,
+        # md5-hex-prefix bucketing: CAST('0x'||substr(md5(id),1,8) AS BIGINT)
+        # == int(hashlib.md5(str(id)).hexdigest()[:8], 16) (probed identical)
+        "hash_split": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+              FROM documents
+            )
+            SELECT CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM h GROUP BY 1 ORDER BY 1
+        """,
         "token_count_bpe": token_count_bpe_sql_oracle(),
         "repetition_stats": repetition_stats_sql_oracle(),
         "redact_pii": redact_pii_sql_oracle(),

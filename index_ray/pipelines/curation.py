@@ -1112,3 +1112,57 @@ def sequence_pack_sql_oracle(seq_len: int = SEQ_LEN) -> str:
                (tok_start + n_tokens - 1) // {seq_len} AS seq_last
         FROM p
     """
+
+
+# ----------------------------------------------------------- hash split ----
+
+
+def _split_assign(batch: pa.Table) -> pa.Table:
+    """batch -> (split, doc_id, n_chars): md5-bucketed deterministic split.
+
+    md5 of the decimal doc_id (not a seeded RNG) so the assignment is
+    reproducible across engines, languages and reruns — the property a
+    train/valid/test split must keep when the corpus is re-curated.
+    """
+    ids = batch["doc_id"].to_pylist()
+    b = np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids),
+        dtype=np.int64,
+        count=len(ids),
+    )
+    split = np.where(b < 90, "train", np.where(b < 95, "valid", "test"))
+    return pa.table(
+        {
+            "split": pa.array(split.tolist(), pa.string()),
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+        }
+    )
+
+
+def hash_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 90/5/5 train/valid/test split by content-stable hash —
+    the standard "split by hash(id), never by position" rule that keeps a
+    document in the same split across corpus versions.
+
+    One row per split: (split, n_docs, sum_chars, sum_doc, min_doc,
+    max_doc) — integer-exact summary (the per-doc assignment itself is the
+    trivially-parallel map; the summary is what the oracle pins).  The
+    assignment map is stateless and shuffle-free; the summary groupby
+    collapses to 3 rows.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        docs_dataset(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(_split_assign, batch_format="pyarrow", batch_size=2048)
+        .groupby("split")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("doc_id", alias_name="sum_doc"),
+            Min("doc_id", alias_name="min_doc"),
+            Max("doc_id", alias_name="max_doc"),
+        )
+        .sort("split")
+    )

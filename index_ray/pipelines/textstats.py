@@ -193,3 +193,106 @@ def token_count_bpe_sql_oracle() -> str:
                CAST(len(regexp_extract_all(text, '{ws}')) AS BIGINT) AS n_ws_tokens
         FROM documents
     """
+
+
+# ----------------------------------------------------------- unigram LM ----
+
+
+class _DocLMScore:
+    """batch -> (doc_id, n_tokens, sum_log2p, avg_log2p) via a broadcast
+    unigram log-probability table (read once per worker process)."""
+
+    def __init__(self, mode: str, logp_ref, floor: float, text_col: str = "text"):
+        import ray
+
+        self.norm = TokenNormalizer(mode)
+        self.logp = ray.get(logp_ref)
+        self.floor = floor
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import doc_term_tf
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "sum_log2p": pa.array([], pa.float64()),
+                "avg_log2p": pa.array([], pa.float64()),
+            }
+        )
+        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        if len(d) == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lp = np.array([self.logp.get(v, self.floor) for v in vocab], dtype=np.float64)
+        n = len(batch)
+        n_tok = np.bincount(d, weights=tf, minlength=n).astype(np.int64)
+        slp = np.bincount(d, weights=tf.astype(np.float64) * lp[tid], minlength=n)
+        mask = n_tok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "n_tokens": pa.array(n_tok[mask], pa.int64()),
+                "sum_log2p": pa.array(slp[mask], pa.float64()),
+                "avg_log2p": pa.array(slp[mask] / n_tok[mask], pa.float64()),
+            }
+        )
+
+
+def lm_score(
+    sf_dir: str, mode: str = "simple", top_v: int | None = None
+) -> ray.data.Dataset:
+    """Unigram-language-model document scoring — the CCNet-style "how
+    surprising is this document under the corpus LM" quality signal.
+
+    Pass 1 estimates p(term) = cf/total over the whole corpus (the
+    existing ``term_stats`` partial-aggregate pipeline); pass 2 broadcasts
+    the log2-probability table once (``ray.put``, read per worker, never
+    re-shipped per batch) and scores each document as
+    sum over its distinct terms of tf * log2(cf/total).
+
+    (doc_id, n_tokens, sum_log2p, avg_log2p), token-less documents
+    omitted (they have no LM score), sorted by doc_id.
+
+    Scale: the broadcast table is the corpus VOCABULARY (Zipf-collapsed,
+    not corpus-sized); at 10^12-doc scale pass ``top_v`` to keep only the
+    top-V terms by cf and score the tail at the OOV floor log2(1/total) —
+    the exact full-vocab mode is the oracle-checked default.
+    """
+    import ray
+
+    from .text import term_stats
+
+    cf = term_stats(sf_dir).to_pandas()
+    if len(cf) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "sum_log2p": pa.array([], pa.float64()),
+                    "avg_log2p": pa.array([], pa.float64()),
+                }
+            )
+        )
+    total = int(cf["cf"].sum())
+    floor = float(np.log2(1.0 / np.float64(total)))
+    if top_v is not None:
+        cf = cf.sort_values(["cf", "term"], ascending=[False, True]).head(top_v)
+    logp = dict(
+        zip(
+            cf["term"],
+            np.log2(cf["cf"].to_numpy().astype(np.float64) / np.float64(total)),
+        )
+    )
+    ref = ray.put(logp)
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_DocLMScore, mode, ref, floor),
+            batch_format="pyarrow",
+            batch_size=512,
+        )
+        .sort("doc_id")
+    )

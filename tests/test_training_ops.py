@@ -1,0 +1,137 @@
+"""Brute-force-verified tests for the round-3 training-data ops:
+corpus-global line dedup, unigram-LM scoring, md5 hash split."""
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts):
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _rand_texts(n, seed):
+    rng = np.random.default_rng(seed)
+    lines = [
+        "import os", "def main():", "    return 0", "# license header",
+        "x = 1", "", "print(x)", "class Foo:", "    pass",
+    ]
+    return [
+        "\n".join(rng.choice(lines, size=rng.integers(0, 8)).tolist())
+        for _ in range(n)
+    ]
+
+
+def test_line_dedup_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.dedup import line_dedup
+
+    texts = _rand_texts(60, 11)
+    sf = _write_docs(tmp_path, texts)
+    out = line_dedup(sf).to_pandas().set_index("doc_id")
+
+    seen = set()
+    for did, t in enumerate(texts):
+        ls = t.split("\n")
+        kept = [l for l in ls if (l not in seen) and not seen.add(l)]
+        row = out.loc[did]
+        assert row["n_lines"] == len(ls), did
+        assert row["n_kept"] == len(kept), did
+        assert row["kept_chars"] == sum(len(l) for l in kept), did
+    assert len(out) == len(texts)
+
+
+def test_line_dedup_first_occurrence_is_doc_order(ray_session, tmp_path):
+    # the SAME line in doc 0 and doc 5: only doc 0 keeps it
+    from index_ray.pipelines.dedup import line_dedup
+
+    sf = _write_docs(tmp_path, ["dup\nunique0", "dup\nunique5"])
+    out = line_dedup(sf).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "n_kept"] == 1  # "dup" already seen in doc 0
+    assert out.loc[1, "kept_chars"] == len("unique5")
+
+
+def test_lm_score_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.textstats import lm_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the the the cat",
+        "dog",
+        "",  # token-less: omitted from output
+        "!!!",  # token-less after the simple tokenizer
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = lm_score(sf).to_pandas().set_index("doc_id")
+
+    tok = lambda s: [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+    all_toks = [t for s in texts for t in tok(s)]
+    total = len(all_toks)
+    cf = {}
+    for t in all_toks:
+        cf[t] = cf.get(t, 0) + 1
+    assert set(out.index) == {0, 1, 2}  # docs 3,4 token-less
+    for did in [0, 1, 2]:
+        toks = tok(texts[did])
+        exp = sum(np.log2(cf[t] / total) for t in toks)
+        assert out.loc[did, "n_tokens"] == len(toks)
+        assert abs(out.loc[did, "sum_log2p"] - exp) < 1e-9
+        assert abs(out.loc[did, "avg_log2p"] - exp / len(toks)) < 1e-9
+
+
+def test_lm_score_top_v_floor(ray_session, tmp_path):
+    # with top_v=1 only the most frequent term keeps its true logp;
+    # everything else scores at the OOV floor log2(1/total)
+    from index_ray.pipelines.textstats import lm_score
+
+    sf = _write_docs(tmp_path, ["aa aa aa bb", "bb cc"])
+    out = lm_score(sf, top_v=1).to_pandas().set_index("doc_id")
+    total = 6
+    floor = np.log2(1 / total)
+    exp0 = 3 * np.log2(3 / total) + floor  # aa kept, bb floored
+    assert abs(out.loc[0, "sum_log2p"] - exp0) < 1e-9
+    assert abs(out.loc[1, "sum_log2p"] - 2 * floor) < 1e-9
+
+
+def test_hash_split_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.curation import hash_split
+
+    texts = _rand_texts(300, 5)
+    sf = _write_docs(tmp_path, texts)
+    out = hash_split(sf).to_pandas().set_index("split")
+
+    buckets = {"train": [], "valid": [], "test": []}
+    for did, t in enumerate(texts):
+        b = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 100
+        name = "train" if b < 90 else ("valid" if b < 95 else "test")
+        buckets[name].append((did, len(t)))
+    for name, rows in buckets.items():
+        if not rows:
+            assert name not in out.index
+            continue
+        r = out.loc[name]
+        assert r["n_docs"] == len(rows)
+        assert r["sum_chars"] == sum(c for _, c in rows)
+        assert r["sum_doc"] == sum(d for d, _ in rows)
+        assert r["min_doc"] == min(d for d, _ in rows)
+        assert r["max_doc"] == max(d for d, _ in rows)
+    # a 90/5/5 split of 300 docs should put the bulk in train
+    assert out.loc["train", "n_docs"] > 240
