@@ -76,7 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
         "bm25_scores": flagship.bm25_scores,
-        "bm25_and_topk": flagship.bm25_and_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
@@ -125,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-deterministic 90/5/5 train/valid/test split summary
         # (top_customers_by_segment — driver-green r02 — demoted)
         "hash_split": curation.hash_split,
+        # exactly-k-per-stratum quota sample (bm25_and_topk — driver-green
+        # r02 — demoted; the AND path stays pinned by pytest + skip-seek)
+        "group_sample": curation.group_sample,
         # decontamination: the Bloom two-tier variant holds the fold slot
         # (same SQL oracle as the exact pass; pytest pins row-identity)
         "decontaminate_bloom": curation.decontaminate_bloom,
@@ -151,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_tfidf": text.keywords_tfidf,
         "top_customers_by_segment": relational.top_customers_by_segment,
         "asof_purchase_click": events.asof_purchase_click,
+        "bm25_and_topk": flagship.bm25_and_topk,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -306,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_sql_oracle,
         curate_corpus_sql_oracle,
         uniform_sample_sql_oracle,
+        group_sample_sql_oracle,
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
         sequence_pack_sql_oracle,
@@ -634,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": quality_filter_sql_oracle(),
         "stratified_sample": stratified_sample_sql_oracle(),
         "uniform_sample": uniform_sample_sql_oracle(),
+        "group_sample": group_sample_sql_oracle(),
         "curate_corpus": curate_corpus_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
         # bloom variant is output-identical to the exact pass by construction

@@ -842,6 +842,106 @@ def uniform_sample_sql_oracle(k: int = UNIFORM_SAMPLE_K) -> str:
     """
 
 
+
+GROUP_SAMPLE_K = 50
+
+
+def _g_bottomk(g: np.ndarray, ids: np.ndarray, pr: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the bottom-k (priority, doc_id) rows WITHIN each group —
+    vectorized: factorize + lexsort + within-run rank."""
+    import pandas as pd
+
+    codes, _ = pd.factorize(g)
+    order = np.lexsort((ids, pr, codes))
+    c2 = codes[order]
+    starts = np.concatenate([[0], np.flatnonzero(c2[1:] != c2[:-1]) + 1])
+    lens = np.diff(np.concatenate([starts, [len(c2)]]))
+    rank = np.arange(len(c2)) - np.repeat(starts, lens)
+    return order[rank < k]
+
+
+def group_sample(
+    sf_dir: str, k: int = GROUP_SAMPLE_K, by: str = "lang"
+) -> pa.Table:
+    """Exactly-k-per-stratum sample without replacement: within each group
+    the k documents with the smallest md5 hash priority — the per-domain /
+    per-language quota draw a mixture-balanced training set needs (where
+    ``stratified_sample`` keeps an expected RATE, this keeps an exact
+    COUNT per stratum).
+
+    Bottom-k per group is mergeable exactly like the global bottom-k
+    (``uniform_sample``): each batch emits at most n_groups * k rows, a
+    tree-fold level re-folds ~64 partials per task, and the driver
+    finishes on a bounded table.  Deterministic in doc_id (same md5
+    priority the DuckDB oracle computes)."""
+    empty = pa.table(
+        {
+            by: pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "priority": pa.array([], pa.uint64()),
+        }
+    )
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        g = batch[by].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if "priority" in batch.column_names:
+            pr = batch["priority"].to_numpy(zero_copy_only=False)
+        else:
+            pr = md5_strings([str(int(i)) for i in ids])
+        sel = _g_bottomk(g, ids, pr, k)
+        return pa.table(
+            {
+                by: pa.array(g[sel]),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "priority": pa.array(pr[sel], pa.uint64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", by]
+        )
+        .map_batches(bottomk, batch_format="pyarrow", batch_size=1024)
+        .map_batches(bottomk, batch_format="pyarrow", batch_size=64 * k)
+        .to_arrow_refs()
+    )
+    t = pa.concat_tables(ray.get(parts))
+    if t.num_rows == 0:
+        return empty
+    g = t[by].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    pr = t["priority"].to_numpy(zero_copy_only=False)
+    sel = _g_bottomk(g, ids, pr, k)
+    order = sel[np.lexsort((pr[sel], g[sel].astype(str)))]
+    return pa.table(
+        {
+            by: pa.array(g[order]),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "priority": pa.array(pr[order], pa.uint64()),
+        }
+    )
+
+
+def group_sample_sql_oracle(k: int = GROUP_SAMPLE_K, by: str = "lang") -> str:
+    return f"""
+        WITH h AS (
+          SELECT {by}, doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                   AS priority
+          FROM documents
+        )
+        SELECT {by}, doc_id, priority FROM (
+          SELECT *, row_number() OVER (
+                      PARTITION BY {by} ORDER BY priority, doc_id) AS rn
+          FROM h
+        ) WHERE rn <= {k}
+        ORDER BY {by}, priority
+    """
+
+
 # ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination (the sharded-eval-set scale path)
 # ---------------------------------------------------------------------------

@@ -135,3 +135,39 @@ def test_hash_split_matches_bruteforce(ray_session, tmp_path):
         assert r["max_doc"] == max(d for d, _ in rows)
     # a 90/5/5 split of 300 docs should put the bulk in train
     assert out.loc["train", "n_docs"] > 240
+
+
+def test_group_sample_exact_k_per_stratum(ray_session, tmp_path):
+    from index_ray.pipelines.curation import group_sample
+
+    rng = np.random.default_rng(3)
+    langs = ["en", "fr", "es"]
+    n = 400
+    d = tmp_path / "docs"
+    d.mkdir()
+    lang_col = [langs[i] for i in rng.integers(0, 3, size=n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n),
+                "lang": pa.array(lang_col),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    k = 7
+    out = group_sample(str(d), k=k).to_pandas()
+
+    # brute force: per lang, bottom-k by md5 priority
+    pri = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16) for i in range(n)
+    }
+    for lang in langs:
+        ids = [i for i in range(n) if lang_col[i] == lang]
+        want = sorted(sorted(ids, key=lambda i: (pri[i], i))[:k])
+        got = sorted(out[out["lang"] == lang]["doc_id"].tolist())
+        assert got == want, lang
+    assert len(out) == 3 * k
