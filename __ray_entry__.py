@@ -54,7 +54,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # term/corpus statistics (reference A1-A4)
         "term_stats": text.term_stats,
-        "corpus_stats": text.corpus_stats,
         # end-to-end curation funnel (quality -> dedup -> sample -> sink);
         # windowed_events (driver-green r01+r02, still timed by bench.py)
         # moved past the fold to make room
@@ -92,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-level (substring) dedup: duplicated-k-gram stats + boilerplate
         "repeated_ngrams": dedup.repeated_ngrams,
         "hot_ngrams": dedup.hot_ngrams,
+        # exact duplicated-substring coverage (Lee et al. span metric;
+        # corpus_stats — driver-green r01+r02 — demoted for the slot)
+        "dup_span_coverage": dedup.dup_span_coverage,
         # similarity search over embeddings
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
@@ -154,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_segment": relational.top_customers_by_segment,
         "asof_purchase_click": events.asof_purchase_click,
         "bm25_and_topk": flagship.bm25_and_topk,
+        "corpus_stats": text.corpus_stats,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -317,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.dedup import (
         hot_ngrams_sql_oracle,
         repeated_ngrams_sql_oracle,
+        dup_span_coverage_sql_oracle,
     )
     from index_ray.pipelines.multimodal import media_consistency_sql_oracle
     from index_ray.pipelines.similarity import centroid_classify_sql_oracle
@@ -352,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY sha256(text)
         """,
         "repeated_ngrams": repeated_ngrams_sql_oracle(),
+        "dup_span_coverage": dup_span_coverage_sql_oracle(),
         "hot_ngrams": hot_ngrams_sql_oracle(),
         "minhash_exact_consistency": """
             SELECT CAST(count(*) AS BIGINT) AS n_dup_sha_groups,

@@ -1320,3 +1320,165 @@ def line_dedup(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("doc_id")
     )
+
+
+# ----------------------------------------------- duplicated-span coverage ----
+
+
+class _GramPosStage:
+    """batch -> (gram, doc_id, pos): every k-gram POSITION (1-based within
+    the document) — the positional variant of ``_GramOccStage`` that span
+    coverage needs (overlapping duplicated grams must not double-count
+    covered tokens, so the reduce side has to see positions, not counts)."""
+
+    def __init__(self, k: int, mode: str):
+        self.k = k
+        self.norm = TokenNormalizer(mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+        d, tid, vocab = tokenize_batch(batch["text"], self.norm)
+        k = self.k
+        if len(tid) < k:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = np.asarray(vocab, dtype=object)[tid]
+        n = len(toks) - k + 1
+        gram = toks[:n]
+        for j in range(1, k):
+            gram = gram + " "
+            gram = gram + toks[j : j + n]
+        valid = d[:n] == d[k - 1 :]  # gram must not straddle documents
+        if not valid.any():
+            return empty
+        # 1-based position within the token stream of its own document
+        changes = np.concatenate([[0], np.flatnonzero(d[1:] != d[:-1]) + 1])
+        runlens = np.diff(np.concatenate([changes, [len(d)]]))
+        pos = np.arange(len(d), dtype=np.int64) - np.repeat(changes, runlens) + 1
+        dv = d[:n][valid]
+        return pa.table(
+            {
+                "gram": pa.array(gram[valid], pa.string()),
+                "doc_id": pa.array(ids[dv], pa.int64()),
+                "pos": pa.array(pos[:n][valid], pa.int64()),
+            }
+        )
+
+
+def dup_span_coverage(
+    sf_dir: str, k: int = 4, min_df: int = 2, mode: str = "simple"
+) -> ray.data.Dataset:
+    """Exact duplicated-substring coverage per document (the Lee et al.
+    "Deduplicating Training Data" span metric): a token position is
+    COVERED when it lies inside at least one k-gram that occurs in >=
+    min_df distinct documents; overlapping duplicated grams count each
+    token once.
+
+    (doc_id, n_hot_pos, covered_pos), one row per document owning at
+    least one duplicated gram: n_hot_pos = duplicated k-gram start
+    positions, covered_pos = tokens under the union of their [pos,
+    pos+k-1] spans — the number a span-cut curation pass would remove.
+
+    Shape: gram-keyed bucket shuffle (positions ride along; volume =
+    token count, the same order as every tokenize shuffle here) -> bucket
+    computes exact distinct-doc df and keeps only duplicated positions ->
+    doc-keyed shuffle unions intervals vectorized (sorted-diff, no Python
+    loop).  Only duplicated positions cross the second shuffle.
+    """
+    from ..util import hash_groupby
+
+    def attach_hot(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(t["gram"].to_numpy(zero_copy_only=False))
+        doc = t["doc_id"].to_numpy()
+        order = np.lexsort((doc, codes))
+        c2, d2 = codes[order], doc[order]
+        newpair = np.concatenate([[True], (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])])
+        df = np.bincount(c2[newpair], minlength=codes.max() + 1)
+        hot = df[codes] >= min_df
+        if not hot.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(hot)),
+                "pos": t["pos"].filter(pa.array(hot)),
+            }
+        )
+
+    def cover_fold(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_hot_pos": pa.array([], pa.int64()),
+                "covered_pos": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy()
+        pos = t["pos"].to_numpy()
+        order = np.lexsort((pos, doc))
+        d2, p2 = doc[order], pos[order]
+        same_next = np.concatenate([d2[1:] == d2[:-1], [False]])
+        gap = np.empty(len(p2), dtype=np.int64)
+        if len(p2) > 1:
+            gap[:-1] = p2[1:] - p2[:-1]
+        gap[-1] = k
+        contrib = np.where(same_next, np.minimum(gap, k), k)
+        codes, udoc = pd.factorize(d2)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_hot_pos": pa.array(np.bincount(codes), pa.int64()),
+                "covered_pos": pa.array(
+                    np.bincount(codes, weights=contrib).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    grams = docs_dataset(sf_dir, columns=["doc_id", "text"]).map_batches(
+        stage_fn(_GramPosStage, k, mode), batch_format="pyarrow", batch_size=512
+    )
+    hot_pos = hash_groupby(grams, ["gram"], attach_hot)
+    return hash_groupby(hot_pos, ["doc_id"], cover_fold)
+
+
+def dup_span_coverage_sql_oracle(k: int = 4, min_df: int = 2) -> str:
+    concat = " || ' ' || ".join(f"a[i+{j}]" if j else "a[i]" for j in range(k))
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS a
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, a, unnest(range(1, len(a) - {k - 2})) AS i
+          FROM arr WHERE len(a) >= {k}
+        ),
+        g AS (SELECT doc_id, i, {concat} AS gram FROM pos),
+        dfq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        hotp AS (
+          SELECT g.doc_id, g.i FROM g JOIN dfq USING (gram)
+          WHERE dfq.df >= {min_df}
+        ),
+        cov AS (SELECT doc_id, i + unnest(range(0, {k})) AS p FROM hotp),
+        c1 AS (SELECT doc_id, count(*) AS n_hot_pos FROM hotp GROUP BY doc_id),
+        c2 AS (SELECT doc_id, count(DISTINCT p) AS covered_pos FROM cov GROUP BY doc_id)
+        SELECT doc_id, n_hot_pos, covered_pos
+        FROM c1 JOIN c2 USING (doc_id) ORDER BY doc_id
+    """

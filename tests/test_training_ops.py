@@ -171,3 +171,57 @@ def test_group_sample_exact_k_per_stratum(ray_session, tmp_path):
         got = sorted(out[out["lang"] == lang]["doc_id"].tolist())
         assert got == want, lang
     assert len(out) == 3 * k
+
+
+def test_dup_span_coverage_overlapping_spans(ray_session, tmp_path):
+    from index_ray.pipelines.dedup import dup_span_coverage
+
+    # "a b c d e" appears in docs 0 and 1 -> with k=4 both 4-grams
+    # ("a b c d", "b c d e") are duplicated; their spans overlap and must
+    # cover 5 tokens, not 8
+    texts = [
+        "a b c d e x y z",
+        "q q a b c d e",
+        "nothing shared here at all",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = (
+        dup_span_coverage(sf, k=4, min_df=2).to_pandas().set_index("doc_id")
+    )
+    assert set(out.index) == {0, 1}
+    assert out.loc[0, "n_hot_pos"] == 2  # positions 1 and 2
+    assert out.loc[0, "covered_pos"] == 5  # tokens 1..5 union
+    assert out.loc[1, "n_hot_pos"] == 2  # positions 3 and 4
+    assert out.loc[1, "covered_pos"] == 5
+
+
+def test_dup_span_coverage_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.dedup import dup_span_coverage
+
+    texts = _rand_texts(40, 21)
+    sf = _write_docs(tmp_path, texts)
+    k, min_df = 3, 2
+    out = (
+        dup_span_coverage(sf, k=k, min_df=min_df).to_pandas().set_index("doc_id")
+    )
+
+    tok = lambda s: [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+    docs = [tok(t) for t in texts]
+    gram_docs = {}
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            gram_docs.setdefault(tuple(toks[i : i + k]), set()).add(did)
+    expect = {}
+    for did, toks in enumerate(docs):
+        cover = set()
+        nhot = 0
+        for i in range(len(toks) - k + 1):
+            if len(gram_docs[tuple(toks[i : i + k])]) >= min_df:
+                nhot += 1
+                cover.update(range(i, i + k))
+        if nhot:
+            expect[did] = (nhot, len(cover))
+    assert set(out.index) == set(expect)
+    for did, (nhot, cov) in expect.items():
+        assert out.loc[did, "n_hot_pos"] == nhot, did
+        assert out.loc[did, "covered_pos"] == cov, did
