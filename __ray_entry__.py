@@ -72,9 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
         "uniform_sample": curation.uniform_sample,
         # the index itself (build -> varint round-trip -> BM25 top-k)
-        "index_terms": flagship.index_terms,
         "bm25_topk": flagship.bm25_topk,
         "bm25_scores": flagship.bm25_scores,
+        # faceted search: per-facet match counts over the FULL match set
+        # (index_terms — driver-green r01+r02 — demoted; its varint
+        # round-trip stays pinned by the testPL golden pytest suite)
+        "bm25_facets": flagship.bm25_facets,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
         "exact_dedup": dedup.exact_dedup,
@@ -157,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": events.asof_purchase_click,
         "bm25_and_topk": flagship.bm25_and_topk,
         "corpus_stats": text.corpus_stats,
+        "index_terms": flagship.index_terms,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -272,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_head_boost_sql_oracle,
         bm25_style_boost_sql_oracle,
         bm25_meta_sql_oracle,
+        bm25_facets_sql_oracle,
         bm25_scores_sql_oracle,
         bm25_sql_oracle,
         doc_lookup_sql_oracle,
@@ -343,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),
         "bm25_topk_meta": bm25_meta_sql_oracle(),
+        "bm25_facets": bm25_facets_sql_oracle(),
         "phrase_match": phrase_sql_oracle(),
         "field_term_stats": field_term_stats_sql_oracle(),
         "index_terms": f"""

@@ -140,6 +140,8 @@ def run_bench() -> dict:
             ("heavy_hitter_terms", lambda: sketches.heavy_hitter_terms(SF_DIR)),
             ("curate_corpus", lambda: curation.curate_corpus(SF_DIR)),
             ("bpe_train", lambda: bpe.bpe_train(SF_DIR, n_merges=24)),
+            ("line_dedup", lambda: dedup.line_dedup(SF_DIR).materialize()),
+            ("dup_span_coverage", lambda: dedup.dup_span_coverage(SF_DIR).materialize()),
         ]:
             runs = []
             for _ in range(2):

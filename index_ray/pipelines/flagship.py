@@ -320,6 +320,47 @@ def bm25_topk_meta(sf_dir: str) -> pa.Table:
     )
 
 
+def bm25_facets(sf_dir: str) -> pa.Table:
+    """Faceted search over the fixture queries: per query, how many
+    documents match ANY query term, broken down by language — the
+    Elasticsearch-style term-aggregation over the FULL match set (not the
+    top-k), computed as shard-side bincounts against a resident
+    docID -> facet map (``BM25Searcher.facet_counts``).
+
+    (qid, facet, n_docs); a query matching nothing (qid 5's nonexistent
+    terms) contributes no rows — the SQL oracle's join semantics.
+    """
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.facet_counts(
+        [" ".join(terms) for _, terms, _ in DOC_QUERIES], facet_col="lang"
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    return pa.concat_tables(tables)
+
+
+def bm25_facets_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+        q(qid, term) AS (VALUES {values}),
+        m AS (SELECT DISTINCT q.qid, t.doc_id FROM q JOIN t USING (term))
+        SELECT m.qid, d.lang AS facet, count(*) AS n_docs
+        FROM m JOIN documents d USING (doc_id)
+        GROUP BY m.qid, d.lang
+        ORDER BY m.qid, facet
+    """
+
+
 def _bm25_ctes(
     conjunctive: bool = False,
     queries: list[tuple[int, list[str], int]] | None = None,

@@ -238,6 +238,7 @@ class _ChunkIndex:
     """
 
     def __init__(self, chunk_dir: str, style: bool = False):
+        self.chunk_dir = chunk_dir
         self.terms: dict[str, list[int]] = {}
         self.block_seq: np.ndarray
         self.has_positions = False
@@ -775,6 +776,60 @@ class SearchShard:
             out.append((np.concatenate(tops), np.concatenate(scs)))
         return out
 
+    def _facet_maps(self, facet_col: str):
+        """Per-chunk (sorted docIDs, facet codes, categories) — loaded from
+        the docmap sidecars ONCE per actor per facet column, then resident
+        (the aggregation-pushdown state a faceted search engine keeps)."""
+        import pandas as pd
+
+        cache = getattr(self, "_facet_cache", None)
+        if cache is None:
+            cache = self._facet_cache = {}
+        if facet_col not in cache:
+            maps = []
+            for ci in self.chunks:
+                dm_files = sorted(
+                    glob.glob(os.path.join(ci.chunk_dir, "docmap", "*.parquet"))
+                )
+                d = pa.concat_tables(
+                    [pq.read_table(f, columns=["docID", facet_col]) for f in dm_files]
+                )
+                ids = d["docID"].to_numpy(zero_copy_only=False)
+                codes, cats = pd.factorize(d[facet_col].to_numpy(zero_copy_only=False))
+                order = np.argsort(ids)
+                maps.append(
+                    (ids[order], codes[order].astype(np.int64), list(cats))
+                )
+            cache[facet_col] = maps
+        return cache[facet_col]
+
+    def facet_many(
+        self, queries: list[list[str]], facet_col: str
+    ) -> list[dict[str, int]]:
+        """Per query: facet-value -> count of live documents matching ANY
+        query term — the counts side of a faceted search (aggregations over
+        the full match set, not the top-k).  Counts are exact: each doc
+        lives in exactly one chunk, so per-chunk bincounts sum cleanly."""
+        maps = self._facet_maps(facet_col)
+        out = []
+        for terms in queries:
+            agg: dict[str, int] = {}
+            for ci, (ids, codes, cats) in zip(self.chunks, maps):
+                docs = _excluded_docs(ci, terms)
+                if len(docs) == 0:
+                    continue
+                docs = docs[self._mask_tomb(docs)]
+                if len(docs) == 0:
+                    continue
+                bc = np.bincount(
+                    codes[np.searchsorted(ids, docs)], minlength=len(cats)
+                )
+                for j, cat in enumerate(cats):
+                    if bc[j]:
+                        agg[cat] = agg.get(cat, 0) + int(bc[j])
+            out.append(agg)
+        return out
+
     def phrase_many(
         self, phrases: list[list[str]]
     ) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -985,6 +1040,41 @@ class BM25Searcher:
             )
         if meta_cols:
             out = self._join_meta(out, meta_cols)
+        return out
+
+    def facet_counts(
+        self, queries: list[str], facet_col: str = "lang"
+    ) -> list[pa.Table]:
+        """Faceted search: per query, the live-document match count per
+        value of a docmap column — the aggregations-over-the-match-set
+        feature (Elasticsearch-style facets / term aggregations) pushed
+        down into the shard actors: each shard bincounts its own chunks'
+        matches against a resident docID -> facet-code map and only the
+        tiny per-facet dictionaries return to the driver.
+
+        One (facet, n_docs) table per query, facet-ascending; a query with
+        no matching document yields an empty table.
+        """
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared = [query_terms(q, tok_mode) for q in queries]
+        per_actor = ray.get(
+            [a.facet_many.remote(prepared, facet_col) for a in self.actors]
+        )
+        out = []
+        for qi in range(len(prepared)):
+            agg: dict[str, int] = {}
+            for pa_res in per_actor:
+                for cat, n in pa_res[qi].items():
+                    agg[cat] = agg.get(cat, 0) + n
+            cats = sorted(agg)
+            out.append(
+                pa.table(
+                    {
+                        "facet": pa.array(cats, pa.string()),
+                        "n_docs": pa.array([agg[c] for c in cats], pa.int64()),
+                    }
+                )
+            )
         return out
 
     def search_prefix_many(

@@ -225,3 +225,42 @@ def test_dup_span_coverage_matches_bruteforce(ray_session, tmp_path):
     for did, (nhot, cov) in expect.items():
         assert out.loc[did, "n_hot_pos"] == nhot, did
         assert out.loc[did, "covered_pos"] == cov, did
+
+
+def test_facet_counts_match_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.flagship import documents_index
+    from index_ray.pipelines.query import BM25Searcher
+
+    rng = np.random.default_rng(9)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    langs = ["py", "go", "rs"]
+    texts, lang_col = [], []
+    for i in range(150):
+        texts.append(" ".join(rng.choice(words, size=rng.integers(1, 12)).tolist()))
+        lang_col.append(langs[int(rng.integers(0, 3))])
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(lang_col),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    idx = documents_index(str(d))
+    s = BM25Searcher(idx)
+    got = s.facet_counts(["aa bb", "zz"], facet_col="lang")
+
+    counts = {}
+    for i, t in enumerate(texts):
+        if {"aa", "bb"} & set(t.split()):
+            counts[lang_col[i]] = counts.get(lang_col[i], 0) + 1
+    t0 = got[0].to_pydict()
+    assert dict(zip(t0["facet"], t0["n_docs"])) == counts
+    assert got[0]["facet"].to_pylist() == sorted(counts)
+    assert got[1].num_rows == 0  # no match -> empty facet table
