@@ -901,9 +901,7 @@ def group_sample(
         )
 
     parts = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", by]
-        )
+        docs_dataset(sf_dir, ["doc_id", by])
         .map_batches(bottomk, batch_format="pyarrow", batch_size=1024)
         .map_batches(bottomk, batch_format="pyarrow", batch_size=64 * k)
         .to_arrow_refs()

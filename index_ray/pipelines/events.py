@@ -73,6 +73,27 @@ def _user_segments(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return new_user, np.cumsum(new_user) - 1
 
 
+def _session_bounds(
+    u: np.ndarray, t: np.ndarray, gap_us: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gap-sessionization math over USER-SORTED (u, t): (starts, ends, seq)
+    — session start/end row indices and the 1-based per-user session rank.
+    The ONE copy of the new-session rule (> gap_us silence), shared by
+    ``sessionize`` and ``session_concurrency`` so their session_seq can
+    never desynchronize."""
+    new_user, useg = _user_segments(u)
+    dt = np.empty(len(t), dtype=np.int64)
+    dt[0] = 0
+    np.subtract(t[1:], t[:-1], out=dt[1:])
+    new_s = new_user | (dt > gap_us)
+    sid = np.cumsum(new_s) - 1
+    starts = np.flatnonzero(new_s)
+    ends = np.append(starts[1:], len(t)) - 1
+    user_starts = np.flatnonzero(new_user)
+    seq = sid[starts] - sid[user_starts][useg[starts]] + 1
+    return starts, ends, seq
+
+
 # ---------------------------------------------------------------- sessions
 
 
@@ -92,17 +113,7 @@ def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
         c = _cents(group["value"]).to_numpy(zero_copy_only=False)
         order = np.lexsort((e, t, u))
         u, t, c = u[order], t[order], c[order]
-        new_user, useg = _user_segments(u)
-        dt = np.empty(len(t), dtype=np.int64)
-        dt[0] = 0
-        np.subtract(t[1:], t[:-1], out=dt[1:])
-        new_s = new_user | (dt > gap_us)
-        sid = np.cumsum(new_s) - 1
-        starts = np.flatnonzero(new_s)
-        ends = np.append(starts[1:], len(t)) - 1
-        user_starts = np.flatnonzero(new_user)
-        # session_seq = this session's rank within its user, 1-based
-        seq = sid[starts] - sid[user_starts][useg[starts]] + 1
+        starts, ends, seq = _session_bounds(u, t, gap_us)
         return pa.table(
             {
                 "user_id": pa.array(u[starts], pa.int64()),
@@ -691,16 +702,7 @@ def session_concurrency(
         e = group["event_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((e, t, u))
         u, t = u[order], t[order]
-        new_user, useg = _user_segments(u)
-        dt = np.empty(len(t), dtype=np.int64)
-        dt[0] = 0
-        np.subtract(t[1:], t[:-1], out=dt[1:])
-        new_s = new_user | (dt > gap_us)
-        sid = np.cumsum(new_s) - 1
-        starts = np.flatnonzero(new_s)
-        ends = np.append(starts[1:], len(t)) - 1
-        user_starts = np.flatnonzero(new_user)
-        seq = sid[starts] - sid[user_starts][useg[starts]] + 1
+        starts, ends, seq = _session_bounds(u, t, gap_us)
         return pa.table(
             {
                 "user_id": pa.array(u[starts], pa.int64()),
@@ -786,6 +788,14 @@ def session_concurrency(
     )
 
     def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # 0-row blocks may arrive schema-less
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("session_seq", pa.int64()),
+                    ("n_window_events", pa.int64()),
+                ]
+            ).empty_table()
         g = t.group_by(["user_id", "session_seq"]).aggregate([("n_part", "sum")])
         return g.rename_columns(["user_id", "session_seq", "n_window_events"])
 

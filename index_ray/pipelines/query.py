@@ -796,10 +796,14 @@ class SearchShard:
                 )
                 ids = d["docID"].to_numpy(zero_copy_only=False)
                 codes, cats = pd.factorize(d[facet_col].to_numpy(zero_copy_only=False))
+                codes = codes.astype(np.int64)
+                cats = list(cats)
+                if (codes < 0).any():  # factorize marks nulls -1; give them
+                    codes = codes.copy()  # a real (None) facet bucket so
+                    codes[codes < 0] = len(cats)  # bincount can't underflow
+                    cats.append(None)
                 order = np.argsort(ids)
-                maps.append(
-                    (ids[order], codes[order].astype(np.int64), list(cats))
-                )
+                maps.append((ids[order], codes[order], cats))
             cache[facet_col] = maps
         return cache[facet_col]
 
@@ -1066,7 +1070,8 @@ class BM25Searcher:
             for pa_res in per_actor:
                 for cat, n in pa_res[qi].items():
                     agg[cat] = agg.get(cat, 0) + n
-            cats = sorted(agg)
+            # null facet (if any) sorts last, mirroring SQL NULLS LAST
+            cats = sorted(agg, key=lambda c: (c is None, c if c is not None else ""))
             out.append(
                 pa.table(
                     {
