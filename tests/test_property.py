@@ -1,0 +1,154 @@
+"""Hypothesis property tests for the foundational kernels every pipeline
+rests on: the varint wire codec, the tokenizer's parity with the SQL
+oracle regex, Arrow line-split parity with DuckDB string_split, the
+per-group bottom-k, and the shared sessionization bounds."""
+
+import re
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings, strategies as st
+
+from index_ray.functions import varint
+
+# one shared in-process DuckDB for the parity tests
+_CON = duckdb.connect()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=int(varint.MAX_VALUE)),
+        max_size=200,
+    )
+)
+def test_varint_roundtrip(values):
+    v = np.array(values, dtype=np.uint64)
+    flat, lens = varint.encode(v)
+    assert int(lens.sum()) == len(flat)
+    out = varint.decode(flat, len(v))
+    assert out.tolist() == values
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 40)), max_size=100),
+    st.lists(st.integers(min_value=1, max_value=1 << 20), max_size=100),
+)
+def test_postings_pack_roundtrip(gaps, tfs):
+    m = min(len(gaps), len(tfs))
+    g = np.array(gaps[:m], dtype=np.uint64)
+    t = np.array(tfs[:m], dtype=np.uint64)
+    blob, offs = varint.pack_postings(g, t)
+    g2, t2 = varint.unpack_postings(blob, m)
+    assert g2.tolist() == g.tolist()
+    assert t2.tolist() == t.tolist()
+    # offsets point at each posting's gap varint (strictly increasing)
+    assert len(offs) == m
+    if m > 1:
+        assert (np.diff(offs) > 0).all()
+
+
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_simple_tokenizer_matches_sql_regex(texts):
+    """TokenNormalizer('simple') must agree with the exact DuckDB expression
+    every SQL oracle inlines: regexp_split_to_array(lower(text), '[^a-z0-9]+')
+    with empties dropped — the cornerstone of the whole oracle suite."""
+    from index_ray.functions.tokenize import TokenNormalizer, tokenize_batch
+
+    norm = TokenNormalizer("simple")
+    d, tid, vocab = tokenize_batch(pa.array(texts, pa.string()), norm)
+    engine = [[] for _ in texts]
+    for di, ti in zip(d, tid):
+        engine[di].append(vocab[ti])
+
+    for i, s in enumerate(texts):
+        rows = _CON.execute(
+            "SELECT list_filter(regexp_split_to_array(lower(?), '[^a-z0-9]+'),"
+            " x -> x <> '')",
+            [s],
+        ).fetchone()[0]
+        assert engine[i] == rows, (s, engine[i], rows)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(["a", "bb", "", "c c", "\t"]), max_size=6))
+def test_line_split_matches_sql(parts):
+    """pc.split_pattern(text, '\\n') == DuckDB string_split(text, chr(10)),
+    including the empty-text -> one-empty-line edge."""
+    s = "\n".join(parts)
+    arrow = pc.split_pattern(pa.array([s]), pattern="\n")[0].as_py()
+    sql = _CON.execute(
+        "SELECT string_split(?, chr(10))", [s]
+    ).fetchone()[0]
+    assert arrow == sql == s.split("\n")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # group
+            st.integers(min_value=0, max_value=1 << 40),  # priority
+        ),
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_g_bottomk_matches_bruteforce(rows, k):
+    from index_ray.pipelines.curation import _g_bottomk
+
+    g = np.array([f"g{a}" for a, _ in rows], dtype=object)
+    pr = np.array([p for _, p in rows], dtype=np.uint64)
+    ids = np.arange(len(rows), dtype=np.int64)
+    sel = _g_bottomk(g, ids, pr, k) if len(rows) else np.array([], np.int64)
+
+    want = set()
+    for grp in set(g.tolist()):
+        members = [i for i in range(len(rows)) if g[i] == grp]
+        members.sort(key=lambda i: (pr[i], ids[i]))
+        want.update(members[:k])
+    assert set(sel.tolist()) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=10_000),  # ts (us)
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=2_000),
+)
+def test_session_bounds_match_bruteforce(rows, gap_us):
+    from index_ray.pipelines.events import _session_bounds
+
+    rows = sorted(rows)
+    u = np.array([a for a, _ in rows], dtype=np.int64)
+    t = np.array([b for _, b in rows], dtype=np.int64)
+    starts, ends, seq = _session_bounds(u, t, gap_us)
+
+    # brute force: walk rows, new session on user change or gap > gap_us
+    exp = []  # (start_idx, end_idx, seq)
+    per_user = {}
+    for i in range(len(rows)):
+        new = i == 0 or u[i] != u[i - 1] or t[i] - t[i - 1] > gap_us
+        if new:
+            per_user[u[i]] = per_user.get(u[i], 0) + 1
+            exp.append([i, i, per_user[u[i]]])
+        else:
+            exp[-1][1] = i
+    assert starts.tolist() == [e[0] for e in exp]
+    assert ends.tolist() == [e[1] for e in exp]
+    assert seq.tolist() == [e[2] for e in exp]
