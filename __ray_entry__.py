@@ -63,8 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream representatives (one user-bucket shuffle), plus the
         # keyless interval join (time-domain bucketing + interval
         # replication); term_prefix_stats (driver-green r02) demoted
-        "sessionize": events.sessionize,
         "session_concurrency": events.session_concurrency,
+        # filter-by-group-aggregate in one co-located pass (sessionize —
+        # driver-green r01+r02, its gap kernel now shared verbatim with
+        # session_concurrency above — demoted for the slot)
+        "user_outlier_events": events.user_outlier_events,
         # round-3 search additions (msm + fuzzy) and the bottom-k sample;
         # doc_lengths / orders_by_nation / value_percentiles (driver-green
         # in r01+r02, each redundant within its family) moved past the fold
@@ -161,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": flagship.bm25_and_topk,
         "corpus_stats": text.corpus_stats,
         "index_terms": flagship.index_terms,
+        "sessionize": events.sessionize,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -293,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         rolling_sql_oracle,
         running_user_total_sql_oracle,
         sessionize_sql_oracle,
+        user_outlier_events_sql_oracle,
         session_concurrency_sql_oracle,
         signup_window_sql_oracle,
         value_percentiles_sql_oracle,
@@ -734,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
             FROM arr a LEFT JOIN fp ON a.doc_id = fp.doc_id
         """,
         "sessionize": sessionize_sql_oracle(),
+        "user_outlier_events": user_outlier_events_sql_oracle(),
         "asof_purchase_click": asof_sql_oracle(),
         "session_concurrency": session_concurrency_sql_oracle(),
         "events_in_signup_window": signup_window_sql_oracle(),

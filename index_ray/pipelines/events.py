@@ -858,3 +858,76 @@ def session_concurrency_sql_oracle(gap_us: int = SESSION_GAP_US) -> str:
         FROM iv JOIN events e ON e.ts >= iv.t_start AND e.ts <= iv.t_end
         GROUP BY iv.user_id, iv.session_seq
     """
+
+
+# ---------------------------------------------- group-aggregate filtering ----
+
+_OUTLIER_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("value_cents", pa.int64()),
+        ("user_n", pa.int64()),
+        ("user_sum_cents", pa.int64()),
+    ]
+)
+
+
+def user_outlier_events(sf_dir: str) -> ray.data.Dataset:
+    """Per-user outlier events: rows whose value exceeds 2x their user's
+    mean — the filter-by-group-aggregate pattern resolved in ONE
+    co-located pass: the user-bucket shuffle already puts every row of a
+    user in one group, so the aggregate and the row filter run together
+    (no second shuffle, no join back to the fact table).
+
+    (event_id, user_id, value_cents, user_n, user_sum_cents), keeping
+    events with value_cents * user_n > 2 * user_sum_cents — the mean
+    comparison cleared of division so the predicate is integer-exact.
+    """
+
+    def outliers(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _OUTLIER_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        c = _cents(group["value"]).to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, e, c = u[order], e[order], c[order]
+        _, useg = _user_segments(u)
+        n_user = np.bincount(useg)
+        sum_user = np.bincount(useg, weights=c).astype(np.int64)
+        keep = c * n_user[useg] > 2 * sum_user[useg]
+        return pa.table(
+            {
+                "event_id": pa.array(e[keep], pa.int64()),
+                "user_id": pa.array(u[keep], pa.int64()),
+                "value_cents": pa.array(c[keep], pa.int64()),
+                "user_n": pa.array(n_user[useg][keep], pa.int64()),
+                "user_sum_cents": pa.array(sum_user[useg][keep], pa.int64()),
+            }
+        )
+
+    return (
+        _tagged_events(sf_dir, ["user_id", "event_id", "value"], 64)
+        .groupby(_BUCKET)
+        .map_groups(outliers, batch_format="pyarrow")
+    )
+
+
+def user_outlier_events_sql_oracle() -> str:
+    return """
+        WITH c AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events
+        ),
+        u AS (
+          SELECT user_id, count(*) AS user_n,
+                 CAST(sum(value_cents) AS BIGINT) AS user_sum_cents
+          FROM c GROUP BY user_id
+        )
+        SELECT c.event_id, c.user_id, c.value_cents, u.user_n, u.user_sum_cents
+        FROM c JOIN u USING (user_id)
+        WHERE c.value_cents * u.user_n > 2 * u.user_sum_cents
+        ORDER BY c.event_id
+    """

@@ -264,3 +264,43 @@ def test_facet_counts_match_bruteforce(ray_session, tmp_path):
     assert dict(zip(t0["facet"], t0["n_docs"])) == counts
     assert got[0]["facet"].to_pylist() == sorted(counts)
     assert got[1].num_rows == 0  # no match -> empty facet table
+
+
+def test_user_outlier_events_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.events import user_outlier_events
+
+    rng = np.random.default_rng(17)
+    n = 500
+    users = rng.integers(0, 20, size=n)
+    vals = np.round(rng.exponential(20.0, size=n), 2)
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i * 1000 for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = user_outlier_events(str(d)).to_pandas().sort_values("event_id")
+
+    cents = np.round(vals * 100).astype(np.int64)
+    want = []
+    for i in range(n):
+        m = users == users[i]
+        if cents[i] * m.sum() > 2 * cents[m].sum():
+            want.append(i)
+    assert out["event_id"].tolist() == want
+    for _, r in out.iterrows():
+        m = users == r["user_id"]
+        assert r["user_n"] == m.sum()
+        assert r["user_sum_cents"] == cents[m].sum()
