@@ -83,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": flagship.bm25_facets,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
-        "exact_dedup": dedup.exact_dedup,
         # corpus-global duplicate-line removal (RefinedWeb/CCNet line dedup;
         # keywords_tfidf — driver-green r02 — demoted for the slot)
         "line_dedup": dedup.line_dedup,
@@ -124,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-LM document scoring (CCNet-style quality signal; broadcast
         # log-prob table; asof_purchase_click — driver-green r02 — demoted)
         "lm_score": textstats.lm_score,
+        # bigram conditional-LM scoring (exact_dedup — driver-green r01+r02
+        # and redundant with line_dedup/simhash reps in-fold — demoted)
+        "lm_bigram_score": textstats.lm_bigram_score,
         # curation passes (C4/Gopher-style filters, scrub, mixing)
         "repetition_stats": curation.repetition_stats,
         "redact_pii": curation.redact_pii,
@@ -165,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": text.corpus_stats,
         "index_terms": flagship.index_terms,
         "sessionize": events.sessionize,
+        "exact_dedup": dedup.exact_dedup,
         "phrase_match": flagship.phrase_match,
         "field_term_stats": flagship.field_term_stats,
         "term_prefix_stats": flagship.term_prefix_stats,
@@ -334,7 +337,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from index_ray.pipelines.multimodal import media_consistency_sql_oracle
     from index_ray.pipelines.similarity import centroid_classify_sql_oracle
-    from index_ray.pipelines.textstats import token_count_bpe_sql_oracle
+    from index_ray.pipelines.textstats import (
+        lm_bigram_score_sql_oracle,
+        token_count_bpe_sql_oracle,
+    )
 
     return {
         "doc_lookup": doc_lookup_sql_oracle(),
@@ -649,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY 1 ORDER BY 1
         """,
         "token_count_bpe": token_count_bpe_sql_oracle(),
+        "lm_bigram_score": lm_bigram_score_sql_oracle(),
         "repetition_stats": repetition_stats_sql_oracle(),
         "redact_pii": redact_pii_sql_oracle(),
         "quality_filter": quality_filter_sql_oracle(),

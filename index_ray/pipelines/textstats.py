@@ -296,3 +296,153 @@ def lm_score(
         )
         .sort("doc_id")
     )
+
+
+class _DocBigramLM:
+    """batch -> (doc_id, n_bigrams, sum_log2p, avg_log2p) via a broadcast
+    bigram conditional-log-probability table."""
+
+    def __init__(self, mode: str, logp_ref, floor: float, text_col: str = "text"):
+        import ray
+
+        self.norm = TokenNormalizer(mode)
+        self.logp = ray.get(logp_ref)
+        self.floor = floor
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "sum_log2p": pa.array([], pa.float64()),
+                "avg_log2p": pa.array([], pa.float64()),
+            }
+        )
+        d, tid, vocab = tokenize_batch(batch[self.text_col], self.norm)
+        if len(d) < 2:
+            return empty
+        toks = np.asarray(vocab, dtype=object)[tid]
+        n = len(toks) - 1
+        gram = toks[:n] + " "
+        gram = gram + toks[1:]
+        valid = d[:n] == d[1:]  # bigram must not straddle documents
+        if not valid.any():
+            return empty
+        dv = d[:n][valid]
+        codes, uniq = pd.factorize(gram[valid])
+        lp = np.array(
+            [self.logp.get(g, self.floor) for g in uniq], dtype=np.float64
+        )
+        # per-(doc, bigram) occurrence counts, then n * log2p — the same
+        # summation structure the SQL oracle groups by
+        key = dv.astype(np.int64) * len(uniq) + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        udoc = ukey // len(uniq)
+        ucode = ukey % len(uniq)
+        nb = len(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_big = np.bincount(udoc, weights=cnt, minlength=nb).astype(np.int64)
+        slp = np.bincount(udoc, weights=cnt * lp[ucode], minlength=nb)
+        mask = n_big > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "n_bigrams": pa.array(n_big[mask], pa.int64()),
+                "sum_log2p": pa.array(slp[mask], pa.float64()),
+                "avg_log2p": pa.array(slp[mask] / n_big[mask], pa.float64()),
+            }
+        )
+
+
+def lm_bigram_score(
+    sf_dir: str, mode: str = "simple", top_b: int | None = None
+) -> ray.data.Dataset:
+    """Bigram-language-model document scoring — the KenLM-flavored step up
+    from ``lm_score``: each document scores
+    sum over its bigrams of log2 p(w2 | w1), with the MLE conditional
+    p(w2 | w1) = count(w1 w2) / count(w1 as a left context) estimated on
+    the corpus itself (so every in-document bigram has a probability; no
+    backoff needed for the self-trained case).
+
+    Pass 1 builds the distributed bigram count table (the existing
+    ``bigram_counts`` partial-aggregate pipeline, unthresholded); the
+    left-context totals and log-probabilities fold on the driver
+    (vocabulary-sized, Zipf-collapsed) and broadcast once.  Pass 2 scores
+    per document.  (doc_id, n_bigrams, sum_log2p, avg_log2p), documents
+    with < 2 tokens omitted, sorted by doc_id.
+
+    Scale: like ``lm_score``, pass ``top_b`` at 10^12 scale to broadcast
+    only the top-B bigrams and score the tail at the floor
+    log2(1/total_bigrams); the exact full-table mode is oracle-checked.
+    """
+    import ray
+
+    from .text import bigram_counts
+
+    cf = bigram_counts(sf_dir, min_count=1).to_pandas()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "sum_log2p": pa.array([], pa.float64()),
+            "avg_log2p": pa.array([], pa.float64()),
+        }
+    )
+    if len(cf) == 0:
+        return ray.data.from_arrow(empty)
+    total = int(cf["cf"].sum())
+    floor = float(np.log2(1.0 / np.float64(total)))
+    w1 = cf["bigram"].str.split(" ", n=1).str[0]
+    h = cf.groupby(w1)["cf"].transform("sum").to_numpy()
+    lp = np.log2(cf["cf"].to_numpy().astype(np.float64) / h.astype(np.float64))
+    if top_b is not None:
+        keep = (
+            cf.assign(_lp=lp)
+            .sort_values(["cf", "bigram"], ascending=[False, True])
+            .head(top_b)
+        )
+        logp = dict(zip(keep["bigram"], keep["_lp"]))
+    else:
+        logp = dict(zip(cf["bigram"], lp))
+    ref = ray.put(logp)
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_DocBigramLM, mode, ref, floor),
+            batch_format="pyarrow",
+            batch_size=512,
+        )
+        .sort("doc_id")
+    )
+
+
+def lm_bigram_score_sql_oracle() -> str:
+    return """
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM arr
+        ),
+        c2 AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+        h AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c) AS hc
+              FROM c2 GROUP BY 1),
+        per AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram)
+        SELECT per.doc_id,
+               CAST(sum(per.n) AS BIGINT) AS n_bigrams,
+               sum(per.n * log2(c2.c / h.hc)) AS sum_log2p,
+               sum(per.n * log2(c2.c / h.hc)) / sum(per.n) AS avg_log2p
+        FROM per
+        JOIN c2 USING (bigram)
+        JOIN h ON h.w1 = string_split(per.bigram, ' ')[1]
+        GROUP BY per.doc_id ORDER BY per.doc_id
+    """

@@ -304,3 +304,33 @@ def test_user_outlier_events_matches_bruteforce(ray_session, tmp_path):
         m = users == r["user_id"]
         assert r["user_n"] == m.sum()
         assert r["user_sum_cents"] == cents[m].sum()
+
+
+def test_lm_bigram_score_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.textstats import lm_bigram_score
+
+    texts = [
+        "a b a b c",
+        "b c a",
+        "a",  # single token: no bigrams, omitted
+        "",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = lm_bigram_score(sf).to_pandas().set_index("doc_id")
+
+    tok = lambda s: [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+    c2, h = {}, {}
+    for s in texts:
+        t = tok(s)
+        for i in range(len(t) - 1):
+            bg = (t[i], t[i + 1])
+            c2[bg] = c2.get(bg, 0) + 1
+            h[t[i]] = h.get(t[i], 0) + 1
+    assert set(out.index) == {0, 1}
+    for did in [0, 1]:
+        t = tok(texts[did])
+        bgs = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        exp = sum(np.log2(c2[b] / h[b[0]]) for b in bgs)
+        assert out.loc[did, "n_bigrams"] == len(bgs)
+        assert abs(out.loc[did, "sum_log2p"] - exp) < 1e-9
+        assert abs(out.loc[did, "avg_log2p"] - exp / len(bgs)) < 1e-9
