@@ -130,7 +130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": curation.repetition_stats,
         "redact_pii": curation.redact_pii,
         "quality_filter": curation.quality_filter,
-        "stratified_sample": curation.stratified_sample,
+        # The Stack/StarCoder-style source-file filters (line-length /
+        # alnum-share / digit-share); stratified_sample (driver-green
+        # r01+r02, md5-bucket kernel also pinned by hash_split in-fold)
+        # demoted for the slot
+        "code_stats": curation.code_stats,
         # md5-deterministic 90/5/5 train/valid/test split summary
         # (top_customers_by_segment — driver-green r02 — demoted)
         "hash_split": curation.hash_split,
@@ -160,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and bpe_train); demoted so new rows get verdicts inside the cap
         "bm25_after_delete": flagship.bm25_after_delete,
         "doc_lookup": flagship.doc_lookup,
+        "stratified_sample": curation.stratified_sample,
         "keywords_tfidf": text.keywords_tfidf,
         "top_customers_by_segment": relational.top_customers_by_segment,
         "asof_purchase_click": events.asof_purchase_click,
@@ -319,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         term_freq_spectrum_sql_oracle,
     )
     from index_ray.pipelines.curation import (
+        code_stats_sql_oracle,
         quality_filter_sql_oracle,
         redact_pii_sql_oracle,
         repetition_stats_sql_oracle,
@@ -659,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": repetition_stats_sql_oracle(),
         "redact_pii": redact_pii_sql_oracle(),
         "quality_filter": quality_filter_sql_oracle(),
+        "code_stats": code_stats_sql_oracle(),
         "stratified_sample": stratified_sample_sql_oracle(),
         "uniform_sample": uniform_sample_sql_oracle(),
         "group_sample": group_sample_sql_oracle(),

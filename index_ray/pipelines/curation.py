@@ -1264,3 +1264,118 @@ def hash_split(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# code-quality stats (The Stack / StarCoder-style source-file filters)
+# ---------------------------------------------------------------------------
+
+# Integer-exact thresholds (the published filters use max_line_length 1000,
+# avg_line_length 100, alphanumeric fraction 0.25; the digit cap drops
+# hex dumps / generated tables).  All checks are integer comparisons so the
+# DuckDB oracle agrees bit-for-bit.
+CODE_MAX_LINE_LEN = 1000
+CODE_AVG_LINE_LEN = 100  # sum(line chars) <= 100 * n_lines
+CODE_ALNUM_PCT = 25  # 100 * n_alnum >= 25 * n_chars
+CODE_DIGIT_PCT = 50  # 100 * n_digit <= 50 * n_chars
+
+
+class CodeStatsStage:
+    """batch -> per-doc line/character stats + 0/1 flags + keep decision.
+
+    The standard source-code pre-training filters (The Stack v1/v2,
+    StarCoder): drop files with absurdly long lines (minified/generated),
+    high digit share (hex dumps), or low alphanumeric share (binary-ish).
+    Character counts are Unicode codepoints (== DuckDB ``length()``); line
+    split is on bare ``\\n`` with DuckDB ``string_split`` semantics (empty
+    text -> one empty line).  Stateless, shuffle-free, fully vectorized
+    (three Arrow regex/count kernels + one reduceat for per-doc max).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(batch)
+        n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+        n_alnum = pc.count_substring_regex(text, "[a-zA-Z0-9]").to_numpy().astype(np.int64)
+        n_digit = pc.count_substring_regex(text, "[0-9]").to_numpy().astype(np.int64)
+        sp = pc.split_pattern(text, "\n")
+        line_counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
+        line_lens = pc.utf8_length(pc.list_flatten(sp)).to_numpy().astype(np.int64)
+        # every doc splits to >= 1 line, so reduceat starts are all in-range
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(line_counts[:-1], out=starts[1:])
+        max_line = (
+            np.maximum.reduceat(line_lens, starts)
+            if len(line_lens)
+            else np.zeros(n, dtype=np.int64)
+        )
+        sum_line = n_chars - (line_counts - 1)  # chars minus the newlines
+        line_ok = (
+            (max_line <= CODE_MAX_LINE_LEN)
+            & (sum_line <= CODE_AVG_LINE_LEN * line_counts)
+        ).astype(np.int64)
+        alnum_ok = (100 * n_alnum >= CODE_ALNUM_PCT * n_chars).astype(np.int64)
+        digit_ok = (100 * n_digit <= CODE_DIGIT_PCT * n_chars).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(line_counts),
+                "max_line_len": pa.array(max_line.astype(np.int64)),
+                "n_alnum": pa.array(n_alnum),
+                "n_digit": pa.array(n_digit),
+                "line_ok": pa.array(line_ok),
+                "alnum_ok": pa.array(alnum_ok),
+                "digit_ok": pa.array(digit_ok),
+                "keep": pa.array(line_ok * alnum_ok * digit_ok),
+            }
+        )
+
+
+def code_stats(sf_dir: str) -> ray.data.Dataset:
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage_fn(CodeStatsStage), batch_format="pyarrow", batch_size=2048
+    )
+
+
+def code_stats_sql_oracle() -> str:
+    return f"""
+        WITH l AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(list_max(list_transform(string_split(text, chr(10)),
+                        x -> length(x))) AS BIGINT) AS max_line_len,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[a-zA-Z0-9]', '', 'g'))
+                      AS BIGINT) AS n_alnum,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[0-9]', '', 'g'))
+                      AS BIGINT) AS n_digit
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, n_lines, max_line_len, n_alnum, n_digit,
+                 CASE WHEN max_line_len <= {CODE_MAX_LINE_LEN}
+                       AND n_chars - (n_lines - 1)
+                           <= {CODE_AVG_LINE_LEN} * n_lines
+                      THEN 1 ELSE 0 END AS line_ok,
+                 CASE WHEN 100 * n_alnum >= {CODE_ALNUM_PCT} * n_chars
+                      THEN 1 ELSE 0 END AS alnum_ok,
+                 CASE WHEN 100 * n_digit <= {CODE_DIGIT_PCT} * n_chars
+                      THEN 1 ELSE 0 END AS digit_ok
+          FROM l
+        )
+        SELECT doc_id, n_lines, max_line_len, n_alnum, n_digit,
+               CAST(line_ok AS BIGINT) AS line_ok,
+               CAST(alnum_ok AS BIGINT) AS alnum_ok,
+               CAST(digit_ok AS BIGINT) AS digit_ok,
+               CAST(line_ok * alnum_ok * digit_ok AS BIGINT) AS keep
+        FROM f
+    """

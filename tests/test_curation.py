@@ -352,3 +352,50 @@ def test_ordered_prefix_sum_many_blocks():
     order = np.argsort(ids)
     want = np.cumsum(vals[order]) - vals[order]
     assert (out["run"].to_numpy() == want).all()
+
+
+def test_code_stats_planted():
+    from index_ray.pipelines.curation import CodeStatsStage
+
+    out = CodeStatsStage()(
+        _docs(
+            [
+                "short line\nanother line",          # clean
+                "x" * 1500,                           # one huge line
+                "0123456789 " * 30,                   # digit-heavy
+                ".... !!!! ;;;;",                     # low alnum
+                "",                                   # empty: 1 empty line
+                "línea üñí\n日本語テキスト",            # unicode codepoints
+            ]
+        )
+    ).to_pydict()
+    assert out["n_lines"] == [2, 1, 1, 1, 1, 2]
+    assert out["max_line_len"] == [12, 1500, 330, 14, 0, 9]
+    # docs 1, 2: single line over the 100-char average cap
+    assert out["line_ok"] == [1, 0, 0, 1, 1, 1]
+    # doc 3 all punctuation; doc 5 non-ASCII letters don't count as alnum
+    assert out["alnum_ok"] == [1, 1, 1, 0, 1, 0]
+    # doc 2: 300 digits of 330 chars -> 100*300 > 50*330 -> digit_ok 0
+    assert out["digit_ok"] == [1, 1, 0, 1, 1, 1]
+    assert out["keep"] == [1, 0, 0, 0, 1, 0]
+
+
+def test_code_stats_matches_duckdb():
+    import duckdb
+
+    from index_ray.pipelines.curation import CodeStatsStage, code_stats_sql_oracle
+
+    rng = np.random.default_rng(11)
+    pieces = ["def f(x):", "  return x + 1", "", "#" * 120, "0xDEADBEEF " * 9,
+              "word " * 40, "\t\t{}[]()", "ünïcodé 日本語"]
+    texts = [
+        "\n".join(rng.choice(pieces, size=rng.integers(1, 8)).tolist())
+        for _ in range(80)
+    ]
+    docs = _docs(texts)
+    ours = CodeStatsStage()(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    theirs = con.sql(code_stats_sql_oracle()).df().sort_values("doc_id").reset_index(drop=True)
+    for c in ours.columns:
+        assert (ours[c].to_numpy() == theirs[c].to_numpy()).all(), c
