@@ -103,7 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
         "ivf_knn_consistency": similarity.ivf_knn_consistency,
-        "pq_knn_consistency": similarity.pq_knn_consistency,
+        # SemDeDup (k-means clusters -> within-cluster cosine pruning);
+        # the consistency row holds the fold slot (pq_knn_consistency —
+        # third rep of the same constant-oracle family — demoted; its
+        # recall/exactness checks stay pinned in pytest)
+        "semdedup_consistency": similarity.semdedup_consistency,
         "embedding_neardup": similarity.embedding_neardup,
         "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
         # sketches
@@ -213,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
+        "pq_knn_consistency": similarity.pq_knn_consistency,
+        "semdedup": similarity.semdedup,
         "lsh_knn_cosine": similarity.lsh_knn_cosine,
         "ivf_knn_cosine": similarity.ivf_knn_cosine,
         "pq_knn_cosine": similarity.pq_knn_cosine,
@@ -534,6 +540,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "media_consistency": media_consistency_sql_oracle(),
+        # Constant like the *_knn_consistency family: both counts are
+        # engine-recomputed invariants (distributed witness re-verify +
+        # independent per-cluster flag re-derivation); the discriminating
+        # brute-force equality lives in tests/test_training_ops.py.
+        "semdedup_consistency": """
+            SELECT CAST(0 AS BIGINT) AS n_witness_violations,
+                   CAST(0 AS BIGINT) AS n_flag_mismatches
+        """,
         "pq_knn_consistency": """
             SELECT CAST(q.qid AS BIGINT) AS qid,
                    CAST(0 AS BIGINT) AS n_rank_inversions,

@@ -158,19 +158,23 @@ def top_customers_by_segment(sf_dir: str, k: int = 5) -> pa.Table:
         .map_batches(local_topk, batch_format="pyarrow", batch_size=16384)
         .to_pandas()
     )
-    rows = []
-    for s, sub in cand.groupby("c_mktsegment"):
-        sub = sub.sort_values(
-            ["acctbal_cents", "c_custkey"], ascending=[False, True]
-        ).head(k)
-        for r, (_, row) in enumerate(sub.iterrows(), 1):
-            rows.append((s, r, int(row["c_custkey"]), int(row["acctbal_cents"])))
+    # driver merge, vectorized: one lexsort over the candidate rows
+    # (segment asc, balance desc, custkey asc), then rank-within-segment
+    # from the sorted run starts
+    seg = cand["c_mktsegment"].to_numpy()
+    key = cand["c_custkey"].to_numpy()
+    bal = cand["acctbal_cents"].to_numpy()
+    order = np.lexsort((key, -bal, seg))
+    seg, key, bal = seg[order], key[order], bal[order]
+    starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+    rank = np.arange(len(seg)) - np.repeat(starts, np.diff(np.r_[starts, len(seg)])) + 1
+    keep = rank <= k
     return pa.table(
         {
-            "c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
-            "rank": pa.array([r[1] for r in rows], pa.int64()),
-            "c_custkey": pa.array([r[2] for r in rows], pa.int64()),
-            "acctbal_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "c_mktsegment": pa.array(seg[keep], pa.string()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "c_custkey": pa.array(key[keep].astype(np.int64), pa.int64()),
+            "acctbal_cents": pa.array(bal[keep].astype(np.int64), pa.int64()),
         }
     )
 

@@ -820,13 +820,14 @@ def centroid_classify(sf_dir: str) -> pa.Table:
     ).to_pandas()
     labels = np.sort(parts["label"].unique())
     dim = len(np.frombuffer(parts["sums"].iloc[0], np.int64))
+    part_sums = np.frombuffer(b"".join(parts["sums"]), np.int64).reshape(
+        len(parts), dim
+    )
+    pos = np.searchsorted(labels, parts["label"].to_numpy())
     sums = np.zeros((len(labels), dim), np.int64)
     cnts = np.zeros(len(labels), np.int64)
-    lpos = {int(l): i for i, l in enumerate(labels)}
-    for _, row in parts.iterrows():
-        i = lpos[int(row["label"])]
-        sums[i] += np.frombuffer(row["sums"], np.int64)
-        cnts[i] += int(row["cnt"])
+    np.add.at(sums, pos, part_sums)
+    np.add.at(cnts, pos, parts["cnt"].to_numpy())
     # TRUNCATING division toward zero — DuckDB's BIGINT // truncates while
     # numpy's // floors; they differ on negative sums (-7//2: numpy -4,
     # DuckDB -3), so mirror the SQL semantics explicitly
@@ -899,3 +900,197 @@ def centroid_classify_sql_oracle() -> str:
         FROM pred WHERE rn = 1
         GROUP BY true_label, cand
     """
+
+
+# -------------------------------------------------------------- SemDeDup
+
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semdedup(
+    sf_dir: str, n_centroids: int = 16, threshold: float = SEMDEDUP_THRESHOLD
+) -> ray.data.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embeddings with the distributed k-means quantizer, then within each
+    cluster drop every vector that has cosine >= threshold to an
+    earlier-vec_id vector of the same cluster (the earliest such vector is
+    recorded as the witness).
+
+    One row per vector: (vec_id, cluster, dropped 0/1, witness vec_id or
+    -1).  Scale shape: centroids broadcast once; assignment is a stateless
+    map; the only shuffle is the groupby(cluster); each cluster dedups
+    independently with one (g x g) gram matrix — at 100 TB you raise
+    n_centroids so g = N/C stays bounded (SemDeDup's published config uses
+    ~100k clusters for exactly this reason), and clusters parallelize
+    across the pool.  Deterministic: k-means init is the lowest vec_ids,
+    ties in the drop rule resolve to the earliest witness."""
+    cents = kmeans_fit(sf_dir, n_centroids)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _to_matrix(batch["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cid = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "cluster": pa.array(cid),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def group_dedup(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _to_matrix(group["embedding"])[order]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # strictly-lower-triangular hits: hit[i, j<i] = sim >= threshold
+        hit = np.tril(m @ m.T >= threshold, k=-1)
+        dropped = hit.any(axis=1)
+        witness = np.where(dropped, ids[np.argmax(hit, axis=1)], -1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    np.full(len(ids), group["cluster"][0].as_py(), np.int32)
+                ),
+                "dropped": pa.array(dropped.astype(np.int64)),
+                "witness": pa.array(witness.astype(np.int64)),
+            }
+        )
+
+    return (
+        emb_dataset(sf_dir)
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .groupby("cluster")
+        .map_groups(group_dedup, batch_format="pyarrow")
+    )
+
+
+def semdedup_consistency(
+    sf_dir: str, n_centroids: int = 16, threshold: float = SEMDEDUP_THRESHOLD
+) -> pa.Table:
+    """Recompute-and-count invariants of ``semdedup`` (constant oracle like
+    the *_knn_consistency family; the discriminating brute-force equality
+    and planted-duplicate recall live in tests/test_training_ops.py):
+
+    - n_witness_violations: dropped rows whose recorded witness is not an
+      earlier vec_id with cosine >= threshold — re-verified against the
+      re-fetched witness vectors in a distributed map_batches pass (the
+      witness relation is 3 ints/vec, broadcast like _CandVectors).
+    - n_flag_mismatches: per-cluster drop flags re-derived from the raw
+      embeddings with an independent running-prefix formulation and
+      compared to the claimed flags.
+    """
+    claimed = semdedup(sf_dir, n_centroids, threshold).to_arrow_refs()
+    claimed = pa.concat_tables(ray.get(claimed))
+    ids = claimed["vec_id"].to_numpy(zero_copy_only=False)
+    srt = np.argsort(ids)  # searchsorted below needs globally sorted ids
+    ids = ids[srt]
+    dropped = claimed["dropped"].to_numpy(zero_copy_only=False)[srt]
+    witness = claimed["witness"].to_numpy(zero_copy_only=False)[srt]
+    cluster = claimed["cluster"].to_numpy(zero_copy_only=False)[srt]
+
+    # --- witness verify: fetch witness vectors, one broadcast + one pass
+    wit_ids = np.unique(witness[dropped == 1])
+    wit_ref = ray.put(wit_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(wit_ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(vid, want)
+        return batch.filter(pa.array(mask))
+
+    wt = pa.concat_tables(
+        ray.get(
+            emb_dataset(sf_dir)
+            .map_batches(fetch, batch_format="pyarrow", batch_size=4096)
+            .to_arrow_refs()
+        )
+    )
+    wvid = wt["vec_id"].to_numpy(zero_copy_only=False)
+    wsrt = np.argsort(wvid)
+    wvid = wvid[wsrt]
+    wm = _to_matrix(wt["embedding"])[wsrt]
+    wm = wm / np.linalg.norm(wm, axis=1, keepdims=True)
+    pair_ref = ray.put((ids[dropped == 1], witness[dropped == 1], wvid, wm))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        d_ids, d_wit, w_ids, w_mat = ray.get(pair_ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(d_ids) == 0:
+            return pa.table({"viol": pa.array([0], pa.int64())})
+        pos = np.clip(np.searchsorted(d_ids, vid), 0, len(d_ids) - 1)
+        sel = d_ids[pos] == vid
+        if not np.any(sel):
+            return pa.table({"viol": pa.array([0], pa.int64())})
+        m = _to_matrix(batch["embedding"])[sel]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        w_of = d_wit[pos[sel]]
+        wrow = np.searchsorted(w_ids, w_of)
+        cos = np.einsum("ij,ij->i", m, w_mat[wrow])
+        bad = (cos < threshold) | (w_of >= vid[sel])
+        return pa.table({"viol": pa.array([int(bad.sum())], pa.int64())})
+
+    viols = pa.concat_tables(
+        ray.get(
+            emb_dataset(sf_dir)
+            .map_batches(verify, batch_format="pyarrow", batch_size=4096)
+            .to_arrow_refs()
+        )
+    )
+    n_witness_violations = int(viols["viol"].to_numpy(zero_copy_only=False).sum())
+
+    # --- flag re-derivation: independent prefix formulation per cluster
+    claim_ref = ray.put((ids, dropped, cluster))
+    cents = kmeans_fit(sf_dir, n_centroids)
+    cref = ray.put(cents)
+
+    def assign_again(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _to_matrix(batch["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cid = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "cluster": pa.array(cid),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def group_check(group: pa.Table) -> pa.Table:
+        c_ids, c_drop, _c_cl = ray.get(claim_ref)
+        gid = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gid)
+        gid = gid[order]
+        m = _to_matrix(group["embedding"])[order]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # prefix formulation: grow the kept-prefix row by row; i is dropped
+        # iff its max cosine against ALL earlier rows (kept or dropped)
+        # reaches the threshold — evaluated as a running row scan, not tril
+        drop2 = np.zeros(len(gid), dtype=bool)
+        for i in range(1, len(gid)):
+            drop2[i] = bool((m[:i] @ m[i] >= threshold).any())
+        pos = np.searchsorted(c_ids, gid)
+        mism = int((c_drop[pos] != drop2.astype(np.int64)).sum())
+        return pa.table({"mism": pa.array([mism], pa.int64())})
+
+    mm = pa.concat_tables(
+        ray.get(
+            emb_dataset(sf_dir)
+            .map_batches(assign_again, batch_format="pyarrow", batch_size=4096)
+            .groupby("cluster")
+            .map_groups(group_check, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    n_flag_mismatches = int(mm["mism"].to_numpy(zero_copy_only=False).sum())
+    return pa.table(
+        {
+            "n_witness_violations": pa.array([n_witness_violations], pa.int64()),
+            "n_flag_mismatches": pa.array([n_flag_mismatches], pa.int64()),
+        }
+    )

@@ -334,3 +334,73 @@ def test_lm_bigram_score_matches_bruteforce(ray_session, tmp_path):
         assert out.loc[did, "n_bigrams"] == len(bgs)
         assert abs(out.loc[did, "sum_log2p"] - exp) < 1e-9
         assert abs(out.loc[did, "avg_log2p"] - exp / len(bgs)) < 1e-9
+
+
+# ------------------------------------------------------------- semdedup
+
+
+def _write_embs(tmp_path, vecs):
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_semdedup_matches_bruteforce_and_drops_planted(ray_session, tmp_path):
+    from index_ray.pipelines.similarity import _to_matrix, semdedup
+
+    rng = np.random.default_rng(5)
+    vecs = list(rng.standard_normal((120, 16)))
+    # planted exact duplicates: 3 copies of vec 7, 2 copies of vec 30
+    vecs.extend([vecs[7], vecs[7], vecs[30]])
+    d = _write_embs(tmp_path, vecs)
+    out = (
+        semdedup(d, n_centroids=4, threshold=0.9)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(vecs)
+    # planted copies (ids 120, 121, 122) must be dropped with the original
+    # (same cluster, cosine 1) as witness
+    assert out.loc[120, "dropped"] == 1 and out.loc[120, "witness"] == 7
+    assert out.loc[121, "dropped"] == 1 and out.loc[121, "witness"] == 7
+    assert out.loc[122, "dropped"] == 1 and out.loc[122, "witness"] == 30
+    # brute-force re-derivation from the engine's OWN cluster assignment
+    m = np.stack([np.asarray(v, np.float64) for v in vecs])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for _, g in out.groupby("cluster"):
+        gids = g["vec_id"].to_numpy()
+        for row_i, i in enumerate(gids):
+            earlier = gids[:row_i]
+            want_drop = int(
+                bool(len(earlier)) and (m[earlier] @ m[i]).max() >= 0.9
+            )
+            assert int(g[g["vec_id"] == i]["dropped"].iloc[0]) == want_drop
+            if want_drop:
+                wit = earlier[np.flatnonzero(m[earlier] @ m[i] >= 0.9)[0]]
+                assert int(g[g["vec_id"] == i]["witness"].iloc[0]) == wit
+
+
+def test_semdedup_consistency_zero_violations(ray_session, tmp_path):
+    from index_ray.pipelines.similarity import semdedup_consistency
+
+    rng = np.random.default_rng(9)
+    vecs = list(rng.standard_normal((80, 16)))
+    vecs.extend([vecs[3], vecs[50]])
+    d = _write_embs(tmp_path, vecs)
+    t = semdedup_consistency(d, n_centroids=4, threshold=0.9).to_pydict()
+    assert t["n_witness_violations"] == [0]
+    assert t["n_flag_mismatches"] == [0]
