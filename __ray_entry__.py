@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
+        # round-3 additions (below the fold; oracle-backed, pytest-pinned)
+        "dup_weights": dedup.dup_weights,
+        "ccnet_buckets": textstats.ccnet_buckets,
+        "dsir_importance": textstats.dsir_importance,
     }
 
 
@@ -350,9 +354,12 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.multimodal import media_consistency_sql_oracle
     from index_ray.pipelines.similarity import centroid_classify_sql_oracle
     from index_ray.pipelines.textstats import (
+        ccnet_buckets_sql_oracle,
+        dsir_importance_sql_oracle,
         lm_bigram_score_sql_oracle,
         token_count_bpe_sql_oracle,
     )
+    from index_ray.pipelines.dedup import dup_weights_sql_oracle
 
     return {
         "doc_lookup": doc_lookup_sql_oracle(),
@@ -676,6 +683,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_bpe": token_count_bpe_sql_oracle(),
         "lm_bigram_score": lm_bigram_score_sql_oracle(),
+        "dup_weights": dup_weights_sql_oracle(),
+        "ccnet_buckets": ccnet_buckets_sql_oracle(),
+        "dsir_importance": dsir_importance_sql_oracle(),
         "repetition_stats": repetition_stats_sql_oracle(),
         "redact_pii": redact_pii_sql_oracle(),
         "quality_filter": quality_filter_sql_oracle(),

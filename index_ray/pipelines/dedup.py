@@ -1482,3 +1482,73 @@ def dup_span_coverage_sql_oracle(k: int = 4, min_df: int = 2) -> str:
         SELECT doc_id, n_hot_pos, covered_pos
         FROM c1 JOIN c2 USING (doc_id) ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------- soft dedup ----
+
+
+def dup_weights(sf_dir: str) -> ray.data.Dataset:
+    """Soft deduplication: instead of dropping exact duplicates, assign
+    every document a training-sampling weight inversely proportional to
+    its copy count (the SoftDeDup idea — down-weight, don't delete).
+
+    One row per document: (doc_id, n_copies, weight_ppm) with
+    weight_ppm = 1_000_000 // n_copies (integer, so the SQL oracle is
+    hash-exact).
+
+    Scale shape: one hash shuffle of (sha256, doc_id) pairs — 40 bytes a
+    document — co-locates each content group; group sizes fan back out to
+    the member rows inside the bucket with one factorize + bincount.  No
+    driver state, no join: the same single-shuffle pattern as
+    ``exact_dedup`` but emitting per-document rows instead of per-group.
+    """
+    import hashlib
+
+    from ..util import hash_groupby
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        sha = [
+            hashlib.sha256(s.encode()).hexdigest()
+            for s in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"content_sha256": pa.array(sha, pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    def per_doc(bucket: pa.Table) -> pa.Table:
+        if bucket.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_copies": pa.array([], pa.int64()),
+                    "weight_ppm": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        codes, _ = pd.factorize(bucket["content_sha256"].to_numpy(zero_copy_only=False))
+        sizes = np.bincount(codes)
+        n = sizes[codes].astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": bucket["doc_id"],
+                "n_copies": pa.array(n, pa.int64()),
+                "weight_ppm": pa.array(1_000_000 // n, pa.int64()),
+            }
+        )
+
+    signed = docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        add_sha, batch_format="pyarrow"
+    )
+    return hash_groupby(signed, ["content_sha256"], per_doc)
+
+
+def dup_weights_sql_oracle() -> str:
+    return """
+        WITH g AS (SELECT sha256(text) AS s, count(*) AS n
+                   FROM documents GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(g.n AS BIGINT) AS n_copies,
+               CAST(1000000 // g.n AS BIGINT) AS weight_ppm
+        FROM documents d JOIN g ON sha256(d.text) = g.s
+    """

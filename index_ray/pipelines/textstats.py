@@ -446,3 +446,368 @@ def lm_bigram_score_sql_oracle() -> str:
         JOIN h ON h.w1 = string_split(per.bigram, ' ')[1]
         GROUP BY per.doc_id ORDER BY per.doc_id
     """
+
+
+# --------------------------------------------------- CCNet LM buckets ----
+
+
+class _DocLMQuant:
+    """batch -> (doc_id, lang, q_milli): the unigram-LM per-token score
+    quantized to integer milli-units (floor(avg_log2p * 1000 + 0.5), the
+    same IEEE expression the SQL oracle evaluates), with the document's
+    lang carried through so the bucket pass never joins."""
+
+    def __init__(self, mode: str, logp_ref, floor: float):
+        import ray
+
+        self.norm = TokenNormalizer(mode)
+        self.logp = ray.get(logp_ref)
+        self.floor = floor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import doc_term_tf
+
+        d, tid, tf, vocab = doc_term_tf(batch["text"], self.norm)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "q_milli": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lp = np.array([self.logp.get(v, self.floor) for v in vocab], dtype=np.float64)
+        n = len(batch)
+        n_tok = np.bincount(d, weights=tf, minlength=n).astype(np.int64)
+        slp = np.bincount(d, weights=tf.astype(np.float64) * lp[tid], minlength=n)
+        mask = n_tok > 0
+        q = np.floor(slp[mask] / n_tok[mask] * 1000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "lang": pa.array(
+                    batch["lang"].to_numpy(zero_copy_only=False)[mask], pa.string()
+                ),
+                "q_milli": pa.array(q, pa.int64()),
+            }
+        )
+
+
+def ccnet_buckets(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
+    """CCNet-style per-language LM-quality bucketing (Wenzek et al. 2020):
+    score every document under the corpus unigram LM, then split each
+    language's documents into head / middle / tail thirds by score rank
+    (head = least surprising).
+
+    (doc_id, lang, q_milli, rank, bucket); token-less documents are
+    unscored and omitted (same contract as ``lm_score``).  Rank is dense
+    row_number within lang ordered by (q_milli DESC, doc_id ASC); the
+    thirds rule is floor-based: positions [0, n/3) head, [n/3, 2n/3)
+    middle, rest tail.
+
+    Scale shape: pass 1 is the ``term_stats`` partial-aggregate (vocab-
+    sized result, broadcast once); pass 2 is a stateless scoring map; the
+    bucket pass is ONE hash shuffle keyed on lang.  A single language's
+    rows must fit one reducer here (exact ranks, like the oracle); CCNet's
+    own production variant avoids that by computing the two per-lang score
+    thresholds from a sample and bucketing with a broadcast threshold
+    table — same output contract, no per-lang materialization — which is
+    the drop-in 100 TB path once exact rank ties stop mattering.
+    """
+    import ray
+
+    from ..util import hash_groupby
+    from .text import docs_dataset, term_stats
+
+    cf = term_stats(sf_dir).to_pandas()
+    if len(cf) == 0:
+        return ray.data.from_arrow(_CCNET_EMPTY)
+    total = int(cf["cf"].sum())
+    floor = float(np.log2(1.0 / np.float64(total)))
+    logp = dict(
+        zip(
+            cf["term"],
+            np.log2(cf["cf"].to_numpy().astype(np.float64) / np.float64(total)),
+        )
+    )
+    ref = ray.put(logp)
+    scored = docs_dataset(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        stage_fn(_DocLMQuant, mode, ref, floor),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    return hash_groupby(scored, ["lang"], _ccnet_rank_bucket)
+
+
+_CCNET_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "q_milli": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "bucket": pa.array([], pa.string()),
+    }
+)
+
+
+def _ccnet_rank_bucket(bucket: pa.Table) -> pa.Table:
+    """Rank-and-bucket every lang present in one shuffle bucket (a bucket
+    holds ALL rows of each lang hashed into it)."""
+    import pandas as pd
+
+    if bucket.num_rows == 0:
+        return _CCNET_EMPTY
+    ids = bucket["doc_id"].to_numpy(zero_copy_only=False)
+    q = bucket["q_milli"].to_numpy(zero_copy_only=False)
+    lang = bucket["lang"].to_numpy(zero_copy_only=False)
+    lcodes, _ = pd.factorize(lang)
+    order = np.lexsort((ids, -q, lcodes))
+    lc_s = lcodes[order]
+    starts = np.flatnonzero(np.r_[True, lc_s[1:] != lc_s[:-1]])
+    runs = np.diff(np.r_[starts, len(lc_s)])
+    rank = np.arange(len(lc_s)) - np.repeat(starts, runs) + 1
+    n = np.repeat(runs, runs)
+    r0 = rank - 1
+    buck = np.where(
+        3 * r0 < n, "head", np.where(3 * r0 < 2 * n, "middle", "tail")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "lang": pa.array(lang[order], pa.string()),
+            "q_milli": pa.array(q[order], pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+            "bucket": pa.array(buck, pa.string()),
+        }
+    )
+
+
+def ccnet_buckets_sql_oracle() -> str:
+    return """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        cf AS (SELECT term, count(*) AS cf FROM t GROUP BY term),
+        tot AS (SELECT count(*) AS total FROM t),
+        per AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY doc_id, term),
+        score AS (
+          SELECT per.doc_id,
+                 CAST(floor(sum(per.n * log2(cf.cf / tot.total))
+                            / sum(per.n) * 1000 + 0.5) AS BIGINT) AS q_milli
+          FROM per JOIN cf USING (term) CROSS JOIN tot
+          GROUP BY per.doc_id
+        ),
+        j AS (SELECT s.doc_id, d.lang, s.q_milli
+              FROM score s JOIN documents d USING (doc_id)),
+        r AS (SELECT *,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY q_milli DESC, doc_id ASC
+                     ) AS BIGINT) AS rank,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM j)
+        SELECT doc_id, lang, q_milli, rank,
+               CASE WHEN 3 * (rank - 1) < n THEN 'head'
+                    WHEN 3 * (rank - 1) < 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+    """
+
+
+# ------------------------------------------------- DSIR importance ----
+
+DSIR_BUCKETS = 1024
+
+
+def _dsir_gram_buckets(
+    batch: pa.Table, norm: TokenNormalizer, nb: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, bucket) for every unigram + bigram OCCURRENCE in the
+    batch (DSIR's hashed n-gram features).  The md5-prefix bucket hash is
+    chosen for cross-engine reproducibility with the SQL oracle (same
+    construction as ``hash_split``); a production run would swap in the
+    vectorized FNV ``hash_strings`` — only this one function changes."""
+    import hashlib
+
+    d, tid, vocab = tokenize_batch(batch["text"], norm)
+    if len(d) == 0:
+        return d[:0], np.empty(0, np.int64)
+    vb = np.array(
+        [int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % nb for v in vocab],
+        dtype=np.int64,
+    )
+    uni_d, uni_b = d, vb[tid]
+    toks = np.asarray(vocab, dtype=object)[tid]
+    n = len(toks) - 1
+    if n > 0:
+        valid = d[:n] == d[1:]
+    else:
+        valid = np.zeros(0, bool)
+    if valid.any():
+        import pandas as pd
+
+        gram = (toks[:n] + " ")[valid] + toks[1:][valid]
+        codes, uniq = pd.factorize(gram)
+        gb = np.array(
+            [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % nb for g in uniq],
+            dtype=np.int64,
+        )
+        bi_d, bi_b = d[:n][valid], gb[codes]
+    else:
+        bi_d, bi_b = d[:0], np.empty(0, np.int64)
+    return np.concatenate([uni_d, bi_d]), np.concatenate([uni_b, bi_b])
+
+
+def dsir_importance(
+    sf_dir: str, target_lang: str = "en", mode: str = "simple"
+) -> ray.data.Dataset:
+    """DSIR data-selection importance weights (Xie et al. 2023): score
+    every document by how much more likely its hashed n-gram features are
+    under the TARGET distribution (here: the ``lang == target_lang``
+    slice) than under the raw corpus distribution.
+
+    Features are unigram + bigram occurrences hashed into
+    ``DSIR_BUCKETS`` buckets; both distributions are Laplace-smoothed
+    bucket frequencies; a document's log importance weight is
+    sum over its gram occurrences of log2 p_target(b) - log2 p_raw(b).
+    Rows: (doc_id, n_grams, logw_sum, logw_avg), token-less docs omitted.
+
+    Scale shape: pass 1 emits per-batch bucket-count partials (<= 2 x
+    DSIR_BUCKETS ints per batch — feature-hashing collapses the vocab to a
+    FIXED width, which is DSIR's whole point at corpus scale); the fold is
+    a driver np.add.at over (buckets,) arrays; the weight table broadcast
+    once; pass 2 is a stateless scoring map.  No shuffle at all.
+    """
+    import ray
+
+    from .text import docs_dataset
+
+    nb = DSIR_BUCKETS
+    norm = TokenNormalizer(mode)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d, b = _dsir_gram_buckets(batch, norm, nb)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "c_raw": pa.array([], pa.int64()),
+                    "c_tgt": pa.array([], pa.int64()),
+                }
+            )
+        is_tgt = (
+            batch["lang"].to_numpy(zero_copy_only=False) == target_lang
+        )[d]
+        c_raw = np.bincount(b, minlength=nb)
+        c_tgt = np.bincount(b[is_tgt], minlength=nb)
+        nz = np.flatnonzero(c_raw)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "c_raw": pa.array(c_raw[nz], pa.int64()),
+                "c_tgt": pa.array(c_tgt[nz], pa.int64()),
+            }
+        )
+
+    parts = (
+        docs_dataset(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=512)
+        .to_pandas()
+    )
+    c_raw = np.zeros(nb, np.int64)
+    c_tgt = np.zeros(nb, np.int64)
+    if len(parts):
+        bpos = parts["bucket"].to_numpy()
+        np.add.at(c_raw, bpos, parts["c_raw"].to_numpy())
+        np.add.at(c_tgt, bpos, parts["c_tgt"].to_numpy())
+    t_raw, t_tgt = int(c_raw.sum()), int(c_tgt.sum())
+    w = np.log2((c_tgt + 1.0) / np.float64(t_tgt + nb)) - np.log2(
+        (c_raw + 1.0) / np.float64(t_raw + nb)
+    )
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        wt = _ray.get(w_ref)
+        d, b = _dsir_gram_buckets(batch, norm, nb)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "logw_sum": pa.array([], pa.float64()),
+                "logw_avg": pa.array([], pa.float64()),
+            }
+        )
+        if len(d) == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        # per-(doc, bucket) occurrence counts, then n * w — the same
+        # summation structure the SQL oracle groups by
+        key = d.astype(np.int64) * nb + b
+        ukey, cnt = np.unique(key, return_counts=True)
+        udoc = ukey // nb
+        ub = ukey % nb
+        n_grams = np.bincount(udoc, weights=cnt, minlength=n).astype(np.int64)
+        slw = np.bincount(udoc, weights=cnt * wt[ub], minlength=n)
+        mask = n_grams > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "n_grams": pa.array(n_grams[mask], pa.int64()),
+                "logw_sum": pa.array(slw[mask], pa.float64()),
+                "logw_avg": pa.array(slw[mask] / n_grams[mask], pa.float64()),
+            }
+        )
+
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(score, batch_format="pyarrow", batch_size=512)
+        .sort("doc_id")
+    )
+
+
+def dsir_importance_sql_oracle(
+    target_lang: str = "en", nb: int = DSIR_BUCKETS
+) -> str:
+    return f"""
+        WITH arr AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        uni AS (SELECT doc_id, lang, unnest(toks) AS gram FROM arr),
+        bi AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM arr
+        ),
+        g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        h AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % {nb} AS b
+          FROM g
+        ),
+        cnt AS (
+          SELECT b, count(*) AS c_raw,
+                 sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS c_tgt
+          FROM h GROUP BY b
+        ),
+        tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM cnt),
+        lr AS (
+          SELECT b, log2((c_tgt + 1.0) / (t_tgt + {nb}))
+                    - log2((c_raw + 1.0) / (t_raw + {nb})) AS w
+          FROM cnt CROSS JOIN tot
+        ),
+        per AS (SELECT doc_id, b, count(*) AS n FROM h GROUP BY doc_id, b)
+        SELECT per.doc_id,
+               CAST(sum(per.n) AS BIGINT) AS n_grams,
+               sum(per.n * lr.w) AS logw_sum,
+               sum(per.n * lr.w) / sum(per.n) AS logw_avg
+        FROM per JOIN lr USING (b)
+        GROUP BY per.doc_id ORDER BY per.doc_id
+    """

@@ -404,3 +404,125 @@ def test_semdedup_consistency_zero_violations(ray_session, tmp_path):
     t = semdedup_consistency(d, n_centroids=4, threshold=0.9).to_pydict()
     assert t["n_witness_violations"] == [0]
     assert t["n_flag_mismatches"] == [0]
+
+
+# ---------------------------------------------------------- dup_weights
+
+
+def test_dup_weights_matches_copy_counts(ray_session, tmp_path):
+    from index_ray.pipelines.dedup import dup_weights
+
+    texts = _rand_texts(40, 11)
+    # plant: 3 copies of texts[0], 2 copies of texts[5]
+    texts = texts + [texts[0], texts[0], texts[5]]
+    d = _write_docs(tmp_path, texts)
+    out = dup_weights(d).to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == len(texts)
+    from collections import Counter
+
+    counts = Counter(texts)
+    for i, t in enumerate(texts):
+        assert out.loc[i, "n_copies"] == counts[t]
+        assert out.loc[i, "weight_ppm"] == 1_000_000 // counts[t]
+
+
+# -------------------------------------------------------- ccnet_buckets
+
+
+def test_ccnet_buckets_thirds_and_rank(ray_session, tmp_path):
+    from index_ray.pipelines.textstats import ccnet_buckets
+
+    texts = _rand_texts(60, 13)
+    d = tmp_path / "docs"
+    d.mkdir()
+    langs = ["en" if i % 3 else "fr" for i in range(len(texts))]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = ccnet_buckets(str(d)).to_pandas()
+    # token-less docs omitted; everyone else bucketed
+    tokenized = [i for i, t in enumerate(texts) if re.findall(r"[a-z0-9]+", t.lower())]
+    assert sorted(out["doc_id"]) == tokenized
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values("rank")
+        n = len(g)
+        # rank is dense 1..n and ordered by (q_milli desc, doc_id asc)
+        assert list(g["rank"]) == list(range(1, n + 1))
+        key = list(zip(-g["q_milli"], g["doc_id"]))
+        assert key == sorted(key)
+        r0 = g["rank"].to_numpy() - 1
+        want = np.where(3 * r0 < n, "head", np.where(3 * r0 < 2 * n, "middle", "tail"))
+        assert list(g["bucket"]) == list(want)
+    # every lang's thirds are balanced to within one doc
+    for _, g in out.groupby("lang"):
+        sizes = g["bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+
+
+# ------------------------------------------------------ dsir_importance
+
+
+def test_dsir_importance_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.textstats import DSIR_BUCKETS, dsir_importance
+
+    texts = _rand_texts(30, 17)
+    d = tmp_path / "docs"
+    d.mkdir()
+    langs = ["en" if i % 2 else "de" for i in range(len(texts))]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = dsir_importance(str(d)).to_pandas().set_index("doc_id")
+
+    nb = DSIR_BUCKETS
+
+    def grams(t):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % nb
+
+    c_raw = np.zeros(nb, np.int64)
+    c_tgt = np.zeros(nb, np.int64)
+    per_doc = {}
+    for i, t in enumerate(texts):
+        bs = [bucket(g) for g in grams(t)]
+        per_doc[i] = bs
+        for b in bs:
+            c_raw[b] += 1
+            if langs[i] == "en":
+                c_tgt[b] += 1
+    w = np.log2((c_tgt + 1.0) / (c_tgt.sum() + nb)) - np.log2(
+        (c_raw + 1.0) / (c_raw.sum() + nb)
+    )
+    for i, bs in per_doc.items():
+        if not bs:
+            assert i not in out.index
+            continue
+        want = float(np.sum(w[bs]))
+        assert out.loc[i, "n_grams"] == len(bs)
+        assert abs(out.loc[i, "logw_sum"] - want) < 1e-9
+        assert abs(out.loc[i, "logw_avg"] - want / len(bs)) < 1e-9
+    # target-language docs should score higher on average than off-target
+    on = out.loc[[i for i in out.index if langs[i] == "en"], "logw_avg"].mean()
+    off = out.loc[[i for i in out.index if langs[i] != "en"], "logw_avg"].mean()
+    assert on > off
