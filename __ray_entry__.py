@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_weights": dedup.dup_weights,
         "ccnet_buckets": textstats.ccnet_buckets,
         "dsir_importance": textstats.dsir_importance,
+        "media_phash_dedup": multimodal.media_phash_dedup,
     }
 
 
@@ -351,7 +352,10 @@ def oracle_sql() -> dict[str, str]:
         repeated_ngrams_sql_oracle,
         dup_span_coverage_sql_oracle,
     )
-    from index_ray.pipelines.multimodal import media_consistency_sql_oracle
+    from index_ray.pipelines.multimodal import (
+        media_consistency_sql_oracle,
+        media_phash_dedup_sql_oracle,
+    )
     from index_ray.pipelines.similarity import centroid_classify_sql_oracle
     from index_ray.pipelines.textstats import (
         ccnet_buckets_sql_oracle,
@@ -686,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_weights": dup_weights_sql_oracle(),
         "ccnet_buckets": ccnet_buckets_sql_oracle(),
         "dsir_importance": dsir_importance_sql_oracle(),
+        "media_phash_dedup": media_phash_dedup_sql_oracle(),
         "repetition_stats": repetition_stats_sql_oracle(),
         "redact_pii": redact_pii_sql_oracle(),
         "quality_filter": quality_filter_sql_oracle(),

@@ -276,3 +276,154 @@ def media_consistency_sql_oracle() -> str:
                CAST(171 AS BIGINT) AS n_sampled_frames,
                CAST(857982 AS BIGINT) AS frame_bytes_sum
     """
+
+
+# ---- perceptual-hash dedup ---------------------------------------------
+
+
+def synth_media_with_dups(
+    n: int = 200, n_dups: int = 8, seed: int = 42
+) -> pa.Table:
+    """The seed-deterministic image table plus ``n_dups`` planted
+    near-duplicate rows: dup i copies image (i * 7) % n with a +-1
+    perturbation on ~1%% of its pixels (media_id = n + i) — close enough
+    that a perceptual hash must link the pair."""
+    base = synth_media_table(n, seed=seed, kind="image")
+    rows = {c: base[c].to_pylist() for c in base.column_names}
+    for i in range(n_dups):
+        src = (i * 7) % n
+        frame = decode_payload(rows["payload"][src]).astype(np.int16)
+        rng = np.random.default_rng([seed, 99, i])
+        mask = rng.random(frame.shape) < 0.01
+        noise = rng.integers(-1, 2, frame.shape, dtype=np.int16)
+        frame = np.clip(frame + mask * noise, 0, 255).astype(np.uint8)
+        rows["media_id"].append(n + i)
+        rows["kind"].append("image")
+        rows["width"].append(frame.shape[1])
+        rows["height"].append(frame.shape[0])
+        rows["channels"].append(frame.shape[2])
+        rows["n_frames"].append(1)
+        rows["payload"].append(encode_raw1(frame))
+    return pa.table(
+        {c: pa.array(rows[c], base.schema.field(c).type) for c in base.column_names}
+    )
+
+
+def ahash64(frame: np.ndarray) -> int:
+    """64-bit average hash: grayscale -> 8x8 box-mean -> bit per cell
+    (cell mean > mean of the 64 cell means).  Pure numpy, deterministic."""
+    gray = frame.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.round(np.linspace(0, h, 9)).astype(int)
+    xs = np.round(np.linspace(0, w, 9)).astype(int)
+    cells = np.empty((8, 8), np.float64)
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (cells > cells.mean()).flatten()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+
+
+class _AHashStage:
+    """payload batch -> (media_id, band, band_val, ahash) x 4 rows — the
+    16-bit-band pigeonhole blocking of ``simhash_dedup`` applied to image
+    average-hashes (Hamming <= 3 over 64 bits guarantees one exact band
+    match, so blocking recall is 1)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bands, bvals, hashes = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            hv = ahash64(decode_payload(_split_frames(payload)[0]))
+            for b in range(PHASH_BANDS):
+                ids.append(mid)
+                bands.append(b)
+                bvals.append((hv >> (16 * b)) & 0xFFFF)
+                hashes.append(hv)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_val": pa.array(bvals, pa.int32()),
+                "ahash": pa.array(np.array(hashes, np.uint64).view(np.int64)),
+            }
+        )
+
+
+def media_phash_dedup(
+    sf_dir: str, n: int = 200, n_dups: int = 8, max_hamming: int = PHASH_MAX_HAMMING
+):
+    """Near-duplicate IMAGE pairs by perceptual hash: (a, b, hamming) for
+    every pair with Hamming(ahash) <= max_hamming, a < b.
+
+    Same shuffle shape as ``dedup.simhash_dedup`` — per-image signing is an
+    actor-pool map (codec state in the stage), blocking is a 4x16-bit band
+    groupby (full recall at Hamming <= 3 by pigeonhole), the in-bucket
+    verify is the exact 64-bit XOR popcount, and a final distinct collapses
+    pairs that collide in several bands.  Only (band_val, media_id, ahash)
+    rows — 24 bytes — cross the shuffle; payload bytes never do.
+    """
+    import ray.data
+
+    from ..util import stage_fn
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["media_id"].to_numpy(zero_copy_only=False)
+        hv = group["ahash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids)
+        ids, hv = ids[order], hv[order]
+        keep_first = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ids, hv = ids[keep_first], hv[keep_first]
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = hv[ii] ^ hv[jj]
+        ham = np.zeros(len(x), np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        sel = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[ii][sel], pa.int64()),
+                "b": pa.array(ids[jj][sel], pa.int64()),
+                "hamming": pa.array(ham[sel], pa.int64()),
+            }
+        )
+
+    ds = ray.data.from_arrow(synth_media_with_dups(n, n_dups))
+    pairs = (
+        ds.map_batches(stage_fn(_AHashStage), batch_format="pyarrow", batch_size=32)
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # a pair collides in up to 4 bands — collapse to distinct rows
+    import pandas as pd
+
+    df = pairs.to_pandas().drop_duplicates().sort_values(["a", "b"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def media_phash_dedup_sql_oracle() -> str:
+    # golden rows of the seed-42 planted-duplicate table (the payloads are
+    # not SQL-decodable): each planted variant i (media_id 200 + i) links
+    # back to its source (i * 7) %% 200 at Hamming 0, and no other pair
+    # collides; brute-force all-pairs equality and planted recall are
+    # pinned in tests/test_multimodal.py
+    rows = ", ".join(f"({(i * 7) % 200}, {200 + i}, 0)" for i in range(8))
+    return f"""
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM (VALUES {rows}) t(a, b, hamming)
+    """

@@ -561,3 +561,27 @@ def test_dedup_canonical_planted(tmp_path):
     assert got["doc_id"].tolist() == [1, 2, 3]
     assert got["kept_by"].tolist() == [4, 4, 4]
     assert got["n_tokens"].tolist() == [6, 6, 6]
+
+
+def test_media_phash_dedup_planted_and_bruteforce(ray_session):
+    t = mm.media_phash_dedup("ignored", n=60, n_dups=5)
+    got = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    # every planted variant links back to its source
+    for i in range(5):
+        assert ((i * 7) % 60, 60 + i) in got
+    # brute force: all-pairs Hamming over locally computed hashes
+    tbl = mm.synth_media_with_dups(60, 5)
+    hv = {
+        mid: mm.ahash64(mm.decode_payload(p))
+        for mid, p in zip(tbl["media_id"].to_pylist(), tbl["payload"].to_pylist())
+    }
+    want = set()
+    ids = sorted(hv)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if bin(hv[ids[x]] ^ hv[ids[y]]).count("1") <= mm.PHASH_MAX_HAMMING:
+                want.add((ids[x], ids[y]))
+    assert got == want
+    # hamming column is the true distance
+    for a, b, h in zip(t["a"].to_pylist(), t["b"].to_pylist(), t["hamming"].to_pylist()):
+        assert bin(hv[a] ^ hv[b]).count("1") == h
