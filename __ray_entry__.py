@@ -64,10 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyless interval join (time-domain bucketing + interval
         # replication); term_prefix_stats (driver-green r02) demoted
         "session_concurrency": events.session_concurrency,
-        # filter-by-group-aggregate in one co-located pass (sessionize —
-        # driver-green r01+r02, its gap kernel now shared verbatim with
-        # session_concurrency above — demoted for the slot)
-        "user_outlier_events": events.user_outlier_events,
+        # CCNet-style per-language LM-quality thirds (new family: quality
+        # bucketing; user_outlier_events — driver-green r02, gap kernel
+        # shared verbatim with session_concurrency above — demoted)
+        "ccnet_buckets": textstats.ccnet_buckets,
         # round-3 search additions (msm + fuzzy) and the bottom-k sample;
         # doc_lengths / orders_by_nation / value_percentiles (driver-green
         # in r01+r02, each redundant within its family) moved past the fold
@@ -127,9 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-LM document scoring (CCNet-style quality signal; broadcast
         # log-prob table; asof_purchase_click — driver-green r02 — demoted)
         "lm_score": textstats.lm_score,
-        # bigram conditional-LM scoring (exact_dedup — driver-green r01+r02
-        # and redundant with line_dedup/simhash reps in-fold — demoted)
-        "lm_bigram_score": textstats.lm_bigram_score,
+        # DSIR hashed-n-gram importance weights (new family: importance
+        # resampling; lm_bigram_score — same LM-scoring family as lm_score
+        # above — demoted for the slot)
+        "dsir_importance": textstats.dsir_importance,
         # curation passes (C4/Gopher-style filters, scrub, mixing)
         "repetition_stats": curation.repetition_stats,
         "redact_pii": curation.redact_pii,
@@ -139,9 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r01+r02, md5-bucket kernel also pinned by hash_split in-fold)
         # demoted for the slot
         "code_stats": curation.code_stats,
-        # md5-deterministic 90/5/5 train/valid/test split summary
-        # (top_customers_by_segment — driver-green r02 — demoted)
-        "hash_split": curation.hash_split,
+        # perceptual-hash image near-dup pairs (multimodal x dedup cross —
+        # planted-pair golden rows, a stronger check than the aggregate
+        # constants of media_consistency; hash_split — its md5-bucket
+        # kernel is also exercised by group_sample in-fold — demoted)
+        "media_phash_dedup": multimodal.media_phash_dedup,
         # exactly-k-per-stratum quota sample (bm25_and_topk — driver-green
         # r02 — demoted; the AND path stays pinned by pytest + skip-seek)
         "group_sample": curation.group_sample,
@@ -225,11 +228,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
-        # round-3 additions (below the fold; oracle-backed, pytest-pinned)
+        # round-3 additions and fold demotions (below the fold; all
+        # oracle-backed and pytest-pinned)
         "dup_weights": dedup.dup_weights,
-        "ccnet_buckets": textstats.ccnet_buckets,
-        "dsir_importance": textstats.dsir_importance,
-        "media_phash_dedup": multimodal.media_phash_dedup,
+        "user_outlier_events": events.user_outlier_events,
+        "lm_bigram_score": textstats.lm_bigram_score,
+        "hash_split": curation.hash_split,
     }
 
 
