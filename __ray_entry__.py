@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions and fold demotions (below the fold; all
         # oracle-backed and pytest-pinned)
         "dup_weights": dedup.dup_weights,
+        "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
@@ -367,7 +368,10 @@ def oracle_sql() -> dict[str, str]:
         lm_bigram_score_sql_oracle,
         token_count_bpe_sql_oracle,
     )
-    from index_ray.pipelines.dedup import dup_weights_sql_oracle
+    from index_ray.pipelines.dedup import (
+        dup_weights_sql_oracle,
+        strip_dup_spans_sql_oracle,
+    )
 
     return {
         "doc_lookup": doc_lookup_sql_oracle(),
@@ -692,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": token_count_bpe_sql_oracle(),
         "lm_bigram_score": lm_bigram_score_sql_oracle(),
         "dup_weights": dup_weights_sql_oracle(),
+        "strip_dup_spans": strip_dup_spans_sql_oracle(),
         "ccnet_buckets": ccnet_buckets_sql_oracle(),
         "dsir_importance": dsir_importance_sql_oracle(),
         "media_phash_dedup": media_phash_dedup_sql_oracle(),

@@ -125,7 +125,7 @@ def run_bench() -> dict:
 
     if not FAST:
         from index_ray.pipelines import (
-            bpe, curation, dedup, flagship, sketches, similarity, text,
+            bpe, curation, dedup, flagship, sketches, similarity, text, textstats,
         )
 
         # min-of-2 per query: the first run pays the session's worker-spawn
@@ -142,6 +142,10 @@ def run_bench() -> dict:
             ("bpe_train", lambda: bpe.bpe_train(SF_DIR, n_merges=24)),
             ("line_dedup", lambda: dedup.line_dedup(SF_DIR).materialize()),
             ("dup_span_coverage", lambda: dedup.dup_span_coverage(SF_DIR).materialize()),
+            ("strip_dup_spans", lambda: dedup.strip_dup_spans(SF_DIR).materialize()),
+            ("dsir_importance", lambda: textstats.dsir_importance(SF_DIR).materialize()),
+            ("ccnet_buckets", lambda: textstats.ccnet_buckets(SF_DIR).materialize()),
+            ("semdedup", lambda: similarity.semdedup(SF_DIR).materialize()),
         ]:
             runs = []
             for _ in range(2):

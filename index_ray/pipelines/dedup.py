@@ -1393,30 +1393,6 @@ def dup_span_coverage(
     """
     from ..util import hash_groupby
 
-    def attach_hot(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        empty = pa.table(
-            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
-        )
-        if t.num_rows == 0:
-            return empty
-        codes, _ = pd.factorize(t["gram"].to_numpy(zero_copy_only=False))
-        doc = t["doc_id"].to_numpy()
-        order = np.lexsort((doc, codes))
-        c2, d2 = codes[order], doc[order]
-        newpair = np.concatenate([[True], (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])])
-        df = np.bincount(c2[newpair], minlength=codes.max() + 1)
-        hot = df[codes] >= min_df
-        if not hot.any():
-            return empty
-        return pa.table(
-            {
-                "doc_id": t["doc_id"].filter(pa.array(hot)),
-                "pos": t["pos"].filter(pa.array(hot)),
-            }
-        )
-
     def cover_fold(t: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -1453,8 +1429,41 @@ def dup_span_coverage(
     grams = docs_dataset(sf_dir, columns=["doc_id", "text"]).map_batches(
         stage_fn(_GramPosStage, k, mode), batch_format="pyarrow", batch_size=512
     )
-    hot_pos = hash_groupby(grams, ["gram"], attach_hot)
+    hot_pos = hash_groupby(grams, ["gram"], _hot_positions_fn(min_df))
     return hash_groupby(hot_pos, ["doc_id"], cover_fold)
+
+
+def _hot_positions_fn(min_df: int):
+    """Bucket kernel (gram-keyed shuffle side, shared by
+    ``dup_span_coverage`` and ``strip_dup_spans``): exact distinct-doc df
+    per gram inside the bucket, keep only positions of grams with df >=
+    min_df — (doc_id, pos) rows out."""
+
+    def attach_hot(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(t["gram"].to_numpy(zero_copy_only=False))
+        doc = t["doc_id"].to_numpy()
+        order = np.lexsort((doc, codes))
+        c2, d2 = codes[order], doc[order]
+        newpair = np.concatenate([[True], (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])])
+        df = np.bincount(c2[newpair], minlength=codes.max() + 1)
+        hot = df[codes] >= min_df
+        if not hot.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(hot)),
+                "pos": t["pos"].filter(pa.array(hot)),
+            }
+        )
+
+    return attach_hot
 
 
 def dup_span_coverage_sql_oracle(k: int = 4, min_df: int = 2) -> str:
@@ -1551,4 +1560,187 @@ def dup_weights_sql_oracle() -> str:
                CAST(g.n AS BIGINT) AS n_copies,
                CAST(1000000 // g.n AS BIGINT) AS weight_ppm
         FROM documents d JOIN g ON sha256(d.text) = g.s
+    """
+
+
+# ----------------------------------------------- span-cut transformation ----
+
+
+class _TokenPosStage:
+    """batch -> (doc_id, pos, token, is_hot=0): every token occurrence with
+    its 1-based position — the reconstruction stream ``strip_dup_spans``
+    unions with the hot-position stream before the doc-keyed shuffle."""
+
+    def __init__(self, mode: str):
+        self.norm = TokenNormalizer(mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d, tid, vocab = tokenize_batch(batch["text"], self.norm)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "is_hot": pa.array([], pa.int8()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        changes = np.concatenate([[0], np.flatnonzero(d[1:] != d[:-1]) + 1])
+        runlens = np.diff(np.concatenate([changes, [len(d)]]))
+        pos = np.arange(len(d), dtype=np.int64) - np.repeat(changes, runlens) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token": pa.array(np.asarray(vocab, dtype=object)[tid], pa.string()),
+                "is_hot": pa.array(np.zeros(len(d), np.int8)),
+            }
+        )
+
+
+def strip_dup_spans(
+    sf_dir: str, k: int = 4, min_df: int = 2, mode: str = "simple"
+) -> ray.data.Dataset:
+    """The Lee et al. span-CUT transformation (the curation pass
+    ``dup_span_coverage`` only measures): remove every token lying under a
+    k-gram that occurs in >= min_df distinct documents, and emit what
+    remains.
+
+    (doc_id, n_tokens, n_kept, kept_sha256), one row per document with >=
+    1 token; kept_sha256 = sha256 of the space-joined surviving tokens in
+    order ('' when everything was cut) — the hash stands in for the
+    rewritten text so the row stays small and the SQL oracle can recompute
+    it exactly.
+
+    Shape: the gram-keyed shuffle + exact-df hot filter is shared verbatim
+    with ``dup_span_coverage`` (``_hot_positions_fn``); the rebuild unions
+    the token stream with the (much smaller) hot-start stream and makes
+    ONE doc-keyed shuffle — interval coverage is a clipped +-1 diff array
+    over the bucket's concatenated token runs (one cumsum, no Python loop;
+    the per-doc join for the hash is the only row loop, bounded by the
+    bucket's documents)."""
+    from ..util import hash_groupby
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "kept_sha256": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        is_hot = t["is_hot"].to_numpy(zero_copy_only=False).astype(bool)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        tdoc, tpos = doc[~is_hot], pos[~is_hot]
+        toks = t["token"].to_numpy(zero_copy_only=False)[~is_hot]
+        if len(tdoc) == 0:
+            return empty
+        codes, udoc = pd.factorize(tdoc)
+        order = np.lexsort((tpos, codes))
+        codes_s, toks_s = codes[order], toks[order]
+        n_per = np.bincount(codes, minlength=len(udoc))
+        base = np.concatenate([[0], np.cumsum(n_per)])
+        total = int(base[-1])
+        diff = np.zeros(total + 1, np.int64)
+        hdoc, hpos = doc[is_hot], pos[is_hot]
+        if len(hdoc):
+            srt = np.argsort(udoc)
+            hcodes = srt[np.searchsorted(udoc, hdoc, sorter=srt)]
+            g_start = base[hcodes] + (hpos - 1)
+            g_end = base[hcodes] + np.minimum(hpos - 1 + k, n_per[hcodes])
+            np.add.at(diff, g_start, 1)
+            np.add.at(diff, g_end, -1)
+        covered = np.cumsum(diff[:total]) > 0
+        keep = ~covered
+        shas, n_kept = [], np.zeros(len(udoc), np.int64)
+        for ci in range(len(udoc)):
+            sl = slice(base[ci], base[ci + 1])
+            kept = toks_s[sl][keep[sl]]
+            n_kept[ci] = len(kept)
+            shas.append(
+                hashlib.sha256(" ".join(kept).encode()).hexdigest()
+                if len(kept)
+                else ""
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_tokens": pa.array(n_per, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "kept_sha256": pa.array(shas, pa.string()),
+            }
+        )
+
+    grams = docs_dataset(sf_dir, columns=["doc_id", "text"]).map_batches(
+        stage_fn(_GramPosStage, k, mode), batch_format="pyarrow", batch_size=512
+    )
+
+    def hot_as_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                "token": pa.array([""] * t.num_rows, pa.string()),
+                "is_hot": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    hot = hash_groupby(grams, ["gram"], _hot_positions_fn(min_df)).map_batches(
+        hot_as_rows, batch_format="pyarrow"
+    )
+    tokens = docs_dataset(sf_dir, columns=["doc_id", "text"]).map_batches(
+        stage_fn(_TokenPosStage, mode), batch_format="pyarrow", batch_size=512
+    )
+    return hash_groupby(tokens.union(hot), ["doc_id"], rebuild)
+
+
+def strip_dup_spans_sql_oracle(k: int = 4, min_df: int = 2) -> str:
+    concat = " || ' ' || ".join(f"a[i+{j}]" if j else "a[i]" for j in range(k))
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS a
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, u.i AS pos, a[u.i] AS token, len(a) AS n
+          FROM arr, unnest(range(1, len(a) + 1)) u(i)
+        ),
+        pos AS (
+          SELECT doc_id, a, unnest(range(1, len(a) - {k - 2})) AS i
+          FROM arr WHERE len(a) >= {k}
+        ),
+        g AS (SELECT doc_id, i, {concat} AS gram FROM pos),
+        dfq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        hotp AS (
+          SELECT g.doc_id, g.i FROM g JOIN dfq USING (gram)
+          WHERE dfq.df >= {min_df}
+        ),
+        cov AS (SELECT DISTINCT doc_id, i + unnest(range(0, {k})) AS p FROM hotp),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.token
+          FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+          WHERE c.p IS NULL
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 sha256(string_agg(token, ' ' ORDER BY pos)) AS kept_sha256
+          FROM kept GROUP BY doc_id
+        ),
+        nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM tok GROUP BY doc_id)
+        SELECT nn.doc_id, nn.n_tokens,
+               CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(agg.kept_sha256, '') AS kept_sha256
+        FROM nn LEFT JOIN agg USING (doc_id)
     """

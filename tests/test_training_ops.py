@@ -526,3 +526,44 @@ def test_dsir_importance_matches_bruteforce(ray_session, tmp_path):
     on = out.loc[[i for i in out.index if langs[i] == "en"], "logw_avg"].mean()
     off = out.loc[[i for i in out.index if langs[i] != "en"], "logw_avg"].mean()
     assert on > off
+
+
+# ----------------------------------------------------- strip_dup_spans
+
+
+def test_strip_dup_spans_matches_bruteforce(ray_session, tmp_path):
+    from index_ray.pipelines.dedup import strip_dup_spans
+
+    texts = _rand_texts(40, 23)
+    # plant a shared 6-token run inside two otherwise-different docs
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts[3] = "prefix one " + shared + " suffix two"
+    texts[9] = "other start " + shared + " other end"
+    d = _write_docs(tmp_path, texts)
+    k, min_df = 4, 2
+    out = strip_dup_spans(d, k=k, min_df=min_df).to_pandas().set_index("doc_id")
+
+    # brute force over the same tokenization
+    docs = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in enumerate(texts)}
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, toks in docs.items():
+        for p in range(len(toks) - k + 1):
+            gram_docs[tuple(toks[p:p + k])].add(i)
+    for i, toks in docs.items():
+        if not toks:
+            assert i not in out.index
+            continue
+        covered = np.zeros(len(toks), bool)
+        for p in range(len(toks) - k + 1):
+            if len(gram_docs[tuple(toks[p:p + k])]) >= min_df:
+                covered[p:p + k] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_kept"] == len(kept)
+        want = hashlib.sha256(" ".join(kept).encode()).hexdigest() if kept else ""
+        assert out.loc[i, "kept_sha256"] == want
+    # the planted shared run (and its k-gram margins) was cut from both docs
+    assert out.loc[3, "n_kept"] < len(docs[3])
+    assert out.loc[9, "n_kept"] < len(docs[9])
