@@ -408,11 +408,11 @@ def media_phash_dedup(
         .groupby(["band", "band_val"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    # a pair collides in up to 4 bands — collapse to distinct rows
-    import pandas as pd
+    # a pair collides in up to 4 bands — collapse to distinct rows (the
+    # house pairs_table collect: pair results are the caller-facing output)
+    from ..util import pairs_table
 
-    df = pairs.to_pandas().drop_duplicates().sort_values(["a", "b"])
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return pairs_table(pairs, extra_cols=("hamming",))
 
 
 def media_phash_dedup_sql_oracle() -> str:
