@@ -160,10 +160,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_consistency": multimodal.media_consistency,
         # nearest-centroid classification (integer-exact confusion oracle)
         "centroid_classify": similarity.centroid_classify,
-        # distributed BPE vocabulary training (rows-only: iterative argmax is
-        # not SQL-expressible; exactness pinned in tests/test_bpe.py against
-        # an independent pure-Python reference)
-        "bpe_train": _bpe_train_q,
+        # distributed BPE vocabulary training, as its consistency row: the
+        # shard-actor trainer is re-derived by an independent in-package
+        # full-rescan implementation and compared merge-for-merge (the
+        # iterative argmax itself is not SQL-expressible; bpe_train's raw
+        # merge table sits below the fold, rows-only, and its pytest checks
+        # against a THIRD independent reference stay pinned)
+        "bpe_consistency": _bpe_consistency_q,
         # ---- position 51+ (driver-unchecked variants; all still pytest- and
         # ---- tools/check_oracles.py-covered) -------------------------------
         # bm25_prefix_topk/not_topk/topk_meta were driver-green in r02, as
@@ -230,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": multimodal.video_frame_sample,
         # round-3 additions and fold demotions (below the fold; all
         # oracle-backed and pytest-pinned)
+        "bpe_train": _bpe_train_q,
         "dup_weights": dedup.dup_weights,
         "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
@@ -242,6 +246,12 @@ def _bpe_train_q(sf_dir: str):
     from index_ray.pipelines.bpe import bpe_train
 
     return bpe_train(sf_dir, n_merges=24)
+
+
+def _bpe_consistency_q(sf_dir: str):
+    from index_ray.pipelines.bpe import bpe_consistency
+
+    return bpe_consistency(sf_dir, n_merges=24)
 
 
 def _language_id_sql() -> str:
@@ -559,6 +569,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "media_consistency": media_consistency_sql_oracle(),
+        # Constant like the *_consistency family: the distributed BPE merge
+        # table is re-derived by an independent in-package full-rescan
+        # implementation and compared merge-for-merge inside the query; a
+        # third independent reference lives in tests/test_bpe.py.
+        "bpe_consistency": """
+            SELECT CAST(0 AS BIGINT) AS n_rank_mismatches,
+                   CAST(0 AS BIGINT) AS n_count_mismatches
+        """,
         # Constant like the *_knn_consistency family: both counts are
         # engine-recomputed invariants (distributed witness re-verify +
         # independent per-cluster flag re-derivation); the discriminating

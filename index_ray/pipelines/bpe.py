@@ -218,3 +218,82 @@ def bpe_train(
             "count": pa.array([n for _, _, _, n in ranks], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------ consistency row ----
+
+
+def _reference_bpe(word_counts, n_merges: int, min_count: int = 2):
+    """Independent full-rescan BPE (no delta optimization, no shards, no
+    Arrow) used only by :func:`bpe_consistency` — a second implementation
+    of the spec, deliberately sharing no code with the distributed path."""
+    syms = [(list(w), int(n)) for w, n in word_counts.items() if len(w) >= 2]
+    merges = []
+    for r in range(n_merges):
+        counts: Counter = Counter()
+        for sym, n in syms:
+            for p in zip(sym, sym[1:]):
+                counts[p] += n
+        if not counts:
+            break
+        best = max(counts.values())
+        if best < min_count:
+            break
+        left, right = min(p for p, n in counts.items() if n == best)
+        merges.append((r, left, right, best))
+        for i, (sym, n) in enumerate(syms):
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == left and sym[j + 1] == right:
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            syms[i] = (out, n)
+    return merges
+
+
+def bpe_consistency(sf_dir: str, n_merges: int = 24) -> pa.Table:
+    """Recompute-and-count check for ``bpe_train`` (constant oracle like
+    the *_consistency family): the distributed shard-actor trainer and an
+    independent single-process full-rescan implementation must produce the
+    IDENTICAL merge table — same ranks, same (left, right) pairs, same
+    counts.  One row: (n_rank_mismatches, n_count_mismatches), both 0.
+
+    The reference pass reads the documents table directly and runs on the
+    driver — this op is the verification harness, not the scale path (the
+    scale path is ``bpe_train`` itself)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    engine = bpe_train(sf_dir, n_merges=n_merges)
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    pat = re.compile(BPE_PATTERN)
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(pat.findall(t))
+    ref = _reference_bpe(wc, n_merges)
+    eng = list(
+        zip(
+            engine["rank"].to_pylist(),
+            engine["left"].to_pylist(),
+            engine["right"].to_pylist(),
+            engine["count"].to_pylist(),
+        )
+    )
+    n_rank = sum(
+        1
+        for (er, el, eri, _), (rr, rl, rri, _) in zip(eng, ref)
+        if (er, el, eri) != (rr, rl, rri)
+    ) + abs(len(eng) - len(ref))
+    n_count = sum(1 for e, r in zip(eng, ref) if e[3] != r[3])
+    return pa.table(
+        {
+            "n_rank_mismatches": pa.array([n_rank], pa.int64()),
+            "n_count_mismatches": pa.array([n_count], pa.int64()),
+        }
+    )

@@ -88,3 +88,11 @@ def test_bpe_early_stop(tmp_path):
     pq.write_table(t, str(d / "documents.parquet"))
     got = bpe_train(str(d), n_merges=10, min_count=2).to_pylist()
     assert [(r["left"], r["right"], r["count"]) for r in got] == [("a", "b", 2)]
+
+
+def test_bpe_consistency_zero_mismatches(ray_session):
+    from index_ray.pipelines.bpe import bpe_consistency
+
+    t = bpe_consistency(SF, n_merges=12).to_pydict()
+    assert t["n_rank_mismatches"] == [0]
+    assert t["n_count_mismatches"] == [0]
