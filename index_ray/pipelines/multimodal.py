@@ -373,6 +373,17 @@ def media_phash_dedup(
     from ..util import stage_fn
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        from ..functions.minhash import hamming64
+
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
         ids = group["media_id"].to_numpy(zero_copy_only=False)
         hv = group["ahash"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids)
@@ -380,19 +391,9 @@ def media_phash_dedup(
         keep_first = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
         ids, hv = ids[keep_first], hv[keep_first]
         if len(ids) < 2:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         ii, jj = np.triu_indices(len(ids), k=1)
-        x = hv[ii] ^ hv[jj]
-        ham = np.zeros(len(x), np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
+        ham = hamming64(hv[ii], hv[jj])
         sel = ham <= max_hamming
         return pa.table(
             {
@@ -420,7 +421,8 @@ def media_phash_dedup_sql_oracle() -> str:
     # not SQL-decodable): each planted variant i (media_id 200 + i) links
     # back to its source (i * 7) %% 200 at Hamming 0, and no other pair
     # collides; brute-force all-pairs equality and planted recall are
-    # pinned in tests/test_multimodal.py
+    # pinned in tests/test_pipelines.py::
+    # test_media_phash_dedup_planted_and_bruteforce
     rows = ", ".join(f"({(i * 7) % 200}, {200 + i}, 0)" for i in range(8))
     return f"""
         SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

@@ -85,11 +85,13 @@ class _DocTokenStats:
         )
 
 
-def term_stats(sf_dir: str) -> ray.data.Dataset:
+def term_stats(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
     """(term, cf, df) — reference A1 (getUseCount) + A2 (documentCount)."""
     return (
         docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(stage_fn(_TermPartials), batch_format="pyarrow", batch_size=512)
+        .map_batches(
+            stage_fn(_TermPartials, mode), batch_format="pyarrow", batch_size=512
+        )
         .groupby("term")
         .aggregate(Sum("cf_part", alias_name="cf"), Sum("df_part", alias_name="df"))
     )

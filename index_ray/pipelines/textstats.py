@@ -264,7 +264,7 @@ def lm_score(
 
     from .text import term_stats
 
-    cf = term_stats(sf_dir).to_pandas()
+    cf = term_stats(sf_dir, mode).to_pandas()
     if len(cf) == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -506,6 +506,14 @@ def ccnet_buckets(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
     thirds rule is floor-based: positions [0, n/3) head, [n/3, 2n/3)
     middle, rest tail.
 
+    Quantization note: q_milli = floor(avg * 1000 + 0.5) is an exact-
+    compared integer derived from float math evaluated independently by
+    numpy and DuckDB; both sum the identical per-(doc, term) summands, so
+    the residual risk is a 1-ulp summation-order difference landing within
+    ~2e-13 of an integer boundary — accepted (same trade as
+    centroid_classify's integer quantization, which uses the identical
+    floor(x * scale + 0.5) construction).
+
     Scale shape: pass 1 is the ``term_stats`` partial-aggregate (vocab-
     sized result, broadcast once); pass 2 is a stateless scoring map; the
     bucket pass is ONE hash shuffle keyed on lang.  A single language's
@@ -520,7 +528,7 @@ def ccnet_buckets(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
     from ..util import hash_groupby
     from .text import docs_dataset, term_stats
 
-    cf = term_stats(sf_dir).to_pandas()
+    cf = term_stats(sf_dir, mode).to_pandas()
     if len(cf) == 0:
         return ray.data.from_arrow(_CCNET_EMPTY)
     total = int(cf["cf"].sum())
