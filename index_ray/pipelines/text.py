@@ -29,7 +29,26 @@ STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
 
 def docs_dataset(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    """The documents table as a Dataset with column pruning.
+
+    Parquet is the native format (`documents.parquet`); a directory that
+    instead carries `documents.jsonl` / `documents.csv` is read through
+    the matching Ray Data connector (projection applied post-read — those
+    row formats cannot prune at the scan, which is why Parquet is the
+    scale path)."""
+    import os
+
+    pq_path = f"{sf_dir}/documents.parquet"
+    if os.path.exists(pq_path) or not os.path.isdir(sf_dir):
+        return ray.data.read_parquet(pq_path, columns=columns)
+    jl = f"{sf_dir}/documents.jsonl"
+    if os.path.exists(jl):
+        ds = ray.data.read_json(jl)
+    elif os.path.exists(f"{sf_dir}/documents.csv"):
+        ds = ray.data.read_csv(f"{sf_dir}/documents.csv")
+    else:
+        return ray.data.read_parquet(pq_path, columns=columns)
+    return ds.select_columns(list(columns)) if columns else ds
 
 
 class _TermPartials:

@@ -567,3 +567,35 @@ def test_strip_dup_spans_matches_bruteforce(ray_session, tmp_path):
     # the planted shared run (and its k-gram margins) was cut from both docs
     assert out.loc[3, "n_kept"] < len(docs[3])
     assert out.loc[9, "n_kept"] < len(docs[9])
+
+
+# ------------------------------------------------ alt document sources
+
+
+def test_docs_dataset_reads_jsonl_and_csv(ray_session, tmp_path):
+    import json
+
+    from index_ray.pipelines.text import docs_dataset, term_stats
+
+    texts = ["the cat sat", "the dog ran", ""]
+    rows = [
+        {"doc_id": i, "text": t, "lang": "en", "source": "t", "n_chars": len(t)}
+        for i, t in enumerate(texts)
+    ]
+    jd = tmp_path / "jl"
+    jd.mkdir()
+    with open(jd / "documents.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cd = tmp_path / "cs"
+    cd.mkdir()
+    with open(cd / "documents.csv", "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        for r in rows:
+            f.write(f"{r['doc_id']},\"{r['text']}\",en,t,{r['n_chars']}\n")
+    for d in (str(jd), str(cd)):
+        got = docs_dataset(d, ["doc_id", "text"]).to_pandas()
+        assert sorted(got.columns) == ["doc_id", "text"]
+        assert len(got) == 3
+        ts = term_stats(d).to_pandas().set_index("term")
+        assert ts.loc["the", "cf"] == 2 and ts.loc["the", "df"] == 2
