@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed and pytest-pinned)
         "bpe_train": _bpe_train_q,
         "dup_weights": dedup.dup_weights,
+        "split_leakage": curation.split_leakage,
         "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
         "lm_bigram_score": textstats.lm_bigram_score,
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
         sequence_pack_sql_oracle,
+        split_leakage_sql_oracle,
     )
     from index_ray.pipelines.dedup import (
         hot_ngrams_sql_oracle,
@@ -730,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         # bloom variant is output-identical to the exact pass by construction
         "decontaminate_bloom": decontaminate_sql_oracle(),
         "epoch_mix": epoch_mix_sql_oracle(),
+        "split_leakage": split_leakage_sql_oracle(),
         "sequence_pack": sequence_pack_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1379,3 +1379,106 @@ def code_stats_sql_oracle() -> str:
                CAST(line_ok * alnum_ok * digit_ok AS BIGINT) AS keep
         FROM f
     """
+
+
+def split_leakage(sf_dir: str) -> pa.Table:
+    """Exact-duplicate leakage across the ``hash_split`` train/valid/test
+    boundaries — the "is my eval set contaminated by byte-identical train
+    documents" check every split pipeline should run.
+
+    One row per eval split: (split, n_docs, n_leaked_docs) where a
+    valid/test document is LEAKED when some train document has the
+    identical text (sha256 equality, the same key ``exact_dedup`` groups
+    by).
+
+    Shape: one hash shuffle of (sha256, doc_id-split) rows; each content
+    group decides has-train membership locally and emits per-split partial
+    counts (2 ints per split per bucket), folded on the driver.
+    """
+    from ..util import hash_groupby
+
+    def sha_split(batch: pa.Table) -> pa.Table:
+        sha = [
+            hashlib.sha256(s.encode()).hexdigest()
+            for s in batch["text"].to_pylist()
+        ]
+        a = _split_assign(batch)
+        return pa.table(
+            {"content_sha256": pa.array(sha, pa.string()), "split": a["split"]}
+        )
+
+    def leak_partial(bucket: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "split": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_leaked_docs": pa.array([], pa.int64()),
+            }
+        )
+        if bucket.num_rows == 0:
+            return empty
+        codes, _ = pd.factorize(
+            bucket["content_sha256"].to_numpy(zero_copy_only=False)
+        )
+        split = bucket["split"].to_numpy(zero_copy_only=False)
+        has_train = np.zeros(codes.max() + 1, bool)
+        np.logical_or.at(has_train, codes, split == "train")
+        rows = {"split": [], "n_docs": [], "n_leaked_docs": []}
+        for name in ("test", "valid"):
+            sel = split == name
+            rows["split"].append(name)
+            rows["n_docs"].append(int(sel.sum()))
+            rows["n_leaked_docs"].append(int((sel & has_train[codes]).sum()))
+        return pa.table(
+            {
+                "split": pa.array(rows["split"], pa.string()),
+                "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                "n_leaked_docs": pa.array(rows["n_leaked_docs"], pa.int64()),
+            }
+        )
+
+    src = docs_dataset(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        sha_split, batch_format="pyarrow"
+    )
+    parts = hash_groupby(src, ["content_sha256"], leak_partial).to_pandas()
+    agg = (
+        parts.groupby("split", as_index=False)[["n_docs", "n_leaked_docs"]]
+        .sum()
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "split": pa.array(agg["split"], pa.string()),
+            "n_docs": pa.array(agg["n_docs"].astype("int64"), pa.int64()),
+            "n_leaked_docs": pa.array(
+                agg["n_leaked_docs"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+def split_leakage_sql_oracle() -> str:
+    return """
+        WITH h AS (
+          SELECT doc_id, sha256(text) AS s,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS b
+          FROM documents
+        ),
+        sp AS (
+          SELECT doc_id, s,
+                 CASE WHEN b < 90 THEN 'train'
+                      WHEN b < 95 THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM h
+        ),
+        tr AS (SELECT DISTINCT s FROM sp WHERE split = 'train')
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN s IN (SELECT s FROM tr) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaked_docs
+        FROM sp WHERE split <> 'train'
+        GROUP BY split ORDER BY split
+    """

@@ -399,3 +399,46 @@ def test_code_stats_matches_duckdb():
     theirs = con.sql(code_stats_sql_oracle()).df().sort_values("doc_id").reset_index(drop=True)
     for c in ours.columns:
         assert (ours[c].to_numpy() == theirs[c].to_numpy()).all(), c
+
+
+def test_split_leakage_matches_bruteforce(ray_session, tmp_path):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.curation import split_leakage
+
+    # texts engineered so identical content crosses split boundaries:
+    # every 10th doc shares text "dup-block"
+    texts = [("dup-block" if i % 10 == 0 else f"unique text {i}") for i in range(300)]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = split_leakage(str(d)).to_pandas().set_index("split")
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 90 else ("valid" if b < 95 else "test")
+
+    splits = {i: split_of(i) for i in range(len(texts))}
+    train_texts = {texts[i] for i, s in splits.items() if s == "train"}
+    for name in ("valid", "test"):
+        ids = [i for i, s in splits.items() if s == name]
+        leaked = [i for i in ids if texts[i] in train_texts]
+        assert out.loc[name, "n_docs"] == len(ids)
+        assert out.loc[name, "n_leaked_docs"] == len(leaked)
+    # the engineered dup-block must actually leak somewhere
+    assert out["n_leaked_docs"].sum() > 0
