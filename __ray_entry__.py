@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": flagship.search_snippets,
         "bm25_head_boost": flagship.bm25_head_boost,
         "bm25_field_scoped": flagship.bm25_field_scoped,
+        "more_like_this": flagship.more_like_this,
         "decontaminate": curation.decontaminate,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_style_boost_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
+        more_like_this_sql_oracle,
         bm25_scores_sql_oracle,
         bm25_sql_oracle,
         doc_lookup_sql_oracle,
@@ -403,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),
         "bm25_topk_meta": bm25_meta_sql_oracle(),
         "bm25_facets": bm25_facets_sql_oracle(),
+        "more_like_this": more_like_this_sql_oracle(),
         "phrase_match": phrase_sql_oracle(),
         "field_term_stats": field_term_stats_sql_oracle(),
         "index_terms": f"""

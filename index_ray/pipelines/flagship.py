@@ -361,6 +361,131 @@ def bm25_facets_sql_oracle() -> str:
     """
 
 
+# More-Like-This fixtures: (qid, source doc_id).  doc_ids < 500 so the
+# fixture resolves at every testdata scale factor.
+MLT_SOURCES: list[tuple[int, int]] = [(1, 17), (2, 230), (3, 342)]
+MLT_TERMS = 5  # query = the source doc's top-5 tf·idf terms
+MLT_K = 10
+
+
+def more_like_this(sf_dir: str) -> pa.Table:
+    """Find-similar-documents (Lucene MoreLikeThis semantics): the query is
+    the source document itself — its top ``MLT_TERMS`` terms by
+    ``tf(t, src) · idf(t)`` (ties broken by term ASC) become a BM25 OR
+    query, and the source document is excluded from the ranked result.
+
+    Distribution shape: term selection is a driver-side probe (one doc's
+    tf map × one resident-lexicon ``idf()`` lookup — O(|doc|), no corpus
+    pass); the ranking itself runs through the same shard-actor scorer as
+    every other BM25 entry.  The reference supports this implicitly via
+    its exported statistics (A1–A4, ``/root/reference/index.h``): cf/df +
+    per-doc tf are exactly the inputs MLT needs.
+    """
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from ..functions.tokenize import split_tokens
+
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    src_ids = [d for _, d in MLT_SOURCES]
+    tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(src_ids)
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    queries = []
+    for _qid, did in MLT_SOURCES:
+        toks = [t for t in split_tokens(pa.array([texts[did]]), "simple")[0].as_py() if t]
+        tf = Counter(toks)
+        dfidf = searcher.lexicon.idf(sorted(tf))
+        ordered = sorted(((-(tf[t] * idf), t) for t, (_df, idf) in dfidf.items()))
+        qterms = [t for _, t in ordered[:MLT_TERMS]]
+        queries.append((" ".join(qterms), MLT_K + 1))  # +1: src doc slot
+    results = searcher.search_many(queries)
+    tables = []
+    for (qid, did), r in zip(MLT_SOURCES, results):
+        docs = r["docID"].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(docs != did)[:MLT_K]
+        rr = r.take(pa.array(keep))
+        tables.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(len(rr), qid, dtype=np.int64)),
+                    "rank": pa.array(np.arange(1, len(rr) + 1, dtype=np.int64)),
+                    "doc_id": rr["docID"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def more_like_this_sql_oracle() -> str:
+    src_values = ", ".join(f"({qid}, {did})" for qid, did in MLT_SOURCES)
+    return _corpus_ctes() + f""",
+src(qid, src_doc) AS (VALUES {src_values}),
+cand AS (
+  SELECT src.qid, tf.term,
+         tf.tf * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) AS w
+  FROM src
+  JOIN tf ON tf.doc_id = src.src_doc
+  JOIN df USING (term)
+  CROSS JOIN stats
+),
+q AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {MLT_TERMS}
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+kept AS (
+  SELECT s.* FROM scored s JOIN src ON src.qid = s.qid
+  WHERE s.doc_id <> src.src_doc
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM kept
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= {MLT_K}"""
+
+
+def _corpus_ctes(doc_where: str = "") -> str:
+    """Shared corpus CTEs: tokenize ``documents`` exactly like the engine's
+    ``simple`` tokenizer (lower + split on ``[^a-z0-9]+``) and derive the
+    BM25 statistic tables — per-doc term frequencies (``tf``), doc lengths
+    (``dl``), corpus N/avgdl (``stats``) and document frequencies (``df``)."""
+    where = f"WHERE {doc_where}" if doc_where else ""
+    return f"""
+WITH d0 AS (SELECT * FROM documents {where}),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM d0
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM d0) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM d0) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term)"""
+
+
 def _bm25_ctes(
     conjunctive: bool = False,
     queries: list[tuple[int, list[str], int]] | None = None,
@@ -416,20 +541,7 @@ kept AS (
   WHERE e.doc_id IS NULL
 )"""
         ranked_src = "kept"
-    where = f"WHERE {doc_where}" if doc_where else ""
-    return f"""
-WITH d0 AS (SELECT * FROM documents {where}),
-tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
-  FROM d0
-), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-stats AS (
-  SELECT (SELECT count(*) FROM d0) AS n,
-         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM d0) AS avgdl
-),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+    return _corpus_ctes(doc_where) + f""",
 {q_cte},
 scored AS (
   SELECT q.qid, tf.doc_id,

@@ -585,3 +585,30 @@ def test_media_phash_dedup_planted_and_bruteforce(ray_session):
     # hamming column is the true distance
     for a, b, h in zip(t["a"].to_pylist(), t["b"].to_pylist(), t["hamming"].to_pylist()):
         assert bin(hv[a] ^ hv[b]).count("1") == h
+
+
+def test_more_like_this_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.flagship import (
+        MLT_K,
+        MLT_SOURCES,
+        more_like_this,
+        more_like_this_sql_oracle,
+    )
+
+    got = more_like_this(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(more_like_this_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the source document itself must never appear in its own result
+    for qid, did in MLT_SOURCES:
+        sub = got[got["qid"] == qid]
+        assert did not in set(sub["doc_id"])
+        assert len(sub) == MLT_K
+        assert list(sub["rank"]) == list(range(1, MLT_K + 1))
