@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _bpe_train_q,
         "dup_weights": dedup.dup_weights,
         "split_leakage": curation.split_leakage,
+        "quality_deciles": curation.quality_deciles,
         "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
         "lm_bigram_score": textstats.lm_bigram_score,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         epoch_mix_sql_oracle,
         sequence_pack_sql_oracle,
         split_leakage_sql_oracle,
+        quality_deciles_sql_oracle,
     )
     from index_ray.pipelines.dedup import (
         hot_ngrams_sql_oracle,
@@ -736,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": decontaminate_sql_oracle(),
         "epoch_mix": epoch_mix_sql_oracle(),
         "split_leakage": split_leakage_sql_oracle(),
+        "quality_deciles": quality_deciles_sql_oracle(),
         "sequence_pack": sequence_pack_sql_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

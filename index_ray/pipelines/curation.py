@@ -1482,3 +1482,68 @@ def split_leakage_sql_oracle() -> str:
         FROM sp WHERE split <> 'train'
         GROUP BY split ORDER BY split
     """
+
+
+def quality_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide quality ranking: every document gets its global
+    ``row_number()`` and ``ntile(10)`` decile by an integer quality score
+    (token density: simple-tokens per 1000 chars) — the
+    window-function-over-distributed-sort primitive
+    (``util.global_row_number``): ONE range sort, one integer per block to
+    the driver, then an independent per-block rewrite.  The ordering
+    (q_milli DESC, doc_id ASC) is total, so ranks and deciles are
+    deterministic and hash-comparable against SQL row_number/ntile.
+
+    At 100 TB this is the shape a curriculum/quality-pruning pass needs:
+    the sort is the one unavoidable all-to-all over a NARROW (doc_id,
+    score) projection — document text never moves.
+    """
+    from ..util import global_row_number
+
+    norm = TokenNormalizer("simple")
+
+    def score(batch: pa.Table) -> pa.Table:
+        d, _tid, _vocab = tokenize_batch(batch["text"], norm)
+        n = len(batch)
+        n_tok = np.bincount(d, minlength=n).astype(np.int64)
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.where(n_chars > 0, (1000 * n_tok) // np.maximum(n_chars, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "q_milli": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = docs_dataset(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        score, batch_format="pyarrow", batch_size=1024
+    )
+    return global_row_number(
+        ds,
+        ["q_milli", "doc_id"],
+        [True, False],
+        out_col="rn",
+        ntiles=10,
+        tile_col="decile",
+    )
+
+
+def quality_deciles_sql_oracle() -> str:
+    return """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        cnt AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id),
+        f AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.n_chars > 0
+                      THEN (1000 * coalesce(c.n_tok, 0)) // d.n_chars
+                      ELSE 0 END AS q_milli
+          FROM documents d LEFT JOIN cnt c USING (doc_id)
+        )
+        SELECT doc_id, CAST(q_milli AS BIGINT) AS q_milli,
+               CAST(row_number() OVER (ORDER BY q_milli DESC, doc_id ASC) AS BIGINT) AS rn,
+               CAST(ntile(10) OVER (ORDER BY q_milli DESC, doc_id ASC) AS BIGINT) AS decile
+        FROM f
+    """

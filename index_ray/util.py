@@ -140,6 +140,79 @@ def _block_scan(block, val_col: str, out_col: str, offset: int) -> pa.Table:
     return t.append_column(out_col, pa.array(run, pa.int64()))
 
 
+@ray.remote
+def _block_rownum(
+    block, out_col: str, offset: int, total: int, ntiles: int | None, tile_col: str
+) -> pa.Table:
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    rn = offset + np.arange(1, t.num_rows + 1, dtype=np.int64)
+    t = t.append_column(out_col, pa.array(rn, pa.int64()))
+    if ntiles:
+        # SQL-exact ntile: the first (total % b) tiles hold ceil(total/b)
+        # rows, the rest floor(total/b)
+        small, r = divmod(total, ntiles)
+        big = small + 1
+        boundary = r * big
+        tile = np.where(
+            rn <= boundary,
+            (rn - 1) // big + 1,
+            r + (rn - boundary - 1) // max(small, 1) + 1,
+        ).astype(np.int64)
+        t = t.append_column(tile_col, pa.array(tile, pa.int64()))
+    return t
+
+
+def global_row_number(
+    ds,
+    sort_cols: list[str],
+    descending: list[bool],
+    out_col: str = "rn",
+    ntiles: int | None = None,
+    tile_col: str = "tile",
+):
+    """``row_number() OVER (ORDER BY ...)`` — optionally plus ``ntile(b)``
+    over the same ordering — as a distributed window primitive.
+
+    Phase 0 is the range sort (the only all-to-all; Ray Data's sort yields
+    globally ordered blocks).  Phase 1 reads ONE integer per block (its
+    row count); the driver cumsums that tiny vector into exclusive
+    offsets.  Phase 2 rewrites each block independently: rank = offset +
+    local index, and the SQL-exact ntile falls out of (rank, total)
+    arithmetic.  Same two-narrow-pass shape as ``ordered_prefix_sum``;
+    driver state is one int per block — window-over-sort-scale-safe.
+    ``sort_cols`` must be a total order (include a unique tiebreak column)
+    for the result to be deterministic.
+    """
+    ds = ds.sort(sort_cols, descending=descending)
+    blocks = [
+        b
+        for bundle in ds.iter_internal_ref_bundles()
+        for b in bundle.block_refs
+    ]
+    counts = ray.get([_block_rows.remote(b) for b in blocks]) if blocks else []
+    live = [(b, c) for b, c in zip(blocks, counts) if c]
+    if not live:
+        empty = pa.table(
+            {"__none__": pa.array([], pa.int64())}
+        ).drop_columns(["__none__"])
+        return ray.data.from_arrow(empty)
+    cs = np.array([c for _, c in live], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(cs)[:-1]])
+    total = int(cs.sum())
+    return ray.data.from_arrow_refs(
+        [
+            _block_rownum.remote(b, out_col, int(o), total, ntiles, tile_col)
+            for (b, _), o in zip(live, offs)
+        ]
+    )
+
+
+@ray.remote
+def _block_rows(block) -> int:
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    return t.num_rows
+
+
 def ordered_prefix_sum(ds, key: str, val_col: str, out_col: str):
     """EXCLUSIVE prefix sum of ``val_col`` over ``ds`` ordered by ``key`` —
     the classic two-phase distributed scan.

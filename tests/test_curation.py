@@ -442,3 +442,68 @@ def test_split_leakage_matches_bruteforce(ray_session, tmp_path):
         assert out.loc[name, "n_leaked_docs"] == len(leaked)
     # the engineered dup-block must actually leak somewhere
     assert out["n_leaked_docs"].sum() > 0
+
+
+def test_global_row_number_ntile_matches_duckdb(ray_session):
+    """Exercise the ntile remainder math (n % b != 0) and n < b, which the
+    500-row testdata (500 % 10 == 0) never hits."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from index_ray.util import global_row_number
+
+    rng = np.random.default_rng(7)
+    for n, b in [(303, 10), (7, 10), (64, 3), (1, 5)]:
+        vals = rng.integers(0, 50, n)  # heavy ties: tiebreak column matters
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "v": pa.array(vals.astype(np.int64)),
+            }
+        )
+        got = (
+            global_row_number(
+                ray.data.from_arrow(t).repartition(4),
+                ["v", "id"],
+                [True, False],
+                out_col="rn",
+                ntiles=b,
+                tile_col="tile",
+            )
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.sql(
+            f"""SELECT id, v,
+                   CAST(row_number() OVER (ORDER BY v DESC, id ASC) AS BIGINT) AS rn,
+                   CAST(ntile({b}) OVER (ORDER BY v DESC, id ASC) AS BIGINT) AS tile
+                FROM t ORDER BY rn"""
+        ).df()
+        for c in ("id", "v", "rn", "tile"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), (n, b, c)
+
+
+def test_quality_deciles_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.curation import (
+        quality_deciles,
+        quality_deciles_sql_oracle,
+    )
+
+    got = quality_deciles("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(quality_deciles_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
