@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_head_boost": flagship.bm25_head_boost,
         "bm25_field_scoped": flagship.bm25_field_scoped,
         "more_like_this": flagship.more_like_this,
+        "spell_suggest": flagship.spell_suggest,
         "decontaminate": curation.decontaminate,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
@@ -319,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
         more_like_this_sql_oracle,
+        spell_suggest_sql_oracle,
         bm25_scores_sql_oracle,
         bm25_sql_oracle,
         doc_lookup_sql_oracle,
@@ -408,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_meta": bm25_meta_sql_oracle(),
         "bm25_facets": bm25_facets_sql_oracle(),
         "more_like_this": more_like_this_sql_oracle(),
+        "spell_suggest": spell_suggest_sql_oracle(),
         "phrase_match": phrase_sql_oracle(),
         "field_term_stats": field_term_stats_sql_oracle(),
         "index_terms": f"""

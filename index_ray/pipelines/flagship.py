@@ -1287,3 +1287,81 @@ def search_snippets_sql_oracle(w: int = 3) -> str:
                             least(len(a.toks), f.p + {w})), ' ') AS snippet
         FROM firstpos f JOIN arr a USING (doc_id)
     """
+
+
+# did-you-mean fixtures: misspellings of corpus vocabulary terms ("spart"
+# is deliberately ambiguous — lev<=1 of both "spark" and "part"; "zzz"
+# matches nothing, pinning the empty path)
+SPELL_QUERIES: list[str] = [
+    "custoner", "ky", "qery", "sor", "spart", "windoww", "zzz",
+]
+SPELL_TOPN = 3
+
+
+def spell_suggest(sf_dir: str) -> pa.Table:
+    """Did-you-mean suggestions: for each query term, every lexicon term
+    within Levenshtein distance <= 1, ranked by collection frequency
+    (cf DESC, term ASC), top ``SPELL_TOPN``.
+
+    Candidate generation is the SymSpell deletion-neighborhood probe over
+    the driver-resident lexicon (``Lexicon.fuzzy_terms`` — the same
+    expansion the fuzzy BM25 mode uses); popularity comes from ONE
+    term-filtered read of the merged lexicon parquet (cf = A1 of the
+    reference's exported statistics, ``/root/reference/index.h``).  No
+    corpus pass: work is O(|query| x deletion-neighborhood).
+    """
+    import pyarrow.dataset as pads
+
+    from .build import load_stats
+    from .query import Lexicon
+
+    out = documents_index(sf_dir)
+    lex = Lexicon(out, load_stats(out)["N"])
+    cands = {q: lex.fuzzy_terms(q) for q in SPELL_QUERIES}
+    all_terms = sorted({t for ts in cands.values() for t in ts})
+    lex_files = sorted(glob.glob(os.path.join(out, "lexicon", "*.parquet")))
+    cf_tbl = pads.dataset(lex_files).to_table(
+        columns=["term", "cf"], filter=pads.field("term").isin(all_terms)
+    )
+    cf = dict(zip(cf_tbl["term"].to_pylist(), cf_tbl["cf"].to_pylist()))
+    rows = {"qterm": [], "rank": [], "suggestion": [], "cf": []}
+    for q in SPELL_QUERIES:
+        ranked = sorted(cands[q], key=lambda t: (-cf[t], t))[:SPELL_TOPN]
+        for i, t in enumerate(ranked, 1):
+            rows["qterm"].append(q)
+            rows["rank"].append(i)
+            rows["suggestion"].append(t)
+            rows["cf"].append(cf[t])
+    return pa.table(
+        {
+            "qterm": pa.array(rows["qterm"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "suggestion": pa.array(rows["suggestion"], pa.string()),
+            "cf": pa.array(rows["cf"], pa.int64()),
+        }
+    )
+
+
+def spell_suggest_sql_oracle() -> str:
+    values = ", ".join(f"('{q}')" for q in SPELL_QUERIES)
+    return f"""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT term FROM tok WHERE term <> ''),
+        voc AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM t GROUP BY term),
+        q(qterm) AS (VALUES {values}),
+        cand AS (
+          SELECT q.qterm, voc.term AS suggestion, voc.cf
+          FROM q JOIN voc ON levenshtein(q.qterm, voc.term) <= 1
+        ),
+        ranked AS (
+          SELECT qterm, suggestion, cf,
+                 CAST(row_number() OVER (
+                   PARTITION BY qterm ORDER BY cf DESC, suggestion ASC
+                 ) AS BIGINT) AS rank
+          FROM cand
+        )
+        SELECT qterm, rank, suggestion, cf FROM ranked
+        WHERE rank <= {SPELL_TOPN}
+    """

@@ -612,3 +612,28 @@ def test_more_like_this_matches_duckdb(ray_session):
         assert did not in set(sub["doc_id"])
         assert len(sub) == MLT_K
         assert list(sub["rank"]) == list(range(1, MLT_K + 1))
+
+
+def test_spell_suggest_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.flagship import (
+        spell_suggest,
+        spell_suggest_sql_oracle,
+    )
+
+    got = spell_suggest(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(spell_suggest_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the ambiguous fixture must produce BOTH its candidates, cf-ranked
+    sp = got[got["qterm"] == "spart"].sort_values("rank")
+    assert set(sp["suggestion"]) == {"spark", "part"}
+    assert list(sp["cf"]) == sorted(sp["cf"], reverse=True)
+    # no suggestions for the no-match fixture
+    assert (got["qterm"] != "zzz").all()
