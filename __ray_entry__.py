@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_field_scoped": flagship.bm25_field_scoped,
         "more_like_this": flagship.more_like_this,
         "spell_suggest": flagship.spell_suggest,
+        "hybrid_search": flagship.hybrid_search,
         "decontaminate": curation.decontaminate,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_facets_sql_oracle,
         more_like_this_sql_oracle,
         spell_suggest_sql_oracle,
+        hybrid_search_sql_oracle,
         bm25_scores_sql_oracle,
         bm25_sql_oracle,
         doc_lookup_sql_oracle,
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": bm25_facets_sql_oracle(),
         "more_like_this": more_like_this_sql_oracle(),
         "spell_suggest": spell_suggest_sql_oracle(),
+        "hybrid_search": hybrid_search_sql_oracle(),
         "phrase_match": phrase_sql_oracle(),
         "field_term_stats": field_term_stats_sql_oracle(),
         "index_terms": f"""

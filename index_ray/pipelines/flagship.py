@@ -1365,3 +1365,109 @@ def spell_suggest_sql_oracle() -> str:
         SELECT qterm, rank, suggestion, cf FROM ranked
         WHERE rank <= {SPELL_TOPN}
     """
+
+
+# hybrid retrieval fixtures: (qid, text query, query vec_id) — text and
+# dense retrievers run over the SAME corpus ids (documents.doc_id ==
+# embeddings.vec_id in the testdata contract)
+HYBRID_QUERIES: list[tuple[int, str, int]] = [
+    (1, "fast key merge sort", 0),
+    (2, "group query spark", 1),
+    (3, "customer filter stream", 2),
+]
+HYBRID_K_SIDE = 20  # per-retriever candidate depth
+HYBRID_K = 10
+HYBRID_RRF_C = 60  # the standard RRF constant (Cormack et al., SIGIR'09)
+
+
+def hybrid_search(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: BM25 (sparse) and exact cosine kNN (dense)
+    candidates fused with reciprocal-rank fusion —
+    ``rrf(d) = Σ_retrievers 1/(C + rank_r(d))`` over the union of both
+    top-``HYBRID_K_SIDE`` lists, C = 60, ties broken by doc_id ASC.
+
+    Both retrievers are the engine's own distributed paths (shard-actor
+    BM25; broadcast-query matmul kNN); fusion itself is O(qids x K) driver
+    arithmetic on ranks — at 100 TB only the two top-K lists meet, never
+    the corpora.  RRF on integer ranks keeps the score a two-term IEEE sum
+    (1/(C+rt) + 1/(C+rd)), bit-reproducible against the SQL oracle.
+    """
+    from .similarity import knn_cosine
+
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    text_res = searcher.search_many(
+        [(q, HYBRID_K_SIDE) for _, q, _ in HYBRID_QUERIES]
+    )
+    dense = knn_cosine(
+        sf_dir,
+        query_ids=tuple(v for _, _, v in HYBRID_QUERIES),
+        k=HYBRID_K_SIDE,
+    )
+    d_qid = dense["qid"].to_numpy(zero_copy_only=False)
+    d_rank = dense["rank"].to_numpy(zero_copy_only=False)
+    d_vid = dense["vec_id"].to_numpy(zero_copy_only=False)
+    rows = {"qid": [], "rank": [], "doc_id": []}
+    for (qid, _q, vid), tr in zip(HYBRID_QUERIES, text_res):
+        rrf: dict[int, float] = {}
+        for i, d in enumerate(tr["docID"].to_pylist(), 1):
+            rrf[d] = 1.0 / (HYBRID_RRF_C + i)
+        sel = np.flatnonzero(d_qid == vid)
+        for r, d in zip(d_rank[sel], d_vid[sel]):
+            d = int(d)
+            # text term first, dense second — the same two-term addition
+            # order as the oracle's coalesce(t)+coalesce(d)
+            rrf[d] = rrf.get(d, 0.0) + 1.0 / (HYBRID_RRF_C + int(r))
+        ranked = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:HYBRID_K]
+        for i, (d, _s) in enumerate(ranked, 1):
+            rows["qid"].append(qid)
+            rows["rank"].append(i)
+            rows["doc_id"].append(d)
+    return pa.table(
+        {
+            "qid": pa.array(rows["qid"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        }
+    )
+
+
+def hybrid_search_sql_oracle() -> str:
+    tq = [(qid, q.split(), HYBRID_K_SIDE) for qid, q, _ in HYBRID_QUERIES]
+    qv_values = ", ".join(f"({qid}, {vid})" for qid, _, vid in HYBRID_QUERIES)
+    c = HYBRID_RRF_C
+    return _bm25_ctes(queries=tq) + f""",
+tranked AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {HYBRID_K_SIDE}),
+qv(qid, vid) AS (VALUES {qv_values}),
+dsc AS (
+  SELECT qv.qid, e.vec_id AS doc_id,
+         list_cosine_similarity(qe.embedding, e.embedding) AS sim
+  FROM qv
+  JOIN embeddings qe ON qe.vec_id = qv.vid
+  CROSS JOIN embeddings e
+),
+dranked AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM dsc
+  ) WHERE rank <= {HYBRID_K_SIDE}
+),
+u AS (
+  SELECT qid, doc_id FROM tranked
+  UNION
+  SELECT qid, doc_id FROM dranked
+),
+fused AS (
+  SELECT u.qid, u.doc_id,
+         coalesce(CAST(1.0 AS DOUBLE) / ({c} + t.rank), 0)
+         + coalesce(CAST(1.0 AS DOUBLE) / ({c} + d.rank), 0) AS rrf
+  FROM u
+  LEFT JOIN tranked t ON t.qid = u.qid AND t.doc_id = u.doc_id
+  LEFT JOIN dranked d ON d.qid = u.qid AND d.doc_id = u.doc_id
+)
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= {HYBRID_K}"""

@@ -637,3 +637,28 @@ def test_spell_suggest_matches_duckdb(ray_session):
     assert list(sp["cf"]) == sorted(sp["cf"], reverse=True)
     # no suggestions for the no-match fixture
     assert (got["qterm"] != "zzz").all()
+
+
+def test_hybrid_search_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.flagship import (
+        HYBRID_K,
+        hybrid_search,
+        hybrid_search_sql_oracle,
+    )
+
+    got = hybrid_search(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    want = con.sql(hybrid_search_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # each query yields a full fused top-k with contiguous ranks
+    for qid in got["qid"].unique():
+        sub = got[got["qid"] == qid]
+        assert list(sub["rank"]) == list(range(1, HYBRID_K + 1))
