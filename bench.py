@@ -146,6 +146,8 @@ def run_bench() -> dict:
             ("dsir_importance", lambda: textstats.dsir_importance(SF_DIR).materialize()),
             ("ccnet_buckets", lambda: textstats.ccnet_buckets(SF_DIR).materialize()),
             ("semdedup", lambda: similarity.semdedup(SF_DIR).materialize()),
+            ("hybrid_search", lambda: flagship.hybrid_search(SF_DIR)),
+            ("quality_deciles", lambda: curation.quality_deciles(SF_DIR).materialize()),
         ]:
             runs = []
             for _ in range(2):
