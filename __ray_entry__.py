@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (still oracle-backed and pytest-pinned)
         "bm25_msm_topk": flagship.bm25_msm_topk,
         "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
+        # partition-transparent federation: two lang-split indexes, one
+        # logical search — the oracle IS the single-corpus BM25 SQL
+        "federated_bm25": flagship.federated_bm25,
         "decontaminate": curation.decontaminate,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
@@ -415,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_style_boost": bm25_style_boost_sql_oracle(),
         "bm25_field_scoped": bm25_field_scoped_sql_oracle(),
         "bm25_topk": bm25_sql_oracle(),
+        # federation must be invisible: same single-corpus oracle
+        "federated_bm25": bm25_sql_oracle(),
         "bm25_scores": bm25_scores_sql_oracle(),
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_not_topk": bm25_not_sql_oracle(),

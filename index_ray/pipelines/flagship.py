@@ -1471,3 +1471,60 @@ SELECT qid, rank, doc_id FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
   FROM fused
 ) WHERE rank <= {HYBRID_K}"""
+
+
+def federated_bm25(sf_dir: str) -> pa.Table:
+    """BM25 over TWO partition indexes — documents split by ``lang ==
+    'en'`` vs the rest, each built into its own index — searched through
+    ``FederatedBM25`` with exactly-merged global statistics.
+
+    The oracle is deliberately the SINGLE-corpus BM25 SQL
+    (``bm25_sql_oracle``): partition transparency means federation must
+    be invisible in the output, ranks and scores alike.  Fixture prep
+    (the lang filter + two small builds) is driver-side at test scale;
+    at 100 TB the split IS the layout — each node group owns a partition
+    and only (#partitions × #terms) integers merge centrally.
+    """
+    import pyarrow.dataset as pads
+
+    from .query import FederatedBM25
+
+    base = _index_dir_for(sf_dir)
+    dirs = []
+    for name, want_en in [("en", True), ("rest", False)]:
+        pdir = f"{base}_fed_{name}"
+        src_dir = f"{pdir}_src"
+        src = os.path.join(src_dir, "documents.parquet")
+        if not os.path.exists(src):
+            os.makedirs(src_dir, exist_ok=True)
+            dsx = pads.dataset(f"{sf_dir}/documents.parquet")
+            expr = (
+                pads.field("lang") == "en"
+                if want_en
+                else pads.field("lang") != "en"
+            )
+            pq.write_table(dsx.to_table(filter=expr), src)
+        cfg = BuildConfig(
+            tokenizer="simple",
+            text_col="text",
+            id_col="doc_id",
+            chunk_docs=250_000,
+            num_parts=8,
+            batch_size=512,
+            salt_docs=4096,
+        )
+        build_index(src, pdir, cfg)
+        dirs.append(pdir)
+    fed = FederatedBM25(dirs)
+    results = fed.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )

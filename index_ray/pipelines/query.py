@@ -1272,3 +1272,92 @@ class BM25Searcher:
                 t = t.append_column(c, meta[c].take(pa.array(pos)))
             out.append(t)
         return out
+
+
+class FederatedBM25:
+    """Several partition indexes searched as ONE logical index.
+
+    Partition-transparency contract: ranks AND scores are bitwise
+    identical to a single index built over the union corpus.  BM25 sees
+    the corpus only through (N, df, avgdl), and the federation merges
+    them EXACTLY — N = Σ N_i and df(t) = Σ df_i(t) are integer sums, and
+    avgdl = (Σ total_tokens_i) / N is the same exact-integer float64
+    division a fused build would compute (``build.py`` stores
+    ``total_tokens``, not just the rounded avgdl) — so every shard scores
+    with the constants the fused index would use, and the block-max
+    prune bounds stay valid under the global idf.
+
+    This is the multi-node layout: each node owns a partition (lang,
+    tenant, time range — any split), queries fan out, per-partition
+    top-k merges on the driver; only O(#partitions × #terms) integers
+    meet centrally.  Re-expressed single-node as one shard actor per
+    partition index.
+    """
+
+    def __init__(self, index_dirs: list[str]):
+        from .compact import load_tombstones
+
+        if not index_dirs:
+            raise ValueError("need at least one partition index")
+        statss = [load_stats(d) for d in index_dirs]
+        toks = {s.get("tokenizer", "code") for s in statss}
+        if len(toks) != 1:
+            raise ValueError(f"partitions disagree on tokenizer: {sorted(toks)}")
+        self.tok_mode = toks.pop()
+        self.n = int(sum(s["N"] for s in statss))
+        total_tokens = int(sum(s["total_tokens"] for s in statss))
+        self.avgdl = (total_tokens / self.n) if self.n else 0.0
+        self.lexicons = [Lexicon(d, s["N"]) for d, s in zip(index_dirs, statss)]
+        self.actors = []
+        for d in index_dirs:
+            chunk_dirs = sorted(glob.glob(os.path.join(d, "chunks", "chunk-*")))
+            if not chunk_dirs:
+                raise FileNotFoundError(f"no chunks under {d}")
+            tomb = load_tombstones(d)
+            tomb_ref = ray.put(tomb) if len(tomb) else None
+            self.actors.append(
+                SearchShard.remote(chunk_dirs, float(self.avgdl), tomb_ref, False)
+            )
+        ray.get([a.ready.remote() for a in self.actors])
+
+    def _idf(self, terms: list[str]) -> dict[str, tuple[int, float]]:
+        df: dict[str, int] = {}
+        for lex in self.lexicons:
+            for t, (d, _local_idf) in lex.idf(terms).items():
+                df[t] = df.get(t, 0) + d
+        return {
+            t: (d, math.log((self.n - d + 0.5) / (d + 0.5) + 1.0))
+            for t, d in df.items()
+        }
+
+    def search_many(
+        self, queries: list[tuple[str, int]], prune: bool = True
+    ) -> list[pa.Table]:
+        prepared = []
+        for q, k in queries:
+            terms = query_terms(q, self.tok_mode)
+            w = self._idf(terms)
+            present = [t for t in terms if t in w]
+            prepared.append((present, [w[t][1] for t in present], k))
+        futs = [
+            a.score_many.remote(prepared, prune, "or", None, 1.0, 2)
+            for a in self.actors
+        ]
+        per_actor = ray.get(futs)
+        out = []
+        for qi, (_, _, k) in enumerate(prepared):
+            docs = np.concatenate([r[qi][0] for r in per_actor])
+            scores = np.concatenate([r[qi][1] for r in per_actor])
+            order = np.lexsort((docs, -scores))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "rank": pa.array(
+                            np.arange(1, len(order) + 1, dtype=np.int64)
+                        ),
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "score": pa.array(scores[order], type=pa.float64()),
+                    }
+                )
+            )
+        return out

@@ -662,3 +662,38 @@ def test_hybrid_search_matches_duckdb(ray_session):
     for qid in got["qid"].unique():
         sub = got[got["qid"] == qid]
         assert list(sub["rank"]) == list(range(1, HYBRID_K + 1))
+
+
+def test_federated_bm25_bitwise_matches_single_index(ray_session):
+    """Partition transparency: two lang-split indexes searched through
+    FederatedBM25 must reproduce the fused single index bitwise — docIDs
+    AND float64 scores — because (N, df, total_tokens) merge exactly."""
+    from index_ray.pipelines.flagship import (
+        DOC_QUERIES,
+        documents_index,
+        federated_bm25,
+    )
+    from index_ray.pipelines.query import BM25Searcher
+
+    fed = federated_bm25(SF)  # also builds the partition indexes
+    single = BM25Searcher(documents_index(SF))
+    qs = [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+    singles = single.search_many(qs)
+
+    # rebuild the federated raw results (with scores) for the comparison
+    import glob as _glob
+    import hashlib
+    import os
+
+    from index_ray.pipelines.query import FederatedBM25
+
+    key = hashlib.sha1(os.path.abspath(SF).encode()).hexdigest()[:12]
+    dirs = [f"/tmp/index_ray_docs_{key}_fed_en", f"/tmp/index_ray_docs_{key}_fed_rest"]
+    f = FederatedBM25(dirs)
+    feds = f.search_many(qs)
+    for s, fr in zip(singles, feds):
+        assert s["docID"].to_pylist() == fr["docID"].to_pylist()
+        assert s["score"].to_pylist() == fr["score"].to_pylist()  # bitwise
+    # and the projected driver-contract table is rank-identical
+    got = fed.to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert len(got) == sum(min(k, len(s)) for (_, _, k), s in zip(DOC_QUERIES, singles))
