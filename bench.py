@@ -123,6 +123,36 @@ def run_bench() -> dict:
         searcher.search_many([(q, 10) for q in queries])
         timings["bm25_6_queries"] = round(time.time() - t0, 3)
 
+        # sustained query throughput: 256 deterministic 2-3 term queries,
+        # batched through the shard actors (min-of-2: the second batch is
+        # the resident steady state).  Two mixes: a realistic sample of
+        # the WHOLE vocabulary (mostly mid/low-df terms — the headline),
+        # and the adversarial all-hot mix (every term from the highest-df
+        # list, i.e. maximal posting mass per query — the tail latency).
+        import glob as _glob
+        import random as _random
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        lex_files = sorted(_glob.glob(os.path.join(index_dir, "lexicon", "*.parquet")))
+        vocab = _pa.concat_tables(
+            _pq.read_table(f, columns=["term"]) for f in lex_files
+        )["term"].to_pylist()
+        hot = list(searcher.stats.get("hot_terms", [])) or vocab[:64]
+        for label, pool in [("bm25_qps", vocab), ("bm25_qps_hot", hot)]:
+            rng = _random.Random(42)
+            qps_queries = [
+                " ".join(rng.sample(pool, k=rng.choice([2, 3])))
+                for _ in range(256)
+            ]
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                searcher.search_many([(q, 10) for q in qps_queries])
+                runs.append(time.time() - t0)
+            timings[label] = round(256 / min(runs), 1)
+
     if not FAST:
         from index_ray.pipelines import (
             bpe, curation, dedup, flagship, sketches, similarity, text, textstats,
