@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": text.bigram_counts,
         "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
+        "funnel_conversion": events.funnel_conversion,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
     }
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from index_ray.pipelines.events import (
         asof_sql_oracle,
+        funnel_sql_oracle,
         distinct_users_daily_sql_oracle,
         event_gaps_sql_oracle,
         rolling_sql_oracle,
@@ -844,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessionize_sql_oracle(),
         "user_outlier_events": user_outlier_events_sql_oracle(),
         "asof_purchase_click": asof_sql_oracle(),
+        "funnel_conversion": funnel_sql_oracle(),
         "session_concurrency": session_concurrency_sql_oracle(),
         "events_in_signup_window": signup_window_sql_oracle(),
         "value_percentiles": value_percentiles_sql_oracle(),

@@ -931,3 +931,124 @@ def user_outlier_events_sql_oracle() -> str:
         WHERE c.value_cents * u.user_n > 2 * u.user_sum_cents
         ORDER BY c.event_id
     """
+
+
+# ------------------------------------------------------------------ funnel
+
+FUNNEL_STEPS: tuple[str, str, str] = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour per step
+
+
+def funnel_conversion(sf_dir: str) -> pa.Table:
+    """Strictly-ordered earliest-event funnel over the event stream:
+    step 1 = users with a 'view'; step 2 = users with a 'click' in
+    ``(t1, t1 + W]`` after their FIRST view (t2 = earliest such click);
+    step 3 = users with a 'purchase' in ``(t2, t2 + W]``.  Output one row
+    per step: (step, n_users).
+
+    Earliest-event semantics make the funnel deterministic and
+    SQL-mirrorable (min-aggregations + windowed joins).  Shape: the one
+    user-bucket shuffle every event op here shares (users are
+    bucket-disjoint, so per-bucket user counts SUM exactly); inside a
+    bucket the three steps are np.minimum.at scatter-mins over user
+    codes — no per-user loop, no sort required.
+    """
+    empty = pa.table(
+        {"step": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+    )
+
+    def funnel(group: pa.Table) -> pa.Table:
+        m = pc.is_in(group["event_type"], pa.array(list(FUNNEL_STEPS)))
+        group = group.filter(m)
+        if len(group) == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        _uu, uid = np.unique(u, return_inverse=True)
+        n = len(_uu)
+        inf = np.iinfo(np.int64).max
+        w = FUNNEL_WINDOW_US
+
+        t1 = np.full(n, inf, np.int64)
+        sel = np.flatnonzero(et == FUNNEL_STEPS[0])
+        np.minimum.at(t1, uid[sel], t[sel])
+
+        t2 = np.full(n, inf, np.int64)
+        sel = np.flatnonzero(et == FUNNEL_STEPS[1])
+        base = t1[uid[sel]]
+        fin = np.flatnonzero(base < inf)  # guard BEFORE base+w (overflow)
+        sel, base = sel[fin], base[fin]
+        good = (t[sel] > base) & (t[sel] <= base + w)
+        np.minimum.at(t2, uid[sel[good]], t[sel[good]])
+
+        done = np.zeros(n, bool)
+        sel = np.flatnonzero(et == FUNNEL_STEPS[2])
+        base = t2[uid[sel]]
+        fin = np.flatnonzero(base < inf)
+        sel, base = sel[fin], base[fin]
+        good = (t[sel] > base) & (t[sel] <= base + w)
+        done[uid[sel[good]]] = True
+
+        return pa.table(
+            {
+                "step": pa.array([1, 2, 3], pa.int64()),
+                "n_users": pa.array(
+                    [
+                        int((t1 < inf).sum()),
+                        int((t2 < inf).sum()),
+                        int(done.sum()),
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_type"], 64)
+        .groupby(_BUCKET)
+        .map_groups(funnel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby("step", as_index=False)["n_users"]
+        .sum()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "step": pa.array(agg["step"].astype("int64"), pa.int64()),
+            "n_users": pa.array(agg["n_users"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def funnel_sql_oracle() -> str:
+    w = FUNNEL_WINDOW_US
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        ),
+        v AS (
+          SELECT user_id, min(t) AS t1 FROM e
+          WHERE event_type = '{s1}' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.t) AS t2
+          FROM e JOIN v USING (user_id)
+          WHERE e.event_type = '{s2}' AND e.t > v.t1 AND e.t <= v.t1 + {w}
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT DISTINCT e.user_id
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = '{s3}' AND e.t > c.t2 AND e.t <= c.t2 + {w}
+        )
+        SELECT CAST(1 AS BIGINT) AS step,
+               CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL SELECT 2, (SELECT count(*) FROM c)
+        UNION ALL SELECT 3, (SELECT count(*) FROM p)
+        ORDER BY step
+    """

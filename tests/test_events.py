@@ -186,3 +186,49 @@ def test_session_concurrency_bucket_invariance():
     assert (base["n_window_events"] >= 1).all()
     for w in (600 * 1_000_000, 10**18):  # 10-min buckets; one giant bucket
         pd.testing.assert_frame_equal(run(w), base)
+
+
+def test_funnel_boundaries(ray_session, tmp_path):
+    """Window semantics: click strictly AFTER the first view, at or before
+    t1 + W; purchase likewise relative to t2 (the EARLIEST in-window
+    click).  W = 1h."""
+    W = ev.FUNNEL_WINDOW_US
+    d = _write_events(
+        tmp_path,
+        [
+            # user 1: full funnel — second view later must not matter
+            (0, 0, 1, "view", 0),
+            (1, 10 * MIN, 1, "click", 0),       # t2 = 10min
+            (2, 10 * MIN + W, 1, "purchase", 0),  # exactly t2+W: counts
+            (3, 20 * MIN, 1, "view", 0),
+            # user 2: click exactly AT t1 -> NOT after -> no step 2
+            (4, 0, 2, "view", 0),
+            (5, 0, 2, "click", 0),
+            # user 3: click exactly at t1+W counts; purchase 1us past t2+W
+            # does not
+            (6, 0, 3, "view", 0),
+            (7, W, 3, "click", 0),
+            (8, 2 * W + 1, 3, "purchase", 0),
+            # user 4: purchase before ANY view: step-1 only after its view
+            (9, 0, 4, "purchase", 0),
+            (10, 1 * MIN, 4, "view", 0),
+            # user 5: click only, never views -> no steps at all
+            (11, 0, 5, "click", 0),
+        ],
+    )
+    out = ev.funnel_conversion(d).to_pandas().set_index("step")["n_users"]
+    assert out.loc[1] == 4  # users 1,2,3,4 viewed
+    assert out.loc[2] == 2  # users 1,3 clicked in-window
+    assert out.loc[3] == 1  # user 1 purchased in-window
+
+
+def test_funnel_matches_duckdb(ray_session):
+    got = ev.funnel_conversion(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.sql(ev.funnel_sql_oracle()).df()
+    a = got.sort_values("step").reset_index(drop=True)
+    b = want.sort_values("step").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the funnel must be monotone non-increasing
+    assert a["n_users"].is_monotonic_decreasing or (a["n_users"].diff().dropna() <= 0).all()
