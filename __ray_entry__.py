@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
         "funnel_conversion": events.funnel_conversion,
+        "cohort_retention": events.cohort_retention,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
     }
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.events import (
         asof_sql_oracle,
         funnel_sql_oracle,
+        cohort_retention_sql_oracle,
         distinct_users_daily_sql_oracle,
         event_gaps_sql_oracle,
         rolling_sql_oracle,
@@ -847,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "user_outlier_events": user_outlier_events_sql_oracle(),
         "asof_purchase_click": asof_sql_oracle(),
         "funnel_conversion": funnel_sql_oracle(),
+        "cohort_retention": cohort_retention_sql_oracle(),
         "session_concurrency": session_concurrency_sql_oracle(),
         "events_in_signup_window": signup_window_sql_oracle(),
         "value_percentiles": value_percentiles_sql_oracle(),

@@ -1052,3 +1052,91 @@ def funnel_sql_oracle() -> str:
         UNION ALL SELECT 3, (SELECT count(*) FROM p)
         ORDER BY step
     """
+
+
+# ---------------------------------------------------------------- retention
+
+_DAY_US = 86_400_000_000
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix: users cohorted by the UTC day of their
+    first event; a (cohort_day, day_offset) cell counts the cohort's users
+    active (any event) exactly ``offset`` days after their cohort day.
+    Output rows: (cohort_day, day_offset, n_users), day as integer
+    days-since-epoch (pure int arithmetic — no tz/date functions to
+    disagree over).
+
+    Same scale shape as every event op here: ONE user-bucket shuffle;
+    users are bucket-disjoint so per-bucket distinct-user counts sum
+    exactly.  Per bucket the whole matrix is two np.unique passes —
+    (user, day) dedup, then (cohort, offset) counting — no per-user loop.
+    """
+    empty = pa.table(
+        {
+            "cohort_day": pa.array([], pa.int64()),
+            "day_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def retention(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        day = _ts_us(group["ts"]) // _DAY_US
+        _uu, uid = np.unique(u, return_inverse=True)
+        first = np.full(len(_uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, uid, day)
+        # distinct (user, active-day) pairs -> offsets
+        key = uid * (day.max() + 1) + day
+        _k, idx = np.unique(key, return_index=True)
+        cohort = first[uid[idx]]
+        offset = day[idx] - cohort
+        # count users per (cohort, offset) — pairs are already distinct
+        # per user, so a plain bincount over packed keys is the count
+        pk = cohort * (offset.max() + 1) + offset
+        cells, counts = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(cells // (offset.max() + 1), pa.int64()),
+                "day_offset": pa.array(cells % (offset.max() + 1), pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        _tagged_events(sf_dir, ["user_id", "ts"], 64)
+        .groupby(_BUCKET)
+        .map_groups(retention, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cohort_day": pa.array(agg["cohort_day"].astype("int64"), pa.int64()),
+            "day_offset": pa.array(agg["day_offset"].astype("int64"), pa.int64()),
+            "n_users": pa.array(agg["n_users"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def cohort_retention_sql_oracle() -> str:
+    return f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+        ),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, day FROM e)
+        SELECT f.cohort_day,
+               a.day - f.cohort_day AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY f.cohort_day, a.day - f.cohort_day
+        ORDER BY cohort_day, day_offset
+    """

@@ -232,3 +232,42 @@ def test_funnel_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # the funnel must be monotone non-increasing
     assert a["n_users"].is_monotonic_decreasing or (a["n_users"].diff().dropna() <= 0).all()
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    DAY = 86_400_000_000
+    d = _write_events(
+        tmp_path,
+        [
+            # user 1: first seen day 0, active day 0 (twice: dedup) and day 2
+            (0, 0, 1, "view", 0),
+            (1, 1 * MIN, 1, "click", 0),
+            (2, 2 * DAY, 1, "view", 0),
+            # user 2: first seen day 0, active day 0 only
+            (3, 5 * HOUR, 2, "view", 0),
+            # user 3: first seen day 1, active days 1 and 2
+            (4, 1 * DAY, 3, "view", 0),
+            (5, 2 * DAY + 1, 3, "view", 0),
+        ],
+    )
+    out = ev.cohort_retention(d).to_pandas()
+    cells = {
+        (r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()
+    }
+    assert cells == {
+        (0, 0): 2,  # users 1 and 2 on their cohort day
+        (0, 2): 1,  # user 1 returns on day 2
+        (1, 0): 1,  # user 3 cohort day
+        (1, 1): 1,  # user 3 returns next day
+    }
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    got = ev.cohort_retention(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.sql(ev.cohort_retention_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
