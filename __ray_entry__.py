@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions and fold demotions (below the fold; all
         # oracle-backed and pytest-pinned)
         "bpe_train": _bpe_train_q,
+        "bpe_encode": _bpe_encode_q,
+        "bpe_encode_consistency": _bpe_encode_consistency_q,
         "dup_weights": dedup.dup_weights,
         # demoted from the fold (same-family reps hold the slots there)
         "dedup_canonical": dedup.dedup_canonical,
@@ -275,6 +277,18 @@ def _bpe_consistency_q(sf_dir: str):
     from index_ray.pipelines.bpe import bpe_consistency
 
     return bpe_consistency(sf_dir, n_merges=24)
+
+
+def _bpe_encode_q(sf_dir: str):
+    from index_ray.pipelines.bpe import bpe_encode
+
+    return bpe_encode(sf_dir, n_merges=24)
+
+
+def _bpe_encode_consistency_q(sf_dir: str):
+    from index_ray.pipelines.bpe import bpe_encode_consistency
+
+    return bpe_encode_consistency(sf_dir, n_merges=24)
 
 
 def _language_id_sql() -> str:
@@ -611,6 +625,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_consistency": """
             SELECT CAST(0 AS BIGINT) AS n_rank_mismatches,
                    CAST(0 AS BIGINT) AS n_count_mismatches
+        """,
+        # n_docs is table-derived; the zero pins the engine-recomputed
+        # encode equality (driver-side fresh re-encode of every doc); the
+        # discriminating planted-merge cases live in tests/test_bpe.py
+        "bpe_encode_consistency": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_mismatches
+            FROM documents
         """,
         # Constant like the *_knn_consistency family: both counts are
         # engine-recomputed invariants (distributed witness re-verify +

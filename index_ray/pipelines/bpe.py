@@ -151,9 +151,10 @@ class _BpeShard:
 
 @ray.remote
 def _fold_pairs(*tables: pa.Table) -> pa.Table:
-    t = pa.concat_tables([t for t in tables if t.num_rows])
-    if t.num_rows == 0:
+    live = [t for t in tables if t.num_rows]
+    if not live:  # every shard drained its pair mass: propagate the empty
         return tables[0]
+    t = pa.concat_tables(live)
     g = t.group_by(["left", "right"]).aggregate([("count", "sum")])
     return g.rename_columns(["left", "right", "count"])
 
@@ -295,5 +296,151 @@ def bpe_consistency(sf_dir: str, n_merges: int = 24) -> pa.Table:
         {
             "n_rank_mismatches": pa.array([n_rank], pa.int64()),
             "n_count_mismatches": pa.array([n_count], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def _merge_word(
+    word: str,
+    rank_of: dict[tuple[str, str], int],
+    pair_of: dict[int, tuple[str, str]],
+) -> list[str]:
+    """Standard BPE encode of one pre-token: repeatedly merge ALL
+    occurrences of the lowest-rank pair present (the exact inverse of the
+    trainer's ``apply``, which also rewrites every occurrence per rank)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = rank_of.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        left, right = pair_of[best]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+class _EncodeStage:
+    """Stateful actor-pool stage: the (tiny) broadcast merge table is
+    turned into a rank dict ONCE per actor; per-doc pre-tokens are encoded
+    through a word->symbols memo (Zipf makes the memo hit rate high)."""
+
+    def __init__(self, merges_ref, text_col: str = "text"):
+        import re
+
+        merges = ray.get(merges_ref)
+        self.rank_of = {
+            (l, r): k
+            for k, l, r in zip(
+                merges["rank"].to_pylist(),
+                merges["left"].to_pylist(),
+                merges["right"].to_pylist(),
+            )
+        }
+        self.pair_of = {r: p for p, r in self.rank_of.items()}
+        self.pat = re.compile(BPE_PATTERN)
+        self.memo: dict[str, list[str]] = {}
+        self.text_col = text_col
+
+    def encode(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in self.pat.findall(text):
+            syms = self.memo.get(w)
+            if syms is None:
+                syms = _merge_word(w, self.rank_of, self.pair_of)
+                self.memo[w] = syms
+            out.extend(syms)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        n_ids, shas = [], []
+        for t in batch[self.text_col].to_pylist():
+            syms = self.encode(t or "")
+            n_ids.append(len(syms))
+            shas.append(
+                hashlib.sha256("\x00".join(syms).encode()).hexdigest()[:16]
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ids": pa.array(n_ids, pa.int64()),
+                "ids_sha": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 24) -> ray.data.Dataset:
+    """Apply the trained merge rules to every document: (doc_id, n_ids,
+    ids_sha) where ids_sha fingerprints the exact symbol sequence.  The
+    merge table is broadcast once (``ray.put``); encoding is a stateful
+    actor-pool map over the corpus — the tokenize-for-training shape at
+    100 TB (train once, broadcast, encode everywhere)."""
+    merges = bpe_train(sf_dir, n_merges=n_merges)
+    ref = ray.put(merges)
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        _EncodeStage,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def bpe_encode_consistency(sf_dir: str, n_merges: int = 24) -> pa.Table:
+    """Recompute-and-count check for ``bpe_encode`` (constant oracle like
+    ``bpe_consistency``): the distributed actor-pool encoder and an
+    independent driver-side re-encode (fresh merge dict, fresh memo) must
+    agree on EVERY document's (n_ids, ids_sha).  One row:
+    (n_docs, n_mismatches) — the oracle pins n_docs to the table and the
+    mismatch count to zero.  NOTE the SQL side cannot re-derive the merge
+    sequence (iterative argmax); the discriminating equality lives here
+    and in the pytest planted-merge cases."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    eng = bpe_encode(sf_dir, n_merges=n_merges).to_pandas().set_index("doc_id")
+    merges = bpe_train(sf_dir, n_merges=n_merges)
+    rank_of = {
+        (l, r): k
+        for k, l, r in zip(
+            merges["rank"].to_pylist(),
+            merges["left"].to_pylist(),
+            merges["right"].to_pylist(),
+        )
+    }
+    pair_of = {r: p for p, r in rank_of.items()}
+    pat = re.compile(BPE_PATTERN)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bad = 0
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        syms: list[str] = []
+        for w in pat.findall(text or ""):
+            syms.extend(_merge_word(w, rank_of, pair_of))
+        sha = hashlib.sha256("\x00".join(syms).encode()).hexdigest()[:16]
+        row = eng.loc[did]
+        if int(row["n_ids"]) != len(syms) or row["ids_sha"] != sha:
+            bad += 1
+    return pa.table(
+        {
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_mismatches": pa.array([bad], pa.int64()),
         }
     )

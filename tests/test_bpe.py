@@ -96,3 +96,48 @@ def test_bpe_consistency_zero_mismatches(ray_session):
     t = bpe_consistency(SF, n_merges=12).to_pydict()
     assert t["n_rank_mismatches"] == [0]
     assert t["n_count_mismatches"] == [0]
+
+
+def test_bpe_encode_planted_merges(ray_session, tmp_path):
+    """Merges on an engineered corpus are predictable; encoding must apply
+    them lowest-rank-first across ALL occurrences."""
+    from index_ray.pipelines.bpe import _merge_word, bpe_encode, bpe_train
+
+    # 'abab' dominates: rank0 = (a,b); then (ab,ab)
+    texts = ["abab " * 8, "abab abab ab", "xy " * 3]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    merges = bpe_train(str(d), n_merges=4)
+    pairs = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+    assert pairs[0] == ("a", "b")
+    assert ("ab", "ab") in pairs
+    rank_of = {p: i for i, p in enumerate(pairs)}
+    pair_of = {i: p for p, i in rank_of.items()}
+    # the planted word collapses fully: abab -> [abab]
+    assert _merge_word("abab", rank_of, pair_of) == ["abab"]
+    out = bpe_encode(str(d), n_merges=4).to_pandas().set_index("doc_id")
+    # doc 0: 8 x "abab" -> 8 symbols
+    assert out.loc[0, "n_ids"] == 8
+    # doc 2: "xy" has no trained merges unless (x,y) was learned
+    exp_xy = 1 if ("x", "y") in rank_of else 2
+    assert out.loc[2, "n_ids"] == 3 * exp_xy
+
+
+def test_bpe_encode_consistency_zero(ray_session):
+    from index_ray.pipelines.bpe import bpe_encode_consistency
+
+    t = bpe_encode_consistency(SF, n_merges=24)
+    assert t["n_docs"][0].as_py() == 500
+    assert t["n_mismatches"][0].as_py() == 0
