@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_outlier_events": events.user_outlier_events,
         "funnel_conversion": events.funnel_conversion,
         "cohort_retention": events.cohort_retention,
+        "vector_index_topk": _vector_index_topk_q,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
     }
@@ -279,6 +280,12 @@ def _bpe_consistency_q(sf_dir: str):
     return bpe_consistency(sf_dir, n_merges=24)
 
 
+def _vector_index_topk_q(sf_dir: str):
+    from index_ray.pipelines.vecindex import vector_index_topk
+
+    return vector_index_topk(sf_dir)
+
+
 def _bpe_encode_q(sf_dir: str):
     from index_ray.pipelines.bpe import bpe_encode
 
@@ -289,6 +296,22 @@ def _bpe_encode_consistency_q(sf_dir: str):
     from index_ray.pipelines.bpe import bpe_encode_consistency
 
     return bpe_encode_consistency(sf_dir, n_merges=24)
+
+
+_KNN_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e
+    )
+    SELECT qid, rank, vec_id FROM (
+      SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
 
 
 def _language_id_sql() -> str:
@@ -655,20 +678,11 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": bigram_counts_sql_oracle(),
         "collocations": collocations_sql_oracle(),
         "keywords_tfidf": keywords_tfidf_sql_oracle(),
-        "knn_cosine": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-                       WHERE vec_id IN (0, 1, 2)),
-            scored AS (
-              SELECT q.qid, e.vec_id,
-                     list_cosine_similarity(q.qe, e.embedding) AS sim
-              FROM q CROSS JOIN embeddings e
-            )
-            SELECT qid, rank, vec_id FROM (
-              SELECT qid, vec_id,
-                     CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
-              FROM scored
-            ) WHERE rank <= 10
-        """,
+        "knn_cosine": _KNN_SQL,
+        # the persisted-IVF path probed exhaustively IS brute-force cosine
+        # (the lists partition the corpus), so the identical SQL pins the
+        # whole build/persist/load/probe lifecycle
+        "vector_index_topk": _KNN_SQL,
         "centroid_classify": centroid_classify_sql_oracle(),
         "term_stats": f"""
             {_TOKS}

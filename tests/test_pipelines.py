@@ -697,3 +697,46 @@ def test_federated_bm25_bitwise_matches_single_index(ray_session):
     # and the projected driver-contract table is rank-identical
     got = fed.to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     assert len(got) == sum(min(k, len(s)) for (_, _, k), s in zip(DOC_QUERIES, singles))
+
+
+def test_vector_index_exhaustive_equals_bruteforce(ray_session):
+    from index_ray.pipelines.similarity import knn_cosine
+    from index_ray.pipelines.vecindex import (
+        VectorIndex,
+        _index_dir_for,
+        build_vector_index,
+        vector_index_topk,
+    )
+
+    got = vector_index_topk(SF).to_pandas()
+    want = knn_cosine(SF).to_pandas().rename(columns={})
+    a = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()
+
+    # resume: rebuilding is a manifest no-op
+    out = _index_dir_for(SF)
+    import json, os, time
+
+    m0 = json.load(open(os.path.join(out, "vstats.json")))
+    t0 = time.time()
+    build_vector_index(SF, out)
+    assert time.time() - t0 < 1.0
+    assert json.load(open(os.path.join(out, "vstats.json"))) == m0
+    assert m0["n_vectors"] == 500
+
+    # approximate probe: recall@10 floor at nprobe=4 of 16
+    import numpy as np
+
+    from index_ray.pipelines.similarity import _query_matrix
+
+    vi = VectorIndex(out)
+    q, qids = _query_matrix(SF, [0, 1, 2])
+    approx = vi.search_many(q, k=10, nprobe=4)
+    exact = {qid: set(g) for qid, g in want.groupby("qid")["vec_id"]}
+    recalls = [
+        len(set(r["vec_id"].to_pylist()) & exact[qid]) / 10
+        for qid, r in zip(qids, approx)
+    ]
+    assert min(recalls) >= 0.5, recalls
