@@ -109,7 +109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
-        "ivf_knn_consistency": similarity.ivf_knn_consistency,
+        # persisted IVF index probed exhaustively == brute-force cosine: a
+        # REAL hash oracle over the whole build/persist/load/probe path —
+        # strictly stronger evidence than ivf_knn_consistency's constant
+        # row (demoted; its invariants stay pytest-pinned)
+        "vector_index_topk": _vector_index_topk_q,
         # SemDeDup (k-means clusters -> within-cluster cosine pruning);
         # the consistency row holds the fold slot (pq_knn_consistency —
         # third rep of the same constant-oracle family — demoted; its
@@ -133,7 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
-        "token_count_bpe": textstats.token_count_bpe,
+        # trained-merge ENCODING equality over every doc (token_count_bpe —
+        # regex pre-token counting, same family — demoted for the slot)
+        "bpe_encode_consistency": _bpe_encode_consistency_q,
         # unigram-LM document scoring (CCNet-style quality signal; broadcast
         # log-prob table; asof_purchase_click — driver-green r02 — demoted)
         "lm_score": textstats.lm_score,
@@ -143,7 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": textstats.dsir_importance,
         # curation passes (C4/Gopher-style filters, scrub, mixing)
         "repetition_stats": curation.repetition_stats,
-        "redact_pii": curation.redact_pii,
+        # cohort retention matrix (new analytics family; redact_pii — a
+        # stateless regex map, SQL-pinned since r02 — demoted)
+        "cohort_retention": events.cohort_retention,
         "quality_filter": curation.quality_filter,
         # The Stack/StarCoder-style source-file filters (line-length /
         # alnum-share / digit-share); stratified_sample (driver-green
@@ -161,7 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination: the Bloom two-tier variant holds the fold slot
         # (same SQL oracle as the exact pass; pytest pins row-identity)
         "decontaminate_bloom": curation.decontaminate_bloom,
-        "epoch_mix": curation.epoch_mix,
+        # ordered-funnel analysis (new analytics family; epoch_mix — a
+        # stateless deterministic mix, SQL-pinned since r02 — demoted)
+        "funnel_conversion": events.funnel_conversion,
         # sequence packing: concat-and-chunk layout over a distributed
         # two-phase prefix scan (exact-integer SQL oracle); phrase_match
         # (driver-green r02) demoted for the slot
@@ -252,7 +262,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed and pytest-pinned)
         "bpe_train": _bpe_train_q,
         "bpe_encode": _bpe_encode_q,
-        "bpe_encode_consistency": _bpe_encode_consistency_q,
         "dup_weights": dedup.dup_weights,
         # demoted from the fold (same-family reps hold the slots there)
         "dedup_canonical": dedup.dedup_canonical,
@@ -260,9 +269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": text.bigram_counts,
         "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
-        "funnel_conversion": events.funnel_conversion,
-        "cohort_retention": events.cohort_retention,
-        "vector_index_topk": _vector_index_topk_q,
+        # demoted from the fold (stronger same-family rows hold the slots)
+        "ivf_knn_consistency": similarity.ivf_knn_consistency,
+        "token_count_bpe": textstats.token_count_bpe,
+        "redact_pii": curation.redact_pii,
+        "epoch_mix": curation.epoch_mix,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
     }

@@ -105,14 +105,28 @@ class _DocTokenStats:
 
 
 def term_stats(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
-    """(term, cf, df) — reference A1 (getUseCount) + A2 (documentCount)."""
-    return (
-        docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            stage_fn(_TermPartials, mode), batch_format="pyarrow", batch_size=512
+    """(term, cf, df) — reference A1 (getUseCount) + A2 (documentCount).
+
+    Partials combine per batch, then ONE task-based hash shuffle on term +
+    a per-bucket Arrow sum (``util.hash_groupby``) — same data movement as
+    a hash-shuffle groupby, but on Ray's warm task workers instead of a
+    fresh sort-aggregate actor pool per call (the windowed_events
+    cold-session fix, applied here for the same reason)."""
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term"], use_threads=False).aggregate(
+            [("cf_part", "sum"), ("df_part", "sum")]
         )
-        .groupby("term")
-        .aggregate(Sum("cf_part", alias_name="cf"), Sum("df_part", alias_name="df"))
+        return g.rename_columns(["term", "cf", "df"])
+
+    from ..util import hash_groupby
+
+    return hash_groupby(
+        docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            stage_fn(_TermPartials, mode), batch_format="pyarrow", batch_size=512
+        ),
+        keys=["term"],
+        finalize=finalize,
     )
 
 
