@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition-transparent federation: two lang-split indexes, one
         # logical search — the oracle IS the single-corpus BM25 SQL
         "federated_bm25": flagship.federated_bm25,
+        "index_filter_docs": flagship.index_filter_docs,
         "decontaminate": curation.decontaminate,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
@@ -389,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         more_like_this_sql_oracle,
         spell_suggest_sql_oracle,
         hybrid_search_sql_oracle,
+        index_filter_sql_oracle,
         bm25_scores_sql_oracle,
         bm25_sql_oracle,
         doc_lookup_sql_oracle,
@@ -472,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_sql_oracle(),
         # federation must be invisible: same single-corpus oracle
         "federated_bm25": bm25_sql_oracle(),
+        "index_filter_docs": index_filter_sql_oracle(),
         "bm25_scores": bm25_scores_sql_oracle(),
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_not_topk": bm25_not_sql_oracle(),

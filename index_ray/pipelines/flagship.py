@@ -1528,3 +1528,58 @@ def federated_bm25(sf_dir: str) -> pa.Table:
     return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
         ["qid", "rank", "doc_id"]
     )
+
+
+# index-as-filter fixtures: (qid, query, mode)
+FILTER_QUERIES: list[tuple[int, str, str]] = [
+    (1, "merge sort", "and"),
+    (2, "spark query", "or"),
+    (3, "xyzzy", "or"),  # absent term: empty match set
+]
+
+
+def index_filter_docs(sf_dir: str) -> pa.Table:
+    """The index as a FILTER: the full (unranked) match set per fixture
+    query — (qid, doc_id), every live document matching the query under
+    its mode.  This is the index-accelerated selection a downstream
+    pipeline starts from (match -> ``find_docs``/predicate-pushdown scan
+    -> curation/stats over just the matches), distinct from top-k
+    ranking: no scores, no cut.  AND is per-chunk sorted intersection
+    inside the shard actors (``SearchShard.match_many``)."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    rows_q, rows_d = [], []
+    for qid, q, mode in FILTER_QUERIES:
+        docs = searcher.match_docs(q, mode=mode)
+        rows_q.append(np.full(len(docs), qid, dtype=np.int64))
+        rows_d.append(docs)
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(rows_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(rows_d), pa.int64()),
+        }
+    )
+
+
+def index_filter_sql_oracle() -> str:
+    subqs = []
+    for qid, q, mode in FILTER_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(q.split())))
+        n = len(set(q.split()))
+        if mode == "and":
+            subqs.append(f"""
+        SELECT {qid} AS qid, doc_id FROM t WHERE term IN ({terms})
+        GROUP BY doc_id HAVING count(DISTINCT term) = {n}""")
+        else:
+            subqs.append(f"""
+        SELECT {qid} AS qid, doc_id FROM t WHERE term IN ({terms})
+        GROUP BY doc_id""")
+    union = "\n        UNION ALL".join(subqs)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> '')
+        {union}
+        ORDER BY qid, doc_id
+    """

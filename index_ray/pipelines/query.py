@@ -834,6 +834,37 @@ class SearchShard:
             out.append(agg)
         return out
 
+    def match_many(
+        self, queries: list[list[str]], mode: str = "or"
+    ) -> list[np.ndarray]:
+        """Per query: the FULL live match set (docIDs, unsorted) — the
+        index as a filter, not a ranker.  mode="or": any term; "and":
+        every term.  AND is a per-chunk sorted-set intersection, correct
+        globally because each doc's postings live in exactly one chunk."""
+        out = []
+        for terms in queries:
+            per_chunk = []
+            for ci in self.chunks:
+                if mode == "or":
+                    docs = _excluded_docs(ci, terms)
+                else:
+                    docs = _excluded_docs(ci, terms[:1])
+                    for t in terms[1:]:
+                        if docs.size == 0:
+                            break
+                        docs = np.intersect1d(
+                            docs, _excluded_docs(ci, [t]), assume_unique=True
+                        )
+                if docs.size:
+                    docs = docs[self._mask_tomb(docs)]
+                per_chunk.append(docs)
+            out.append(
+                np.concatenate(per_chunk)
+                if per_chunk
+                else np.empty(0, np.int64)
+            )
+        return out
+
     def phrase_many(
         self, phrases: list[list[str]]
     ) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -1045,6 +1076,18 @@ class BM25Searcher:
         if meta_cols:
             out = self._join_meta(out, meta_cols)
         return out
+
+    def match_docs(self, query: str, mode: str = "or") -> np.ndarray:
+        """Full sorted match set for a query — the index as a FILTER: feed
+        the result into a predicate-pushdown scan (``find_docs``) or any
+        downstream Dataset pipeline.  No scoring, no top-k cut."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        terms = query_terms(query, tok_mode)
+        if not terms:
+            return np.empty(0, np.int64)
+        futs = [a.match_many.remote([terms], mode) for a in self.actors]
+        docs = np.concatenate([r[0] for r in ray.get(futs)])
+        return np.sort(docs)
 
     def facet_counts(
         self, queries: list[str], facet_col: str = "lang"

@@ -740,3 +740,25 @@ def test_vector_index_exhaustive_equals_bruteforce(ray_session):
         for qid, r in zip(qids, approx)
     ]
     assert min(recalls) >= 0.5, recalls
+
+
+def test_index_filter_docs_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from index_ray.pipelines.flagship import (
+        index_filter_docs,
+        index_filter_sql_oracle,
+    )
+
+    got = index_filter_docs(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(index_filter_sql_oracle()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # AND(qid 1) must be a subset of each single-term match set, and the
+    # absent-term fixture empty
+    assert (got["qid"] != 3).all()
