@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # logical search — the oracle IS the single-corpus BM25 SQL
         "federated_bm25": flagship.federated_bm25,
         "index_filter_docs": flagship.index_filter_docs,
+        "nb_lang_classify": textstats.nb_lang_classify,
         "decontaminate": curation.decontaminate,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from index_ray.pipelines.similarity import centroid_classify_sql_oracle
     from index_ray.pipelines.textstats import (
+        nb_lang_sql_oracle,
         ccnet_buckets_sql_oracle,
         dsir_importance_sql_oracle,
         lm_bigram_score_sql_oracle,
@@ -475,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         # federation must be invisible: same single-corpus oracle
         "federated_bm25": bm25_sql_oracle(),
         "index_filter_docs": index_filter_sql_oracle(),
+        "nb_lang_classify": nb_lang_sql_oracle(),
         "bm25_scores": bm25_scores_sql_oracle(),
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_not_topk": bm25_not_sql_oracle(),

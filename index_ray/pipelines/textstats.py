@@ -819,3 +819,177 @@ def dsir_importance_sql_oracle(
         FROM per JOIN lr USING (b)
         GROUP BY per.doc_id ORDER BY per.doc_id
     """
+
+
+# ----------------------------------------------------- Naive Bayes lang ----
+
+_NB_SCALE = 1_000_000
+
+
+def nb_lang_classify(sf_dir: str, mode: str = "simple") -> pa.Table:
+    """Distributed multinomial Naive Bayes: TRAIN per-(term, lang) counts
+    over the corpus, then CLASSIFY every document and emit the confusion
+    matrix (true_lang, predicted, n) — a full train + inference pipeline
+    with an exactly-matching SQL oracle.
+
+    Cross-engine float determinism (the centroid_classify trick): the
+    Laplace-smoothed log-probability ln((cnt+1)/(tot+V)) is quantized per
+    (term, lang) — lq = floor(ln(..)*1e6 + 0.5) — BEFORE any summation, so
+    a document's score Σ tf·lq is pure int64 arithmetic (order-free) and
+    argmax (ties: ascending lang) matches SQL bit-for-bit.
+
+    Shape: training is one task-based term shuffle (``util.hash_groupby``)
+    producing the (term, lang, cnt) model — the broadcast small side;
+    classification is a stateless scan emitting L×L confusion partials
+    per batch.  Token-less documents are skipped (mirrors the oracle's
+    inner join).
+    """
+    from ..functions.tokenize import doc_term_tf
+    from ..util import hash_groupby
+
+    norm = TokenNormalizer(mode)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        d, tid, tf, vocab = doc_term_tf(batch["text"], norm)
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(d) == 0:
+            return empty
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        ul, lid_of_doc = np.unique(langs, return_inverse=True)
+        key = tid.astype(np.int64) * len(ul) + lid_of_doc[d]
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, weights=tf).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array([vocab[k] for k in (uk // len(ul))], pa.string()),
+                "lang": pa.array(ul[(uk % len(ul))], pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term", "lang"], use_threads=False).aggregate(
+            [("cnt", "sum")]
+        )
+        return g.rename_columns(["term", "lang", "cnt"])
+
+    model = hash_groupby(
+        docs_dataset(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            count_partial, batch_format="pyarrow", batch_size=1024
+        ),
+        keys=["term"],
+        finalize=fin,
+    ).to_pandas()
+
+    vocab = np.sort(model["term"].unique())
+    langs = np.sort(model["lang"].unique())
+    V, L = len(vocab), len(langs)
+    cnt = np.zeros((V, L), np.int64)
+    vi = np.searchsorted(vocab, model["term"].to_numpy())
+    li = np.searchsorted(langs, model["lang"].to_numpy())
+    cnt[vi, li] = model["cnt"].to_numpy()
+    tot = cnt.sum(axis=0)
+    lq = np.floor(
+        np.log((cnt + 1.0) / (tot + V)[None, :]) * _NB_SCALE + 0.5
+    ).astype(np.int64)
+    model_ref = ray.put((vocab, langs, lq))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        vv, ll, q = ray.get(model_ref)
+        d, tid, tf, bvocab = doc_term_tf(batch["text"], norm)
+        empty = pa.table(
+            {
+                "true_lang": pa.array([], pa.string()),
+                "predicted": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(d) == 0:
+            return empty
+        gid = np.searchsorted(vv, np.asarray(bvocab))  # all terms trained
+        scores = np.zeros((len(batch), len(ll)), np.int64)
+        np.add.at(scores, d, tf[:, None] * q[gid[tid]])
+        n_tok = np.bincount(d, weights=tf, minlength=len(batch))
+        has = n_tok > 0
+        pred = np.argmax(scores, axis=1)  # first max == ascending-lang tie
+        true = batch["lang"].to_numpy(zero_copy_only=False)
+        tl, tinv = np.unique(true[has], return_inverse=True)
+        key = tinv * len(ll) + pred[has]
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "true_lang": pa.array(tl[uk // len(ll)], pa.string()),
+                "predicted": pa.array(ll[uk % len(ll)], pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        docs_dataset(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(classify, batch_format="pyarrow", batch_size=1024)
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby(["true_lang", "predicted"], as_index=False)["n"]
+        .sum()
+        .sort_values(["true_lang", "predicted"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "true_lang": pa.array(agg["true_lang"], pa.string()),
+            "predicted": pa.array(agg["predicted"], pa.string()),
+            "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def nb_lang_sql_oracle() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        tc AS (
+          SELECT t.term, d.lang, CAST(count(*) AS BIGINT) AS cnt
+          FROM t JOIN documents d USING (doc_id) GROUP BY t.term, d.lang
+        ),
+        v AS (SELECT DISTINCT term FROM t),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        tot AS (SELECT lang, sum(cnt) AS tot FROM tc GROUP BY lang),
+        nv AS (SELECT count(*) AS v FROM v),
+        lq AS (
+          SELECT v.term, l.lang,
+                 CAST(floor(ln((coalesce(tc.cnt, 0) + 1.0)
+                              / (tot.tot + nv.v)) * {_NB_SCALE} + 0.5)
+                      AS BIGINT) AS lq
+          FROM v CROSS JOIN langs l
+          LEFT JOIN tc ON tc.term = v.term AND tc.lang = l.lang
+          JOIN tot ON tot.lang = l.lang
+          CROSS JOIN nv
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        sc AS (
+          SELECT tf.doc_id, lq.lang, sum(tf.tf * lq.lq) AS score
+          FROM tf JOIN lq USING (term) GROUP BY tf.doc_id, lq.lang
+        ),
+        pred AS (
+          SELECT doc_id, lang AS predicted FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY doc_id ORDER BY score DESC, lang ASC
+                   ) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        )
+        SELECT d.lang AS true_lang, p.predicted, CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.predicted
+        ORDER BY true_lang, predicted
+    """

@@ -762,3 +762,52 @@ def test_index_filter_docs_matches_duckdb(ray_session):
     # AND(qid 1) must be a subset of each single-term match set, and the
     # absent-term fixture empty
     assert (got["qid"] != 3).all()
+
+
+def test_nb_lang_classify_planted_and_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.textstats import (
+        nb_lang_classify,
+        nb_lang_sql_oracle,
+    )
+
+    # perfectly separable: each lang has a private marker vocabulary
+    texts, langs = [], []
+    for lang, words in [("aa", "foo bar"), ("bb", "baz qux"), ("cc", "zap zig")]:
+        for i in range(20):
+            texts.append((words + " ") * 5 + f"shared{i % 3}")
+            langs.append(lang)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = nb_lang_classify(str(d)).to_pandas()
+    # a separable corpus must classify perfectly: diagonal only
+    assert (got["true_lang"] == got["predicted"]).all()
+    assert got["n"].sum() == len(texts)
+
+    # and on the driver testdata the confusion hash-matches DuckDB
+    got2 = nb_lang_classify("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(nb_lang_sql_oracle()).df()
+    cols = sorted(got2.columns)
+    a = got2[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
