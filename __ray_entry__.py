@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": events.rolling_user_value,
         "running_user_total": events.running_user_total,
         "event_gaps": events.event_gaps,
+        "event_transitions": events.event_transitions,
         "distinct_users_daily": events.distinct_users_daily,
         "near_match": flagship.near_match,
         "search_snippets": flagship.search_snippets,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         cohort_retention_sql_oracle,
         distinct_users_daily_sql_oracle,
         event_gaps_sql_oracle,
+        event_transitions_sql_oracle,
         rolling_sql_oracle,
         running_user_total_sql_oracle,
         sessionize_sql_oracle,
@@ -909,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_value": rolling_sql_oracle(),
         "running_user_total": running_user_total_sql_oracle(),
         "event_gaps": event_gaps_sql_oracle(),
+        "event_transitions": event_transitions_sql_oracle(),
         "distinct_users_daily": distinct_users_daily_sql_oracle(),
         "customers_without_big_orders": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers

@@ -1140,3 +1140,93 @@ def cohort_retention_sql_oracle() -> str:
         GROUP BY f.cohort_day, a.day - f.cohort_day
         ORDER BY cohort_day, day_offset
     """
+
+
+# ------------------------------------------------------- transition matrix
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition counts over per-user event streams: how often does
+    event type A immediately precede event type B for the same user?
+
+    Output: (from_type, to_type, n_transitions) — the corpus-wide first-order
+    transition matrix, the standard input to user-journey / funnel-shape
+    analysis and sequence-model priors.
+
+    Shape: the one user-bucket shuffle shared by every operator in this
+    module, then a per-bucket vectorized kernel (lexsort + shifted compare +
+    ``np.unique`` over fused pair codes) that collapses each bucket to at
+    most K^2 partial rows (K = distinct event types), then a tiny
+    (from,to)-keyed hash combine.  Data crossing the second shuffle is
+    O(buckets * K^2), independent of event count — scale-safe.
+    """
+    from ..util import hash_groupby
+
+    def pair_counts(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _TRANSITION_SCHEMA.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = et.dictionary.to_pylist()
+        order = np.lexsort((e, t, u))
+        u, codes = u[order], codes[order]
+        same_user = u[1:] == u[:-1]
+        frm, to = codes[:-1][same_user], codes[1:][same_user]
+        if len(frm) == 0:
+            return _TRANSITION_SCHEMA.empty_table()
+        fused, counts = np.unique(frm * len(names) + to, return_counts=True)
+        fi, ti = fused // len(names), fused % len(names)
+        return pa.table(
+            {
+                "from_type": pa.array([names[i] for i in fi], pa.string()),
+                "to_type": pa.array([names[i] for i in ti], pa.string()),
+                "n_transitions": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id", "event_type"], 64)
+        .groupby(_BUCKET)
+        .map_groups(pair_counts, batch_format="pyarrow")
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TRANSITION_SCHEMA.empty_table()
+        df = (
+            t.to_pandas()
+            .groupby(["from_type", "to_type"], as_index=False)["n_transitions"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            _TRANSITION_SCHEMA
+        )
+
+    return hash_groupby(partials, ["from_type", "to_type"], combine)
+
+
+_TRANSITION_SCHEMA = pa.schema(
+    [
+        ("from_type", pa.string()),
+        ("to_type", pa.string()),
+        ("n_transitions", pa.int64()),
+    ]
+)
+
+
+def event_transitions_sql_oracle() -> str:
+    return """
+        WITH o AS (
+          SELECT event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT prev AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM o WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    """

@@ -271,3 +271,50 @@ def test_cohort_retention_matches_duckdb(ray_session):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    # user 1: a -> b -> b -> a (transitions ab, bb, ba); user 2: c alone
+    # (no transition); user 3: a -> b (another ab).  Cross-user pairs must
+    # NOT count even when adjacent in time.
+    d = _write_events(
+        tmp_path,
+        [
+            (0, 0, 1, "a", 0.0),
+            (1, 1 * MIN, 1, "b", 0.0),
+            (2, 2 * MIN, 1, "b", 0.0),
+            (3, 3 * MIN, 1, "a", 0.0),
+            (4, 90 * US, 2, "c", 0.0),  # interleaved between user 1's events
+            (5, 0, 3, "a", 0.0),
+            (6, 1 * MIN, 3, "b", 0.0),
+        ],
+    )
+    out = (
+        ev.event_transitions(d)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("a", "b", 2),
+        ("b", "a", 1),
+        ("b", "b", 1),
+    ]
+
+
+def test_event_transitions_matches_duckdb(ray_session):
+    ours = (
+        ev.event_transitions(SF)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    theirs = (
+        con.sql(ev.event_transitions_sql_oracle())
+        .df()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ours, theirs)
