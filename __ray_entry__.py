@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_filter_docs": flagship.index_filter_docs,
         "nb_lang_classify": textstats.nb_lang_classify,
         "decontaminate": curation.decontaminate,
+        "group_topk": curation.group_topk,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_clusters": dedup.minhash_clusters,
@@ -439,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         curate_corpus_sql_oracle,
         uniform_sample_sql_oracle,
         group_sample_sql_oracle,
+        group_topk_sql_oracle,
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
         sequence_pack_sql_oracle,
@@ -815,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_sql_oracle(),
         "uniform_sample": uniform_sample_sql_oracle(),
         "group_sample": group_sample_sql_oracle(),
+        "group_topk": group_topk_sql_oracle(),
         "curate_corpus": curate_corpus_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
         # bloom variant is output-identical to the exact pass by construction

@@ -940,6 +940,90 @@ def group_sample_sql_oracle(k: int = GROUP_SAMPLE_K, by: str = "lang") -> str:
     """
 
 
+def group_topk(
+    sf_dir: str, k: int = 3, by: str = "lang", score: str = "n_chars"
+) -> pa.Table:
+    """Ranked top-k per group: within each ``by`` stratum the k documents
+    with the LARGEST ``score`` (ties broken by smallest doc_id), with the
+    explicit 1-based rank — ``row_number() OVER (PARTITION BY by ORDER BY
+    score DESC, doc_id) <= k`` as a distributed window operator.
+
+    Same mergeable per-group bottom-k shape as ``group_sample`` (each batch
+    emits at most n_groups * k rows; a tree-fold level re-folds ~64 partials
+    per task; the driver finishes on a bounded table) with priority =
+    -score, so the all-to-all a window-rank normally needs never happens —
+    only candidate top-k rows move.  Output: (by, rank, doc_id, score).
+    """
+    empty = pa.table(
+        {
+            by: pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            score: pa.array([], pa.int64()),
+        }
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty.drop_columns(["rank"])
+        g = batch[by].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sc = batch[score].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = _g_bottomk(g, ids, -sc, k)
+        return pa.table(
+            {
+                by: pa.array(g[sel]),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                score: pa.array(sc[sel], pa.int64()),
+            }
+        )
+
+    parts = (
+        docs_dataset(sf_dir, ["doc_id", by, score])
+        .map_batches(topk, batch_format="pyarrow", batch_size=4096)
+        .map_batches(topk, batch_format="pyarrow", batch_size=64 * k)
+        .to_arrow_refs()
+    )
+    t = pa.concat_tables(ray.get(parts), promote_options="default")
+    if t.num_rows == 0:
+        return empty
+    g = t[by].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    sc = t[score].to_numpy(zero_copy_only=False)
+    sel = _g_bottomk(g, ids, -sc, k)
+    # 1-based rank within each surviving group, in (score DESC, doc_id) order
+    import pandas as pd
+
+    codes, _ = pd.factorize(g[sel])
+    order = np.lexsort((ids[sel], -sc[sel], codes))
+    c2 = codes[order]
+    starts = np.concatenate([[0], np.flatnonzero(c2[1:] != c2[:-1]) + 1])
+    lens = np.diff(np.concatenate([starts, [len(c2)]]))
+    rank = np.arange(len(c2)) - np.repeat(starts, lens) + 1
+    o = sel[order]
+    return pa.table(
+        {
+            by: pa.array(g[o]),
+            "rank": pa.array(rank, pa.int64()),
+            "doc_id": pa.array(ids[o], pa.int64()),
+            score: pa.array(sc[o], pa.int64()),
+        }
+    )
+
+
+def group_topk_sql_oracle(
+    k: int = 3, by: str = "lang", score: str = "n_chars"
+) -> str:
+    return f"""
+        SELECT {by}, CAST(rn AS BIGINT) AS rank, doc_id, {score} FROM (
+          SELECT {by}, doc_id, {score},
+                 row_number() OVER (
+                   PARTITION BY {by} ORDER BY {score} DESC, doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination (the sharded-eval-set scale path)
 # ---------------------------------------------------------------------------

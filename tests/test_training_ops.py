@@ -599,3 +599,38 @@ def test_docs_dataset_reads_jsonl_and_csv(ray_session, tmp_path):
         assert len(got) == 3
         ts = term_stats(d).to_pandas().set_index("term")
         assert ts.loc["the", "cf"] == 2 and ts.loc["the", "df"] == 2
+
+
+def test_group_topk_ranked_window(ray_session, tmp_path):
+    from index_ray.pipelines.curation import group_topk
+
+    rng = np.random.default_rng(11)
+    langs = ["en", "fr", "es"]
+    n = 300
+    d = tmp_path / "docs"
+    d.mkdir()
+    lang_col = [langs[i] for i in rng.integers(0, 3, size=n)]
+    # repeated n_chars values force the doc_id tiebreak to matter
+    chars = [int(c) for c in rng.integers(0, 20, size=n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n),
+                "lang": pa.array(lang_col),
+                "source": pa.array(["t"] * n),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    k = 5
+    out = group_topk(str(d), k=k).to_pandas()
+    for lang in langs:
+        ids = [i for i in range(n) if lang_col[i] == lang]
+        want = sorted(ids, key=lambda i: (-chars[i], i))[:k]
+        sub = out[out["lang"] == lang].sort_values("rank")
+        assert sub["doc_id"].tolist() == want, lang
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+        assert sub["n_chars"].tolist() == [chars[i] for i in want]
+    assert len(out) == 3 * k
