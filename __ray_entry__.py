@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": textstats.nb_lang_classify,
         "decontaminate": curation.decontaminate,
         "group_topk": curation.group_topk,
+        "chunk_documents": curation.chunk_documents,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_clusters": dedup.minhash_clusters,
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         uniform_sample_sql_oracle,
         group_sample_sql_oracle,
         group_topk_sql_oracle,
+        chunk_documents_sql_oracle,
         decontaminate_sql_oracle,
         epoch_mix_sql_oracle,
         sequence_pack_sql_oracle,
@@ -818,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "uniform_sample": uniform_sample_sql_oracle(),
         "group_sample": group_sample_sql_oracle(),
         "group_topk": group_topk_sql_oracle(),
+        "chunk_documents": chunk_documents_sql_oracle(),
         "curate_corpus": curate_corpus_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
         # bloom variant is output-identical to the exact pass by construction

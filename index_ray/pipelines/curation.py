@@ -1296,6 +1296,89 @@ def sequence_pack_sql_oracle(seq_len: int = SEQ_LEN) -> str:
     """
 
 
+CHUNK_W = 128  # tokens per retrieval chunk (frozen for the oracle row)
+CHUNK_S = 96  # stride between chunk starts (CHUNK_W - CHUNK_S tokens overlap)
+
+
+def chunk_documents(
+    sf_dir: str, window: int = CHUNK_W, stride: int = CHUNK_S
+) -> ray.data.Dataset:
+    """RAG-style sliding-window chunking layout: split each document's
+    whitespace-token stream into ``window``-token chunks every ``stride``
+    tokens (the standard overlapping-passage layout for retrieval corpora
+    and long-context training).
+
+    Output: (doc_id, chunk_id, start_tok, chunk_tokens) — one row per
+    chunk; every document yields at least one chunk (a short or empty doc
+    is one partial chunk), the last chunk always reaches the document's
+    final token, and consecutive chunks overlap by ``window - stride``
+    tokens.  Pure streaming map (token count + vectorized row expansion
+    inside one ``map_batches``) — no shuffle, no driver state; at 100 TB
+    the chunk table is produced shard-local next to each input block.
+    """
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    import pyarrow.compute as pc
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = (
+            pc.count_substring_regex(batch["text"], _WS_TOKEN)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_chunks = np.where(n <= window, 1, (n - window + stride - 1) // stride + 1)
+        total = int(n_chunks.sum())
+        rep_ids = np.repeat(ids, n_chunks)
+        rep_n = np.repeat(n, n_chunks)
+        offsets = np.cumsum(n_chunks) - n_chunks
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(offsets, n_chunks)
+        start = chunk_id * stride
+        ctoks = np.minimum(window, rep_n - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "start_tok": pa.array(start, pa.int64()),
+                "chunk_tokens": pa.array(ctoks, pa.int64()),
+            }
+        )
+
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        expand, batch_format="pyarrow", batch_size=1024
+    )
+
+
+def chunk_documents_sql_oracle(
+    window: int = CHUNK_W, stride: int = CHUNK_S
+) -> str:
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{_WS_TOKEN}')) AS BIGINT)
+                   AS n
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, n,
+                 CASE WHEN n <= {window} THEN 1
+                      ELSE (n - {window} + {stride} - 1) // {stride} + 1
+                 END AS n_chunks
+          FROM c
+        ),
+        e AS (
+          SELECT doc_id, n,
+                 unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM k
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * {stride} AS BIGINT) AS start_tok,
+               CAST(least({window}, n - i * {stride}) AS BIGINT)
+                 AS chunk_tokens
+        FROM e
+    """
+
+
 # ----------------------------------------------------------- hash split ----
 
 

@@ -634,3 +634,50 @@ def test_group_topk_ranked_window(ray_session, tmp_path):
         assert sub["rank"].tolist() == list(range(1, len(want) + 1))
         assert sub["n_chars"].tolist() == [chars[i] for i in want]
     assert len(out) == 3 * k
+
+
+def test_chunk_documents_boundaries(ray_session, tmp_path):
+    from index_ray.pipelines.curation import chunk_documents
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # token counts planted around the window/stride boundaries for W=8, S=6:
+    # 0 toks -> 1 chunk of 0; 8 -> 1 chunk of 8; 9 -> 2 chunks (8, 3);
+    # 14 -> 2 chunks (8, 8); 15 -> 3 chunks (8, 8, 3)
+    texts = {0: "", 1: "w " * 8, 2: "w " * 9, 3: "w " * 14, 4: "w " * 15}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+                "lang": pa.array(["en"] * 5),
+                "source": pa.array(["t"] * 5),
+                "n_chars": pa.array([len(texts[i]) for i in sorted(texts)], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = (
+        chunk_documents(str(d), window=8, stride=6)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = {
+        0: [(0, 0, 0)],
+        1: [(0, 0, 8)],
+        2: [(0, 0, 8), (1, 6, 3)],
+        3: [(0, 0, 8), (1, 6, 8)],
+        4: [(0, 0, 8), (1, 6, 8), (2, 12, 3)],
+    }
+    for did, chunks in want.items():
+        sub = out[out["doc_id"] == did]
+        got = list(
+            zip(sub["chunk_id"], sub["start_tok"], sub["chunk_tokens"])
+        )
+        assert got == chunks, did
+    # invariant: last chunk reaches the final token of every non-empty doc
+    last = out.groupby("doc_id").last()
+    n = {0: 0, 1: 8, 2: 9, 3: 14, 4: 15}
+    for did, row in last.iterrows():
+        assert row["start_tok"] + row["chunk_tokens"] == n[did]
