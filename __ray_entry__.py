@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         flagship,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -281,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_mix": curation.epoch_mix,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
+        "pagerank": graph.pagerank,
     }
 
 
@@ -379,6 +381,7 @@ def _language_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from index_ray.pipelines.graph import pagerank_sql_oracle
     from index_ray.pipelines.flagship import (
         bm25_and_sql_oracle,
         bm25_fuzzy_sql_oracle,
@@ -806,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY 1 ORDER BY 1
         """,
         "token_count_bpe": token_count_bpe_sql_oracle(),
+        "pagerank": pagerank_sql_oracle(),
         "lm_bigram_score": lm_bigram_score_sql_oracle(),
         "dup_weights": dup_weights_sql_oracle(),
         "strip_dup_spans": strip_dup_spans_sql_oracle(),

@@ -1,0 +1,87 @@
+"""Integer fixed-point PageRank: planted-graph exactness vs an in-memory
+reference, and bitwise invariance across bucket counts."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from index_ray.pipelines.graph import SCALE, pagerank
+
+
+def _write_graph(tmp_path, pairs):
+    """pairs: (custkey, suppkey) lineitem-linked pairs (dups allowed)."""
+    d = tmp_path / "g"
+    d.mkdir()
+    okeys = list(range(len(pairs)))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys, pa.int64()),
+                "o_custkey": pa.array([c for c, _ in pairs], pa.int64()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okeys, pa.int64()),
+                "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+def _reference_pagerank(pairs, iters=3):
+    uniq = sorted({(c * 2, s * 2 + 1) for c, s in pairs})
+    edges = [(a, b) for a, b in uniq] + [(b, a) for a, b in uniq]
+    nodes = sorted({u for u, _ in edges})
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    n = len(nodes)
+    base = (15 * SCALE // 100) // n
+    r = {u: SCALE // n for u in nodes}
+    for _ in range(iters):
+        nxt = {u: base for u in nodes}
+        for u, v in edges:
+            nxt[v] += (r[u] * 85 // 100) // deg[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_planted_graph(ray_session, tmp_path):
+    # two communities sharing one bridge supplier, plus duplicate pairs
+    # (the DISTINCT must collapse them)
+    pairs = [
+        (1, 1), (1, 1), (2, 1), (3, 1),   # supplier 1 is a hub
+        (4, 2), (5, 2),
+        (3, 2),                            # bridge
+        (6, 3),                            # leaf pair
+    ]
+    d = _write_graph(tmp_path, pairs)
+    out = pagerank(d, iters=3, num_buckets=4).to_pandas()
+    want = _reference_pagerank(pairs, iters=3)
+    got = dict(zip(out["node"], out["rank_fp"]))
+    assert got == want
+    kinds = dict(zip(out["node"], out["kind"]))
+    assert all(
+        kinds[u] == ("customer" if u % 2 == 0 else "supplier") for u in got
+    )
+    # the hub supplier outranks every leaf supplier
+    assert got[1 * 2 + 1] > got[3 * 2 + 1]
+
+
+def test_pagerank_bucket_invariance(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    pairs = [
+        (int(c), int(s))
+        for c, s in zip(rng.integers(1, 40, 300), rng.integers(1, 12, 300))
+    ]
+    d = _write_graph(tmp_path, pairs)
+    a = pagerank(d, iters=3, num_buckets=1).to_pandas().sort_values("node")
+    b = pagerank(d, iters=3, num_buckets=16).to_pandas().sort_values("node")
+    assert a["rank_fp"].tolist() == b["rank_fp"].tolist()
+    assert a["node"].tolist() == b["node"].tolist()
