@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
         "pagerank": graph.pagerank,
+        "connected_components": graph.connected_components,
     }
 
 
@@ -381,7 +382,10 @@ def _language_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from index_ray.pipelines.graph import pagerank_sql_oracle
+    from index_ray.pipelines.graph import (
+        connected_components_sql_oracle,
+        pagerank_sql_oracle,
+    )
     from index_ray.pipelines.flagship import (
         bm25_and_sql_oracle,
         bm25_fuzzy_sql_oracle,
@@ -810,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_bpe": token_count_bpe_sql_oracle(),
         "pagerank": pagerank_sql_oracle(),
+        "connected_components": connected_components_sql_oracle(),
         "lm_bigram_score": lm_bigram_score_sql_oracle(),
         "dup_weights": dup_weights_sql_oracle(),
         "strip_dup_spans": strip_dup_spans_sql_oracle(),

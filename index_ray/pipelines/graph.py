@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -327,4 +328,102 @@ def pagerank_sql_oracle(iters: int = 3) -> str:
                CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                r AS rank_fp
         FROM {prev}
+    """
+
+
+# --------------------------------------------- connected components ----
+
+_CCP_SCHEMA = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("edge", pa.int8())]
+)
+
+
+def _lang_path_rows(t: pa.Table) -> pa.Table:
+    """One lang bucket -> per-language doc-id PATH edges plus singleton
+    self-labels.
+
+    Docs of a language are chained as a path (sorted doc_ids, k-1 edges),
+    not a clique: the component minimum is then only recoverable by
+    multi-hop label propagation, which is what the operator exists to
+    exercise.  Languages with a single document emit an ``edge = 0``
+    self-label row instead (cc rounds drop self-loops by design)."""
+    if t.num_rows == 0:
+        return _CCP_SCHEMA.empty_table()
+    t = t.select(["doc_id", "lang"]).sort_by(
+        [("lang", "ascending"), ("doc_id", "ascending")]
+    )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    lang = t["lang"].to_numpy(zero_copy_only=False)
+    same = lang[1:] == lang[:-1] if len(ids) > 1 else np.zeros(0, bool)
+    sel = np.flatnonzero(same)
+    single = ids[~np.r_[False, same] & ~np.r_[same, False]]
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate([ids[sel], single]), pa.int64()),
+            "v": pa.array(np.concatenate([ids[sel + 1], single]), pa.int64()),
+            "edge": pa.array(
+                np.r_[np.ones(len(sel), np.int8), np.zeros(len(single), np.int8)]
+            ),
+        }
+    )
+
+
+_CC_OUT = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+
+
+def _ccp_edges(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+    m = t.filter(pc.equal(t["edge"], 1))
+    return pa.table({"a": m["u"], "b": m["v"]})
+
+
+def _ccp_singles(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _CC_OUT.empty_table()
+    m = t.filter(pc.equal(t["edge"], 0))
+    return pa.table({"doc_id": m["u"], "component": m["v"]})
+
+
+def _ccp_rename(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _CC_OUT.empty_table()
+    return pa.table({"doc_id": t["doc_id"], "component": t["cluster_rep"]})
+
+
+def connected_components(
+    sf_dir: str, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Distributed connected components (alternating large-star/small-star
+    rounds, ``dedup.cc_clusters``) surfaced as a public query over the
+    per-language document paths.
+
+    Output: (doc_id, component) for EVERY document, where component is the
+    minimum doc_id of the doc's language group.  The SQL oracle states that
+    directly (one window aggregate); the engine must EARN it through
+    O(log n) propagation rounds over path edges that carry no group key —
+    a planted-answer check of the same CC kernel `minhash_clusters` uses
+    at scale.  Each round is one task-based bucket shuffle; no driver-
+    resident edge list (reference has no graph ops; training-data-side
+    extension alongside `pagerank`)."""
+    from .dedup import cc_clusters
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    rows = hash_groupby(docs, ["lang"], _lang_path_rows, num_partitions)
+    rows = rows.materialize()  # tiny (one row per doc); consumed twice
+    edges = rows.map_batches(_ccp_edges, batch_format="pyarrow")
+    singles = rows.map_batches(_ccp_singles, batch_format="pyarrow")
+    labeled = cc_clusters(edges, num_partitions).map_batches(
+        _ccp_rename, batch_format="pyarrow"
+    )
+    return labeled.union(singles)
+
+
+def connected_components_sql_oracle() -> str:
+    return """
+        SELECT doc_id,
+               CAST(min(doc_id) OVER (PARTITION BY lang) AS BIGINT) AS component
+        FROM documents
     """

@@ -85,3 +85,41 @@ def test_pagerank_bucket_invariance(ray_session, tmp_path):
     b = pagerank(d, iters=3, num_buckets=16).to_pandas().sort_values("node")
     assert a["rank_fp"].tolist() == b["rank_fp"].tolist()
     assert a["node"].tolist() == b["node"].tolist()
+
+
+def test_connected_components_planted_paths(ray_session, tmp_path):
+    """Per-lang paths incl. a 200-doc chain (multi-round propagation) and
+    singleton langs; every doc must label with its lang's min doc_id."""
+    from index_ray.pipelines.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(10_000)[:260]
+    langs = (
+        ["long"] * 200    # 200-node path: needs O(log n) LS/SS rounds
+        + ["mid"] * 40
+        + ["pair"] * 2
+        + [f"solo{i}" for i in range(18)]  # singletons
+    )
+    d = tmp_path / "cc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(["x"] * len(langs), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = connected_components(str(d), num_partitions=4).to_pandas()
+    assert len(out) == len(ids)
+    want = {}
+    by_lang = {}
+    for i, lg in zip(ids, langs):
+        by_lang.setdefault(lg, []).append(int(i))
+    for lg, members in by_lang.items():
+        for m in members:
+            want[m] = min(members)
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == want
