@@ -1230,3 +1230,127 @@ def event_transitions_sql_oracle() -> str:
         FROM o WHERE prev IS NOT NULL
         GROUP BY prev, event_type
     """
+
+
+# ------------------------------------------------------- hopping windows
+
+
+HOP_US = 15 * 60 * 1_000_000  # 15 min hop
+HOP_WINDOW_US = 3_600 * 1_000_000  # 1 h window
+
+_HOP_SCHEMA = pa.schema(
+    [
+        ("window_start", pa.timestamp("us")),
+        ("event_type", pa.string()),
+        ("n_events", pa.int64()),
+        ("cents_sum", pa.int64()),
+        ("n_users", pa.int64()),
+    ]
+)
+
+
+def hopping_windows(
+    sf_dir: str, window_us: int = HOP_WINDOW_US, hop_us: int = HOP_US
+) -> ray.data.Dataset:
+    """Sliding (hopping) event-time windows: 1 h windows advancing every
+    15 min — each event lands in window_us/hop_us = 4 overlapping windows.
+
+    Output per (window_start, event_type): event count, exact cents sum
+    (``windowed_events``' tumbling variant, text.py, covers the
+    non-overlapping case), and EXACT distinct-user count.  Ray Data has no
+    event-time window operator, so the expansion is explicit: a per-batch
+    flat emission of each event's window memberships, pre-collapsed by
+    (window, type, user) map-side (the combiner — the ×4 fan-out never
+    crosses the shuffle unaggregated), then one task-based bucket shuffle
+    keyed on window.  Distinct users survive partial aggregation because
+    the (window, type, user) triple is itself the partial key.
+    """
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    nwin = window_us // hop_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("w", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("user_id", pa.int64()),
+                    ("n_part", pa.int64()),
+                    ("cents_part", pa.int64()),
+                ]
+            ).empty_table()
+        t = _ts_us(batch["ts"])
+        base = t - t % hop_us
+        idx = np.repeat(np.arange(len(t)), nwin)
+        starts = np.repeat(base, nwin) - np.tile(
+            np.arange(nwin, dtype=np.int64) * hop_us, len(t)
+        )
+        tt = pa.table(
+            {
+                "w": pa.array(starts, pa.int64()),
+                "event_type": batch["event_type"].take(idx),
+                "user_id": batch["user_id"].take(idx),
+                "cents": _cents(batch["value"]).take(idx),
+            }
+        )
+        g = tt.group_by(
+            ["w", "event_type", "user_id"], use_threads=False
+        ).aggregate([("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(
+            ["w", "event_type", "user_id", "n_part", "cents_part"]
+        )
+
+    ex = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id", "value"]
+    ).map_batches(explode, batch_format="pyarrow", batch_size=16384)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HOP_SCHEMA.empty_table()
+        g = t.group_by(["w", "event_type"], use_threads=False).aggregate(
+            [("n_part", "sum"), ("cents_part", "sum")]
+        )
+        uniq = (
+            t.select(["w", "event_type", "user_id"])
+            .group_by(["w", "event_type", "user_id"], use_threads=False)
+            .aggregate([])
+            .group_by(["w", "event_type"], use_threads=False)
+            .aggregate([("user_id", "count")])
+        )
+        j = g.join(uniq, keys=["w", "event_type"])
+        return pa.table(
+            {
+                "window_start": j["w"].cast(pa.timestamp("us")),
+                "event_type": j["event_type"],
+                "n_events": j["n_part_sum"],
+                "cents_sum": j["cents_part_sum"],
+                "n_users": j["user_id_count"].cast(pa.int64()),
+            }
+        )
+
+    from ..util import hash_groupby
+
+    return hash_groupby(ex, ["w"], finalize)
+
+
+def hopping_windows_sql_oracle(
+    window_min: int = 60, hop_min: int = 15
+) -> str:
+    return f"""
+        WITH x AS (
+          SELECT unnest(generate_series(
+                   time_bucket(INTERVAL '{hop_min} minutes', ts)
+                     - INTERVAL '{window_min - hop_min} minutes',
+                   time_bucket(INTERVAL '{hop_min} minutes', ts),
+                   INTERVAL '{hop_min} minutes')) AS window_start,
+                 event_type, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents_sum,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM x GROUP BY window_start, event_type
+    """

@@ -318,3 +318,67 @@ def test_event_transitions_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(ours, theirs)
+
+
+def test_hopping_windows_membership(ray_session, tmp_path):
+    """Each event lands in exactly window/hop overlapping windows; counts,
+    cents and distinct users are exact on a planted boundary corpus."""
+    # ts at exactly a hop boundary, mid-hop, and one spanning repeat users
+    d = _write_events(
+        tmp_path,
+        [
+            (0, 0, 1, "view", 1.125),          # exact .5: half-away -> 113
+            (1, 15 * MIN, 1, "view", 2.0),     # exact hop boundary
+            (2, 17 * MIN, 2, "view", 4.0),
+            (3, 3 * HOUR, 2, "buy", 8.0),
+            (4, 3 * HOUR, 2, "buy", 8.0),      # same user same window
+        ],
+    )
+    out = ev.hopping_windows(d).to_pandas()
+    # brute force: event at t belongs to starts floor(t,hop)-i*hop, i<4
+    import collections
+
+    want = collections.defaultdict(lambda: [0, 0, set()])
+    rows = [(0, 1, "view", 113), (15 * MIN, 1, "view", 200),
+            (17 * MIN, 2, "view", 400), (3 * HOUR, 2, "buy", 800),
+            (3 * HOUR, 2, "buy", 800)]
+    for t, u, ty, c in rows:
+        base = t - t % (15 * MIN)
+        for i in range(4):
+            k = (base - i * 15 * MIN, ty)
+            want[k][0] += 1
+            want[k][1] += c
+            want[k][2].add(u)
+    got = {
+        # pandas Timestamp.value is ns; planted ts keys are us
+        (int(pd.Timestamp(r.window_start).value // 1000), r.event_type): (
+            r.n_events,
+            r.cents_sum,
+            r.n_users,
+        )
+        for r in out.itertuples()
+    }
+    assert got == {k: (n, c, len(us)) for k, (n, c, us) in want.items()}
+
+
+def test_hopping_windows_match_duckdb(ray_session):
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = (
+        con.sql(E.oracle_sql()["hopping_windows"])
+        .df()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ev.hopping_windows(SF)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64", "cents_sum": "int64", "n_users": "int64"}),
+        want.astype({"n_events": "int64", "cents_sum": "int64", "n_users": "int64"}),
+    )
