@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lengths": text.doc_lengths,
         "windowed_events": text.windowed_events,
+        "skipgram_counts": text.skipgram_counts,
         "hopping_windows": events.hopping_windows,
         "orders_by_nation": relational.orders_by_nation,
         "value_percentiles": events.value_percentiles,
@@ -384,6 +385,7 @@ def _language_id_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines import events as events_mod
+    from index_ray.pipelines import text as text_mod
     from index_ray.pipelines.graph import (
         connected_components_sql_oracle,
         pagerank_sql_oracle,
@@ -816,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_bpe": token_count_bpe_sql_oracle(),
         "pagerank": pagerank_sql_oracle(),
+        "skipgram_counts": text_mod.skipgram_counts_sql_oracle(),
         "hopping_windows": events_mod.hopping_windows_sql_oracle(),
         "connected_components": connected_components_sql_oracle(),
         "lm_bigram_score": lm_bigram_score_sql_oracle(),

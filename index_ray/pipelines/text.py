@@ -618,3 +618,111 @@ def term_freq_spectrum_sql_oracle() -> str:
         u AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM t GROUP BY 1)
         SELECT cf, CAST(count(*) AS BIGINT) AS n_terms FROM u GROUP BY 1
     """
+
+
+class _SkipgramPartials:
+    """batch -> (pair, n_part): windowed co-occurrence partial counts.
+
+    Word2vec-style skipgram pairs: (tok[i], tok[i+d]) for every distance
+    1 <= d <= window within one document.  Same int64 ``a * V + b``
+    encoding trick as ``_BigramPartials`` — one np.unique per batch over
+    the concatenated distance strata, strings materialized only for the
+    surviving distinct pairs."""
+
+    def __init__(self, window: int = 3, mode: str = "simple", text_col: str = "text"):
+        self.window = int(window)
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokenize_batch
+
+        empty = pa.table(
+            {"pair": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+        )
+        d, tid, vocab = tokenize_batch(batch[self.text_col], self.norm)
+        v = len(vocab)
+        strata = []
+        for dist in range(1, self.window + 1):
+            if len(tid) <= dist:
+                break
+            adj = d[dist:] == d[:-dist]
+            strata.append(tid[:-dist][adj] * v + tid[dist:][adj])
+        if not strata:
+            return empty
+        uniq, cnt = np.unique(np.concatenate(strata), return_counts=True)
+        a, b = uniq // v, uniq % v
+        return pa.table(
+            {
+                "pair": pa.array(
+                    [f"{vocab[i]} {vocab[j]}" for i, j in zip(a, b)], pa.string()
+                ),
+                "n_part": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def skipgram_counts(
+    sf_dir: str, window: int = 3, min_pair: int = 5
+) -> ray.data.Dataset:
+    """Windowed (skipgram) co-occurrence counts: ordered pairs of tokens at
+    distance <= window within a document, kept when the pair count reaches
+    ``min_pair`` — the co-occurrence table embedding trainers (word2vec,
+    GloVe) build first.  ``bigram_counts`` is the window=1 special case;
+    here each batch emits pre-collapsed partials (the x window fan-out
+    never crosses the shuffle row-per-occurrence), one groupby merges."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_pair"], min_pair))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n_pair": pa.array([], pa.int64()),
+                }
+            )
+        flat = pc.split_pattern(t["pair"], " ").combine_chunks().flatten()
+        idx = np.arange(len(flat), dtype=np.int64)
+        return pa.table(
+            {
+                "a": flat.take(pa.array(idx[0::2])),
+                "b": flat.take(pa.array(idx[1::2])),
+                "n_pair": t["n_pair"],
+            }
+        )
+
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_SkipgramPartials, window), batch_format="pyarrow", batch_size=512
+        )
+        .groupby("pair")
+        .aggregate(Sum("n_part", alias_name="n_pair"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def skipgram_counts_sql_oracle(window: int = 3, min_pair: int = 5) -> str:
+    strata = "\n          UNION ALL\n".join(
+        f"""          SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - {d}, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+{d}])) AS pg
+          FROM arr"""
+        for d in range(1, window + 1)
+    )
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        sg AS (
+{strata}
+        )
+        SELECT split_part(pg, ' ', 1) AS a,
+               split_part(pg, ' ', 2) AS b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM sg GROUP BY 1, 2 HAVING count(*) >= {min_pair}
+    """

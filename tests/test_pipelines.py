@@ -811,3 +811,36 @@ def test_nb_lang_classify_planted_and_duckdb(ray_session, tmp_path):
     a = got2[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_skipgram_counts_planted(ray_session, tmp_path):
+    """window=2 pairs over a planted doc; no cross-document pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.text import skipgram_counts
+
+    d = tmp_path / "sg"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b c a b", "b"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = (
+        skipgram_counts(str(d), window=2, min_pair=1)
+        .to_pandas()
+        .set_index(["a", "b"])["n_pair"]
+        .to_dict()
+    )
+    # doc1 tokens: a b c a b -> d1 pairs: ab,bc,ca,ab; d2: ac,ba,cb
+    want = {
+        ("a", "b"): 2, ("b", "c"): 1, ("c", "a"): 1,
+        ("a", "c"): 1, ("b", "a"): 1, ("c", "b"): 1,
+    }
+    assert out == want
