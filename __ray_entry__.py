@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (index_terms — driver-green r01+r02 — demoted; its varint
         # round-trip stays pinned by the testPL golden pytest suite)
         "bm25_facets": flagship.bm25_facets,
+        "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
         # corpus-global duplicate-line removal (RefinedWeb/CCNet line dedup;
@@ -402,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_style_boost_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
+        search_after_sql_oracle,
         more_like_this_sql_oracle,
         spell_suggest_sql_oracle,
         hybrid_search_sql_oracle,
@@ -504,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),
         "bm25_topk_meta": bm25_meta_sql_oracle(),
         "bm25_facets": bm25_facets_sql_oracle(),
+        "search_after_topk": search_after_sql_oracle(),
         "more_like_this": more_like_this_sql_oracle(),
         "spell_suggest": spell_suggest_sql_oracle(),
         "hybrid_search": hybrid_search_sql_oracle(),

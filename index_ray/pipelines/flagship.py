@@ -1583,3 +1583,56 @@ def index_filter_sql_oracle() -> str:
         {union}
         ORDER BY qid, doc_id
     """
+
+
+def search_after_topk(sf_dir: str, page_size: int = 5, pages: int = 2) -> pa.Table:
+    """Cursor-paginated BM25: fetch ``pages`` pages of ``page_size`` per
+    fixture query via ``BM25Searcher.search_after``, cursor = the previous
+    page's last (score, docID).
+
+    (qid, page, rank, doc_id) — rank is the in-page rank.  Page n+1 must
+    continue the global order exactly where page n stopped, so the oracle
+    is simply the top page_size*pages split into pages: any cursor drift,
+    pruning unsoundness or cross-page float mismatch breaks the hash."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    rows = []
+    for qid, terms, _ in DOC_QUERIES:
+        q = " ".join(terms)
+        cursor = None
+        for page in range(1, pages + 1):
+            r = searcher.search_after(q, k=page_size, after=cursor)
+            if len(r) == 0:
+                break
+            rows.append(
+                pa.table(
+                    {
+                        "qid": pa.array(np.full(len(r), qid, np.int64)),
+                        "page": pa.array(np.full(len(r), page, np.int64)),
+                        "rank": r["rank"],
+                        "doc_id": r["docID"],
+                    }
+                )
+            )
+            if len(r) < page_size:
+                break
+            cursor = (
+                float(r["score"][len(r) - 1].as_py()),
+                int(r["docID"][len(r) - 1].as_py()),
+            )
+    if not rows:
+        return pa.schema(
+            [("qid", pa.int64()), ("page", pa.int64()),
+             ("rank", pa.int64()), ("doc_id", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(rows)
+
+
+def search_after_sql_oracle(page_size: int = 5, pages: int = 2) -> str:
+    lim = page_size * pages
+    return _bm25_ctes() + f"""
+SELECT qid,
+       CAST((rank - 1) // {page_size} + 1 AS BIGINT) AS page,
+       CAST(rank - ((rank - 1) // {page_size}) * {page_size} AS BIGINT) AS rank,
+       doc_id
+FROM ranked WHERE rank <= {lim}"""

@@ -341,6 +341,7 @@ def _score_chunk(
     prune: bool,
     excluded: np.ndarray | None = None,
     style_weight: float = 1.0,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one chunk -> (top docIDs, scores), deterministic order.
 
@@ -351,7 +352,17 @@ def _score_chunk(
     ``style_weight`` (style-built chunks only, must be >= 1): styled
     postings score with ``tf * style_weight``; skip max_tf is real tf, so
     pruning bounds are multiplied by the weight to stay sound.
+
+    ``after`` = (score, docID): a pagination cursor — only candidates
+    STRICTLY after it in the (score DESC, docID ASC) result order survive.
+    Callers must pass ``prune=False`` with a cursor: tau forms from the
+    best UNFILTERED candidates, which all sort at-or-before the cursor, so
+    it would over-prune the page's true members.  Scores are identical
+    either way (pruning is score-lossless), so cursor equality against a
+    page-1 score is exact float64 equality.
     """
+    if after is not None and prune:
+        raise ValueError("after-cursor scoring requires prune=False")
     base = ci.doc_min
     scores = np.zeros_like(ci.doclen)
     norm_dl = K1 * (1.0 - B + B * ci.doclen / avgdl)
@@ -420,6 +431,10 @@ def _score_chunk(
                 tau = np.partition(scores[nz], len(nz) - k)[len(nz) - k]
 
     nz = np.flatnonzero(scores)
+    if after is not None and len(nz):
+        cs, cd = after
+        snz = scores[nz]
+        nz = nz[(snz < cs) | ((snz == cs) & (nz + base > cd))]
     if len(nz) == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     order = np.lexsort((nz, -scores[nz]))[:k]
@@ -743,10 +758,12 @@ class SearchShard:
         excludes: list[list[str]] | None = None,
         style_weight: float = 1.0,
         msm: int = 2,
+        afters: list[tuple[float, int] | None] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         out = []
         for qi, (terms, idfs, k) in enumerate(queries):
             exc_terms = excludes[qi] if excludes else []
+            after = afters[qi] if afters else None
             tops, scs = [], []
             for ci in self.chunks:
                 if mode == "and":
@@ -768,8 +785,9 @@ class SearchShard:
                             else self.tombstones
                         )
                     t, s = _score_chunk(
-                        ci, terms, np.asarray(idfs), k, self.avgdl, prune, exc,
-                        style_weight=style_weight,
+                        ci, terms, np.asarray(idfs), k, self.avgdl,
+                        prune and after is None, exc,
+                        style_weight=style_weight, after=after,
                     )
                 tops.append(t)
                 scs.append(s)
@@ -951,6 +969,51 @@ class BM25Searcher:
             [(query, k)], prune, mode=mode, meta_cols=meta_cols, field=field,
             boost=boost, style_weight=style_weight, msm=msm,
         )[0]
+
+    def search_after(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        field: str | None = None,
+    ) -> pa.Table:
+        """Cursor pagination (Elasticsearch-style ``search_after``): the
+        top-k results strictly AFTER the ``(score, docID)`` cursor in the
+        global (score DESC, docID ASC) order.
+
+        Unlike offset paging, no shard ever ships cursor-rank + k rows —
+        each applies the cursor filter to its own final scores and returns
+        at most k survivors, so page depth never grows the merge.  Cursor
+        pages score without block-max pruning (tau would form from
+        candidates at-or-before the cursor and over-prune; see
+        ``_score_chunk``); pruning is score-lossless, so the cursor taken
+        from a pruned page-1 ``search`` row matches by exact float64
+        equality.  ``after=None`` returns page 1 (identical to ``search``).
+        """
+        tok_mode = self.stats.get("tokenizer", "code")
+        base_terms = query_terms(query, tok_mode)
+        terms = [f"{field}:{t}" for t in base_terms] if field else base_terms
+        weights = self.lexicon.idf(terms)
+        present = [t for t in terms if t in weights]
+        idfs = [weights[t][1] for t in present]
+        prepared = [(present, idfs, k)]
+        futs = [
+            a.score_many.remote(
+                prepared, after is None, "or", None, 1.0, 2, [after]
+            )
+            for a in self.actors
+        ]
+        per_actor = ray.get(futs)
+        docs = np.concatenate([r[0][0] for r in per_actor])
+        scores = np.concatenate([r[0][1] for r in per_actor])
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "docID": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
 
     def search_many(
         self,

@@ -196,3 +196,30 @@ def test_shuffle_fallbacks_match_bucket(tiny_corpus_dir, tmp_path, tiny_oracle):
         o = tiny_oracle.search(q, k=10)
         assert results["bucket"][qi][0] == o["docID"].to_pylist()
         assert results["bucket"][qi][1] == o["score"].to_pylist()
+
+
+def test_search_after_pages_equal_topk(searcher):
+    """Concatenated cursor pages == one deep top-k, bitwise; past-the-end
+    cursor returns empty."""
+    for q in ["parse http request", "connection", "def return value"]:
+        full = searcher.search(q, k=23, prune=True)
+        pages, cursor = [], None
+        for _ in range(10):
+            r = searcher.search_after(q, k=7, after=cursor)
+            if len(r) == 0:
+                break
+            pages.append(r)
+            cursor = (
+                float(r["score"][len(r) - 1].as_py()),
+                int(r["docID"][len(r) - 1].as_py()),
+            )
+            if len(r) < 7:
+                break
+        got_docs = [d for p in pages for d in p["docID"].to_pylist()][:23]
+        got_scores = [s for p in pages for s in p["score"].to_pylist()][:23]
+        assert got_docs == full["docID"].to_pylist()
+        assert got_scores == full["score"].to_pylist()  # bitwise across pages
+    # cursor past the last result -> empty page
+    tail = searcher.search("connection", k=10_000).to_pandas()
+    last = (float(tail["score"].iloc[-1]), int(tail["docID"].iloc[-1]))
+    assert len(searcher.search_after("connection", k=5, after=last)) == 0
