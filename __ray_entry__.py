@@ -65,10 +65,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyless interval join (time-domain bucketing + interval
         # replication); term_prefix_stats (driver-green r02) demoted
         "session_concurrency": events.session_concurrency,
+        # graph suite (PageRank + distributed CC) and the round-3 window/
+        # co-occurrence ops — in-fold so the driver verdicts them
+        "pagerank": graph.pagerank,
+        "connected_components": graph.connected_components,
+        "hopping_windows": events.hopping_windows,
+        "skipgram_counts": text.skipgram_counts,
         # CCNet-style per-language LM-quality thirds (new family: quality
         # bucketing; user_outlier_events — driver-green r02, gap kernel
         # shared verbatim with session_concurrency above — demoted)
-        "ccnet_buckets": textstats.ccnet_buckets,
         # round-3 search additions: hybrid sparse+dense retrieval (RRF over
         # the BM25 and cosine-kNN top-K lists) and did-you-mean suggestion
         # (SymSpell lexicon probe ranked by cf); bm25_msm_topk and
@@ -100,11 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "ngram_lsh_consistency": dedup.ngram_lsh_consistency,
         # span-level (substring) dedup: duplicated-k-gram stats + boilerplate
-        "repeated_ngrams": dedup.repeated_ngrams,
         # corpus-global window function (row_number + SQL-exact ntile over
         # one range sort — util.global_row_number); hot_ngrams (same
         # duplicated-k-gram family as repeated_ngrams above) demoted
-        "quality_deciles": curation.quality_deciles,
         # exact duplicated-substring coverage (Lee et al. span metric;
         # corpus_stats — driver-green r01+r02 — demoted for the slot)
         "dup_span_coverage": dedup.dup_span_coverage,
@@ -167,7 +170,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dedup": multimodal.media_phash_dedup,
         # exactly-k-per-stratum quota sample (bm25_and_topk — driver-green
         # r02 — demoted; the AND path stays pinned by pytest + skip-seek)
-        "group_sample": curation.group_sample,
         # decontamination: the Bloom two-tier variant holds the fold slot
         # (same SQL oracle as the exact pass; pytest pins row-identity)
         "decontaminate_bloom": curation.decontaminate_bloom,
@@ -213,8 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lengths": text.doc_lengths,
         "windowed_events": text.windowed_events,
-        "skipgram_counts": text.skipgram_counts,
-        "hopping_windows": events.hopping_windows,
+        # demoted same-family variants (fold keeps one rep per family)
+        "ccnet_buckets": textstats.ccnet_buckets,
+        "repeated_ngrams": dedup.repeated_ngrams,
+        "quality_deciles": curation.quality_deciles,
+        "group_sample": curation.group_sample,
         "orders_by_nation": relational.orders_by_nation,
         "value_percentiles": events.value_percentiles,
         "top_terms": text.top_terms,
@@ -285,8 +290,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_mix": curation.epoch_mix,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
-        "pagerank": graph.pagerank,
-        "connected_components": graph.connected_components,
     }
 
 
