@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lengths": text.doc_lengths,
         "windowed_events": text.windowed_events,
+        "top_terms_by_source": text.top_terms_by_source,
         # demoted same-family variants (fold keeps one rep per family)
         "ccnet_buckets": textstats.ccnet_buckets,
         "repeated_ngrams": dedup.repeated_ngrams,
@@ -825,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": token_count_bpe_sql_oracle(),
         "pagerank": pagerank_sql_oracle(),
         "skipgram_counts": text_mod.skipgram_counts_sql_oracle(),
+        "top_terms_by_source": text_mod.top_terms_by_source_sql_oracle(),
         "hopping_windows": events_mod.hopping_windows_sql_oracle(),
         "connected_components": connected_components_sql_oracle(),
         "lm_bigram_score": lm_bigram_score_sql_oracle(),

@@ -726,3 +726,113 @@ def skipgram_counts_sql_oracle(window: int = 3, min_pair: int = 5) -> str:
                CAST(count(*) AS BIGINT) AS n_pair
         FROM sg GROUP BY 1, 2 HAVING count(*) >= {min_pair}
     """
+
+
+class _SourceTermPartials:
+    """batch -> (source, term, cf_part): per-(source, term) partial counts
+    via one (source_code * V + term_id) bincount — no per-row Python."""
+
+    def __init__(self, mode: str = "simple", text_col: str = "text"):
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "cf_part": pa.array([], pa.int64()),
+            }
+        )
+        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
+        if not vocab:
+            return empty
+        codes, cats = pd.factorize(
+            batch["source"].to_numpy(zero_copy_only=False)
+        )
+        v = len(vocab)
+        pair = codes[d].astype(np.int64) * v + tid
+        uniq, inv = np.unique(pair, return_inverse=True)
+        cf = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cf, inv, tf)
+        return pa.table(
+            {
+                "source": pa.array([cats[i] for i in uniq // v], pa.string()),
+                "term": pa.array([vocab[i] for i in uniq % v], pa.string()),
+                "cf_part": pa.array(cf),
+            }
+        )
+
+
+def top_terms_by_source(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Trending terms: the k most frequent tokens per document source,
+    ranked (cf DESC, term ASC) — the per-channel vocabulary dashboard a
+    corpus monitor maintains.  Per-batch (source, term) partials collapse
+    map-side; one bucket shuffle on source; the per-source finalize merges
+    partials and cuts top-k with a deterministic tie-break."""
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "cf": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["source", "term"], use_threads=False).aggregate(
+            [("cf_part", "sum")]
+        )
+        # per-source top-k: sort by (source, -cf, term), rank within source
+        g = g.sort_by(
+            [("source", "ascending"), ("cf_part_sum", "descending"), ("term", "ascending")]
+        )
+        src = g["source"].to_numpy(zero_copy_only=False)
+        new = np.r_[True, src[1:] != src[:-1]]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(src), dtype=np.int64) - starts[seg] + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "source": g["source"].filter(pa.array(keep)),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "term": g["term"].filter(pa.array(keep)),
+                "cf": g["cf_part_sum"].filter(pa.array(keep)).cast(pa.int64()),
+            }
+        )
+
+    from ..util import hash_groupby
+
+    parts = docs_dataset(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        stage_fn(_SourceTermPartials), batch_format="pyarrow", batch_size=512
+    )
+    return hash_groupby(parts, ["source"], finalize)
+
+
+def top_terms_by_source_sql_oracle(k: int = 10) -> str:
+    return f"""
+        WITH arr AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        t AS (SELECT source, unnest(toks) AS term FROM arr),
+        c AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS cf
+          FROM t GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT source, term, cf,
+                 CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY cf DESC, term ASC
+                 ) AS BIGINT) AS rank
+          FROM c
+        )
+        SELECT source, rank, term, cf FROM r WHERE rank <= {k}
+    """

@@ -844,3 +844,37 @@ def test_skipgram_counts_planted(ray_session, tmp_path):
         ("a", "c"): 1, ("b", "a"): 1, ("c", "b"): 1,
     }
     assert out == want
+
+
+def test_top_terms_by_source_planted(ray_session, tmp_path):
+    """Ties break term-ascending; k cuts per source independently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.text import top_terms_by_source
+
+    d = tmp_path / "tts"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["b b a a c", "z z z y", "q"], pa.string()
+                ),
+                "source": pa.array(["s1", "s2", "s2"], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = (
+        top_terms_by_source(str(d), k=2)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    rows = list(out.itertuples(index=False))
+    assert [(r.source, r.rank, r.term, r.cf) for r in rows] == [
+        ("s1", 1, "a", 2), ("s1", 2, "b", 2),  # tie 2-2 -> term asc
+        ("s2", 1, "z", 3), ("s2", 2, "q", 1),  # q/y tie -> q wins
+    ]
