@@ -475,3 +475,140 @@ def _remove_tomb_files(out_dir: str, names: list[str]) -> None:
         os.rmdir(tomb_dir)
     except OSError:
         pass
+
+
+def merge_indexes(dst: str, src: str) -> dict:
+    """Adopt another index's chunks into this one — the Lucene
+    ``addIndexes`` maintenance op, share-nothing style.
+
+    Both indexes must share a config fingerprint, and their docID spaces
+    must be disjoint: chunk pairs whose [doc_min, doc_max] ranges overlap
+    get their docmap docID columns intersected, and any collision is a
+    loud error (ranges that don't overlap need no reads at all, so two
+    partition indexes over id-ranged corpora merge with zero data reads).
+    Chunk dirs are adopted via hard links where the filesystem allows
+    (copy fallback) and renumbered; src tombstones carry over (docIDs are
+    global); the global lexicon/stats re-merge from the combined per-chunk
+    partials — the same epilogue a build/append runs.  Because BM25 scores
+    depend only on the integer-exact global stats (N, total_tokens -> avgdl,
+    merged df) and per-(term, doc) contributions accumulate in query-term
+    order regardless of chunk layout, search over the merged index is
+    BITWISE the single-build result over the union corpus (test-pinned;
+    the physical counterpart of query.FederatedBM25's logical merge).
+    On shared cluster storage the adoption is metadata-only (link/rename);
+    nothing re-packs and nothing re-shuffles — run ``compact_index``
+    afterwards if chunk sizes matter more than merge latency.
+    """
+    import itertools
+
+    recover_swap(dst)
+    recover_swap(src)
+    sd, ss = load_stats(dst), load_stats(src)
+    if sd.get("config_fingerprint") != ss.get("config_fingerprint"):
+        raise ValueError(
+            "merge_indexes: config fingerprints differ — the indexes were "
+            "built with different BuildConfigs"
+        )
+
+    dchunks = sorted(sd["chunks"], key=lambda c: c["chunk"])
+    schunks = sorted(ss["chunks"], key=lambda c: c["chunk"])
+
+    def _chunk_docids(root: str, cid: int) -> np.ndarray:
+        files = sorted(
+            glob.glob(
+                os.path.join(root, "chunks", f"chunk-{cid:05d}", "docmap", "*.parquet")
+            )
+        )
+        if not files:
+            return np.empty(0, np.int64)
+        return np.concatenate(
+            [
+                pq.read_table(f, columns=["docID"])["docID"].to_numpy(
+                    zero_copy_only=False
+                )
+                for f in files
+            ]
+        )
+
+    cache: dict = {}
+    for a, b in itertools.product(dchunks, schunks):
+        if a.get("doc_min") is None or b.get("doc_min") is None:
+            continue
+        if a["doc_min"] <= b["doc_max"] and b["doc_min"] <= a["doc_max"]:
+            ka, kb = ("d", a["chunk"]), ("s", b["chunk"])
+            if ka not in cache:
+                cache[ka] = _chunk_docids(dst, a["chunk"])
+            if kb not in cache:
+                cache[kb] = _chunk_docids(src, b["chunk"])
+            both = np.intersect1d(cache[ka], cache[kb])
+            if len(both):
+                raise ValueError(
+                    f"merge_indexes: docID collision (e.g. {int(both[0])}) "
+                    f"between dst chunk {a['chunk']} and src chunk {b['chunk']}"
+                )
+
+    cid0 = 1 + max((c["chunk"] for c in dchunks), default=-1)
+    new_manifests = []
+    for i, c in enumerate(schunks):
+        sdir = os.path.join(src, "chunks", f"chunk-{c['chunk']:05d}")
+        ddir = os.path.join(dst, "chunks", f"chunk-{cid0 + i:05d}")
+        if os.path.exists(ddir):
+            shutil.rmtree(ddir)
+        try:
+            shutil.copytree(sdir, ddir, copy_function=os.link)
+        except OSError:
+            shutil.rmtree(ddir, ignore_errors=True)
+            shutil.copytree(sdir, ddir)
+        m = read_json(manifest_path(ddir))
+        m["chunk"] = cid0 + i
+        write_json_atomic(manifest_path(ddir), m)  # new inode: src untouched
+        new_manifests.append(m)
+
+    tdir = os.path.join(dst, "tombstones")
+    for f in sorted(glob.glob(os.path.join(src, "tombstones", "*.parquet"))):
+        os.makedirs(tdir, exist_ok=True)
+        target = os.path.join(tdir, f"merged-{cid0:05d}-{os.path.basename(f)}")
+        if not os.path.exists(target):
+            try:
+                os.link(f, target)
+            except OSError:
+                shutil.copy2(f, target)
+
+    manifests = [
+        read_json(
+            manifest_path(os.path.join(dst, "chunks", f"chunk-{c['chunk']:05d}"))
+        )
+        for c in dchunks
+    ] + new_manifests
+    lex_files = [
+        f
+        for m in manifests
+        for f in sorted(
+            glob.glob(
+                os.path.join(
+                    dst, "chunks", f"chunk-{m['chunk']:05d}", "lexicon", "*.parquet"
+                )
+            )
+        )
+    ]
+    merge_lexicon(dst, lex_files)
+    n_docs = sum(m["docs"] for m in manifests)
+    total_tokens = sum(m["tokens"] for m in manifests)
+    stats = {
+        **sd,
+        "N": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "hot_terms": sorted(set(sd.get("hot_terms", [])) | set(ss.get("hot_terms", []))),
+        "chunks": [
+            {
+                "chunk": m["chunk"],
+                "docs": m["docs"],
+                "doc_min": m["doc_min"],
+                "doc_max": m["doc_max"],
+            }
+            for m in manifests
+        ],
+    }
+    write_json_atomic(os.path.join(dst, "stats.json"), stats)
+    return stats

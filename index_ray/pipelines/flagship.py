@@ -1636,3 +1636,53 @@ SELECT qid,
        CAST(rank - ((rank - 1) // {page_size}) * {page_size} AS BIGINT) AS rank,
        doc_id
 FROM ranked WHERE rank <= {lim}"""
+
+
+def merged_bm25(sf_dir: str) -> pa.Table:
+    """Physical index merge, end to end: split ``documents`` by doc_id
+    parity, build two independent partition indexes, ``merge_indexes`` B
+    into A, run the fixture queries over the merged index.
+
+    (qid, rank, doc_id) — the oracle is the plain single-index BM25 SQL:
+    the merged index must reproduce the union-corpus ranking exactly
+    (global N/avgdl/df re-merged integer-exact; the physical counterpart
+    of ``federated_bm25``'s logical merge)."""
+    import shutil
+
+    from .compact import merge_indexes
+
+    base = _index_dir_for(sf_dir) + "_merge"
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    even = (t["doc_id"].to_numpy(zero_copy_only=False) % 2) == 0
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+    )
+    idx = {}
+    for name, mask in (("a", even), ("b", ~even)):
+        root = f"{base}_{name}"
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(f"{root}_src")
+        pq.write_table(t.filter(pa.array(mask)), f"{root}_src/documents.parquet")
+        build_index(f"{root}_src/documents.parquet", root, cfg)
+        idx[name] = root
+    merge_indexes(idx["a"], idx["b"])
+    searcher = BM25Searcher(idx["a"])
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    return (
+        pa.concat_tables(tables)
+        .rename_columns(["qid", "rank", "doc_id", "score"])
+        .select(["qid", "rank", "doc_id"])
+    )

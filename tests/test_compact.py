@@ -321,3 +321,61 @@ def test_tombstones_survive_committed_swap_recovery(tmp_path, monkeypatch):
     assert not os.path.exists(C.swap_journal_path(idx))
     assert stats["n_tombstoned"] == 1
     assert list(load_tombstones(idx)) == [20]
+
+
+def test_merge_indexes_bitwise_and_guards(tmp_path):
+    """merge_indexes(A, B) over an even/odd doc_id split serves bitwise the
+    single-build results; collisions and config mismatches are loud."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.compact import merge_indexes
+    from index_ray.sources.corpus import generate_corpus
+
+    texts = generate_corpus(200, TINY_SEED)["content"].to_pylist()
+    full = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = BuildConfig(
+        tokenizer="simple", text_col="text", id_col="doc_id",
+        chunk_docs=60, num_parts=4, salt_docs=64,
+    )
+    paths = {}
+    for name, mask in (
+        ("full", np.ones(200, bool)),
+        ("a", np.arange(200) % 2 == 0),
+        ("b", np.arange(200) % 2 == 1),
+    ):
+        src = tmp_path / f"{name}_src"
+        src.mkdir()
+        pq.write_table(full.filter(pa.array(mask)), str(src / "documents.parquet"))
+        idx = str(tmp_path / f"{name}_idx")
+        build_index(str(src / "documents.parquet"), idx, cfg)
+        paths[name] = idx
+
+    merge_indexes(paths["a"], paths["b"])
+    sf = load_stats(paths["full"])
+    sm = load_stats(paths["a"])
+    assert (sm["N"], sm["total_tokens"], sm["avgdl"]) == (
+        sf["N"], sf["total_tokens"], sf["avgdl"],
+    )
+    assert _results(paths["a"]) == _results(paths["full"])  # bitwise
+
+    # docID collision: the merged index now contains B's ids already
+    with pytest.raises(ValueError, match="collision"):
+        merge_indexes(paths["a"], paths["b"])
+
+    # config mismatch is loud
+    other = str(tmp_path / "other_idx")
+    build_index(
+        str(tmp_path / "b_src" / "documents.parquet"),
+        other,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=60, num_parts=4, salt_docs=64, positions=True),
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        merge_indexes(paths["full"], other)
