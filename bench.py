@@ -155,7 +155,8 @@ def run_bench() -> dict:
 
     if not FAST:
         from index_ray.pipelines import (
-            bpe, curation, dedup, flagship, sketches, similarity, text, textstats,
+            bpe, curation, dedup, events, flagship, graph, sketches, similarity,
+            text, textstats,
         )
 
         # min-of-2 per query: the first run pays the session's worker-spawn
@@ -178,6 +179,10 @@ def run_bench() -> dict:
             ("semdedup", lambda: similarity.semdedup(SF_DIR).materialize()),
             ("hybrid_search", lambda: flagship.hybrid_search(SF_DIR)),
             ("quality_deciles", lambda: curation.quality_deciles(SF_DIR).materialize()),
+            ("pagerank", lambda: graph.pagerank(SF_DIR).materialize()),
+            ("connected_components", lambda: graph.connected_components(SF_DIR).materialize()),
+            ("hopping_windows", lambda: events.hopping_windows(SF_DIR).materialize()),
+            ("skipgram_counts", lambda: text.skipgram_counts(SF_DIR).materialize()),
         ]:
             runs = []
             for _ in range(2):

@@ -418,8 +418,15 @@ def cc_clusters(
     from ..util import hash_groupby
 
     state = edges.map_batches(_cc_init, batch_format="pyarrow").materialize()
-    if state.count() == 0:
+    n_edges = state.count()
+    if n_edges == 0:
         return ray.data.from_arrow(_cc_labels(_CC_EMPTY))
+    if num_partitions is None:
+        # every round pays per-bucket task overhead; size buckets to the
+        # edge volume (>=100k state rows per reduce task), capped at the
+        # session's usual cpus//2 so big graphs still use the machine
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(max(8, cpus // 2), 1 + n_edges // 100_000))
     prev: tuple | None = None
     for _ in range(max_rounds):
         both = state.map_batches(_cc_both_dirs, batch_format="pyarrow")

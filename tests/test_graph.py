@@ -112,7 +112,7 @@ def test_connected_components_planted_paths(ray_session, tmp_path):
         ),
         str(d / "documents.parquet"),
     )
-    out = connected_components(str(d), num_partitions=4).to_pandas()
+    out = connected_components(str(d), num_partitions=4, distributed=True).to_pandas()
     assert len(out) == len(ids)
     want = {}
     by_lang = {}
@@ -123,3 +123,28 @@ def test_connected_components_planted_paths(ray_session, tmp_path):
             want[m] = min(members)
     got = dict(zip(out["doc_id"], out["component"]))
     assert got == want
+
+
+def test_connected_components_paths_agree(ray_session, tmp_path):
+    """Driver and distributed tiers label identically."""
+    from index_ray.pipelines.graph import connected_components
+
+    langs = ["x"] * 30 + ["y"] * 5 + ["z"]
+    d = tmp_path / "cc2"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(100, 100 + len(langs))), pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(["x"] * len(langs), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    a = connected_components(str(d), distributed=False).to_pandas()
+    b = connected_components(str(d), distributed=True).to_pandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(key(a), key(b))
