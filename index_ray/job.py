@@ -93,6 +93,46 @@ def _cmd_fsck(a: argparse.Namespace) -> dict:
     return {"n_issues": sum(r["n_issues"] for r in rows), "rows": rows}
 
 
+def _stats_summary(stats: dict) -> dict:
+    return {
+        "N": stats.get("N"),
+        "total_tokens": stats.get("total_tokens"),
+        "avgdl": stats.get("avgdl"),
+        "n_chunks": len(stats.get("chunks", [])),
+        "n_tombstoned": stats.get("n_tombstoned", 0),
+        "tokenizer": stats.get("tokenizer"),
+        "positions": stats.get("positions"),
+    }
+
+
+def _cmd_compact(a: argparse.Namespace) -> dict:
+    from .pipelines.compact import compact_index
+
+    _init_ray()
+    return _stats_summary(compact_index(a.index, group_docs=a.group_docs))
+
+
+def _cmd_merge(a: argparse.Namespace) -> dict:
+    from .pipelines.compact import merge_indexes
+
+    _init_ray()
+    return _stats_summary(merge_indexes(a.dst, a.src))
+
+
+def _cmd_delete(a: argparse.Namespace) -> dict:
+    from .pipelines.compact import delete_docs
+
+    _init_ray()
+    ids = [int(x) for x in a.ids.split(",") if x]
+    return _stats_summary(delete_docs(a.index, ids))
+
+
+def _cmd_stats(a: argparse.Namespace) -> dict:
+    from .pipelines.build import load_stats
+
+    return _stats_summary(load_stats(a.index))
+
+
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(prog="python -m index_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -122,6 +162,25 @@ def main(argv: list[str] | None = None) -> dict:
     f = sub.add_parser("fsck")
     f.add_argument("--index", required=True)
     f.set_defaults(fn=_cmd_fsck)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--group-docs", type=int, default=None)
+    c.set_defaults(fn=_cmd_compact)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--dst", required=True, help="index that adopts the chunks")
+    m.add_argument("--src", required=True, help="index whose chunks are adopted")
+    m.set_defaults(fn=_cmd_merge)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True, help="docIDs to tombstone, comma-sep")
+    d.set_defaults(fn=_cmd_delete)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=_cmd_stats)
 
     a = p.parse_args(argv)
     out = a.fn(a)

@@ -69,3 +69,27 @@ def test_append_writes_metrics(tiny_corpus_dir, tmp_path):
     assert m["kind"] == "append"
     assert m["docs_built"] == 60
     assert m["n_docs_total"] == 260
+
+
+def test_lifecycle_subcommands(tiny_corpus_dir, tmp_path):
+    """stats / delete / compact / merge drive the full maintenance surface."""
+    a = str(tmp_path / "a")
+    main(["build", "--source", tiny_corpus_dir, "--out", a, "--chunk-docs", "100"])
+
+    s = main(["stats", "--index", a])
+    assert s["N"] > 0 and s["n_chunks"] >= 1 and s["n_tombstoned"] == 0
+
+    d = main(["delete", "--index", a, "--ids", "0,1"])
+    assert d["n_tombstoned"] == 2
+
+    c = main(["compact", "--index", a])
+    assert c["n_chunks"] == 1 and c["N"] == s["N"] - 2
+
+    # merge: second index over a disjoint docID range (id_col is None ->
+    # sequential from 0, which collides with a's ids) must be loud
+    b = str(tmp_path / "b")
+    main(["build", "--source", tiny_corpus_dir, "--out", b, "--chunk-docs", "100"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        main(["merge", "--dst", a, "--src", b])
