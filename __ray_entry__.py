@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": text.doc_lengths,
         "windowed_events": text.windowed_events,
         "merged_bm25": flagship.merged_bm25,
+        "prf_search": flagship.prf_search,
         "top_terms_by_source": text.top_terms_by_source,
         # demoted same-family variants (fold keeps one rep per family)
         "ccnet_buckets": textstats.ccnet_buckets,
@@ -408,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_style_boost_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
+        prf_sql_oracle,
         search_after_sql_oracle,
         more_like_this_sql_oracle,
         spell_suggest_sql_oracle,
@@ -513,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": bm25_facets_sql_oracle(),
         "search_after_topk": search_after_sql_oracle(),
         "merged_bm25": bm25_sql_oracle(),
+        "prf_search": prf_sql_oracle(),
         "more_like_this": more_like_this_sql_oracle(),
         "spell_suggest": spell_suggest_sql_oracle(),
         "hybrid_search": hybrid_search_sql_oracle(),

@@ -1686,3 +1686,137 @@ def merged_bm25(sf_dir: str) -> pa.Table:
         .rename_columns(["qid", "rank", "doc_id", "score"])
         .select(["qid", "rank", "doc_id"])
     )
+
+
+PRF_FB_K = 3   # feedback depth: top docs mined for expansion terms
+PRF_FB_M = 5   # expansion width: terms added to the query
+PRF_K = 10
+
+
+def prf_search(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance feedback (RM3-lite): run each fixture query, mine
+    the top PRF_FB_K documents' terms, add the PRF_FB_M best expansion
+    terms by ``sum-tf x idf`` (original terms excluded, ties term-ASC) at
+    half weight, and rescore.
+
+    (qid, rank, doc_id).  Distribution shape mirrors ``more_like_this``:
+    expansion mining is a driver-side probe over PRF_FB_K fetched docs
+    (predicate-pushdown parquet read + resident-lexicon idf); both ranking
+    passes run through the shard actors — the second via
+    ``BM25Searcher.search_weighted`` (1.0 on original terms, 0.5 on
+    expansion terms, matching the oracle's UNION ALL weights)."""
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from ..functions.tokenize import split_tokens
+
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    page1 = searcher.search_many(
+        [(" ".join(terms), PRF_FB_K) for _, terms, _ in DOC_QUERIES]
+    )
+    fb_ids = sorted({d for r in page1 for d in r["docID"].to_pylist()})
+    texts = {}
+    if fb_ids:
+        tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+            columns=["doc_id", "text"], filter=pads.field("doc_id").isin(fb_ids)
+        )
+        texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    tables = []
+    for (qid, terms, _), r in zip(DOC_QUERIES, page1):
+        tf: Counter = Counter()
+        for did in r["docID"].to_pylist():
+            toks = split_tokens(pa.array([texts[did]]), "simple")[0].as_py()
+            tf.update(t for t in toks if t)
+        for t in terms:
+            tf.pop(t, None)  # expansion excludes the original query terms
+        dfidf = searcher.lexicon.idf(sorted(tf))
+        ordered = sorted(((-(tf[t] * idf), t) for t, (_df, idf) in dfidf.items()))
+        expansion = [t for _, t in ordered[:PRF_FB_M]]
+        weighted = [(t, 1.0) for t in terms] + [(t, 0.5) for t in expansion]
+        rr = searcher.search_weighted(weighted, k=PRF_K)
+        tables.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(len(rr), qid, dtype=np.int64)),
+                    "rank": rr["rank"],
+                    "doc_id": rr["docID"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def prf_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return _corpus_ctes() + f""",
+q0(qid, term) AS (VALUES {values}),
+scored0 AS (
+  SELECT q0.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q0
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q0.qid, tf.doc_id
+),
+fb AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored0
+  ) WHERE rn <= {PRF_FB_K}
+),
+cand AS (
+  SELECT fb.qid, tf.term,
+         sum(tf.tf) * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) AS w
+  FROM fb
+  JOIN tf USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN stats
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q0 WHERE q0.qid = fb.qid AND q0.term = tf.term
+  )
+  GROUP BY fb.qid, tf.term, df.df, stats.n
+),
+qx AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {PRF_FB_M}
+),
+qall AS (
+  SELECT qid, term, 1.0 AS wt FROM q0
+  UNION ALL
+  SELECT qid, term, 0.5 AS wt FROM qx
+),
+scored AS (
+  SELECT qall.qid, tf.doc_id,
+         sum(
+           qall.wt
+           * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM qall
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qall.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= {PRF_K}"""

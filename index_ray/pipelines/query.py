@@ -1015,6 +1015,40 @@ class BM25Searcher:
             }
         )
 
+    def search_weighted(
+        self,
+        weighted_terms: list[tuple[str, float]],
+        k: int = 10,
+        prune: bool = True,
+    ) -> pa.Table:
+        """OR-mode BM25 where each (term, w) entry contributes
+        ``w * idf(term) * tf_saturation`` — the weighted-query primitive
+        behind pseudo-relevance feedback / RM3-style expansion (and the
+        generalization of ``boost=``'s namespace weighting to arbitrary
+        per-term weights).  Entries are scored in list order; a term
+        listed twice contributes twice (mirroring a SQL UNION ALL of
+        query rows).  Absent terms contribute nothing."""
+        weights = self.lexicon.idf([t for t, _ in weighted_terms])
+        present, idfs = [], []
+        for t, w in weighted_terms:
+            if t in weights:
+                present.append(t)
+                idfs.append(w * weights[t][1])
+        prepared = [(present, idfs, k)]
+        per_actor = ray.get(
+            [a.score_many.remote(prepared, prune, "or") for a in self.actors]
+        )
+        docs = np.concatenate([r[0][0] for r in per_actor])
+        scores = np.concatenate([r[0][1] for r in per_actor])
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "docID": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
     def search_many(
         self,
         queries: list[tuple[str, int]],

@@ -223,3 +223,28 @@ def test_search_after_pages_equal_topk(searcher):
     tail = searcher.search("connection", k=10_000).to_pandas()
     last = (float(tail["score"].iloc[-1]), int(tail["docID"].iloc[-1]))
     assert len(searcher.search_after("connection", k=5, after=last)) == 0
+
+
+def test_search_weighted_semantics(searcher):
+    """weight 1.0 == plain search bitwise; duplicate entries double-count;
+    down-weighting scales contributions."""
+    q = "parse http request"
+    from index_ray.pipelines.query import query_terms
+
+    terms = query_terms(q, "code")
+    plain = searcher.search(q, k=10)
+    w1 = searcher.search_weighted([(t, 1.0) for t in terms], k=10)
+    assert w1["docID"].to_pylist() == plain["docID"].to_pylist()
+    assert w1["score"].to_pylist() == plain["score"].to_pylist()
+
+    # one term listed twice == that term at weight 2 (UNION ALL semantics)
+    twice = searcher.search_weighted(
+        [(terms[0], 1.0), (terms[0], 1.0)], k=5
+    )
+    double = searcher.search_weighted([(terms[0], 2.0)], k=5)
+    assert twice["docID"].to_pylist() == double["docID"].to_pylist()
+    assert twice["score"].to_pylist() == double["score"].to_pylist()
+
+    # single-term scores scale linearly with the weight
+    one = searcher.search_weighted([(terms[0], 1.0)], k=5)
+    assert double["score"].to_pylist() == [2 * s for s in one["score"].to_pylist()]
