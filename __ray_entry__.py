@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": text.windowed_events,
         "merged_bm25": flagship.merged_bm25,
         "prf_search": flagship.prf_search,
+        "bm25_filtered": flagship.bm25_filtered,
         "top_terms_by_source": text.top_terms_by_source,
         # demoted same-family variants (fold keeps one rep per family)
         "ccnet_buckets": textstats.ccnet_buckets,
@@ -409,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_style_boost_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
+        bm25_filtered_sql_oracle,
         prf_sql_oracle,
         search_after_sql_oracle,
         more_like_this_sql_oracle,
@@ -516,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_topk": search_after_sql_oracle(),
         "merged_bm25": bm25_sql_oracle(),
         "prf_search": prf_sql_oracle(),
+        "bm25_filtered": bm25_filtered_sql_oracle(),
         "more_like_this": more_like_this_sql_oracle(),
         "spell_suggest": spell_suggest_sql_oracle(),
         "hybrid_search": hybrid_search_sql_oracle(),

@@ -1820,3 +1820,48 @@ ranked AS (
   FROM scored
 )
 SELECT qid, rank, doc_id FROM ranked WHERE rank <= {PRF_K}"""
+
+
+FILTER_LANGS = ["en", "de"]
+
+
+def bm25_filtered(sf_dir: str) -> pa.Table:
+    """Filtered retrieval: the fixture queries restricted to documents with
+    lang IN FILTER_LANGS via ``BM25Searcher.search_filtered`` — the
+    predicate restricts the match set only (N/avgdl/idf stay global, the
+    Elasticsearch bool-filter contract), pushed into the shard actors'
+    exclusion channel so pruning stays score-lossless.  (qid, rank,
+    doc_id); oracle = the BM25 CTEs with a post-scoring lang join."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    tables = []
+    for qid, terms, k in DOC_QUERIES:
+        r = searcher.search_filtered(
+            " ".join(terms), k=k, filter_col="lang", filter_vals=FILTER_LANGS
+        )
+        tables.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(len(r), qid, dtype=np.int64)),
+                    "rank": r["rank"],
+                    "doc_id": r["docID"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def bm25_filtered_sql_oracle() -> str:
+    langs = ", ".join(f"'{x}'" for x in FILTER_LANGS)
+    return _bm25_ctes() + f"""
+, kept_f AS (
+  SELECT s.* FROM scored s
+  JOIN d0 ON d0.doc_id = s.doc_id
+  WHERE d0.lang IN ({langs})
+),
+ranked_f AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM kept_f
+)
+SELECT qid, rank, doc_id FROM ranked_f WHERE rank <= 10"""

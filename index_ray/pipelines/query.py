@@ -794,6 +794,43 @@ class SearchShard:
             out.append((np.concatenate(tops), np.concatenate(scs)))
         return out
 
+    def score_filtered_many(
+        self,
+        queries: list[tuple[list[str], list[float], int]],
+        prune: bool,
+        filter_col: str,
+        filter_vals: list,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """OR-mode scoring restricted to documents whose ``filter_col``
+        docmap value is in ``filter_vals`` — filtered retrieval with the
+        predicate pushed below the prune threshold (same exclusion channel
+        as tombstones/NOT, so pruning stays score-lossless over the
+        allowed set).  The facet map is actor-resident (``_facet_maps``);
+        per-call cost is one vectorized isin per chunk."""
+        maps = self._facet_maps(filter_col)
+        vals = set(filter_vals)
+        exc_per_chunk = []
+        for ids, codes, cats in maps:
+            ok = np.array(
+                [j for j, c in enumerate(cats) if c in vals], dtype=np.int64
+            )
+            exc = ids[~np.isin(codes, ok)]
+            if self.tombstones is not None:
+                exc = np.union1d(exc, self.tombstones)
+            exc_per_chunk.append(exc)
+        out = []
+        for terms, idfs, k in queries:
+            tops, scs = [], []
+            for ci, exc in zip(self.chunks, exc_per_chunk):
+                t, s = _score_chunk(
+                    ci, terms, np.asarray(idfs), k, self.avgdl, prune,
+                    exc if len(exc) else None,
+                )
+                tops.append(t)
+                scs.append(s)
+            out.append((np.concatenate(tops), np.concatenate(scs)))
+        return out
+
     def _facet_maps(self, facet_col: str):
         """Per-chunk (sorted docIDs, facet codes, categories) — loaded from
         the docmap sidecars ONCE per actor per facet column, then resident
@@ -1004,6 +1041,46 @@ class BM25Searcher:
             for a in self.actors
         ]
         per_actor = ray.get(futs)
+        docs = np.concatenate([r[0][0] for r in per_actor])
+        scores = np.concatenate([r[0][1] for r in per_actor])
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "docID": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    def search_filtered(
+        self,
+        query: str,
+        k: int = 10,
+        filter_col: str = "lang",
+        filter_vals: list | None = None,
+        prune: bool = True,
+    ) -> pa.Table:
+        """Filtered retrieval: BM25 top-k over only the documents whose
+        docmap ``filter_col`` value is in ``filter_vals`` (Elasticsearch
+        bool-filter semantics: the predicate restricts the MATCH SET, not
+        the corpus statistics — N/avgdl/idf stay global).  The predicate
+        is pushed into the shard actors' exclusion channel before the
+        prune threshold forms, so block-max pruning stays score-lossless
+        over the allowed set."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        terms = query_terms(query, tok_mode)
+        weights = self.lexicon.idf(terms)
+        present = [t for t in terms if t in weights]
+        idfs = [weights[t][1] for t in present]
+        prepared = [(present, idfs, k)]
+        per_actor = ray.get(
+            [
+                a.score_filtered_many.remote(
+                    prepared, prune, filter_col, list(filter_vals or [])
+                )
+                for a in self.actors
+            ]
+        )
         docs = np.concatenate([r[0][0] for r in per_actor])
         scores = np.concatenate([r[0][1] for r in per_actor])
         order = np.lexsort((docs, -scores))[:k]

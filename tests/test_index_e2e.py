@@ -248,3 +248,24 @@ def test_search_weighted_semantics(searcher):
     # single-term scores scale linearly with the weight
     one = searcher.search_weighted([(terms[0], 1.0)], k=5)
     assert double["score"].to_pylist() == [2 * s for s in one["score"].to_pylist()]
+
+
+def test_search_filtered_matches_postfilter(searcher, tiny_corpus_table):
+    """Filtered top-k == post-filter of a deep unfiltered search: same
+    membership rule, UNCHANGED scores (the filter must not touch
+    N/avgdl/idf), and empty filter set -> empty result."""
+    langs = tiny_corpus_table["lang"].to_pylist()
+    allowed = {"python", "java"}
+    allowed_ids = {i for i, lg in enumerate(langs) if lg in allowed}
+    for q in ["parse http request", "connection"]:
+        deep = searcher.search(q, k=10_000, prune=False)
+        want = [
+            (d, s)
+            for d, s in zip(deep["docID"].to_pylist(), deep["score"].to_pylist())
+            if d in allowed_ids
+        ][:10]
+        got = searcher.search_filtered(
+            q, k=10, filter_col="lang", filter_vals=sorted(allowed)
+        )
+        assert list(zip(got["docID"].to_pylist(), got["score"].to_pylist())) == want
+    assert len(searcher.search_filtered("connection", k=5, filter_vals=[])) == 0
