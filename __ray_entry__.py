@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_bm25": flagship.merged_bm25,
         "prf_search": flagship.prf_search,
         "bm25_filtered": flagship.bm25_filtered,
+        "bm25_explain": flagship.bm25_explain,
+        "match_stats": flagship.match_stats,
         "top_terms_by_source": text.top_terms_by_source,
         # demoted same-family variants (fold keeps one rep per family)
         "ccnet_buckets": textstats.ccnet_buckets,
@@ -410,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         bm25_style_boost_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
+        bm25_explain_sql_oracle,
+        match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
         prf_sql_oracle,
         search_after_sql_oracle,
@@ -519,6 +523,8 @@ def oracle_sql() -> dict[str, str]:
         "merged_bm25": bm25_sql_oracle(),
         "prf_search": prf_sql_oracle(),
         "bm25_filtered": bm25_filtered_sql_oracle(),
+        "bm25_explain": bm25_explain_sql_oracle(),
+        "match_stats": match_stats_sql_oracle(),
         "more_like_this": more_like_this_sql_oracle(),
         "spell_suggest": spell_suggest_sql_oracle(),
         "hybrid_search": hybrid_search_sql_oracle(),

@@ -1865,3 +1865,127 @@ ranked_f AS (
   FROM kept_f
 )
 SELECT qid, rank, doc_id FROM ranked_f WHERE rank <= 10"""
+
+
+EXPLAIN_DOCS = 3  # per query: top docs whose scores get term-level breakdowns
+
+
+def bm25_explain(sf_dir: str) -> pa.Table:
+    """Score explanation (Lucene ``explain`` analogue): per-term BM25
+    contribution breakdown for each fixture query's top EXPLAIN_DOCS docs.
+
+    (qid, doc_id, term, contrib_e6) — contrib = idf(t) * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl)), integer-lifted with the same
+    floor(x*1e6+0.5) rule as ``bm25_scores``.  tf comes from re-tokenizing
+    the fetched doc (predicate-pushdown read), dl/N/avgdl/df from the
+    index's own stats/lexicon — so the oracle pins the statistics the
+    engine scored with, term by term; the pytest additionally pins
+    sum(contribs) == the shard scorer's score bitwise (same accumulation
+    order)."""
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from ..functions.tokenize import split_tokens
+
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), EXPLAIN_DOCS) for _, terms, _ in DOC_QUERIES]
+    )
+    all_ids = sorted({d for r in results for d in r["docID"].to_pylist()})
+    texts = {}
+    if all_ids:
+        tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+            columns=["doc_id", "text"], filter=pads.field("doc_id").isin(all_ids)
+        )
+        texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    n = searcher.stats["N"]
+    avgdl = float(searcher.stats["avgdl"])
+    rows: dict[str, list] = {"qid": [], "doc_id": [], "term": [], "contrib_e6": []}
+    for (qid, terms, _), r in zip(DOC_QUERIES, results):
+        weights = searcher.lexicon.idf(terms)
+        for did in r["docID"].to_pylist():
+            toks = split_tokens(pa.array([texts[did]]), "simple")[0].as_py()
+            tf = Counter(t for t in toks if t)
+            dl = sum(tf.values())
+            for t in terms:
+                if t not in weights or tf.get(t, 0) == 0:
+                    continue
+                idf = weights[t][1]
+                c = idf * (tf[t] * 2.2) / (tf[t] + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                rows["qid"].append(qid)
+                rows["doc_id"].append(did)
+                rows["term"].append(t)
+                rows["contrib_e6"].append(int(np.floor(c * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "qid": pa.array(rows["qid"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "contrib_e6": pa.array(rows["contrib_e6"], pa.int64()),
+        }
+    )
+
+
+def bm25_explain_sql_oracle() -> str:
+    return _bm25_ctes() + f"""
+SELECT r.qid, r.doc_id, tf.term,
+       CAST(floor(
+         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         * 1000000 + 0.5) AS BIGINT) AS contrib_e6
+FROM ranked r
+JOIN q ON q.qid = r.qid
+JOIN tf ON tf.doc_id = r.doc_id AND tf.term = q.term
+JOIN df ON df.term = q.term
+JOIN dl ON dl.doc_id = r.doc_id
+CROSS JOIN stats
+WHERE r.rank <= {EXPLAIN_DOCS}"""
+
+
+def match_stats(sf_dir: str) -> pa.Table:
+    """Numeric stats aggregation over each fixture query's FULL match set:
+    exact (n_docs, sum/min/max of n_chars) via shard-pushed-down
+    ``BM25Searcher.match_stats`` — four integers per query leave each
+    shard.  qid 5 (nonexistent terms) keeps its row with n_docs = 0 and
+    NULL min/max, mirroring SQL aggregate semantics."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    t = searcher.match_stats(
+        [" ".join(terms) for _, terms, _ in DOC_QUERIES], value_col="n_chars"
+    )
+    # fixture qids are 1..n in DOC_QUERIES order, same as match_stats' qid
+    return t
+
+
+def match_stats_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    qids = ", ".join(f"({qid})" for qid, _, _ in DOC_QUERIES)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        q(qid, term) AS (VALUES {values}),
+        allq(qid) AS (VALUES {qids}),
+        m AS (SELECT DISTINCT q.qid, t.doc_id FROM q JOIN t USING (term)),
+        s AS (
+          SELECT m.qid,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(d.n_chars) AS BIGINT) AS sum_val,
+                 CAST(min(d.n_chars) AS BIGINT) AS min_val,
+                 CAST(max(d.n_chars) AS BIGINT) AS max_val
+          FROM m JOIN documents d USING (doc_id)
+          GROUP BY m.qid
+        )
+        SELECT allq.qid,
+               coalesce(s.n_docs, 0) AS n_docs,
+               coalesce(s.sum_val, 0) AS sum_val,
+               s.min_val, s.max_val
+        FROM allq LEFT JOIN s USING (qid)
+    """

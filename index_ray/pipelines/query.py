@@ -920,6 +920,65 @@ class SearchShard:
             )
         return out
 
+    def _value_maps(self, value_col: str):
+        """Per-chunk (sorted docIDs, int64 values) from the docmap sidecars
+        — resident after first use (numeric twin of ``_facet_maps``)."""
+        cache = getattr(self, "_value_cache", None)
+        if cache is None:
+            cache = self._value_cache = {}
+        if value_col not in cache:
+            maps = []
+            for ci in self.chunks:
+                dm_files = sorted(
+                    glob.glob(os.path.join(ci.chunk_dir, "docmap", "*.parquet"))
+                )
+                d = pa.concat_tables(
+                    [pq.read_table(f, columns=["docID", value_col]) for f in dm_files]
+                )
+                ids = d["docID"].to_numpy(zero_copy_only=False)
+                vals = d[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                order = np.argsort(ids)
+                maps.append((ids[order], vals[order]))
+            cache[value_col] = maps
+        return cache[value_col]
+
+    def match_stats_many(
+        self, queries: list[list[str]], value_col: str, mode: str = "or"
+    ) -> list[tuple[int, int, int | None, int | None]]:
+        """Per query: exact (n_docs, sum, min, max) of an integer docmap
+        column over the LIVE match set — the stats-aggregation side of
+        faceted search (numeric twin of ``facet_many``), pushed down so
+        only four numbers per query leave each shard.  Integer sums merge
+        exactly across shards (each doc lives in one chunk)."""
+        maps = self._value_maps(value_col)
+        out = []
+        for terms in queries:
+            n, s, lo, hi = 0, 0, None, None
+            # per-chunk match -> same chunk's value map (correct even when
+            # chunk docID ranges overlap, e.g. after merge_indexes)
+            for ci, (ids, vals) in zip(self.chunks, maps):
+                if mode == "or":
+                    docs = _excluded_docs(ci, terms)
+                else:
+                    docs = _excluded_docs(ci, terms[:1])
+                    for t in terms[1:]:
+                        if docs.size == 0:
+                            break
+                        docs = np.intersect1d(
+                            docs, _excluded_docs(ci, [t]), assume_unique=True
+                        )
+                if docs.size:
+                    docs = docs[self._mask_tomb(docs)]
+                if docs.size == 0:
+                    continue
+                v = vals[np.searchsorted(ids, docs)]
+                n += int(docs.size)
+                s += int(v.sum())
+                lo = int(v.min()) if lo is None else min(lo, int(v.min()))
+                hi = int(v.max()) if hi is None else max(hi, int(v.max()))
+            out.append((n, s, lo, hi))
+        return out
+
     def phrase_many(
         self, phrases: list[list[str]]
     ) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -1049,6 +1108,42 @@ class BM25Searcher:
                 "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
                 "docID": pa.array(docs[order], type=pa.int64()),
                 "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    def match_stats(
+        self, queries: list[str], value_col: str = "n_chars", mode: str = "or"
+    ) -> pa.Table:
+        """Stats aggregation over the full match set: per query, the exact
+        (n_docs, sum, min, max) of an integer docmap column across every
+        live matching document — Elasticsearch's stats agg next to
+        ``facet_counts``' terms agg.  Shards return four numbers each;
+        integer merge on the driver is exact.  One row per query:
+        (qid, n_docs, sum_val, min_val, max_val); a query with no match
+        yields n_docs = 0 with NULL min/max (SQL aggregate semantics)."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared = [query_terms(q, tok_mode) for q in queries]
+        per_actor = ray.get(
+            [a.match_stats_many.remote(prepared, value_col, mode) for a in self.actors]
+        )
+        rows: dict[str, list] = {k: [] for k in ("qid", "n_docs", "sum_val", "min_val", "max_val")}
+        for qi in range(len(prepared)):
+            n = sum(r[qi][0] for r in per_actor)
+            s = sum(r[qi][1] for r in per_actor)
+            los = [r[qi][2] for r in per_actor if r[qi][2] is not None]
+            his = [r[qi][3] for r in per_actor if r[qi][3] is not None]
+            rows["qid"].append(qi + 1)
+            rows["n_docs"].append(n)
+            rows["sum_val"].append(s)
+            rows["min_val"].append(min(los) if los else None)
+            rows["max_val"].append(max(his) if his else None)
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int64()),
+                "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                "sum_val": pa.array(rows["sum_val"], pa.int64()),
+                "min_val": pa.array(rows["min_val"], pa.int64()),
+                "max_val": pa.array(rows["max_val"], pa.int64()),
             }
         )
 

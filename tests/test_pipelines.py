@@ -878,3 +878,53 @@ def test_top_terms_by_source_planted(ray_session, tmp_path):
         ("s1", 1, "a", 2), ("s1", 2, "b", 2),  # tie 2-2 -> term asc
         ("s2", 1, "z", 3), ("s2", 2, "q", 1),  # q/y tie -> q wins
     ]
+
+
+def test_bm25_explain_sums_to_engine_score(ray_session):
+    """Per-term contributions (recomputed the explain way, unrounded) sum
+    in term order to the shard scorer's score BITWISE for the explained
+    docs — the explain surface and the scorer share one formula."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from index_ray.functions.tokenize import split_tokens
+    from index_ray.pipelines.flagship import DOC_QUERIES, documents_index, flagship
+    from index_ray.pipelines.query import BM25Searcher
+
+    sf = "/root/testdata/sf0.001"
+    full = flagship(sf)
+    searcher = BM25Searcher(documents_index(sf))
+    n_checked = 0
+    texts = dict(
+        zip(
+            *(
+                pads.dataset(f"{sf}/documents.parquet")
+                .to_table(columns=["doc_id", "text"])
+                .to_pydict()
+                .values()
+            )
+        )
+    )
+    avgdl = float(searcher.stats["avgdl"])
+    by_q = {}
+    for qid, rank, did, score in zip(*(full[c].to_pylist() for c in full.column_names)):
+        if rank <= 3:
+            by_q.setdefault(qid, []).append((did, score))
+    for qid, terms, _ in DOC_QUERIES:
+        weights = searcher.lexicon.idf(terms)
+        for did, score in by_q.get(qid, []):
+            toks = split_tokens(pa.array([texts[did]]), "simple")[0].as_py()
+            tf = Counter(t for t in toks if t)
+            dl = sum(tf.values())
+            s = 0.0
+            for t in terms:  # fixture terms are ascending == scorer order
+                if t in weights and tf.get(t, 0):
+                    idf = weights[t][1]
+                    s += idf * (tf[t] * 2.2) / (
+                        tf[t] + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+                    )
+            assert s == score  # bitwise
+            n_checked += 1
+    assert n_checked >= 9
