@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": flagship.bm25_filtered,
         "bm25_explain": flagship.bm25_explain,
         "match_stats": flagship.match_stats,
+        "bm25_range": flagship.bm25_range,
         "top_terms_by_source": text.top_terms_by_source,
         # demoted same-family variants (fold keeps one rep per family)
         "ccnet_buckets": textstats.ccnet_buckets,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
         bm25_explain_sql_oracle,
+        bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
         prf_sql_oracle,
@@ -525,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": bm25_filtered_sql_oracle(),
         "bm25_explain": bm25_explain_sql_oracle(),
         "match_stats": match_stats_sql_oracle(),
+        "bm25_range": bm25_range_sql_oracle(),
         "more_like_this": more_like_this_sql_oracle(),
         "spell_suggest": spell_suggest_sql_oracle(),
         "hybrid_search": hybrid_search_sql_oracle(),

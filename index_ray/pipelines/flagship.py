@@ -1989,3 +1989,45 @@ def match_stats_sql_oracle() -> str:
                s.min_val, s.max_val
         FROM allq LEFT JOIN s USING (qid)
     """
+
+
+RANGE_LO, RANGE_HI = 200, 900  # n_chars bounds for the range-filter fixture
+
+
+def bm25_range(sf_dir: str) -> pa.Table:
+    """Range-filtered retrieval: the fixture queries restricted to docs
+    with n_chars in [RANGE_LO, RANGE_HI] via ``BM25Searcher.search_range``
+    (numeric twin of ``bm25_filtered``; match-set restriction only, global
+    statistics untouched).  (qid, rank, doc_id)."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    tables = []
+    for qid, terms, k in DOC_QUERIES:
+        r = searcher.search_range(
+            " ".join(terms), k=k, value_col="n_chars", lo=RANGE_LO, hi=RANGE_HI
+        )
+        tables.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(len(r), qid, dtype=np.int64)),
+                    "rank": r["rank"],
+                    "doc_id": r["docID"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def bm25_range_sql_oracle() -> str:
+    return _bm25_ctes() + f"""
+, kept_r AS (
+  SELECT s.* FROM scored s
+  JOIN d0 ON d0.doc_id = s.doc_id
+  WHERE d0.n_chars BETWEEN {RANGE_LO} AND {RANGE_HI}
+),
+ranked_r AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM kept_r
+)
+SELECT qid, rank, doc_id FROM ranked_r WHERE rank <= 10"""

@@ -920,6 +920,42 @@ class SearchShard:
             )
         return out
 
+    def score_range_many(
+        self,
+        queries: list[tuple[list[str], list[float], int]],
+        prune: bool,
+        value_col: str,
+        lo: int | None,
+        hi: int | None,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """OR-mode scoring restricted to docs whose integer docmap
+        ``value_col`` lies in [lo, hi] — the numeric twin of
+        ``score_filtered_many``, same exclusion channel."""
+        maps = self._value_maps(value_col)
+        exc_per_chunk = []
+        for ids, vals in maps:
+            bad = np.zeros(len(ids), dtype=bool)
+            if lo is not None:
+                bad |= vals < lo
+            if hi is not None:
+                bad |= vals > hi
+            exc = ids[bad]
+            if self.tombstones is not None:
+                exc = np.union1d(exc, self.tombstones)
+            exc_per_chunk.append(exc)
+        out = []
+        for terms, idfs, k in queries:
+            tops, scs = [], []
+            for ci, exc in zip(self.chunks, exc_per_chunk):
+                t, s = _score_chunk(
+                    ci, terms, np.asarray(idfs), k, self.avgdl, prune,
+                    exc if len(exc) else None,
+                )
+                tops.append(t)
+                scs.append(s)
+            out.append((np.concatenate(tops), np.concatenate(scs)))
+        return out
+
     def _value_maps(self, value_col: str):
         """Per-chunk (sorted docIDs, int64 values) from the docmap sidecars
         — resident after first use (numeric twin of ``_facet_maps``)."""
@@ -1100,6 +1136,42 @@ class BM25Searcher:
             for a in self.actors
         ]
         per_actor = ray.get(futs)
+        docs = np.concatenate([r[0][0] for r in per_actor])
+        scores = np.concatenate([r[0][1] for r in per_actor])
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "docID": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    def search_range(
+        self,
+        query: str,
+        k: int = 10,
+        value_col: str = "n_chars",
+        lo: int | None = None,
+        hi: int | None = None,
+        prune: bool = True,
+    ) -> pa.Table:
+        """Numeric-range filtered retrieval: BM25 top-k over documents
+        whose integer docmap ``value_col`` lies in [lo, hi] (either bound
+        optional) — ``search_filtered``'s numeric twin, same pushed-down
+        exclusion channel, same global-statistics contract."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        terms = query_terms(query, tok_mode)
+        weights = self.lexicon.idf(terms)
+        present = [t for t in terms if t in weights]
+        idfs = [weights[t][1] for t in present]
+        prepared = [(present, idfs, k)]
+        per_actor = ray.get(
+            [
+                a.score_range_many.remote(prepared, prune, value_col, lo, hi)
+                for a in self.actors
+            ]
+        )
         docs = np.concatenate([r[0][0] for r in per_actor])
         scores = np.concatenate([r[0][1] for r in per_actor])
         order = np.lexsort((docs, -scores))[:k]
