@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": curation.chunk_documents,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
+        "minhash_probe_consistency": dedup.minhash_probe_consistency,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
         "pq_knn_consistency": similarity.pq_knn_consistency,
@@ -528,6 +529,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_explain": bm25_explain_sql_oracle(),
         "match_stats": match_stats_sql_oracle(),
         "bm25_range": bm25_range_sql_oracle(),
+        # self-probe invariants; pair-exactness lives in pytest (planted
+        # near-dups) — same pattern as the other *_consistency rows
+        "minhash_probe_consistency": (
+            "SELECT CAST(1 AS BIGINT) AS exact_dups_found,"
+            " CAST(1 AS BIGINT) AS pairs_verified"
+        ),
         "more_like_this": more_like_this_sql_oracle(),
         "spell_suggest": spell_suggest_sql_oracle(),
         "hybrid_search": hybrid_search_sql_oracle(),

@@ -23,6 +23,8 @@ structure is unchanged.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -1751,3 +1753,179 @@ def strip_dup_spans_sql_oracle(k: int = 4, min_df: int = 2) -> str:
                coalesce(agg.kept_sha256, '') AS kept_sha256
         FROM nn LEFT JOIN agg USING (doc_id)
     """
+
+
+# ------------------------------------------- persisted MinHash LSH index ----
+
+
+def build_minhash_index(sf_dir: str, out_dir: str, mode: str = "simple") -> str:
+    """Persist the banded MinHash signature table as a probeable dedup
+    index: hive-partitioned parquet ``bands/band=K/`` (one partition per
+    LSH band) holding (doc_id, band_hash, sig) rows, plus an
+    ``mstats.json`` fingerprint manifest (resumable — a matching build is
+    skipped).
+
+    The partitioned layout IS the index: deduplicating a NEW ingest batch
+    against the existing corpus (``probe_minhash_index``) reads only the
+    band partitions, filtered by the batch's own band hashes — the corpus
+    signatures never recompute and never fully load.  This is the
+    incremental counterpart of the one-shot ``minhash_dedup`` (reference
+    D1/D2 register-then-lookup lifecycle, ``shingles/shingle.h``)."""
+    import json
+
+    man_path = os.path.join(out_dir, "mstats.json")
+    fp = f"{mode}:{os.path.abspath(sf_dir)}"
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            if json.load(f).get("fingerprint") == fp:
+                return out_dir
+    sign = docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage_fn(_SignStage, mode), batch_format="pyarrow", batch_size=256
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    sign.write_parquet(
+        os.path.join(out_dir, "bands"), partition_cols=["band"]
+    )
+    tmp = man_path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fp, "num_bands": mh.NUM_BANDS}, f)
+    os.replace(tmp, man_path)
+    return out_dir
+
+
+class _ProbeMinhash:
+    """Sign-and-probe stage: new-document batch -> verified (a=new_id,
+    b=old_id) near-dup pairs against a persisted MinHash index.
+
+    Signing and probing fuse in one map (no shuffle); per batch and band
+    the index is read ONCE with a (band partition, band_hash isin) filter
+    — predicate pushdown keeps unprobed partitions in storage."""
+
+    def __init__(self, index_dir: str, mode: str = "simple"):
+        import pyarrow.dataset as pads
+
+        self.norm = TokenNormalizer(mode)
+        self.text_col = "text"  # _SignStage.__call__ reads norm/text_col
+        self.dset = pads.dataset(
+            os.path.join(index_dir, "bands"), partitioning="hive"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        sign = _SignStage.__call__(self, batch)  # shares norm/text_col attrs
+        if sign.num_rows == 0:
+            return empty
+        nb = sign["band"].to_numpy(zero_copy_only=False)
+        nh = sign["band_hash"].to_numpy(zero_copy_only=False)
+        nid = sign["doc_id"].to_numpy(zero_copy_only=False)
+        nsig = np.frombuffer(
+            b"".join(sign["sig"].to_pylist()), dtype=np.uint8
+        ).reshape(sign.num_rows, mh.NUM_HASHES)
+        a_parts, b_parts = [], []
+        for band in np.unique(nb):
+            sel = nb == band
+            hset = np.unique(nh[sel])
+            old = self.dset.to_table(
+                columns=["doc_id", "band_hash", "sig"],
+                filter=(pads.field("band") == int(band))
+                & pads.field("band_hash").isin(hset.tolist()),
+            )
+            if old.num_rows == 0:
+                continue
+            oid = old["doc_id"].to_numpy(zero_copy_only=False)
+            oh = old["band_hash"].to_numpy(zero_copy_only=False)
+            osig = np.frombuffer(
+                b"".join(old["sig"].to_pylist()), dtype=np.uint8
+            ).reshape(old.num_rows, mh.NUM_HASHES)
+            oorder = np.argsort(oh, kind="stable")
+            oh, oid, osig = oh[oorder], oid[oorder], osig[oorder]
+            for h in hset:
+                nsel = np.flatnonzero(sel & (nh == h))
+                lo, hi = np.searchsorted(oh, h), np.searchsorted(oh, h, side="right")
+                if len(nsel) == 0 or hi == lo:
+                    continue
+                eq = (nsig[nsel][:, None, :] == osig[lo:hi][None, :, :]).sum(axis=2)
+                ii, jj = np.where(eq >= mh.SIM_THRESHOLD_BYTES)
+                if len(ii) == 0:
+                    continue
+                na, ob = nid[nsel][ii], oid[lo:hi][jj]
+                keep = na != ob
+                a_parts.append(na[keep])
+                b_parts.append(ob[keep])
+        if not a_parts:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_parts), pa.int64()),
+                "b": pa.array(np.concatenate(b_parts), pa.int64()),
+            }
+        )
+
+
+def probe_minhash_index(
+    index_dir: str, new_docs: ray.data.Dataset, mode: str = "simple"
+) -> pa.Table:
+    """Near-dup pairs (a = new doc, b = indexed doc) for an ingest batch
+    probed against a ``build_minhash_index`` artifact; unique, sorted."""
+    ds = new_docs.map_batches(
+        stage_fn(_ProbeMinhash, index_dir, mode),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    return pairs_table(ds)
+
+
+def minhash_probe_consistency(sf_dir: str, mode: str = "simple") -> pa.Table:
+    """Probe-path invariants, self-probing the corpus against its own
+    persisted index: (1) every exact-duplicate pair (sha-equal, distinct
+    doc_id) is found in BOTH probe directions — identical text means
+    identical signatures, so every band collides and the byte similarity
+    is 64/64; (2) every reported pair re-verifies at >= 57/64 bytes on
+    from-scratch signatures.  One row (exact_dups_found, pairs_verified);
+    the oracle pins the constants, pytest plants the near-dup cases."""
+    import hashlib
+
+    from .text import docs_dataset as _dd
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}:{mode}".encode()).hexdigest()[:12]
+    idx = f"/tmp/index_ray_mhidx_{key}"
+    build_minhash_index(sf_dir, idx, mode)
+    pairs = probe_minhash_index(idx, _dd(sf_dir, ["doc_id", "text"]), mode)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+
+    from .text import sha256_map
+
+    sm = sha256_map(sf_dir).to_pandas()
+    by_sha: dict[str, list[int]] = {}
+    for did, sha in zip(sm["doc_id"], sm["content_sha256"]):
+        by_sha.setdefault(sha, []).append(int(did))
+    exact_ok = 1
+    for members in by_sha.values():
+        for x in members:
+            for y in members:
+                if x != y and (x, y) not in got:
+                    exact_ok = 0
+
+    # re-verify every reported pair on fresh signatures
+    docs = _dd(sf_dir, ["doc_id", "text"]).map_batches(
+        stage_fn(_SignStage, mode), batch_format="pyarrow", batch_size=256
+    ).to_pandas()
+    docs = docs[docs["band"] == 0]
+    sig_by_id = {
+        int(d): np.frombuffer(s, dtype=np.uint8)
+        for d, s in zip(docs["doc_id"], docs["sig"])
+    }
+    verified = 1
+    for x, y in got:
+        if (sig_by_id[x] == sig_by_id[y]).sum() < mh.SIM_THRESHOLD_BYTES:
+            verified = 0
+    return pa.table(
+        {
+            "exact_dups_found": pa.array([exact_ok], pa.int64()),
+            "pairs_verified": pa.array([verified], pa.int64()),
+        }
+    )

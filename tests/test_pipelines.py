@@ -928,3 +928,41 @@ def test_bm25_explain_sums_to_engine_score(ray_session):
             assert s == score  # bitwise
             n_checked += 1
     assert n_checked >= 9
+
+
+def test_minhash_probe_cross_batch(ray_session, tmp_path):
+    """Persisted-index probe: new (odd-id) docs find their planted dups in
+    the indexed (even-id) corpus without recomputing corpus signatures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from index_ray.sources.corpus import generate_corpus
+
+    tbl = generate_corpus(120, 42).rename_columns(
+        ["repo", "path", "commit", "lang", "text"]
+    ).append_column("doc_id", pa.array(np.arange(120), type=pa.int64()))
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    even_d = tmp_path / "even"
+    even_d.mkdir()
+    pq.write_table(tbl.filter(pa.array(ids % 2 == 0)), str(even_d / "documents.parquet"))
+    odd_path = str(tmp_path / "odd.parquet")
+    pq.write_table(tbl.filter(pa.array(ids % 2 == 1)), odd_path)
+
+    idx = str(tmp_path / "mhidx")
+    dedup.build_minhash_index(str(even_d), idx, mode="code")
+    pairs = dedup.probe_minhash_index(
+        idx, ray.data.read_parquet(odd_path, columns=["doc_id", "text"]), mode="code"
+    ).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert all(a % 2 == 1 and b % 2 == 0 for a, b in got)
+    # planted exact copies (i%50==1 copies i-1): all found
+    assert (1, 0) in got and (51, 50) in got and (101, 100) in got
+    # planted near dups (i%20==3 edits i-1): most found (short docs may
+    # fall below the 0.90 threshold, same tolerance as minhash_dedup's test)
+    planted = [(i, i - 1) for i in range(3, 120, 20)]
+    found = sum(p in got for p in planted)
+    assert found >= len(planted) - 2, (found, sorted(got)[:20])
+
+    # rebuild is a no-op (fingerprint manifest)
+    assert dedup.build_minhash_index(str(even_d), idx, mode="code") == idx
