@@ -34,6 +34,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from index_ray.pipelines import (
+        audit,
         curation,
         dedup,
         events,
@@ -270,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_probe_consistency": dedup.minhash_probe_consistency,
+        "profile_documents": audit.profile_documents,
+        "fk_check": audit.fk_check,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
         "pq_knn_consistency": similarity.pq_knn_consistency,
@@ -396,6 +399,7 @@ def _language_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from index_ray.pipelines import audit as audit_mod
     from index_ray.pipelines import events as events_mod
     from index_ray.pipelines import text as text_mod
     from index_ray.pipelines.graph import (
@@ -529,6 +533,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_explain": bm25_explain_sql_oracle(),
         "match_stats": match_stats_sql_oracle(),
         "bm25_range": bm25_range_sql_oracle(),
+        "profile_documents": audit_mod.profile_documents_sql_oracle(),
+        "fk_check": audit_mod.fk_check_sql_oracle(),
         # self-probe invariants; pair-exactness lives in pytest (planted
         # near-dups) — same pattern as the other *_consistency rows
         "minhash_probe_consistency": (

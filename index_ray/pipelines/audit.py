@@ -1,0 +1,254 @@
+"""Data-quality audit operators: column profiling and referential
+integrity — the validation passes a 100 TB ingest runs before anything
+else touches the data.
+
+``profile_documents`` computes per-column profiles (rows, nulls, exact
+distinct, min/max) as per-batch partials merged through one groupby per
+profiled column family — distincts are EXACT here via the partial-
+distinct trick (per-batch dedup before the shuffle); a corpus whose
+per-column cardinality approaches row count should switch to the HLL
+sketch (``sketches.distinct_users_hll``'s register merge) — same shape,
+bounded state.
+
+``fk_check`` counts orphan child rows per foreign-key edge of the
+TPC-H-ish schema with one bucket shuffle per edge: both sides tagged and
+hashed on the key, per-bucket orphans = child keys absent from the
+parent side.  Dim-sized parents could broadcast instead; the shuffle
+form is the one that holds when the parent is `orders` at 10^11 rows.
+
+Reference parity: the reference engine trusts its crawler's output and
+has no audit surface; this is training-data-side extension (every
+published pipeline — CCNet, C4, RefinedWeb — fronts ingestion with
+exactly these checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..util import hash_groupby
+
+
+def _doc_profile_partial(t: pa.Table) -> pa.Table:
+    """batch -> one partial-profile row per (column, distinct value) for
+    the categorical columns plus a single numeric-partial row."""
+    rows = {"col": [], "val": [], "n_part": [], "null_part": []}
+    for col in ("lang", "source"):
+        c = t[col]
+        nulls = int(c.null_count)
+        vc = pa.table({"v": c}).group_by(["v"], use_threads=False).aggregate([([], "count_all")])
+        for v, n in zip(vc["v"].to_pylist(), vc[vc.column_names[1]].to_pylist()):
+            if v is None:
+                continue
+            rows["col"].append(col)
+            rows["val"].append(v)
+            rows["n_part"].append(int(n))
+            rows["null_part"].append(0)
+        if nulls:
+            rows["col"].append(col)
+            rows["val"].append("")
+            rows["n_part"].append(0)
+            rows["null_part"].append(nulls)
+    return pa.table(
+        {
+            "col": pa.array(rows["col"], pa.string()),
+            "val": pa.array(rows["val"], pa.string()),
+            "n_part": pa.array(rows["n_part"], pa.int64()),
+            "null_part": pa.array(rows["null_part"], pa.int64()),
+        }
+    )
+
+
+def profile_documents(sf_dir: str) -> pa.Table:
+    """Column profile of the documents table: one row per column with
+    (n_rows, n_nulls, n_distinct, min_val, max_val) — strings for the
+    categorical columns, integers stringified for n_chars, so one schema
+    serves every column (the usual profiler layout)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    cat = docs.map_batches(_doc_profile_partial, batch_format="pyarrow")
+
+    def cat_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "column": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_nulls": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "min_val": pa.array([], pa.string()),
+                    "max_val": pa.array([], pa.string()),
+                }
+            )
+        g = t.group_by(["col", "val"], use_threads=False).aggregate(
+            [("n_part", "sum"), ("null_part", "sum")]
+        )
+        out = {k: [] for k in ("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")}
+        import pandas as pd
+
+        df = g.to_pandas()
+        for col, grp in df.groupby("col"):
+            live = grp[grp["n_part_sum"] > 0]
+            out["column"].append(col)
+            # count(*) counts null rows too
+            out["n_rows"].append(
+                int(grp["n_part_sum"].sum() + grp["null_part_sum"].sum())
+            )
+            out["n_nulls"].append(int(grp["null_part_sum"].sum()))
+            out["n_distinct"].append(int(len(live)))
+            out["min_val"].append(str(live["val"].min()) if len(live) else None)
+            out["max_val"].append(str(live["val"].max()) if len(live) else None)
+        return pa.table(
+            {
+                "column": pa.array(out["column"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+                "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+                "min_val": pa.array(out["min_val"], pa.string()),
+                "max_val": pa.array(out["max_val"], pa.string()),
+            }
+        )
+
+    cat_rows = hash_groupby(cat, ["col"], cat_final).to_pandas()
+
+    def num_partial(t: pa.Table) -> pa.Table:
+        c = t["n_chars"]
+        v = pc.drop_null(c).to_numpy(zero_copy_only=False)
+        uniq = np.unique(v)
+        return pa.table(
+            {
+                "n_part": pa.array([len(c)], pa.int64()),
+                "null_part": pa.array([int(c.null_count)], pa.int64()),
+                "min_part": pa.array([int(uniq.min()) if len(uniq) else None], pa.int64()),
+                "max_part": pa.array([int(uniq.max()) if len(uniq) else None], pa.int64()),
+            }
+        ), pa.table({"v": pa.array(uniq, pa.int64())})
+
+    # numeric profile: scalar partials + an exact distinct over per-batch
+    # deduped values (one narrow groupby)
+    scal = docs.map_batches(
+        lambda t: num_partial(t)[0], batch_format="pyarrow"
+    ).to_pandas()
+    dis = (
+        docs.map_batches(lambda t: num_partial(t)[1], batch_format="pyarrow")
+        .groupby("v")
+        .count()
+        .count()
+    )
+    num_row = pa.table(
+        {
+            "column": pa.array(["n_chars"], pa.string()),
+            "n_rows": pa.array([int(scal["n_part"].sum())], pa.int64()),
+            "n_nulls": pa.array([int(scal["null_part"].sum())], pa.int64()),
+            "n_distinct": pa.array([int(dis)], pa.int64()),
+            "min_val": pa.array([str(int(scal["min_part"].min()))], pa.string()),
+            "max_val": pa.array([str(int(scal["max_part"].max()))], pa.string()),
+        }
+    )
+    return pa.concat_tables([pa.Table.from_pandas(cat_rows, preserve_index=False), num_row])
+
+
+def profile_documents_sql_oracle() -> str:
+    parts = []
+    for col in ("lang", "source"):
+        parts.append(f"""
+        SELECT '{col}' AS column,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER ({col} IS NULL) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(min({col}) AS VARCHAR) AS min_val,
+               CAST(max({col}) AS VARCHAR) AS max_val
+        FROM documents""")
+    parts.append("""
+        SELECT 'n_chars' AS column,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (n_chars IS NULL) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+               CAST(min(n_chars) AS VARCHAR) AS min_val,
+               CAST(max(n_chars) AS VARCHAR) AS max_val
+        FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_check(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit: per FK edge, how many child rows point
+    at a missing parent key.  One bucket shuffle per edge over (key, side,
+    n) partials — per-batch pre-aggregation means only distinct keys cross
+    the wire; per-bucket orphan counting is a sorted-set membership test.
+    All-zero on intact TPC-H data; the planted pytest breaks an edge."""
+    rows = {"edge": [], "n_orphans": []}
+    for edge, child, ck, parent, pk in FK_EDGES:
+        cds = ray.data.read_parquet(f"{sf_dir}/{child}.parquet", columns=[ck])
+        pds = ray.data.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
+
+        def c_part(t: pa.Table, _k=ck) -> pa.Table:
+            v, n = np.unique(t[_k].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table(
+                {
+                    "key": pa.array(v, pa.int64()),
+                    "side": pa.array(np.zeros(len(v), np.int8)),
+                    "n": pa.array(n.astype(np.int64)),
+                }
+            )
+
+        def p_part(t: pa.Table, _k=pk) -> pa.Table:
+            v = np.unique(t[_k].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "key": pa.array(v, pa.int64()),
+                    "side": pa.array(np.ones(len(v), np.int8)),
+                    "n": pa.array(np.zeros(len(v), np.int64)),
+                }
+            )
+
+        both = cds.map_batches(c_part, batch_format="pyarrow").union(
+            pds.map_batches(p_part, batch_format="pyarrow")
+        )
+
+        def orphans(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n_orphans": pa.array([0], pa.int64())})
+            key = t["key"].to_numpy(zero_copy_only=False)
+            side = t["side"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            parents = np.unique(key[side == 1])
+            child_mask = side == 0
+            miss = ~np.isin(key[child_mask], parents)
+            return pa.table(
+                {"n_orphans": pa.array([int(n[child_mask][miss].sum())], pa.int64())}
+            )
+
+        total = int(
+            hash_groupby(both, ["key"], orphans).to_pandas()["n_orphans"].sum()
+        )
+        rows["edge"].append(edge)
+        rows["n_orphans"].append(total)
+    return pa.table(
+        {
+            "edge": pa.array(rows["edge"], pa.string()),
+            "n_orphans": pa.array(rows["n_orphans"], pa.int64()),
+        }
+    )
+
+
+def fk_check_sql_oracle() -> str:
+    parts = []
+    for edge, child, ck, parent, pk in FK_EDGES:
+        parts.append(f"""
+        SELECT '{edge}' AS edge,
+               CAST(count(*) FILTER (p.{pk} IS NULL) AS BIGINT) AS n_orphans
+        FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}""")
+    return " UNION ALL ".join(parts)
