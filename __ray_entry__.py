@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_probe_consistency": dedup.minhash_probe_consistency,
         "profile_documents": audit.profile_documents,
         "fk_check": audit.fk_check,
+        "quantize_embeddings": similarity.quantize_embeddings,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
         "pq_knn_consistency": similarity.pq_knn_consistency,
@@ -400,6 +401,7 @@ def _language_id_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines import audit as audit_mod
+    from index_ray.pipelines import similarity as sim_mod
     from index_ray.pipelines import events as events_mod
     from index_ray.pipelines import text as text_mod
     from index_ray.pipelines.graph import (
@@ -535,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_range": bm25_range_sql_oracle(),
         "profile_documents": audit_mod.profile_documents_sql_oracle(),
         "fk_check": audit_mod.fk_check_sql_oracle(),
+        "quantize_embeddings": sim_mod.quantize_embeddings_sql_oracle(),
         # self-probe invariants; pair-exactness lives in pytest (planted
         # near-dups) — same pattern as the other *_consistency rows
         "minhash_probe_consistency": (

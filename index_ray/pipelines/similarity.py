@@ -1094,3 +1094,57 @@ def semdedup_consistency(
             "n_flag_mismatches": pa.array([n_flag_mismatches], pa.int64()),
         }
     )
+
+
+def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric int8 quantization of the embedding column — the storage
+    transform a 100 TB vector corpus applies before anything else (4x
+    smaller, SIMD-friendly).  Per vector: scale = max|v|, q_d =
+    round(v_d / scale * 127) with DuckDB's half-away rounding; zero
+    vectors quantize to zeros.  Output exploded as (vec_id, dim, q) so
+    the SQL oracle can hash every component; pure per-batch map — no
+    shuffle, nothing leaves the worker but int8s."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        scale = np.abs(m).max(axis=1, keepdims=True)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        x = m / safe * 127.0
+        q = np.sign(x) * np.floor(np.abs(x) + 0.5)  # round half away from zero
+        q = np.where(scale == 0.0, 0.0, q).astype(np.int64)
+        n, d = m.shape
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1), pa.int64()),
+            }
+        )
+
+    return emb_dataset(sf_dir).map_batches(quant, batch_format="pyarrow")
+
+
+def quantize_embeddings_sql_oracle() -> str:
+    return """
+        WITH e AS (
+          SELECT vec_id,
+                 unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings
+        ),
+        s AS (SELECT vec_id, max(abs(v)) AS scale FROM e GROUP BY vec_id)
+        SELECT e.vec_id,
+               CAST(e.dim AS BIGINT) AS dim,
+               CASE WHEN s.scale = 0 THEN 0
+                    ELSE CAST(round(e.v / s.scale * 127) AS BIGINT) END AS q
+        FROM e JOIN s USING (vec_id)
+    """

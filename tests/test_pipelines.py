@@ -966,3 +966,29 @@ def test_minhash_probe_cross_batch(ray_session, tmp_path):
 
     # rebuild is a no-op (fingerprint manifest)
     assert dedup.build_minhash_index(str(even_d), idx, mode="code") == idx
+
+
+def test_quantize_embeddings_zero_vector_and_bounds(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "qe"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 0.0, 0.0], [0.5, -1.0, 0.25]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = sim.quantize_embeddings(str(d)).to_pandas()
+    q = {(r.vec_id, r.dim): r.q for r in out.itertuples()}
+    assert q[(1, 1)] == q[(1, 2)] == q[(1, 3)] == 0  # zero vector
+    assert q[(2, 2)] == -127  # the max-|v| component hits the rail
+    assert q[(2, 1)] == 64 and q[(2, 3)] == 32  # 63.5 / 31.75 round half-away
