@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from pandas import isna as pd_isna
 
 from ..util import hash_groupby
 
@@ -116,37 +117,61 @@ def profile_documents(sf_dir: str) -> pa.Table:
     cat_rows = hash_groupby(cat, ["col"], cat_final).to_pandas()
 
     def num_partial(t: pa.Table) -> pa.Table:
+        """One combined partial table per batch: a scalar row (is_val=0)
+        with counts/min/max plus the batch's deduped values (is_val=1) —
+        ONE parquet scan serves both the scalars and the exact distinct."""
         c = t["n_chars"]
         v = pc.drop_null(c).to_numpy(zero_copy_only=False)
-        uniq = np.unique(v)
+        uniq = np.unique(v.astype(np.int64)) if len(v) else np.empty(0, np.int64)
+        z = np.zeros(len(uniq), np.int64)
         return pa.table(
             {
-                "n_part": pa.array([len(c)], pa.int64()),
-                "null_part": pa.array([int(c.null_count)], pa.int64()),
-                "min_part": pa.array([int(uniq.min()) if len(uniq) else None], pa.int64()),
-                "max_part": pa.array([int(uniq.max()) if len(uniq) else None], pa.int64()),
+                "v": pa.array(
+                    np.concatenate([[0], uniq]), pa.int64()
+                ),
+                "is_val": pa.array(np.r_[np.zeros(1, np.int8), np.ones(len(uniq), np.int8)]),
+                "n_part": pa.array(np.concatenate([[len(c)], z]), pa.int64()),
+                "null_part": pa.array(
+                    np.concatenate([[int(c.null_count)], z]), pa.int64()
+                ),
+                "min_part": pa.array(
+                    [int(uniq.min()) if len(uniq) else None] + [None] * len(uniq),
+                    pa.int64(),
+                ),
+                "max_part": pa.array(
+                    [int(uniq.max()) if len(uniq) else None] + [None] * len(uniq),
+                    pa.int64(),
+                ),
             }
-        ), pa.table({"v": pa.array(uniq, pa.int64())})
+        )
 
-    # numeric profile: scalar partials + an exact distinct over per-batch
-    # deduped values (one narrow groupby)
-    scal = docs.map_batches(
-        lambda t: num_partial(t)[0], batch_format="pyarrow"
+    parts = docs.map_batches(num_partial, batch_format="pyarrow").materialize()
+    scal = parts.map_batches(
+        lambda t: t.filter(pc.equal(t["is_val"], 0)), batch_format="pyarrow"
     ).to_pandas()
     dis = (
-        docs.map_batches(lambda t: num_partial(t)[1], batch_format="pyarrow")
+        parts.map_batches(
+            lambda t: t.filter(pc.equal(t["is_val"], 1)).select(["v"]),
+            batch_format="pyarrow",
+        )
         .groupby("v")
         .count()
         .count()
     )
+    mn, mx = scal["min_part"].min(), scal["max_part"].max()
     num_row = pa.table(
         {
             "column": pa.array(["n_chars"], pa.string()),
             "n_rows": pa.array([int(scal["n_part"].sum())], pa.int64()),
             "n_nulls": pa.array([int(scal["null_part"].sum())], pa.int64()),
             "n_distinct": pa.array([int(dis)], pa.int64()),
-            "min_val": pa.array([str(int(scal["min_part"].min()))], pa.string()),
-            "max_val": pa.array([str(int(scal["max_part"].max()))], pa.string()),
+            # all-NULL column: NULL min/max, matching the SQL aggregates
+            "min_val": pa.array(
+                [None if pd_isna(mn) else str(int(mn))], pa.string()
+            ),
+            "max_val": pa.array(
+                [None if pd_isna(mx) else str(int(mx))], pa.string()
+            ),
         }
     )
     return pa.concat_tables([pa.Table.from_pandas(cat_rows, preserve_index=False), num_row])
@@ -195,17 +220,29 @@ def fk_check(sf_dir: str) -> pa.Table:
         pds = ray.data.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
 
         def c_part(t: pa.Table, _k=ck) -> pa.Table:
-            v, n = np.unique(t[_k].to_numpy(zero_copy_only=False), return_counts=True)
+            col = t[_k]
+            # a NULL foreign key never matches any parent — it is an orphan
+            # by the oracle's LEFT JOIN semantics; count them under side=2
+            # (summed unconditionally in the reduce, bucket placement moot)
+            nn = int(col.null_count)
+            raw = pc.drop_null(col).to_numpy(zero_copy_only=False)
+            v, n = np.unique(raw.astype(np.int64), return_counts=True)
+            side = np.zeros(len(v), np.int8)
+            if nn:
+                v = np.concatenate([v, [0]])
+                side = np.concatenate([side, [np.int8(2)]])
+                n = np.concatenate([n, [nn]])
             return pa.table(
                 {
                     "key": pa.array(v, pa.int64()),
-                    "side": pa.array(np.zeros(len(v), np.int8)),
+                    "side": pa.array(side),
                     "n": pa.array(n.astype(np.int64)),
                 }
             )
 
         def p_part(t: pa.Table, _k=pk) -> pa.Table:
-            v = np.unique(t[_k].to_numpy(zero_copy_only=False))
+            raw = pc.drop_null(t[_k]).to_numpy(zero_copy_only=False)
+            v = np.unique(raw.astype(np.int64))
             return pa.table(
                 {
                     "key": pa.array(v, pa.int64()),
@@ -227,9 +264,8 @@ def fk_check(sf_dir: str) -> pa.Table:
             parents = np.unique(key[side == 1])
             child_mask = side == 0
             miss = ~np.isin(key[child_mask], parents)
-            return pa.table(
-                {"n_orphans": pa.array([int(n[child_mask][miss].sum())], pa.int64())}
-            )
+            total = int(n[child_mask][miss].sum()) + int(n[side == 2].sum())
+            return pa.table({"n_orphans": pa.array([total], pa.int64())})
 
         total = int(
             hash_groupby(both, ["key"], orphans).to_pandas()["n_orphans"].sum()

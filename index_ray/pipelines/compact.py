@@ -599,6 +599,7 @@ def merge_indexes(dst: str, src: str) -> dict:
         "N": n_docs,
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "n_tombstoned": int(len(load_tombstones(dst))),  # src's carried over
         "hot_terms": sorted(set(sd.get("hot_terms", [])) | set(ss.get("hot_terms", []))),
         "chunks": [
             {

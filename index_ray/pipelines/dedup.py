@@ -1771,21 +1771,37 @@ def build_minhash_index(sf_dir: str, out_dir: str, mode: str = "simple") -> str:
     signatures never recompute and never fully load.  This is the
     incremental counterpart of the one-shot ``minhash_dedup`` (reference
     D1/D2 register-then-lookup lifecycle, ``shingles/shingle.h``)."""
+    import glob as _glob
     import json
+    import shutil
 
     man_path = os.path.join(out_dir, "mstats.json")
-    fp = f"{mode}:{os.path.abspath(sf_dir)}"
+    # fingerprint covers the source files' identity AND content state
+    # (size+mtime), so regenerated data at the same path rebuilds
+    src_files = sorted(
+        _glob.glob(os.path.join(sf_dir, "documents.*"))
+    ) or [sf_dir]
+    sig_parts = [
+        f"{os.path.abspath(p)}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
+        for p in src_files
+        if os.path.exists(p)
+    ]
+    fp = f"{mode}|" + "|".join(sig_parts)
     if os.path.exists(man_path):
         with open(man_path) as f:
             if json.load(f).get("fingerprint") == fp:
                 return out_dir
+    bands_dir = os.path.join(out_dir, "bands")
+    # a stale or mismatched index must not leave old parquet behind —
+    # Ray's write_parquet appends uuid-named files into existing dirs
+    shutil.rmtree(bands_dir, ignore_errors=True)
+    if os.path.exists(man_path):
+        os.remove(man_path)
     sign = docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         stage_fn(_SignStage, mode), batch_format="pyarrow", batch_size=256
     )
     os.makedirs(out_dir, exist_ok=True)
-    sign.write_parquet(
-        os.path.join(out_dir, "bands"), partition_cols=["band"]
-    )
+    sign.write_parquet(bands_dir, partition_cols=["band"])
     tmp = man_path + f".{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump({"fingerprint": fp, "num_bands": mh.NUM_BANDS}, f)
@@ -1801,7 +1817,10 @@ class _ProbeMinhash:
     the index is read ONCE with a (band partition, band_hash isin) filter
     — predicate pushdown keeps unprobed partitions in storage."""
 
-    def __init__(self, index_dir: str, mode: str = "simple"):
+    def __init__(self, index_dir: str, mode: str = "simple", fp: str = ""):
+        # ``fp`` (the index fingerprint) is part of stage_fn's cache key:
+        # a rebuilt index gets fresh per-worker dataset handles instead of
+        # a stale cached file listing
         import pyarrow.dataset as pads
 
         self.norm = TokenNormalizer(mode)
@@ -1871,8 +1890,12 @@ def probe_minhash_index(
 ) -> pa.Table:
     """Near-dup pairs (a = new doc, b = indexed doc) for an ingest batch
     probed against a ``build_minhash_index`` artifact; unique, sorted."""
+    import json
+
+    with open(os.path.join(index_dir, "mstats.json")) as f:
+        fp = json.load(f).get("fingerprint", "")
     ds = new_docs.map_batches(
-        stage_fn(_ProbeMinhash, index_dir, mode),
+        stage_fn(_ProbeMinhash, index_dir, mode, fp),
         batch_format="pyarrow",
         batch_size=256,
     )

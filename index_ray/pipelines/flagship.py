@@ -1667,6 +1667,7 @@ def merged_bm25(sf_dir: str) -> pa.Table:
     for name, mask in (("a", even), ("b", ~even)):
         root = f"{base}_{name}"
         shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(f"{root}_src", ignore_errors=True)  # reruns leave it
         os.makedirs(f"{root}_src")
         pq.write_table(t.filter(pa.array(mask)), f"{root}_src/documents.parquet")
         build_index(f"{root}_src/documents.parquet", root, cfg)

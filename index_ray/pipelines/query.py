@@ -794,30 +794,16 @@ class SearchShard:
             out.append((np.concatenate(tops), np.concatenate(scs)))
         return out
 
-    def score_filtered_many(
+    def _score_with_exclusions(
         self,
         queries: list[tuple[list[str], list[float], int]],
         prune: bool,
-        filter_col: str,
-        filter_vals: list,
+        exc_per_chunk: list[np.ndarray],
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """OR-mode scoring restricted to documents whose ``filter_col``
-        docmap value is in ``filter_vals`` — filtered retrieval with the
-        predicate pushed below the prune threshold (same exclusion channel
-        as tombstones/NOT, so pruning stays score-lossless over the
-        allowed set).  The facet map is actor-resident (``_facet_maps``);
-        per-call cost is one vectorized isin per chunk."""
-        maps = self._facet_maps(filter_col)
-        vals = set(filter_vals)
-        exc_per_chunk = []
-        for ids, codes, cats in maps:
-            ok = np.array(
-                [j for j, c in enumerate(cats) if c in vals], dtype=np.int64
-            )
-            exc = ids[~np.isin(codes, ok)]
-            if self.tombstones is not None:
-                exc = np.union1d(exc, self.tombstones)
-            exc_per_chunk.append(exc)
+        """OR-mode scoring with a per-chunk precomputed exclusion set —
+        the shared engine under categorical and numeric filtered
+        retrieval (same exclusion channel as tombstones/NOT, so pruning
+        stays score-lossless over the allowed set)."""
         out = []
         for terms, idfs, k in queries:
             tops, scs = [], []
@@ -830,6 +816,28 @@ class SearchShard:
                 scs.append(s)
             out.append((np.concatenate(tops), np.concatenate(scs)))
         return out
+
+    def score_filtered_many(
+        self,
+        queries: list[tuple[list[str], list[float], int]],
+        prune: bool,
+        filter_col: str,
+        filter_vals: list,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Scoring restricted to docs whose ``filter_col`` docmap value is
+        in ``filter_vals``; the facet map is actor-resident
+        (``_facet_maps``), per-call cost one vectorized isin per chunk."""
+        vals = set(filter_vals)
+        exc_per_chunk = []
+        for ids, codes, cats in self._facet_maps(filter_col):
+            ok = np.array(
+                [j for j, c in enumerate(cats) if c in vals], dtype=np.int64
+            )
+            exc = ids[~np.isin(codes, ok)]
+            if self.tombstones is not None:
+                exc = np.union1d(exc, self.tombstones)
+            exc_per_chunk.append(exc)
+        return self._score_with_exclusions(queries, prune, exc_per_chunk)
 
     def _facet_maps(self, facet_col: str):
         """Per-chunk (sorted docIDs, facet codes, categories) — loaded from
@@ -931,9 +939,8 @@ class SearchShard:
         """OR-mode scoring restricted to docs whose integer docmap
         ``value_col`` lies in [lo, hi] — the numeric twin of
         ``score_filtered_many``, same exclusion channel."""
-        maps = self._value_maps(value_col)
         exc_per_chunk = []
-        for ids, vals in maps:
+        for ids, vals in self._value_maps(value_col):
             bad = np.zeros(len(ids), dtype=bool)
             if lo is not None:
                 bad |= vals < lo
@@ -943,18 +950,7 @@ class SearchShard:
             if self.tombstones is not None:
                 exc = np.union1d(exc, self.tombstones)
             exc_per_chunk.append(exc)
-        out = []
-        for terms, idfs, k in queries:
-            tops, scs = [], []
-            for ci, exc in zip(self.chunks, exc_per_chunk):
-                t, s = _score_chunk(
-                    ci, terms, np.asarray(idfs), k, self.avgdl, prune,
-                    exc if len(exc) else None,
-                )
-                tops.append(t)
-                scs.append(s)
-            out.append((np.concatenate(tops), np.concatenate(scs)))
-        return out
+        return self._score_with_exclusions(queries, prune, exc_per_chunk)
 
     def _value_maps(self, value_col: str):
         """Per-chunk (sorted docIDs, int64 values) from the docmap sidecars
@@ -1102,6 +1098,32 @@ class BM25Searcher:
             boost=boost, style_weight=style_weight, msm=msm,
         )[0]
 
+    @staticmethod
+    def _merge_topk(per_actor, k: int) -> pa.Table:
+        """Global (score DESC, docID ASC) merge of single-query shard
+        results -> the standard (rank, docID, score) page.  THE one copy
+        of the tie-break: every single-query search surface (after/
+        weighted/filtered/range) merges here."""
+        docs = np.concatenate([r[0][0] for r in per_actor])
+        scores = np.concatenate([r[0][1] for r in per_actor])
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "docID": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    def _prepare_or(self, query: str, field: str | None = None):
+        """(present terms, idfs) for a plain OR query — absent terms drop."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        base_terms = query_terms(query, tok_mode)
+        terms = [f"{field}:{t}" for t in base_terms] if field else base_terms
+        weights = self.lexicon.idf(terms)
+        present = [t for t in terms if t in weights]
+        return present, [weights[t][1] for t in present]
+
     def search_after(
         self,
         query: str,
@@ -1122,30 +1144,17 @@ class BM25Searcher:
         from a pruned page-1 ``search`` row matches by exact float64
         equality.  ``after=None`` returns page 1 (identical to ``search``).
         """
-        tok_mode = self.stats.get("tokenizer", "code")
-        base_terms = query_terms(query, tok_mode)
-        terms = [f"{field}:{t}" for t in base_terms] if field else base_terms
-        weights = self.lexicon.idf(terms)
-        present = [t for t in terms if t in weights]
-        idfs = [weights[t][1] for t in present]
+        present, idfs = self._prepare_or(query, field)
         prepared = [(present, idfs, k)]
-        futs = [
-            a.score_many.remote(
-                prepared, after is None, "or", None, 1.0, 2, [after]
-            )
-            for a in self.actors
-        ]
-        per_actor = ray.get(futs)
-        docs = np.concatenate([r[0][0] for r in per_actor])
-        scores = np.concatenate([r[0][1] for r in per_actor])
-        order = np.lexsort((docs, -scores))[:k]
-        return pa.table(
-            {
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                "docID": pa.array(docs[order], type=pa.int64()),
-                "score": pa.array(scores[order], type=pa.float64()),
-            }
+        per_actor = ray.get(
+            [
+                a.score_many.remote(
+                    prepared, after is None, "or", None, 1.0, 2, [after]
+                )
+                for a in self.actors
+            ]
         )
+        return self._merge_topk(per_actor, k)
 
     def search_range(
         self,
@@ -1160,11 +1169,7 @@ class BM25Searcher:
         whose integer docmap ``value_col`` lies in [lo, hi] (either bound
         optional) — ``search_filtered``'s numeric twin, same pushed-down
         exclusion channel, same global-statistics contract."""
-        tok_mode = self.stats.get("tokenizer", "code")
-        terms = query_terms(query, tok_mode)
-        weights = self.lexicon.idf(terms)
-        present = [t for t in terms if t in weights]
-        idfs = [weights[t][1] for t in present]
+        present, idfs = self._prepare_or(query)
         prepared = [(present, idfs, k)]
         per_actor = ray.get(
             [
@@ -1172,16 +1177,7 @@ class BM25Searcher:
                 for a in self.actors
             ]
         )
-        docs = np.concatenate([r[0][0] for r in per_actor])
-        scores = np.concatenate([r[0][1] for r in per_actor])
-        order = np.lexsort((docs, -scores))[:k]
-        return pa.table(
-            {
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                "docID": pa.array(docs[order], type=pa.int64()),
-                "score": pa.array(scores[order], type=pa.float64()),
-            }
-        )
+        return self._merge_topk(per_actor, k)
 
     def match_stats(
         self, queries: list[str], value_col: str = "n_chars", mode: str = "or"
@@ -1234,11 +1230,7 @@ class BM25Searcher:
         is pushed into the shard actors' exclusion channel before the
         prune threshold forms, so block-max pruning stays score-lossless
         over the allowed set."""
-        tok_mode = self.stats.get("tokenizer", "code")
-        terms = query_terms(query, tok_mode)
-        weights = self.lexicon.idf(terms)
-        present = [t for t in terms if t in weights]
-        idfs = [weights[t][1] for t in present]
+        present, idfs = self._prepare_or(query)
         prepared = [(present, idfs, k)]
         per_actor = ray.get(
             [
@@ -1248,16 +1240,7 @@ class BM25Searcher:
                 for a in self.actors
             ]
         )
-        docs = np.concatenate([r[0][0] for r in per_actor])
-        scores = np.concatenate([r[0][1] for r in per_actor])
-        order = np.lexsort((docs, -scores))[:k]
-        return pa.table(
-            {
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                "docID": pa.array(docs[order], type=pa.int64()),
-                "score": pa.array(scores[order], type=pa.float64()),
-            }
-        )
+        return self._merge_topk(per_actor, k)
 
     def search_weighted(
         self,
@@ -1282,16 +1265,7 @@ class BM25Searcher:
         per_actor = ray.get(
             [a.score_many.remote(prepared, prune, "or") for a in self.actors]
         )
-        docs = np.concatenate([r[0][0] for r in per_actor])
-        scores = np.concatenate([r[0][1] for r in per_actor])
-        order = np.lexsort((docs, -scores))[:k]
-        return pa.table(
-            {
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                "docID": pa.array(docs[order], type=pa.int64()),
-                "score": pa.array(scores[order], type=pa.float64()),
-            }
-        )
+        return self._merge_topk(per_actor, k)
 
     def search_many(
         self,

@@ -1136,8 +1136,10 @@ def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
 def quantize_embeddings_sql_oracle() -> str:
     return """
         WITH e AS (
+          -- engine maths runs in float64 (_to_matrix upcasts); the oracle
+          -- must too, or FLOAT division flips .5-boundary components
           SELECT vec_id,
-                 unnest(embedding) AS v,
+                 CAST(unnest(embedding) AS DOUBLE) AS v,
                  generate_subscripts(embedding, 1) AS dim
           FROM embeddings
         ),

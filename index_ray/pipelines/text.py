@@ -752,6 +752,11 @@ class _SourceTermPartials:
         codes, cats = pd.factorize(
             batch["source"].to_numpy(zero_copy_only=False)
         )
+        cats = list(cats)
+        if (codes < 0).any():  # factorize marks nulls -1; without this the
+            codes = codes.copy()  # a*V+b encoding floor-divides them onto
+            codes[codes < 0] = len(cats)  # the LAST real source
+            cats.append(None)
         v = len(vocab)
         pair = codes[d].astype(np.int64) * v + tid
         uniq, inv = np.unique(pair, return_inverse=True)

@@ -88,3 +88,57 @@ def test_audit_matches_duckdb(ray_session):
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_fk_check_null_fk_counts_as_orphan(ray_session, tmp_path):
+    d = tmp_path / "fknull"
+    d.mkdir()
+    pq.write_table(pa.table({"r_regionkey": pa.array([0], pa.int64())}), str(d / "region.parquet"))
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0], pa.int64()),
+                  "n_regionkey": pa.array([0], pa.int64())}),
+        str(d / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([10], pa.int64()),
+                  "c_nationkey": pa.array([0], pa.int64())}),
+        str(d / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([5], pa.int64()),
+                  "s_nationkey": pa.array([0], pa.int64())}),
+        str(d / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([100, 101], pa.int64()),
+                  "o_custkey": pa.array([10, None], pa.int64())}),  # NULL FK
+        str(d / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([100], pa.int64())}),
+        str(d / "lineitem.parquet"),
+    )
+    out = fk_check(str(d)).to_pandas().set_index("edge")["n_orphans"].to_dict()
+    assert out["orders->customer"] == 1  # the NULL-key row
+
+
+def test_profile_documents_all_null_numeric(ray_session, tmp_path):
+    d = tmp_path / "pnull"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a", "b"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s", "s"], pa.string()),
+                "n_chars": pa.array([None, None], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = profile_documents(str(d)).to_pandas().set_index("column")
+    assert out.loc["n_chars", "n_nulls"] == 2
+    assert out.loc["n_chars", "n_distinct"] == 0
+    assert out.loc["n_chars", "min_val"] is None
+    assert out.loc["n_chars", "max_val"] is None

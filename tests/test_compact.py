@@ -379,3 +379,39 @@ def test_merge_indexes_bitwise_and_guards(tmp_path):
     )
     with pytest.raises(ValueError, match="fingerprint"):
         merge_indexes(paths["full"], other)
+
+
+def test_merged_bm25_reruns_and_tombstone_count(tmp_path):
+    """merged_bm25 must be rerunnable (stale _src dirs); merge_indexes
+    carries tombstones into the merged stats count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.compact import delete_docs, merge_indexes
+    from index_ray.pipelines.flagship import merged_bm25
+    from index_ray.sources.corpus import generate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    a = merged_bm25(sf)
+    b = merged_bm25(sf)  # second run: no FileExistsError, same rows
+    assert a.equals(b)
+
+    texts = generate_corpus(60, TINY_SEED)["content"].to_pylist()
+    cfg = BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                      chunk_docs=30, num_parts=2, salt_docs=64)
+    idxs = {}
+    for name, lo in (("x", 0), ("y", 30)):
+        src = tmp_path / f"{name}s"
+        src.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(np.arange(lo, lo + 30, dtype=np.int64)),
+                      "text": pa.array(texts[lo:lo + 30], pa.string())}),
+            str(src / "documents.parquet"),
+        )
+        idx = str(tmp_path / f"{name}i")
+        build_index(str(src / "documents.parquet"), idx, cfg)
+        idxs[name] = idx
+    delete_docs(idxs["y"], [31, 32])
+    stats = merge_indexes(idxs["x"], idxs["y"])
+    assert stats["n_tombstoned"] == 2

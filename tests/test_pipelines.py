@@ -992,3 +992,75 @@ def test_quantize_embeddings_zero_vector_and_bounds(ray_session, tmp_path):
     assert q[(1, 1)] == q[(1, 2)] == q[(1, 3)] == 0  # zero vector
     assert q[(2, 2)] == -127  # the max-|v| component hits the rail
     assert q[(2, 1)] == 64 and q[(2, 3)] == 32  # 63.5 / 31.75 round half-away
+
+
+def test_top_terms_by_source_null_source_own_group(ray_session, tmp_path):
+    """NULL-source docs must form their own group, not be misattributed."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.text import top_terms_by_source
+
+    d = tmp_path / "ttsnull"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["apple apple", "pear"], pa.string()),
+                "source": pa.array(["web", None], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = top_terms_by_source(str(d), k=5).to_pandas()
+    by_src = {
+        (None if pd.isna(r.source) else r.source, r.term): r.cf
+        for r in out.itertuples()
+    }
+    assert by_src == {("web", "apple"): 2, (None, "pear"): 1}
+
+
+def test_minhash_index_rebuild_on_changed_data(ray_session, tmp_path):
+    """Regenerated source data at the same path must rebuild (mtime/size
+    fingerprint) and must not leave stale band files behind."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    d = tmp_path / "src"
+    d.mkdir()
+
+    def write(ids_texts):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in ids_texts], pa.int64()),
+                    "text": pa.array([t for _, t in ids_texts], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+
+    long_a = " ".join(f"alpha{i}" for i in range(40))
+    long_b = " ".join(f"beta{i}" for i in range(40))
+    write([(1, long_a), (2, long_a)])
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(str(d), idx, mode="simple")
+    p1 = dedup.probe_minhash_index(
+        idx, ray.data.read_parquet(str(d / "documents.parquet")), mode="simple"
+    )
+    assert set(zip(p1["a"].to_pylist(), p1["b"].to_pylist())) == {(1, 2), (2, 1)}
+
+    time.sleep(1.1)  # mtime granularity
+    write([(7, long_b), (8, long_b)])
+    dedup.build_minhash_index(str(d), idx, mode="simple")
+    p2 = dedup.probe_minhash_index(
+        idx, ray.data.read_parquet(str(d / "documents.parquet")), mode="simple"
+    )
+    got = set(zip(p2["a"].to_pylist(), p2["b"].to_pylist()))
+    assert got == {(7, 8), (8, 7)}  # no stale doc 1/2 rows survive
