@@ -181,8 +181,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-phase prefix scan (exact-integer SQL oracle); phrase_match
         # (driver-green r02) demoted for the slot
         "sequence_pack": curation.sequence_pack,
-        # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed)
-        "media_consistency": multimodal.media_consistency,
         # nearest-centroid classification (integer-exact confusion oracle)
         "centroid_classify": similarity.centroid_classify,
         # distributed BPE vocabulary training, as its consistency row: the
@@ -194,6 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_consistency": _bpe_consistency_q,
         # ---- position 51+ (driver-unchecked variants; all still pytest- and
         # ---- tools/check_oracles.py-covered) -------------------------------
+        # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed;
+        # demoted: media_phash_dedup's planted-pair goldens are the
+        # stronger in-fold multimodal row, and bpe_consistency — the
+        # independent re-derivation of the distributed BPE trainer — takes
+        # the 50th verdict slot instead of this constant-pinned aggregate)
+        "media_consistency": multimodal.media_consistency,
         # bm25_prefix_topk/not_topk/topk_meta were driver-green in r02, as
         # were bm25_after_delete and doc_lookup (demoted for centroid_classify
         # and bpe_train); demoted so new rows get verdicts inside the cap
@@ -302,6 +306,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_mix": curation.epoch_mix,
         "lm_bigram_score": textstats.lm_bigram_score,
         "hash_split": curation.hash_split,
+        # round-3 late additions: OLAP rollup, distributed regression
+        # moments, skyline, Bloom-pushdown semi join, time-series gap
+        # fill, weighted (A-ES) sampling — all exact-SQL-oracled
+        "rollup_revenue": relational.rollup_revenue,
+        "regression_by_flag": relational.regression_by_flag,
+        "skyline_orders": relational.skyline_orders,
+        "bloom_semi_join": relational.bloom_semi_join,
+        "gap_fill_daily": events.gap_fill_daily,
+        "weighted_sample": curation.weighted_sample,
     }
 
 
@@ -401,6 +414,8 @@ def _language_id_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines import audit as audit_mod
+    from index_ray.pipelines import curation as curation_mod
+    from index_ray.pipelines import relational as rel_mod
     from index_ray.pipelines import similarity as sim_mod
     from index_ray.pipelines import events as events_mod
     from index_ray.pipelines import text as text_mod
@@ -1076,4 +1091,10 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS value_max
             FROM events GROUP BY user_id, date_trunc('hour', ts), event_type
         """,
+        "rollup_revenue": rel_mod.rollup_revenue_sql_oracle(),
+        "regression_by_flag": rel_mod.regression_by_flag_sql_oracle(),
+        "skyline_orders": rel_mod.skyline_orders_sql_oracle(),
+        "bloom_semi_join": rel_mod.bloom_semi_join_sql_oracle(),
+        "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
+        "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
     }

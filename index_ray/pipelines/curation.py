@@ -1714,3 +1714,82 @@ def quality_deciles_sql_oracle() -> str:
                CAST(ntile(10) OVER (ORDER BY q_milli DESC, doc_id ASC) AS BIGINT) AS decile
         FROM f
     """
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> pa.Table:
+    """Exactly-k sample WITHOUT replacement with probability proportional
+    to document length — Efraimidis-Spirakis A-ES (one pass, mergeable):
+    each doc draws a deterministic uniform u from its md5 and gets key
+    ``ln(u) / n_chars``; the k LARGEST keys are the sample.
+
+    Length-weighted sampling is how token-budgeted eval/calibration sets
+    get drawn from a corpus (weight = token share).  Like
+    ``uniform_sample``'s bottom-k, top-k-by-key is MERGEABLE, so each
+    batch emits <= k rows, a tree fold bounds the driver's final merge at
+    cluster scale, and nothing ever shuffles raw rows.  Zero-length docs
+    carry zero weight and are excluded (the oracle's WHERE mirrors it).
+    Determinism: u derives from md5(doc_id) exactly like DuckDB's
+    ``('0x' || substr(md5(...), 1, 16))::UBIGINT``, so engine and oracle
+    draw identical keys.
+    """
+
+    def keys_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = w > 0
+        ids, w = ids[ok], w[ok]
+        pr = md5_strings([str(int(i)) for i in ids])
+        # u in (0,1): (h + 0.5) / 2^64; key = ln(u)/w, larger = better
+        u = (pr.astype(np.float64) + 0.5) / 18446744073709551616.0
+        return ids, np.log(u) / w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, key = keys_of(batch)
+        if len(ids) > k:
+            sel = np.argpartition(-key, k)[:k]
+            ids, key = ids[sel], key[sel]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "key": pa.array(key, pa.float64())}
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            sel = np.argpartition(-key, k)[:k]
+            ids, key = ids[sel], key[sel]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "key": pa.array(key, pa.float64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .map_batches(fold, batch_format="pyarrow", batch_size=64 * k)
+        .to_pandas()
+    )
+    ids = parts["doc_id"].to_numpy(np.int64)
+    key = parts["key"].to_numpy(np.float64)
+    if len(ids) > k:
+        sel = np.argpartition(-key, k)[:k]
+        ids, key = ids[sel], key[sel]
+    order = np.lexsort((ids, -key))
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64())})
+
+
+def weighted_sample_sql_oracle(k: int = WEIGHTED_SAMPLE_K) -> str:
+    return f"""
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                          ::UBIGINT AS DOUBLE) + 0.5) / 18446744073709551616.0)
+                   / CAST(n_chars AS DOUBLE) AS key
+          FROM documents WHERE n_chars > 0
+        )
+        ORDER BY key DESC, doc_id LIMIT {k}
+    """

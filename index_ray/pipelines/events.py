@@ -1354,3 +1354,81 @@ def hopping_windows_sql_oracle(
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM x GROUP BY window_start, event_type
     """
+
+
+def gap_fill_daily(sf_dir: str) -> pa.Table:
+    """Zero-filled daily event counts per type (time-series
+    densification): every (event_type, day) cell over the GLOBAL
+    [min-day, max-day] span gets a row, absent days as ``n = 0`` —
+    the gap-fill step every downstream time-series model (anomaly
+    detection, forecasting) needs before it can difference or window.
+
+    Distributed shape: the per-(type, day) counts reduce via streaming
+    partials (one row per type x day per batch crosses the shuffle);
+    the densification grid is |types| x |days| — independent of event
+    volume, so materializing it where the small aggregate already lives
+    is the scale-correct plan (a 100 TB stream with 10 years x 1000
+    types is a 3.7 M-row grid).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+            }
+        )
+        g = t.group_by(["event_type", "day"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "day", "n_part"])
+
+    cnt = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    days = pd.date_range(cnt["day"].min(), cnt["day"].max(), freq="D").strftime(
+        "%Y-%m-%d"
+    )
+    types = sorted(cnt["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "day"]
+    ).to_frame(index=False)
+    out = grid.merge(cnt, on=["event_type", "day"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [("event_type", pa.string()), ("day", pa.string()), ("n", pa.int64())]
+        )
+    )
+
+
+def gap_fill_daily_sql_oracle() -> str:
+    return """
+        WITH bounds AS (
+          SELECT date_trunc('day', min(ts)) AS lo,
+                 date_trunc('day', max(ts)) AS hi
+          FROM events
+        ),
+        days AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+          FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        cnt AS (
+          SELECT event_type, date_trunc('day', ts) AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT t.event_type, strftime(dd.d, '%Y-%m-%d') AS day,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM days dd
+        CROSS JOIN types t
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = dd.d
+    """

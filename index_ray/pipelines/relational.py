@@ -767,3 +767,412 @@ def top_parts_by_brand(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     ).map_batches(partial, batch_format="pyarrow", batch_size=16384)
     return hash_groupby(per_part, keys=["p_brand"], finalize=topk)
+
+
+def rollup_revenue(sf_dir: str) -> pa.Table:
+    """OLAP ROLLUP over (l_returnflag, l_linestatus): finest-level rows
+    plus per-returnflag subtotals plus a grand total, exactly DuckDB's
+    ``GROUP BY ROLLUP`` (NULL marks a rolled-up dimension).
+
+    One scan computes the FINEST level distributed (integer-cents
+    partials, same exactness contract as ``pricing_summary``); the
+    coarser levels are derived from that small result on the driver —
+    the standard rollup identity (each level is an exact re-aggregation
+    of the level below), so no second pass over the fact table ever
+    runs.  At 100 TB the finest level is |flags|x|statuses| rows — the
+    derivation cost is independent of fact-table size.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "rev_cents": _cents(rev),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("rev_cents", "count"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_part", "rev_part"]
+        )
+
+    fine = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("rev_part", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+    )
+    mid = (
+        fine.groupby("l_returnflag", as_index=False)[["n", "revenue_cents"]]
+        .sum()
+        .assign(l_linestatus=None)
+    )
+    top = fine[["n", "revenue_cents"]].sum().to_frame().T
+    top["l_returnflag"] = None
+    top["l_linestatus"] = None
+    import pandas as pd
+
+    out = pd.concat([fine, mid, top], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "n", "revenue_cents"]
+    ]
+    out["n"] = out["n"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("n", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        )
+    )
+
+
+def rollup_revenue_sql_oracle() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
+def regression_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Per-``l_returnflag`` simple linear regression of revenue (cents)
+    on quantity — distributed statistical moments.
+
+    Each batch emits exact-integer partial moments (n, Sx, Sy, Sxx,
+    Sxy); one tiny groupby folds them; slope/intercept are then pure
+    float64 arithmetic over the folded int64 moments, so the oracle
+    (computing the same ints, then the same expression) matches
+    bitwise.  This is the canonical one-pass distributed-regression
+    shape: moments commute, raw rows never shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _cents(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            )
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n_p": pa.array(np.ones(len(x), np.int64)),
+                "sx_p": pa.array(x),
+                "sy_p": pa.array(y),
+                "sxx_p": pa.array(x * x),
+                "sxy_p": pa.array(x * y),
+            }
+        )
+        g = t.group_by(["l_returnflag"], use_threads=False).aggregate(
+            [("n_p", "sum"), ("sx_p", "sum"), ("sy_p", "sum"),
+             ("sxx_p", "sum"), ("sxy_p", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n_p", "sx_p", "sy_p", "sxx_p", "sxy_p"]
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return t.append_column("slope", pa.array(slope, pa.float64())).append_column(
+            "intercept", pa.array(intercept, pa.float64())
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sx_p", alias_name="sx"),
+            Sum("sy_p", alias_name="sy"),
+            Sum("sxx_p", alias_name="sxx"),
+            Sum("sxy_p", alias_name="sxy"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def regression_by_flag_sql_oracle() -> str:
+    # the engine computes slope/intercept in float64 FROM the exact
+    # integer moments; the oracle mirrors that expression exactly
+    return """
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                      AS BIGINT) AS sxx,
+                 CAST(sum(CAST(l_quantity AS BIGINT) *
+                          CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                               AS BIGINT)) AS BIGINT) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n, sx, sy, sxx, sxy,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        FROM m
+    """
+
+
+def skyline_orders(sf_dir: str) -> pa.Table:
+    """Pareto frontier (skyline) of orders: maximize BOTH
+    ``o_totalprice`` and ``o_orderdate`` — no other order is >= on both
+    dimensions and > on at least one.
+
+    Distributed shape: each batch reduces to its LOCAL skyline (the
+    skyline operator's key property — local skylines are tiny,
+    O(frontier) not O(rows) — and the global skyline is a subset of the
+    union of local ones), then one final single-partition pass merges.
+    Raw rows never shuffle; only frontier candidates do.
+    """
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        price = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        date = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = _skyline_mask(price, date)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key[keep], pa.int64()),
+                "price_cents": pa.array(price[keep], pa.int64()),
+                "date_us": pa.array(date[keep], pa.int64()),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        keep = _skyline_mask(
+            batch["price_cents"].to_numpy(zero_copy_only=False),
+            batch["date_us"].to_numpy(zero_copy_only=False),
+        )
+        return batch.filter(pa.array(keep))
+
+    t = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(local_skyline, batch_format="pyarrow", batch_size=16384)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    out = pa.Table.from_pylist(
+        t,
+        schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("price_cents", pa.int64()),
+                ("date_us", pa.int64()),
+            ]
+        ),
+    )
+    return out.sort_by("o_orderkey")
+
+
+def _skyline_mask(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for the 2-D max/max skyline: sort by (date desc,
+    price desc); a row survives iff its price strictly exceeds every
+    LATER-dated row's price (running max over the sorted prefix), with
+    exact ties on both dims surviving together (neither dominates)."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-price, -date))
+    p_s, d_s = price[order], date[order]
+    # running max of price over rows with STRICTLY LATER date: group rows
+    # by date; the max over all previous date-groups is the dominator bar
+    new_date = np.empty(n, dtype=bool)
+    new_date[0] = True
+    np.not_equal(d_s[1:], d_s[:-1], out=new_date[1:])
+    grp = np.cumsum(new_date) - 1
+    ngrp = int(grp[-1]) + 1
+    grp_max = np.full(ngrp, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(grp_max, grp, p_s)
+    prev_max = np.empty(ngrp, dtype=np.int64)
+    prev_max[0] = np.iinfo(np.int64).min
+    if ngrp > 1:
+        np.maximum.accumulate(grp_max[:-1], out=prev_max[1:])
+    # survive iff strictly above every later-dated price AND at the max
+    # of the own-date group (both-dim ties all survive together)
+    keep_sorted = (p_s > prev_max[grp]) & (p_s == grp_max[grp])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_orders_sql_oracle() -> str:
+    return """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us
+          FROM orders
+        )
+        SELECT a.o_orderkey, a.price_cents, a.date_us
+        FROM o a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM o b
+          WHERE b.price_cents >= a.price_cents AND b.date_us >= a.date_us
+            AND (b.price_cents > a.price_cents OR b.date_us > a.date_us)
+        )
+        ORDER BY a.o_orderkey
+    """
+
+
+_BLOOM_BITS = 1 << 17  # 16 KiB of filter; ~0.1% fp at 2k keys / 4 hashes
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), _BLOOM_K) bit positions via double hashing of a
+    splitmix64-style mix — arrays stay on the LEFT of every operator
+    (numpy scalar-on-left is pathologically slow on this host)."""
+    x = keys.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    h1 = x & np.uint64(_BLOOM_BITS - 1)
+    h2 = (x >> np.uint64(17)) | np.uint64(1)  # odd stride
+    ks = np.arange(_BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + h2[:, None] * ks[None, :]) % np.uint64(_BLOOM_BITS)
+
+
+def bloom_semi_join(sf_dir: str, segment: str = "BUILDING") -> ray.data.Dataset:
+    """Orders semi-joined to customers of one market segment through a
+    BROADCAST BLOOM FILTER, then aggregated per order priority.
+
+    The scale pattern this demonstrates: when the probe side is the
+    100 TB fact table, shipping every row into a key-partitioned shuffle
+    join is the dominant cost — a Bloom filter built from the (already
+    filtered) build side and broadcast once via ``ray.put`` prunes
+    non-matching probe rows AT THE SCAN, so only survivors (matches + a
+    ~0.1% false-positive tail) pay any further join cost.  The exact
+    confirm here is a broadcast sorted-key membership test (the build
+    side is one segment of the customer dimension); were the build side
+    itself huge, the confirm becomes a shuffle join over the pruned
+    survivors — the Bloom stage is unchanged.
+
+    Output: (o_orderpriority, n_orders, total_cents) over orders whose
+    customer is in ``segment`` — exact, hash-compared to the semi-join
+    SQL.
+    """
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["c_mktsegment"], segment)
+        keys = batch.filter(keep)["c_custkey"].to_numpy(zero_copy_only=False)
+        bits = np.zeros(_BLOOM_BITS, dtype=bool)
+        if len(keys):
+            bits[_bloom_positions(keys).ravel()] = True
+        # one fixed-size bitmap row per batch; OR-fold on the driver
+        return pa.table(
+            {
+                "bits": pa.array([np.packbits(bits)]),
+                "keys": pa.array([keys.astype(np.int64)]),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        .map_batches(build_partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    packed = np.bitwise_or.reduce(np.stack(parts["bits"].to_numpy()), axis=0)
+    bloom = np.unpackbits(packed).astype(bool)
+    exact_keys = np.sort(np.concatenate(list(parts["keys"].to_numpy())))
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(exact_keys)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        blm = ray.get(bloom_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(ck)
+        maybe = blm[pos].all(axis=1)  # Bloom prune: scan-side, no shuffle
+        surv = batch.filter(pa.array(maybe))
+        sk = surv["o_custkey"].to_numpy(zero_copy_only=False)
+        # exact confirm over survivors only (fp tail removed)
+        hit = np.zeros(len(sk), dtype=bool)
+        if len(sk):
+            ek = ray.get(keys_ref)
+            idx = np.searchsorted(ek, sk)
+            idx[idx >= len(ek)] = len(ek) - 1 if len(ek) else 0
+            hit = (ek[idx] == sk) if len(ek) else hit
+        surv = surv.filter(pa.array(hit))
+        t = pa.table(
+            {
+                "o_orderpriority": surv["o_orderpriority"],
+                "cents": _cents(surv["o_totalprice"]),
+            }
+        )
+        g = t.group_by(["o_orderpriority"], use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "n_part", "cents_part"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(probe, batch_format="pyarrow", batch_size=16384)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_part", alias_name="n_orders"),
+            Sum("cents_part", alias_name="total_cents"),
+        )
+    )
+
+
+def bloom_semi_join_sql_oracle(segment: str = "BUILDING") -> str:
+    return f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = '{segment}'
+        )
+        GROUP BY o_orderpriority
+    """

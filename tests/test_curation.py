@@ -507,3 +507,40 @@ def test_quality_deciles_matches_duckdb(ray_session):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_weighted_sample_excludes_zero_weight_and_matches_oracle(
+    ray_session, tmp_path
+):
+    """Zero-length docs never sampled; ranking matches the A-ES oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.curation import (
+        weighted_sample,
+        weighted_sample_sql_oracle,
+    )
+
+    d = tmp_path / "wsamp"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    n = 500
+    w = rng.integers(0, 2000, n)
+    w[::50] = 0  # planted zero-weight docs
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "n_chars": pa.array(w.astype(np.int64)),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = weighted_sample(str(d), k=40)["doc_id"].to_pylist()
+    assert not any(gid % 50 == 0 and w[gid] == 0 for gid in got)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = con.sql(weighted_sample_sql_oracle(k=40)).df()["doc_id"].tolist()
+    assert got == want

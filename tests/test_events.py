@@ -382,3 +382,35 @@ def test_hopping_windows_match_duckdb(ray_session):
         got.astype({"n_events": "int64", "cents_sum": "int64", "n_users": "int64"}),
         want.astype({"n_events": "int64", "cents_sum": "int64", "n_users": "int64"}),
     )
+
+
+def test_gap_fill_daily_fills_planted_hole(ray_session, tmp_path):
+    """A type with no events on an interior day gets an n=0 row; the grid
+    spans the GLOBAL [min,max] day range for every type."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.events import gap_fill_daily
+
+    d = tmp_path / "gapf"
+    d.mkdir()
+    ts = pd.to_datetime(
+        ["2024-03-01 10:00", "2024-03-03 11:00",  # 'a' misses 03-02
+         "2024-03-02 09:00"]                        # 'b' only on 03-02
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(["a", "a", "b"], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = gap_fill_daily(str(d)).to_pandas()
+    cells = {(r.event_type, r.day): r.n for r in got.itertuples()}
+    assert len(got) == 6  # 2 types x 3 days
+    assert cells[("a", "2024-03-02")] == 0
+    assert cells[("b", "2024-03-01")] == 0 and cells[("b", "2024-03-03")] == 0
+    assert cells[("a", "2024-03-01")] == 1 and cells[("b", "2024-03-02")] == 1

@@ -25,6 +25,10 @@ NAMES = [
     "market_share_by_year",
     "orders_with_big_items",
     "top_parts_by_brand",
+    "rollup_revenue",
+    "regression_by_flag",
+    "skyline_orders",
+    "bloom_semi_join",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -91,3 +95,75 @@ def test_customer_order_counts_includes_zero_order_customers(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     n_cust = con.sql(f"SELECT count(*) FROM '{SF}/customer.parquet'").fetchone()[0]
     assert len(res) == n_cust  # outer join keeps every customer
+
+
+def test_skyline_ties_and_dominance(ray_session, tmp_path):
+    """Planted frontier: both-dim ties all survive; single-dim ties are
+    dominated; interior points never appear."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.relational import skyline_orders
+
+    d = tmp_path / "sky"
+    d.mkdir()
+    # (key, price, date): 1&2 tie on both dims (both kept); 3 same date as
+    # 1 but cheaper (dominated); 4 later date, lower price (kept);
+    # 5 dominated by 4; 6 highest price, earliest date (kept)
+    ts = pd.to_datetime(
+        ["2024-01-05", "2024-01-05", "2024-01-05",
+         "2024-01-09", "2024-01-09", "2024-01-01"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "o_totalprice": pa.array(
+                    [50.0, 50.0, 49.0, 20.0, 19.0, 80.0], pa.float64()
+                ),
+                "o_orderdate": pa.array(ts, pa.timestamp("us")),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    got = skyline_orders(str(d))
+    assert got["o_orderkey"].to_pylist() == [1, 2, 4, 6]
+
+
+def test_bloom_semi_join_empty_and_prune(ray_session, tmp_path):
+    """A segment with no customers yields zero rows (the Bloom filter is
+    all-zero and prunes every probe row); a planted match passes both the
+    Bloom and the exact confirm."""
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.relational import bloom_semi_join
+
+    d = tmp_path / "bloomj"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_mktsegment": pa.array(["A", "B", "A"], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    ts = pd.to_datetime(["2024-01-01"] * 4)
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2, 3, 9], pa.int64()),
+                "o_orderpriority": pa.array(["P1", "P1", "P2", "P1"], pa.string()),
+                "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    got = bloom_semi_join(str(d), segment="A").to_pandas()
+    got = got.sort_values("o_orderpriority").reset_index(drop=True)
+    assert got["o_orderpriority"].tolist() == ["P1", "P2"]
+    assert got["n_orders"].tolist() == [1, 1]
+    assert got["total_cents"].tolist() == [1000, 3000]
+    empty = bloom_semi_join(str(d), segment="ZZZ").to_pandas()
+    assert len(empty) == 0
