@@ -315,7 +315,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "gap_fill_daily": events.gap_fill_daily,
         "weighted_sample": curation.weighted_sample,
+        # record linkage: exact set-similarity join via PPJoin-style
+        # frequency-ordered prefix filtering (recall 1 by the prefix
+        # theorem, precision 1 by the distributed exact verify)
+        "set_similarity_join": _set_similarity_join_q,
     }
+
+
+def _set_similarity_join_q(sf_dir: str):
+    from index_ray.pipelines.linkage import set_similarity_join
+
+    return set_similarity_join(sf_dir)
 
 
 def _bpe_train_q(sf_dir: str):
@@ -415,6 +425,7 @@ def _language_id_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines import audit as audit_mod
     from index_ray.pipelines import curation as curation_mod
+    from index_ray.pipelines import linkage as linkage_mod
     from index_ray.pipelines import relational as rel_mod
     from index_ray.pipelines import similarity as sim_mod
     from index_ray.pipelines import events as events_mod
@@ -1097,4 +1108,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": rel_mod.bloom_semi_join_sql_oracle(),
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
+        "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
     }
