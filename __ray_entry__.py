@@ -319,6 +319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frequency-ordered prefix filtering (recall 1 by the prefix
         # theorem, precision 1 by the distributed exact verify)
         "set_similarity_join": _set_similarity_join_q,
+        # snapshot time travel: build(v1) -> append(v2) -> delete(v3);
+        # reads AS OF v1/v2 must reproduce from-scratch BM25 over the
+        # matching corpus subsets (frozen stats + hard-linked lexicon)
+        "time_travel_bm25": flagship.time_travel_bm25,
     }
 
 
@@ -452,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_filtered_sql_oracle,
         prf_sql_oracle,
         search_after_sql_oracle,
+        time_travel_bm25_sql_oracle,
         more_like_this_sql_oracle,
         spell_suggest_sql_oracle,
         hybrid_search_sql_oracle,
@@ -556,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": bm25_facets_sql_oracle(),
         "search_after_topk": search_after_sql_oracle(),
         "merged_bm25": bm25_sql_oracle(),
+        "time_travel_bm25": time_travel_bm25_sql_oracle(),
         "prf_search": prf_sql_oracle(),
         "bm25_filtered": bm25_filtered_sql_oracle(),
         "bm25_explain": bm25_explain_sql_oracle(),

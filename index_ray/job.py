@@ -78,7 +78,7 @@ def _cmd_query(a: argparse.Namespace) -> dict:
     from .pipelines.query import BM25Searcher
 
     _init_ray()
-    s = BM25Searcher(a.index)
+    s = BM25Searcher(a.index, snapshot=a.snapshot)
     meta = [c for c in (a.meta or "").split(",") if c]
     t = s.search(a.q, k=a.k, mode=a.mode, meta_cols=meta or None)
     return {"query": a.q, "k": a.k, "mode": a.mode, "rows": t.to_pylist()}
@@ -133,6 +133,28 @@ def _cmd_stats(a: argparse.Namespace) -> dict:
     return _stats_summary(load_stats(a.index))
 
 
+def _cmd_snapshots(a: argparse.Namespace) -> dict:
+    from .state.snapshots import list_snapshots
+
+    return {
+        "snapshots": [
+            {
+                "version": m["version"],
+                "n_chunks": len(m["stats"].get("chunks", [])),
+                "N": m["stats"].get("N"),
+                "n_tombstone_files": len(m.get("tombstone_files", [])),
+            }
+            for m in list_snapshots(a.index)
+        ]
+    }
+
+
+def _cmd_snapshot(a: argparse.Namespace) -> dict:
+    from .state.snapshots import snapshot_index
+
+    return {"version": snapshot_index(a.index)}
+
+
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(prog="python -m index_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -157,6 +179,8 @@ def main(argv: list[str] | None = None) -> dict:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["or", "and", "msm"], default="or")
     q.add_argument("--meta", default=None, help="docmap columns to join, comma-sep")
+    q.add_argument("--snapshot", type=int, default=None,
+                   help="read AS OF this published version (time travel)")
     q.set_defaults(fn=_cmd_query)
 
     f = sub.add_parser("fsck")
@@ -181,6 +205,14 @@ def main(argv: list[str] | None = None) -> dict:
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=_cmd_stats)
+
+    sl = sub.add_parser("snapshots", help="list readable index versions")
+    sl.add_argument("--index", required=True)
+    sl.set_defaults(fn=_cmd_snapshots)
+
+    sn = sub.add_parser("snapshot", help="publish the current state as a version")
+    sn.add_argument("--index", required=True)
+    sn.set_defaults(fn=_cmd_snapshot)
 
     a = p.parse_args(argv)
     out = a.fn(a)

@@ -987,6 +987,9 @@ def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> d
         ],
     }
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
+    from ..state.snapshots import snapshot_index
+
+    snapshot_index(out_dir)  # publish this commit as a readable version
     return {"lexicon_merge": round(time.time() - t0, 3)}
 
 

@@ -75,12 +75,21 @@ def delete_docs(out_dir: str, doc_ids) -> dict:
     stats = load_stats(out_dir)
     stats["n_tombstoned"] = int(len(load_tombstones(out_dir)))
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
+    from ..state.snapshots import snapshot_index
+
+    snapshot_index(out_dir)
     return stats
 
 
-def load_tombstones(out_dir: str) -> np.ndarray:
-    """Sorted unique tombstoned docIDs (empty array if none)."""
+def load_tombstones(out_dir: str, only_files: list[str] | None = None) -> np.ndarray:
+    """Sorted unique tombstoned docIDs (empty array if none).
+
+    ``only_files`` (basenames) restricts the read to the tombstone files a
+    SNAPSHOT recorded — the time-travel view of the delete log."""
     files = sorted(glob.glob(os.path.join(out_dir, "tombstones", "*.parquet")))
+    if only_files is not None:
+        want = set(only_files)
+        files = [f for f in files if os.path.basename(f) in want]
     if not files:
         return np.empty(0, np.int64)
     t = pa.concat_tables(pq.read_table(f) for f in files)
@@ -202,6 +211,29 @@ def _repack_rows(
     tf = np.concatenate([tfs_l[i] for i in order])
     codes = np.repeat(codes_row[order], dfs[order])
     pos = np.concatenate([pos_l[i] for i in order]) if positions else None
+    # block order by first docID yields a sorted stream only when chunks
+    # cover DISJOINT docID ranges; an append may interleave ranges (LSM
+    # ingest is id-order-free), so detect per-term disorder and fall back
+    # to a full posting sort (positions re-gathered run-wise).  A true
+    # duplicate (same term, same doc in two chunks) is corrupt input.
+    same_term = codes[1:] == codes[:-1]
+    if same_term.any() and not (doc[1:][same_term] > doc[:-1][same_term]).all():
+        true_tf = (tf >> 1) if style else tf
+        order2 = np.lexsort((doc, codes))
+        dup = (codes[order2][1:] == codes[order2][:-1]) & (
+            doc[order2][1:] == doc[order2][:-1]
+        )
+        if dup.any():
+            raise ValueError(
+                "duplicate (term, docID) posting across chunks — the index "
+                "holds the same document twice; refusing to compact"
+            )
+        if pos is not None:
+            from .dedup import _run_gather
+
+            starts = np.concatenate([[0], np.cumsum(true_tf)[:-1]])
+            pos = _run_gather(pos, starts[order2], true_tf[order2])
+        doc, tf, codes = doc[order2], tf[order2], codes[order2]
     sbits = None
     if style:
         sbits = tf & 1
@@ -458,6 +490,10 @@ def compact_index(
     if purging:
         _remove_tomb_files(out_dir, tomb_files)
     os.remove(swap_journal_path(out_dir))
+    from ..state.snapshots import prune_invalid_snapshots, snapshot_index
+
+    prune_invalid_snapshots(out_dir)  # rewritten chunks retire old versions
+    snapshot_index(out_dir)
     return stats
 
 
@@ -612,4 +648,8 @@ def merge_indexes(dst: str, src: str) -> dict:
         ],
     }
     write_json_atomic(os.path.join(dst, "stats.json"), stats)
+    from ..state.snapshots import prune_invalid_snapshots, snapshot_index
+
+    prune_invalid_snapshots(dst)  # adopted/renumbered chunks retire old versions
+    snapshot_index(dst)
     return stats

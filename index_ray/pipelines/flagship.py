@@ -2032,3 +2032,88 @@ ranked_r AS (
   FROM kept_r
 )
 SELECT qid, rank, doc_id FROM ranked_r WHERE rank <= 10"""
+
+
+TT_DELETE_MOD = 13
+
+
+def time_travel_bm25(sf_dir: str) -> pa.Table:
+    """Snapshot time travel end to end (``state/snapshots.py``): build the
+    index over the even-doc_id half (publishes snapshot v1), append the
+    odd half (v2), tombstone-delete ``doc_id % 13 == 0`` (v3) — then run
+    the fixture queries AS OF v1 and AS OF v2 on the LIVE index.
+
+    (version, qid, rank, doc_id).  v1 must reproduce a from-scratch BM25
+    over the even half alone (the snapshot's frozen N/avgdl and
+    hard-linked lexicon, not today's), and v2 the full corpus — even
+    though the live index already carries v3's tombstones, which time
+    travel must ignore.  The oracle recomputes both from SQL with the
+    matching corpus filters.  v3's deferred-delete view (frozen stats,
+    masked results — not SQL-expressible as a filtered corpus) is pinned
+    bitwise in ``tests/test_snapshots.py``.
+    """
+    import shutil as _shutil
+
+    from .build import append_index
+    from .compact import delete_docs
+
+    base = _index_dir_for(sf_dir) + "_tt"
+    marker = os.path.join(base, ".tt_done")
+    if not os.path.exists(marker):
+        _shutil.rmtree(base, ignore_errors=True)
+        src = base + "_src"
+        _shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        even = (ids % 2) == 0
+        pq.write_table(t.filter(pa.array(even)), f"{src}/even.parquet")
+        pq.write_table(t.filter(pa.array(~even)), f"{src}/odd.parquet")
+        cfg = BuildConfig(
+            tokenizer="simple",
+            text_col="text",
+            id_col="doc_id",
+            chunk_docs=250_000,
+            num_parts=16,
+            batch_size=512,
+            salt_docs=4096,
+        )
+        build_index(f"{src}/even.parquet", base, cfg)  # -> v1
+        append_index(f"{src}/odd.parquet", base, cfg)  # -> v2
+        delete_docs(base, ids[ids % TT_DELETE_MOD == 0])  # -> v3
+        with open(marker, "w") as f:
+            f.write("done")
+    tables = []
+    for version in (1, 2):
+        searcher = BM25Searcher(base, snapshot=version)
+        results = searcher.search_many(
+            [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+        )
+        for (qid, _, _), r in zip(DOC_QUERIES, results):
+            tables.append(
+                pa.table(
+                    {
+                        "version": pa.array(
+                            np.full(len(r), version, dtype=np.int64)
+                        ),
+                        "qid": pa.array(np.full(len(r), qid, dtype=np.int64)),
+                        "rank": r["rank"],
+                        "doc_id": r["docID"],
+                    }
+                )
+            )
+    return pa.concat_tables(tables)
+
+
+def time_travel_bm25_sql_oracle() -> str:
+    v1 = (
+        _bm25_ctes(doc_where="doc_id % 2 = 0")
+        + "\nSELECT CAST(1 AS BIGINT) AS version, qid, rank, doc_id "
+        "FROM ranked WHERE rank <= 10"
+    )
+    v2 = (
+        _bm25_ctes()
+        + "\nSELECT CAST(2 AS BIGINT) AS version, qid, rank, doc_id "
+        "FROM ranked WHERE rank <= 10"
+    )
+    return f"SELECT * FROM ({v1})\nUNION ALL\nSELECT * FROM ({v2})"

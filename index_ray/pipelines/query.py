@@ -101,9 +101,17 @@ class Lexicon:
     either way the parquet is opened once, not per search call.
     """
 
-    def __init__(self, index_dir: str, n_docs: int, max_resident_bytes: int = 256 << 20):
+    def __init__(
+        self,
+        index_dir: str,
+        n_docs: int,
+        max_resident_bytes: int = 256 << 20,
+        lex_dir: str | None = None,
+    ):
         self.n = n_docs
-        files = sorted(glob.glob(os.path.join(index_dir, "lexicon", "*.parquet")))
+        files = sorted(
+            glob.glob(os.path.join(lex_dir or os.path.join(index_dir, "lexicon"), "*.parquet"))
+        )
         size = sum(os.path.getsize(f) for f in files)
         self._map: dict[str, int] | None = None
         self._ds = None
@@ -1054,10 +1062,36 @@ class SearchShard:
 class BM25Searcher:
     """Driver-side handle: actor pool over the index's chunks."""
 
-    def __init__(self, index_dir: str, num_shards: int | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        num_shards: int | None = None,
+        snapshot: int | None = None,
+    ):
+        """``snapshot=N`` reads AS OF that published version (time
+        travel): the snapshot's chunk subset, its frozen N/avgdl and
+        hard-linked lexicon, and only the tombstone files it recorded —
+        bitwise-identical to searching the index as it stood at that
+        commit (``state/snapshots.py``)."""
         self.index_dir = index_dir
-        self.stats = load_stats(index_dir)
-        chunk_dirs = sorted(glob.glob(os.path.join(index_dir, "chunks", "chunk-*")))
+        lex_dir = None
+        only_tomb: list[str] | None = None
+        if snapshot is None:
+            self.stats = load_stats(index_dir)
+            chunk_dirs = sorted(
+                glob.glob(os.path.join(index_dir, "chunks", "chunk-*"))
+            )
+        else:
+            from ..state.snapshots import load_snapshot, snapshot_lexicon_dir
+
+            snap = load_snapshot(index_dir, snapshot)
+            self.stats = snap["stats"]
+            chunk_dirs = [
+                os.path.join(index_dir, "chunks", f"chunk-{c['chunk']:05d}")
+                for c in sorted(self.stats["chunks"], key=lambda c: c["chunk"])
+            ]
+            lex_dir = snapshot_lexicon_dir(index_dir, snapshot)
+            only_tomb = snap.get("tombstone_files", [])
         if not chunk_dirs:
             raise FileNotFoundError(f"no chunks under {index_dir}")
         if num_shards is None:
@@ -1068,7 +1102,7 @@ class BM25Searcher:
             groups[i % num_shards].append(d)
         from .compact import load_tombstones
 
-        tomb = load_tombstones(index_dir)
+        tomb = load_tombstones(index_dir, only_files=only_tomb)
         tomb_ref = ray.put(tomb) if len(tomb) else None
         self.style = bool(self.stats.get("style_head"))
         self.actors = [
@@ -1078,7 +1112,7 @@ class BM25Searcher:
             for g in groups
             if g
         ]
-        self.lexicon = Lexicon(index_dir, self.stats["N"])
+        self.lexicon = Lexicon(index_dir, self.stats["N"], lex_dir=lex_dir)
         ray.get([a.ready.remote() for a in self.actors])
 
     def search(

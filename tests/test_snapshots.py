@@ -1,0 +1,109 @@
+"""Snapshot versioning / time travel: every commit publishes a readable
+version; reads AS OF a version are bitwise-identical to the index as it
+stood then; compaction retires versions whose chunks it rewrote."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import TINY_CFG, TINY_SEED
+from index_ray.pipelines.build import BuildConfig, append_index, build_index
+from index_ray.pipelines.compact import compact_index, delete_docs
+from index_ray.pipelines.query import BM25Searcher
+from index_ray.sources.corpus import generate_corpus
+from index_ray.state.snapshots import (
+    list_snapshots,
+    load_snapshot,
+    snapshot_index,
+)
+
+QUERIES = ["parse http request", "connection", "def return value"]
+
+
+def _page(searcher, q):
+    t = searcher.search(q, k=10)
+    return list(zip(t["docID"].to_pylist(), t["score"].to_pylist()))
+
+
+def _write_docs(path, ids, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "text": pa.array(list(texts), pa.string()),
+            }
+        ),
+        str(path),
+    )
+
+
+@pytest.fixture(scope="module")
+def tt_index(ray_session, tmp_path_factory):
+    """even-half build (v1) -> odd append (v2) -> delete %7 (v3)."""
+    root = tmp_path_factory.mktemp("snap")
+    texts = generate_corpus(120, TINY_SEED)["content"].to_pylist()
+    ids = np.arange(120, dtype=np.int64)
+    even = ids % 2 == 0
+    _write_docs(root / "even.parquet", ids[even], [texts[i] for i in ids[even]])
+    _write_docs(root / "odd.parquet", ids[~even], [texts[i] for i in ids[~even]])
+    cfg = BuildConfig(
+        tokenizer="simple", text_col="text", id_col="doc_id", **TINY_CFG
+    )
+    idx = str(root / "idx")
+    build_index(str(root / "even.parquet"), idx, cfg)
+    append_index(str(root / "odd.parquet"), idx, cfg)
+    deleted = ids[ids % 7 == 0]
+    delete_docs(idx, deleted)
+    # a from-scratch index over the even half: the v1 ground truth
+    even_idx = str(root / "even_idx")
+    build_index(str(root / "even.parquet"), even_idx, cfg)
+    return {"idx": idx, "even_idx": even_idx, "deleted": set(map(int, deleted)),
+            "root": root, "cfg": cfg}
+
+
+def test_commits_published_in_order(tt_index):
+    assert [s["version"] for s in list_snapshots(tt_index["idx"])] == [1, 2, 3]
+
+
+def test_v1_bitwise_equals_fresh_even_build(tt_index):
+    at_v1 = BM25Searcher(tt_index["idx"], snapshot=1)
+    fresh = BM25Searcher(tt_index["even_idx"])
+    for q in QUERIES:
+        assert _page(at_v1, q) == _page(fresh, q)  # docIDs AND scores bitwise
+
+
+def test_v2_ignores_later_tombstones_v3_equals_live(tt_index):
+    at_v2 = BM25Searcher(tt_index["idx"], snapshot=2)
+    at_v3 = BM25Searcher(tt_index["idx"], snapshot=3)
+    live = BM25Searcher(tt_index["idx"])
+    deleted = tt_index["deleted"]
+    saw_deleted = False
+    for q in QUERIES:
+        v2 = _page(at_v2, q)
+        saw_deleted |= any(d in deleted for d, _ in v2)
+        assert all(d not in deleted for d, _ in _page(at_v3, q))
+        assert _page(at_v3, q) == _page(live, q)
+    assert saw_deleted  # time travel really resurrects pre-delete results
+
+
+def test_snapshot_idempotent_no_version_churn(tt_index):
+    before = [s["version"] for s in list_snapshots(tt_index["idx"])]
+    assert snapshot_index(tt_index["idx"]) == before[-1]
+    assert [s["version"] for s in list_snapshots(tt_index["idx"])] == before
+
+
+def test_compaction_retires_stale_snapshots(tt_index):
+    idx = tt_index["idx"]
+    compact_index(idx)
+    versions = [s["version"] for s in list_snapshots(idx)]
+    assert versions == [4]  # v1-v3 referenced rewritten chunks/tombstones
+    with pytest.raises(FileNotFoundError, match="snapshot v1"):
+        load_snapshot(idx, 1)
+    # the post-compaction commit is itself a readable version == live
+    at_v4 = BM25Searcher(idx, snapshot=4)
+    live = BM25Searcher(idx)
+    for q in QUERIES:
+        assert _page(at_v4, q) == _page(live, q)
