@@ -323,6 +323,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reads AS OF v1/v2 must reproduce from-scratch BM25 over the
         # matching corpus subsets (frozen stats + hard-linked lexicon)
         "time_travel_bm25": flagship.time_travel_bm25,
+        # indexed substring search (code-search trigram plan): derived
+        # hex-trigram column -> unchanged index build -> AND skip-seek
+        # candidates -> exact contains verify; oracle = full corpus scan
+        "trigram_search": flagship.trigram_search,
     }
 
 
@@ -457,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         prf_sql_oracle,
         search_after_sql_oracle,
         time_travel_bm25_sql_oracle,
+        trigram_search_sql_oracle,
         more_like_this_sql_oracle,
         spell_suggest_sql_oracle,
         hybrid_search_sql_oracle,
@@ -562,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_topk": search_after_sql_oracle(),
         "merged_bm25": bm25_sql_oracle(),
         "time_travel_bm25": time_travel_bm25_sql_oracle(),
+        "trigram_search": trigram_search_sql_oracle(),
         "prf_search": prf_sql_oracle(),
         "bm25_filtered": bm25_filtered_sql_oracle(),
         "bm25_explain": bm25_explain_sql_oracle(),

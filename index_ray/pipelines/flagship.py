@@ -23,6 +23,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Sum
@@ -2117,3 +2118,182 @@ def time_travel_bm25_sql_oracle() -> str:
         "FROM ranked WHERE rank <= 10"
     )
     return f"SELECT * FROM ({v1})\nUNION ALL\nSELECT * FROM ({v2})"
+
+
+_TRI_HEX_LUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+TRI_QUERIES = [
+    (0, "hash value"),
+    (1, "table part"),
+    (2, "fast merge"),
+    (3, "agg row scan"),
+    (4, "no such moose"),  # zero-match literal: AND must empty, not error
+]
+
+
+def _utf8_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data bytes, per-doc relative offsets) of a utf8 array — zero-copy."""
+    bufs = arr.buffers()
+    off0 = arr.offset
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1 + off0)[off0:]
+    if bufs[2] is None:
+        return np.empty(0, np.uint8), (offs - offs[0]).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1]))[int(offs[0]):]
+    return data, (offs - offs[0]).astype(np.int64)
+
+
+def _derive_trigram_docs(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, text = the doc's DISTINCT lowercased byte
+    trigrams, hex-encoded, space-joined).  Hex keeps every byte (spaces,
+    punctuation) inside a [0-9a-f]{6} word the frozen ``simple`` tokenizer
+    passes through untouched — so the standard index build/search engine
+    serves substring search with zero tokenizer changes (the Google Code
+    Search trigram design re-expressed over this engine's AND skip-seek).
+    Fully vectorized: one byte-window pass, one sort-unique, one LUT hex
+    expansion, one Arrow list-join per batch."""
+    texts = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, offs = _utf8_buffers(texts)
+    ndocs = len(texts)
+    lens = np.diff(offs)
+    n_tri = np.maximum(lens - 2, 0)
+    total = int(n_tri.sum())
+    if total:
+        cum_prev = np.concatenate([[0], np.cumsum(n_tri)[:-1]])
+        pos = np.arange(total, dtype=np.int64) + np.repeat(
+            offs[:-1] - cum_prev, n_tri
+        )
+        d64 = data.astype(np.int64)
+        u32 = d64[pos] * 65536 + d64[pos + 1] * 256 + d64[pos + 2]
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), n_tri)
+        key = np.unique((doc_of << 24) | u32)
+        doc_u, tri_u = key >> 24, key & 0xFFFFFF
+    else:
+        doc_u = np.empty(0, np.int64)
+        tri_u = np.empty(0, np.int64)
+    shifts = np.array([20, 16, 12, 8, 4, 0], dtype=np.int64)
+    nib = (tri_u[:, None] >> shifts[None, :]) & 0xF
+    hexdata = _TRI_HEX_LUT[nib].ravel()
+    tok_offs = (np.arange(len(tri_u) + 1, dtype=np.int32) * 6)
+    flat = pa.Array.from_buffers(
+        pa.utf8(), len(tri_u), [None, pa.py_buffer(tok_offs), pa.py_buffer(hexdata)]
+    )
+    cnt = np.bincount(doc_u, minlength=ndocs).astype(np.int32)
+    voffs = np.zeros(ndocs + 1, dtype=np.int32)
+    np.cumsum(cnt, out=voffs[1:])
+    la = pa.ListArray.from_arrays(pa.array(voffs, pa.int32()), flat)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "text": pc.binary_join(la, " ")}
+    )
+
+
+def _literal_trigrams(lit: str) -> list[str]:
+    b = lit.lower().encode("utf-8")
+    if len(b) < 3:
+        raise ValueError("trigram search needs a literal of >= 3 bytes")
+    return sorted({b[i : i + 3].hex() for i in range(len(b) - 2)})
+
+
+def trigram_search(sf_dir: str) -> pa.Table:
+    """Indexed substring search (grep over the corpus without a full scan):
+    a DERIVED trigram column indexes through the unchanged build engine;
+    a literal query becomes a conjunctive (AND skip-seek) probe over its
+    trigrams, and only the surviving candidates are read back and verified
+    with an exact substring test — the classic trigram-index code-search
+    plan.  (qid, doc_id) — the FULL exact match set, so the oracle is a
+    plain ``contains(lower(text), literal)`` scan.
+
+    Scale shape: the derived column is built once (one streaming pass,
+    vectorized trigram extraction); candidate verification reads only
+    candidate docs (broadcast id filter pushed into the scan).  False
+    positives (docs with all trigrams but not the contiguous literal) are
+    removed by the verify; false negatives are impossible — every
+    substring occurrence contributes all its trigrams."""
+    from .text import docs_dataset
+
+    base = _index_dir_for(sf_dir) + "_tri"
+    marker = os.path.join(base, ".tri_done")
+    if not os.path.exists(marker):
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        derived = os.path.join(base, "derived")
+        os.makedirs(derived)
+        docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            _derive_trigram_docs, batch_format="pyarrow", batch_size=512
+        ).write_parquet(derived)
+        cfg = BuildConfig(
+            tokenizer="simple",
+            text_col="text",
+            id_col="doc_id",
+            chunk_docs=250_000,
+            num_parts=16,
+            batch_size=512,
+            salt_docs=4096,
+        )
+        build_index(derived, os.path.join(base, "idx"), cfg)
+        with open(marker, "w") as f:
+            f.write("done")
+    searcher = BM25Searcher(os.path.join(base, "idx"))
+    n = int(searcher.stats["N"])
+    cand: dict[int, np.ndarray] = {}
+    prepared = [
+        (qid, " ".join(_literal_trigrams(lit))) for qid, lit in TRI_QUERIES
+    ]
+    results = searcher.search_many(
+        [(q, n) for _, q in prepared], mode="and"
+    )
+    for (qid, _), r in zip(prepared, results):
+        ids = r["docID"].to_numpy(zero_copy_only=False)
+        if len(ids):
+            cand[qid] = np.sort(ids)
+    lits = {qid: lit.lower() for qid, lit in TRI_QUERIES}
+    cand_ref = ray.put(cand)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cand_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        out_q, out_d = [], []
+        for qid, ids_q in cmap.items():
+            pos = np.searchsorted(ids_q, ids)
+            pos[pos >= len(ids_q)] = len(ids_q) - 1
+            mask = ids_q[pos] == ids
+            if not mask.any():
+                continue
+            hit = pc.match_substring(
+                low.filter(pa.array(mask)), lits[qid]
+            ).to_numpy(zero_copy_only=False)
+            sel = ids[mask][hit]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_d.append(sel)
+        if not out_q:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    t = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(verify, batch_format="pyarrow", batch_size=512)
+        .to_pandas()
+    )
+    t = t.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False).cast(
+        pa.schema([("qid", pa.int64()), ("doc_id", pa.int64())])
+    )
+
+
+def trigram_search_sql_oracle() -> str:
+    values = ", ".join(f"({qid}, '{lit.lower()}')" for qid, lit in TRI_QUERIES)
+    return f"""
+        WITH q(qid, lit) AS (VALUES {values})
+        SELECT CAST(q.qid AS BIGINT) AS qid, d.doc_id
+        FROM q JOIN documents d ON contains(lower(d.text), q.lit)
+        ORDER BY qid, doc_id
+    """

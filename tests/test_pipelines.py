@@ -1064,3 +1064,40 @@ def test_minhash_index_rebuild_on_changed_data(ray_session, tmp_path):
     )
     got = set(zip(p2["a"].to_pylist(), p2["b"].to_pylist()))
     assert got == {(7, 8), (8, 7)}  # no stale doc 1/2 rows survive
+
+
+def test_trigram_search_planted_fp_and_punctuation(ray_session, tmp_path):
+    """A doc containing every trigram of the literal but NOT the literal
+    itself (the classic trigram false positive) must be verified away;
+    punctuation/space bytes inside the literal must match exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines import flagship as F
+
+    d = tmp_path / "tri"
+    d.mkdir()
+    rows = [
+        (1, "error: disk full"),            # true match for "error: disk"
+        (2, "disk error: full rror: dis"),  # all trigrams, wrong order -> FP
+        (3, "ERROR: DISK almost"),          # case-folded true match
+        (4, "nothing relevant here"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    saved = F.TRI_QUERIES
+    F.TRI_QUERIES = [(0, "error: disk")]
+    try:
+        got = F.trigram_search(str(d)).to_pandas()
+    finally:
+        F.TRI_QUERIES = saved
+    assert got["doc_id"].tolist() == [1, 3]  # FP doc 2 verified away
+    assert (got["qid"] == 0).all()
