@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hex-trigram column -> unchanged index build -> AND skip-seek
         # candidates -> exact contains verify; oracle = full corpus scan
         "trigram_search": flagship.trigram_search,
+        # ingestion round trip: documents -> JSONL dump -> parquet ingest
+        # -> per-lang aggregate hash-compared against the original table
+        "jsonl_ingest": audit.jsonl_ingest,
     }
 
 
@@ -568,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "merged_bm25": bm25_sql_oracle(),
         "time_travel_bm25": time_travel_bm25_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
+        "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "prf_search": prf_sql_oracle(),
         "bm25_filtered": bm25_filtered_sql_oracle(),
         "bm25_explain": bm25_explain_sql_oracle(),

@@ -288,3 +288,72 @@ def fk_check_sql_oracle() -> str:
                CAST(count(*) FILTER (p.{pk} IS NULL) AS BIGINT) AS n_orphans
         FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}""")
     return " UNION ALL ".join(parts)
+
+
+def jsonl_ingest(sf_dir: str) -> ray.data.Dataset:
+    """Ingestion round trip: dump ``documents`` to newline-delimited JSON,
+    convert it back to parquet through :func:`sources.ingest.ingest_corpus`
+    (the raw-dump -> engine-layout path a crawl ingest runs), and
+    aggregate the ROUND-TRIPPED table per language.  The oracle computes
+    the identical aggregate over the ORIGINAL parquet — row counts,
+    int64 values and string contents must all survive the two format
+    conversions bit-exactly for the hashes to match.
+    """
+    import hashlib
+    import os
+
+    from ..sources.ingest import ingest_corpus
+    from .text import docs_dataset
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = f"/tmp/index_ray_ingest_{key}"
+    marker = os.path.join(base, ".done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        jl = os.path.join(base, "jsonl")
+        os.makedirs(jl)
+        docs_dataset(sf_dir).write_json(jl)
+        ingest_corpus(jl, os.path.join(base, "parquet"), fmt="jsonl")
+        with open(marker, "w") as f:
+            f.write("done")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "doc_id": t["doc_id"],
+                "text_len": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        ).group_by(["lang"], use_threads=False).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"),
+             ("doc_id", "sum"), ("text_len", "sum")]
+        )
+        return g.rename_columns(["lang", "n_p", "chars_p", "ids_p", "len_p"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ray.data.read_parquet(os.path.join(base, "parquet"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("chars_p", alias_name="chars_sum"),
+            Sum("ids_p", alias_name="id_sum"),
+            Sum("len_p", alias_name="text_len_sum"),
+        )
+    )
+
+
+def jsonl_ingest_sql_oracle() -> str:
+    return """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(length(text)) AS BIGINT) AS text_len_sum
+        FROM documents GROUP BY lang
+    """

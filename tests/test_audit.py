@@ -142,3 +142,31 @@ def test_profile_documents_all_null_numeric(ray_session, tmp_path):
     assert out.loc["n_chars", "n_distinct"] == 0
     assert out.loc["n_chars", "min_val"] is None
     assert out.loc["n_chars", "max_val"] is None
+
+
+def test_ingest_corpus_csv_and_format_inference(ray_session, tmp_path):
+    """CSV ingests to parquet with values intact; unknown extensions raise."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from index_ray.sources.ingest import ingest_corpus
+
+    src = tmp_path / "rows.csv"
+    pd.DataFrame(
+        {"doc_id": [3, 1, 2], "text": ["a b", "c", "d e f"], "n": [10, 20, 30]}
+    ).to_csv(src, index=False)
+    out = ingest_corpus(str(src), str(tmp_path / "pq"))
+    import pyarrow.dataset as pads
+
+    got = (
+        pads.dataset(out)
+        .to_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    assert got["text"].tolist() == ["c", "d e f", "a b"]
+    assert got["n"].tolist() == [20, 30, 10]
+    with _pytest.raises(ValueError, match="infer ingest format"):
+        ingest_corpus(str(tmp_path / "rows.xyz"), str(tmp_path / "pq2"))
