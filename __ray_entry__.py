@@ -330,6 +330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ingestion round trip: documents -> JSONL dump -> parquet ingest
         # -> per-lang aggregate hash-compared against the original table
         "jsonl_ingest": audit.jsonl_ingest,
+        # indexed regex search: required-trigram AND-probes per alternation
+        # branch (Cox query analysis), exact re-verify; grouped patterns
+        # honestly full-scan — oracle is regexp_matches over the corpus
+        "trigram_regex": flagship.trigram_regex,
     }
 
 
@@ -465,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         search_after_sql_oracle,
         time_travel_bm25_sql_oracle,
         trigram_search_sql_oracle,
+        trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
         spell_suggest_sql_oracle,
         hybrid_search_sql_oracle,
@@ -572,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_bm25": time_travel_bm25_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
+        "trigram_regex": trigram_regex_sql_oracle(),
         "prf_search": prf_sql_oracle(),
         "bm25_filtered": bm25_filtered_sql_oracle(),
         "bm25_explain": bm25_explain_sql_oracle(),

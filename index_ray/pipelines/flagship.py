@@ -2211,30 +2211,7 @@ def trigram_search(sf_dir: str) -> pa.Table:
     substring occurrence contributes all its trigrams."""
     from .text import docs_dataset
 
-    base = _index_dir_for(sf_dir) + "_tri"
-    marker = os.path.join(base, ".tri_done")
-    if not os.path.exists(marker):
-        import shutil as _shutil
-
-        _shutil.rmtree(base, ignore_errors=True)
-        derived = os.path.join(base, "derived")
-        os.makedirs(derived)
-        docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-            _derive_trigram_docs, batch_format="pyarrow", batch_size=512
-        ).write_parquet(derived)
-        cfg = BuildConfig(
-            tokenizer="simple",
-            text_col="text",
-            id_col="doc_id",
-            chunk_docs=250_000,
-            num_parts=16,
-            batch_size=512,
-            salt_docs=4096,
-        )
-        build_index(derived, os.path.join(base, "idx"), cfg)
-        with open(marker, "w") as f:
-            f.write("done")
-    searcher = BM25Searcher(os.path.join(base, "idx"))
+    searcher = _trigram_index(sf_dir)
     n = int(searcher.stats["N"])
     cand: dict[int, np.ndarray] = {}
     prepared = [
@@ -2295,5 +2272,164 @@ def trigram_search_sql_oracle() -> str:
         WITH q(qid, lit) AS (VALUES {values})
         SELECT CAST(q.qid AS BIGINT) AS qid, d.doc_id
         FROM q JOIN documents d ON contains(lower(d.text), q.lit)
+        ORDER BY qid, doc_id
+    """
+
+
+TRI_RE_QUERIES = [
+    (0, "hash .*merge"),           # two prunable literal segments
+    (1, "table part|table row"),   # top-level alternation: OR of AND-probes
+    (2, "slo. filter"),            # '.' wildcard splits the literal
+    (3, "agg (row|line) scan"),    # grouped: unanalyzable -> honest full scan
+    (4, "zz9qq.*never"),           # zero matches (trigram AND prunes to none)
+]
+_RE_WILDCARD = __import__("re").compile(r"\.\*|\.\+|\.")
+_RE_META = set("[](){}?+*\\^$")
+
+
+def _regex_required_trigrams(pattern: str) -> list[list[str]] | None:
+    """Per-alternation-branch required-trigram term lists for a RESTRICTED
+    regex (literals, ``.`` / ``.*`` / ``.+`` wildcards, top-level ``|``) —
+    the Cox code-search query analysis: a match of ``litA.*litB`` must
+    contain every trigram of both literals, so candidates are an AND-probe
+    per branch, OR-ed across branches.  Returns None when the pattern uses
+    syntax the analyzer does not model (groups, classes, anchors) or some
+    branch has no >=3-byte literal — the caller then scans the full corpus
+    (verification is exact either way; pruning is only an optimization)."""
+    if "(" in pattern or ")" in pattern:
+        return None
+    out = []
+    for branch in pattern.lower().split("|"):
+        segs = _RE_WILDCARD.split(branch)
+        if any(c in _RE_META for s in segs for c in s):
+            return None
+        tris = sorted({t for s in segs if len(s.encode()) >= 3
+                       for t in _literal_trigrams(s)})
+        if not tris:
+            return None
+        out.append(tris)
+    return out
+
+
+def _trigram_index(sf_dir: str) -> BM25Searcher:
+    """Build-once (marker-gated) trigram index over the documents table;
+    shared by ``trigram_search`` and ``trigram_regex``."""
+    from .text import docs_dataset
+
+    base = _index_dir_for(sf_dir) + "_tri"
+    marker = os.path.join(base, ".tri_done")
+    if not os.path.exists(marker):
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        derived = os.path.join(base, "derived")
+        os.makedirs(derived)
+        docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            _derive_trigram_docs, batch_format="pyarrow", batch_size=512
+        ).write_parquet(derived)
+        cfg = BuildConfig(
+            tokenizer="simple",
+            text_col="text",
+            id_col="doc_id",
+            chunk_docs=250_000,
+            num_parts=16,
+            batch_size=512,
+            salt_docs=4096,
+        )
+        build_index(derived, os.path.join(base, "idx"), cfg)
+        with open(marker, "w") as f:
+            f.write("done")
+    return BM25Searcher(os.path.join(base, "idx"))
+
+
+def trigram_regex(sf_dir: str) -> pa.Table:
+    """Indexed REGEX search: restricted patterns are analyzed into
+    required-trigram AND-probes (per alternation branch, OR-ed), the
+    trigram index prunes candidates, and an exact ``re.search`` over the
+    lowercased text verifies — grep semantics without a full scan when
+    the pattern carries literals.  Unanalyzable patterns (grouping,
+    classes) honestly scan everything.  (qid, doc_id), full match set;
+    oracle = DuckDB ``regexp_matches`` over the corpus."""
+    import re as _re
+
+    from .text import docs_dataset
+
+    searcher = _trigram_index(sf_dir)
+    n = int(searcher.stats["N"])
+    cand: dict[int, np.ndarray | None] = {}
+    for qid, pat in TRI_RE_QUERIES:
+        branches = _regex_required_trigrams(pat)
+        if branches is None:
+            cand[qid] = None  # full-scan branch
+            continue
+        results = searcher.search_many(
+            [(" ".join(tris), n) for tris in branches], mode="and"
+        )
+        ids = np.unique(
+            np.concatenate(
+                [r["docID"].to_numpy(zero_copy_only=False) for r in results]
+            )
+        ) if results else np.empty(0, np.int64)
+        if len(ids):
+            cand[qid] = np.sort(ids)
+        # a fully-pruned pattern needs no verify pass at all
+    pats = {qid: pat.lower() for qid, pat in TRI_RE_QUERIES}
+    cand_ref = ray.put(cand)
+    pats_ref = ray.put(pats)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cmap, pmap = ray.get(cand_ref), ray.get(pats_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        out_q, out_d = [], []
+        for qid, ids_q in cmap.items():
+            if ids_q is None:
+                mask = np.ones(len(ids), dtype=bool)
+            else:
+                pos = np.searchsorted(ids_q, ids)
+                pos[pos >= len(ids_q)] = len(ids_q) - 1
+                mask = ids_q[pos] == ids if len(ids_q) else np.zeros(len(ids), bool)
+            if not mask.any():
+                continue
+            rx = _re.compile(pmap[qid])
+            texts = low.filter(pa.array(mask)).to_pylist()
+            hit = np.fromiter(
+                (rx.search(t) is not None for t in texts),
+                dtype=bool,
+                count=len(texts),
+            )
+            sel = ids[mask][hit]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_d.append(sel)
+        if not out_q:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    t = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(verify, batch_format="pyarrow", batch_size=512)
+        .to_pandas()
+    )
+    t = t.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False).cast(
+        pa.schema([("qid", pa.int64()), ("doc_id", pa.int64())])
+    )
+
+
+def trigram_regex_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{pat.lower()}')" for qid, pat in TRI_RE_QUERIES
+    )
+    return f"""
+        WITH q(qid, pat) AS (VALUES {values})
+        SELECT CAST(q.qid AS BIGINT) AS qid, d.doc_id
+        FROM q JOIN documents d ON regexp_matches(lower(d.text), q.pat)
         ORDER BY qid, doc_id
     """

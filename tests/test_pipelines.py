@@ -1101,3 +1101,20 @@ def test_trigram_search_planted_fp_and_punctuation(ray_session, tmp_path):
         F.TRI_QUERIES = saved
     assert got["doc_id"].tolist() == [1, 3]  # FP doc 2 verified away
     assert (got["qid"] == 0).all()
+
+
+def test_trigram_regex_analyzer_and_pruning(ray_session):
+    """The required-trigram analyzer must split on wildcards, OR across
+    top-level alternation, and refuse what it cannot model."""
+    from index_ray.pipelines.flagship import _regex_required_trigrams as rt
+
+    assert rt("hash .*merge") == [
+        sorted(set(__import__("index_ray.pipelines.flagship", fromlist=["x"])
+                   ._literal_trigrams("hash ")
+                   + __import__("index_ray.pipelines.flagship", fromlist=["x"])
+                   ._literal_trigrams("merge")))
+    ]
+    assert len(rt("table part|table row")) == 2
+    assert rt("agg (row|line) scan") is None      # grouping: unanalyzable
+    assert rt("a.b") is None                      # no >=3-byte literal
+    assert rt("x[yz]w") is None                   # character class
