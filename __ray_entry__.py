@@ -334,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # branch (Cox query analysis), exact re-verify; grouped patterns
         # honestly full-scan — oracle is regexp_matches over the corpus
         "trigram_regex": flagship.trigram_regex,
+        # entity resolution end to end: similarity-join pairs -> connected
+        # components -> per-record cluster id (recursive-CTE oracle)
+        "linkage_clusters": _linkage_clusters_q,
     }
 
 
@@ -341,6 +344,12 @@ def _set_similarity_join_q(sf_dir: str):
     from index_ray.pipelines.linkage import set_similarity_join
 
     return set_similarity_join(sf_dir)
+
+
+def _linkage_clusters_q(sf_dir: str):
+    from index_ray.pipelines.linkage import linkage_clusters
+
+    return linkage_clusters(sf_dir)
 
 
 def _bpe_train_q(sf_dir: str):
@@ -1131,4 +1140,5 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
         "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
+        "linkage_clusters": linkage_mod.linkage_clusters_sql_oracle(),
     }

@@ -252,3 +252,76 @@ def set_similarity_join_sql_oracle(threshold_pct: int = 50) -> str:
         FROM pairs WHERE 100 * i >= {threshold_pct} * u
         ORDER BY a, b
     """
+
+
+def linkage_clusters(sf_dir: str, threshold_pct: int = 50) -> pa.Table:
+    """End-to-end entity resolution: the prefix-filtered similarity join's
+    pairs become edges, connected components assign every part a cluster
+    (the minimum p_partkey reachable through >= threshold matches), and
+    parts with no match are singleton clusters of themselves.
+
+    (p_partkey, cluster).  Tiered exactly like ``graph.connected_
+    components``: below ``CC_DRIVER_MAX_PAIRS`` the vectorized in-memory
+    min-label propagation wins outright; above it the alternating
+    large-star/small-star rounds run as bucket shuffles
+    (``dedup.cc_clusters``).  The oracle recomputes the transitive
+    closure with a recursive CTE — a component's minimum id must agree
+    edge-for-edge with the distributed propagation."""
+    from .dedup import CC_DRIVER_MAX_PAIRS, cc_clusters, min_label_propagation
+
+    pairs = set_similarity_join(sf_dir, threshold_pct)
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).to_pandas()["p_partkey"].to_numpy()
+    a = pairs["a"].to_numpy(zero_copy_only=False)
+    b = pairs["b"].to_numpy(zero_copy_only=False)
+    if len(a) > CC_DRIVER_MAX_PAIRS:
+        labeled = (
+            cc_clusters(ray.data.from_arrow(pairs.select(["a", "b"])))
+            .to_pandas()
+        )
+        members = labeled["doc_id"].to_numpy()
+        rep = labeled["cluster_rep"].to_numpy()
+    else:
+        members, rep = min_label_propagation(a, b)
+    import pandas as pd
+
+    lab = dict(zip(members.tolist(), rep.tolist()))
+    out = pd.DataFrame(
+        {
+            "p_partkey": np.sort(ids),
+            "cluster": [lab.get(int(i), int(i)) for i in np.sort(ids)],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema([("p_partkey", pa.int64()), ("cluster", pa.int64())])
+    )
+
+
+def linkage_clusters_sql_oracle(threshold_pct: int = 50) -> str:
+    # transitive closure by recursive label spread: a node's cluster is the
+    # minimum id among everything reachable through the (symmetric) edge
+    # set; (node, label) state is bounded by sum(component size^2)
+    return f"""
+        WITH RECURSIVE
+        tok AS (
+          SELECT p_partkey,
+                 list_distinct(regexp_split_to_array(p_name, ' ')) AS toks
+          FROM part
+        ),
+        pairs AS (
+          SELECT a.p_partkey AS a, b.p_partkey AS b
+          FROM tok a JOIN tok b ON a.p_partkey < b.p_partkey
+          WHERE 100 * len(list_intersect(a.toks, b.toks)) >=
+                {threshold_pct} * (len(a.toks) + len(b.toks)
+                                   - len(list_intersect(a.toks, b.toks)))
+        ),
+        e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        r AS (
+          SELECT p_partkey AS node, p_partkey AS label FROM part
+          UNION
+          SELECT e.b AS node, r.label FROM r JOIN e ON e.a = r.node
+        )
+        SELECT node AS p_partkey, CAST(min(label) AS BIGINT) AS cluster
+        FROM r GROUP BY node
+    """

@@ -52,3 +52,33 @@ def test_set_similarity_join_planted(ray_session, tmp_path):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     assert pairs[(4, 5)] == 100 and pairs[(4, 6)] == 100 and pairs[(5, 6)] == 100
     assert len(pairs) == 4
+
+
+def test_linkage_clusters_transitive_and_singletons(ray_session, tmp_path):
+    """A-B and B-C similar but A-C not: all three must share one cluster
+    (transitivity through CC); unmatched records are their own cluster."""
+    d = tmp_path / "lc"
+    d.mkdir()
+    # token sets sized so consecutive overlap passes t=50 but A-C fails:
+    # A={1..4}, B={2..5} (i=3,u=5 -> 60), C={3..6} (B-C 60; A-C i=2,u=6 -> 33)
+    names = [
+        (10, "t1 t2 t3 t4"),
+        (11, "t2 t3 t4 t5"),
+        (12, "t3 t4 t5 t6"),
+        (13, "zz yy xx ww"),  # singleton
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([i for i, _ in names], pa.int64()),
+                "p_name": pa.array([n for _, n in names], pa.string()),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    from index_ray.pipelines.linkage import linkage_clusters
+
+    got = linkage_clusters(str(d), threshold_pct=50).to_pandas()
+    clusters = dict(zip(got["p_partkey"], got["cluster"]))
+    assert clusters[10] == clusters[11] == clusters[12] == 10  # transitive
+    assert clusters[13] == 13  # singleton keeps its own id
