@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entity resolution end to end: similarity-join pairs -> connected
         # components -> per-record cluster id (recursive-CTE oracle)
         "linkage_clusters": _linkage_clusters_q,
+        # order-sensitive mergeable aggregates: hourly OHLC bars (first/
+        # last by (ts, event_id) as arg-min/max partials, exact floats)
+        "ohlc_bars": events.ohlc_bars,
     }
 
 
@@ -1138,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_orders": rel_mod.skyline_orders_sql_oracle(),
         "bloom_semi_join": rel_mod.bloom_semi_join_sql_oracle(),
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
+        "ohlc_bars": events_mod.ohlc_bars_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
         "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
         "linkage_clusters": linkage_mod.linkage_clusters_sql_oracle(),

@@ -1432,3 +1432,182 @@ def gap_fill_daily_sql_oracle() -> str:
         CROSS JOIN types t
         LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = dd.d
     """
+
+
+def ohlc_bars(sf_dir: str) -> pa.Table:
+    """Hourly OHLC bars per event type: (event_type, hour, open, high,
+    low, close, n) where open/close are the values of the FIRST/LAST
+    event in the bar (ts order, event_id tie-break).
+
+    The point of this operator is the aggregate class it exercises:
+    first/last are ORDER-SENSITIVE but still mergeable — a partial
+    carries ``(arg-min key, its value)`` and partials combine by keeping
+    the smaller key, so the whole thing is one streaming partial pass +
+    one tiny groupby, never a sort of the raw stream.  open/high/low/
+    close are picked (not summed) floats, so equality with the SQL
+    oracle is exact.
+    """
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour", pa.string()),
+            ("open_ts", pa.int64()),
+            ("open_id", pa.int64()),
+            ("open_v", pa.float64()),
+            ("close_ts", pa.int64()),
+            ("close_id", pa.int64()),
+            ("close_v", pa.float64()),
+            ("low", pa.float64()),
+            ("high", pa.float64()),
+            ("n_part", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.strftime(
+                    pc.floor_temporal(batch["ts"], unit="hour"),
+                    format="%Y-%m-%d %H:00",
+                ),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "value": batch["value"],
+            }
+        )
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        # per (type, hour): argmin/argmax of (ts, event_id) via one lexsort
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        hr = t["hour"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, hr, et))
+        et_s, hr_s = et[order], hr[order]
+        new = np.concatenate(
+            [[True], (et_s[1:] != et_s[:-1]) | (hr_s[1:] != hr_s[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        first_i, last_i = order[starts], order[ends - 1]
+        # group min/max of value
+        grp = np.cumsum(new) - 1
+        vmin = np.full(len(starts), np.inf)
+        vmax = np.full(len(starts), -np.inf)
+        sorted_val = val[order]
+        np.minimum.at(vmin, grp, sorted_val)
+        np.maximum.at(vmax, grp, sorted_val)
+        return pa.table(
+            {
+                "event_type": pa.array(et_s[starts], pa.string()),
+                "hour": pa.array(hr_s[starts], pa.string()),
+                "open_ts": pa.array(ts[first_i], pa.int64()),
+                "open_id": pa.array(eid[first_i], pa.int64()),
+                "open_v": pa.array(val[first_i], pa.float64()),
+                "close_ts": pa.array(ts[last_i], pa.int64()),
+                "close_id": pa.array(eid[last_i], pa.int64()),
+                "close_v": pa.array(val[last_i], pa.float64()),
+                "low": pa.array(vmin, pa.float64()),
+                "high": pa.array(vmax, pa.float64()),
+                "n_part": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour", pa.string()),
+            ("open", pa.float64()),
+            ("high", pa.float64()),
+            ("low", pa.float64()),
+            ("close", pa.float64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        hr = t["hour"].to_numpy(zero_copy_only=False)
+        o_ts = t["open_ts"].to_numpy(zero_copy_only=False)
+        o_id = t["open_id"].to_numpy(zero_copy_only=False)
+        o_v = t["open_v"].to_numpy(zero_copy_only=False)
+        c_ts = t["close_ts"].to_numpy(zero_copy_only=False)
+        c_id = t["close_id"].to_numpy(zero_copy_only=False)
+        c_v = t["close_v"].to_numpy(zero_copy_only=False)
+        lo = t["low"].to_numpy(zero_copy_only=False)
+        hi = t["high"].to_numpy(zero_copy_only=False)
+        n = t["n_part"].to_numpy(zero_copy_only=False)
+        # first partial by (open_ts, open_id) per group; last by max key
+        order = np.lexsort((o_id, o_ts, hr, et))
+        et_s, hr_s = et[order], hr[order]
+        new = np.concatenate(
+            [[True], (et_s[1:] != et_s[:-1]) | (hr_s[1:] != hr_s[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        first_row = order[starts]
+        # close: max (close_ts, close_id) within group — lexsort descending
+        order2 = np.lexsort((-c_id, -c_ts, hr, et))
+        # order2 groups match order's groups (same et/hr sort): recompute
+        et2, hr2 = et[order2], hr[order2]
+        new2 = np.concatenate(
+            [[True], (et2[1:] != et2[:-1]) | (hr2[1:] != hr2[:-1])]
+        )
+        starts2 = np.flatnonzero(new2)
+        last_row = order2[starts2]
+        glo = np.full(len(starts), np.inf)
+        ghi = np.full(len(starts), -np.inf)
+        gn = np.zeros(len(starts), np.int64)
+        np.minimum.at(glo, grp, lo[order])
+        np.maximum.at(ghi, grp, hi[order])
+        np.add.at(gn, grp, n[order])
+        return pa.table(
+            {
+                "event_type": pa.array(et_s[starts], pa.string()),
+                "hour": pa.array(hr_s[starts], pa.string()),
+                "open": pa.array(o_v[first_row], pa.float64()),
+                "high": pa.array(ghi, pa.float64()),
+                "low": pa.array(glo, pa.float64()),
+                "close": pa.array(c_v[last_row], pa.float64()),
+                "n": pa.array(gn, pa.int64()),
+            }
+        )
+
+    from ..util import hash_groupby
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    out = hash_groupby(parts, ["event_type", "hour"], combine).to_pandas()
+    out = out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ohlc_bars_sql_oracle() -> str:
+    return """
+        WITH x AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                 value,
+                 row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        )
+        SELECT event_type, hour,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM x GROUP BY event_type, hour
+    """

@@ -414,3 +414,52 @@ def test_gap_fill_daily_fills_planted_hole(ray_session, tmp_path):
     assert cells[("a", "2024-03-02")] == 0
     assert cells[("b", "2024-03-01")] == 0 and cells[("b", "2024-03-03")] == 0
     assert cells[("a", "2024-03-01")] == 1 and cells[("b", "2024-03-02")] == 1
+
+
+def test_ohlc_bars_order_sensitivity_across_batches(ray_session, tmp_path):
+    """open/close must honor (ts, event_id) order even when a bar's first
+    and last events land in different input batches (partial-merge path),
+    including exact-ts ties broken by event_id."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.events import ohlc_bars
+
+    d = tmp_path / "ohlc"
+    d.mkdir()
+    ts = pd.to_datetime(
+        ["2024-01-01 10:05", "2024-01-01 10:05",  # tie: ids 2 < 5
+         "2024-01-01 10:50", "2024-01-01 10:20"]
+    )
+    # two files force separate read batches -> the combine path runs
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts[:2], pa.timestamp("us")),
+                "event_id": pa.array([5, 2], pa.int64()),
+                "event_type": pa.array(["a", "a"], pa.string()),
+                "value": pa.array([9.0, 1.0], pa.float64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got1 = ohlc_bars(str(d)).to_pandas()
+    assert got1.loc[0, "open"] == 1.0   # id 2 wins the ts tie
+    assert got1.loc[0, "close"] == 9.0  # id 5 is last
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_id": pa.array([5, 2, 7, 3], pa.int64()),
+                "event_type": pa.array(["a"] * 4, pa.string()),
+                "value": pa.array([9.0, 1.0, 4.0, 25.0], pa.float64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = ohlc_bars(str(d)).to_pandas()
+    row = got.iloc[0]
+    assert (row["open"], row["high"], row["low"], row["close"], row["n"]) == (
+        1.0, 25.0, 1.0, 4.0, 4,
+    )
