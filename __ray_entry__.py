@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-sensitive mergeable aggregates: hourly OHLC bars (first/
         # last by (ts, event_id) as arg-min/max partials, exact floats)
         "ohlc_bars": events.ohlc_bars,
+        # distributed band self-join -> degree-oriented wedge-join triangle
+        # counting (Suri & Vassilvitskii): per-node (deg, tri) table
+        "triangle_count": graph.triangle_count,
     }
 
 
@@ -460,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines.graph import (
         connected_components_sql_oracle,
         pagerank_sql_oracle,
+        triangle_count_sql_oracle,
     )
     from index_ray.pipelines.flagship import (
         bm25_and_sql_oracle,
@@ -1142,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": rel_mod.bloom_semi_join_sql_oracle(),
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
         "ohlc_bars": events_mod.ohlc_bars_sql_oracle(),
+        "triangle_count": triangle_count_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
         "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
         "linkage_clusters": linkage_mod.linkage_clusters_sql_oracle(),

@@ -452,3 +452,276 @@ def connected_components_sql_oracle() -> str:
                CAST(min(doc_id) OVER (PARTITION BY lang) AS BIGINT) AS component
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over a band-join-derived customer graph
+# ---------------------------------------------------------------------------
+
+_EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _expand_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Flat indices [lo0..hi0) ++ [lo1..hi1) ++ ... without a Python loop."""
+    counts = hi - lo
+    tot = int(counts.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    starts = np.repeat(lo, counts)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    return starts + within
+
+
+def _band_edges(sf_dir: str, window: int, num_partitions: int | None):
+    """Distributed band self-join: undirected edges (a < b) between
+    customers sharing (c_nationkey, c_mktsegment) with b - a <= window.
+
+    The scale mechanism is range bucketing with one-sided replication:
+    a pair (x, y) is owned by x's bucket ``x // R`` (R >= window), and a
+    row y is replicated into the PREVIOUS bucket exactly when
+    ``y mod R < window`` — so every pair meets in exactly one bucket and
+    each row exists in at most two.  No global sort, no dedup pass."""
+    R = max(window * 8, window + 1)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        b0 = ck // R
+        carry = (ck - b0 * R) < window
+        bkt = np.concatenate([b0, b0[carry] - 1])
+        native = np.concatenate(
+            [np.ones(len(ck), bool), np.zeros(int(carry.sum()), bool)]
+        )
+        idx = np.concatenate([np.arange(len(ck)), np.flatnonzero(carry)])
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "ck": pa.array(ck[idx], pa.int64()),
+                "nk": pa.array(nk[idx], pa.int64()),
+                "seg": pa.array(seg[idx], pa.string()),
+                "native": pa.array(native),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        nk = t["nk"].to_numpy(zero_copy_only=False)
+        seg = t["seg"].to_numpy(zero_copy_only=False)
+        native = t["native"].to_numpy(zero_copy_only=False)
+        if ck.max(initial=0) >= 1 << 30:
+            raise ValueError("band key encoding assumes custkey < 2^30")
+        _, seg_code = np.unique(seg, return_inverse=True)
+        # (group, custkey) fused into one sortable int64 key; groups are
+        # (nation, segment) so the group id is tiny
+        gid = nk * np.int64(seg_code.max(initial=0) + 1) + seg_code
+        key = gid * np.int64(1 << 31) + ck
+        order = np.argsort(key, kind="stable")
+        key_s, ck_s = key[order], ck[order]
+        nat_keys = key[native]
+        lo = np.searchsorted(key_s, nat_keys, side="right")
+        hi = np.searchsorted(key_s, nat_keys + window, side="right")
+        idx = _expand_ranges(lo, hi)
+        counts = hi - lo
+        a = np.repeat(ck[native], counts)
+        b = ck_s[idx]
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    ).map_batches(scatter, batch_format="pyarrow")
+    return hash_groupby(rows, ["bkt"], pairs, num_partitions)
+
+
+def triangle_count(
+    sf_dir: str, window: int = 400, num_partitions: int | None = None
+) -> pa.Table:
+    """Per-node triangle counts: (c_custkey, deg, tri) over the band graph
+    from :func:`_band_edges` — nodes with at least one edge.
+
+    Degree-oriented wedge join (the MapReduce triangle algorithm of
+    Suri & Vassilvitskii, WWW'11): orient every edge from its lower
+    (degree, id) endpoint to the higher, emit the C(out-deg, 2) wedges
+    per source, and close each wedge against the oriented edge list.
+    Orientation bounds out-degree by O(sqrt(m)), so the wedge volume is
+    O(m^1.5) worst case instead of sum(deg^2); every stage is a bucket
+    shuffle (hash_groupby / hash_join), nothing sorts the raw stream.
+    """
+    edges = _band_edges(sf_dir, window, num_partitions)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    def count_v(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("v", pa.int64()), ("deg", pa.int64())]).empty_table()
+        v = t["v"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()), "deg": pa.array(c.astype(np.int64))}
+        )
+
+    deg = hash_groupby(
+        edges.map_batches(endpoints, batch_format="pyarrow"), ["v"], count_v,
+        num_partitions,
+    )
+
+    # orient: join degree onto both endpoints (two bucket shuffles over the
+    # edge list — deg is per-node and can be huge at scale, so no broadcast)
+    ea = hash_join(
+        edges,
+        deg.map_batches(
+            lambda t: t.rename_columns(["a", "deg_a"]), batch_format="pyarrow"
+        ),
+        on="a",
+    )
+    eab = hash_join(
+        ea,
+        deg.map_batches(
+            lambda t: t.rename_columns(["b", "deg_b"]), batch_format="pyarrow"
+        ),
+        on="b",
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("dkey", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        ddeg = np.where(a_first, db, da)
+        if ddeg.max(initial=0) >= 1 << 32 or dst.max(initial=0) >= 1 << 30:
+            raise ValueError("dkey encoding assumes deg < 2^32, id < 2^30")
+        dkey = ddeg * np.int64(1 << 30) + dst
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "dkey": pa.array(dkey, pa.int64()),
+            }
+        )
+
+    oriented = eab.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("kk", pa.int64()), ("apex", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        dkey = t["dkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dkey, src))
+        src_s, dst_s = src[order], dst[order]
+        new = np.concatenate([[True], src_s[1:] != src_s[:-1]])
+        grp_end = np.append(np.flatnonzero(new)[1:], len(src_s))
+        ends = np.repeat(grp_end, np.diff(np.append(np.flatnonzero(new), len(src_s))))
+        pos = np.arange(len(src_s), dtype=np.int64)
+        idx = _expand_ranges(pos + 1, ends)
+        counts = ends - pos - 1
+        v = np.repeat(dst_s, counts)
+        w = dst_s[idx]
+        apex = np.repeat(src_s, counts)
+        kk = v * np.int64(1 << 30) + w
+        return pa.table(
+            {"kk": pa.array(kk, pa.int64()), "apex": pa.array(apex, pa.int64())}
+        )
+
+    # per-src wedge expansion needs every out-edge of a src together
+    wedge_ds = hash_groupby(oriented, ["src"], wedges, num_partitions)
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kk": pa.array(
+                    t["src"].to_numpy(zero_copy_only=False) * np.int64(1 << 30)
+                    + t["dst"].to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "hit": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    edge_keys = oriented.map_batches(edge_key, batch_format="pyarrow")
+    closed = hash_join(wedge_ds, edge_keys, on="kk")
+
+    def tri_endpoints(t: pa.Table) -> pa.Table:
+        kk = t["kk"].to_numpy(zero_copy_only=False)
+        apex = t["apex"].to_numpy(zero_copy_only=False)
+        v = kk >> np.int64(30)
+        w = kk & np.int64((1 << 30) - 1)
+        return pa.table({"v": pa.array(np.concatenate([apex, v, w]), pa.int64())})
+
+    def count_tri(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("v", pa.int64()), ("tri", pa.int64())]).empty_table()
+        v = t["v"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()), "tri": pa.array(c.astype(np.int64))}
+        )
+
+    tcnt = hash_groupby(
+        closed.map_batches(tri_endpoints, batch_format="pyarrow"),
+        ["v"],
+        count_tri,
+        num_partitions,
+    )
+    out = hash_join(deg, tcnt, on="v", how="left outer").to_pandas()
+    out["tri"] = out["tri"].fillna(0).astype("int64")
+    out = out.sort_values("v").reset_index(drop=True)
+    out = out.rename(columns={"v": "c_custkey"})
+    return pa.Table.from_pandas(out[["c_custkey", "deg", "tri"]], preserve_index=False)
+
+
+def triangle_count_sql_oracle(window: int = 400) -> str:
+    return f"""
+        WITH c AS (
+          SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg
+          FROM customer
+        ),
+        edges AS (
+          SELECT x.ck AS a, y.ck AS b
+          FROM c x JOIN c y
+            ON x.nk = y.nk AND x.seg = y.seg
+           AND y.ck > x.ck AND y.ck <= x.ck + {window}
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM edges e1
+          JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        p AS (
+          SELECT x AS v FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ),
+        t AS (SELECT v, count(*) AS tri FROM p GROUP BY v),
+        d AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+          GROUP BY v
+        )
+        SELECT d.v AS c_custkey, d.deg,
+               CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri
+        FROM d LEFT JOIN t ON t.v = d.v
+    """

@@ -64,22 +64,37 @@ def hash_join(
     ``how`` is forwarded to the per-bucket ``pa.Table.join`` ("inner",
     "left outer", ...).
     """
-    lcols = [c for c in left.schema().names if c != on]
-    rcols = [c for c in right.schema().names if c != on]
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c != on]
+    rcols = [c for c in rschema.names if c != on]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"column collision between join sides: {sorted(overlap)}")
+    types = {
+        **dict(zip(rschema.names, rschema.types)),
+        **dict(zip(lschema.names, lschema.types)),
+    }
 
     tagged = left.map_batches(
         _tag(0, on, num_buckets), batch_format="pyarrow"
     ).union(right.map_batches(_tag(1, on, num_buckets), batch_format="pyarrow"))
 
+    def take_side(g: pa.Table, mask: np.ndarray, cols: list[str]) -> pa.Table:
+        t = g.filter(pa.array(mask))
+        # a bucket whose rows all came from ONE side concatenates to that
+        # side's schema only — null-fill the other side's columns so the
+        # empty side still joins with the right shape
+        for c in cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+        return t.select(cols)
+
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group[_SIDE].to_numpy(zero_copy_only=False)
         g = group.drop_columns([_BUCKET, _SIDE])
         lmask = side == 0
-        lt = g.filter(pa.array(lmask)).select([on] + lcols)
-        rt = g.filter(pa.array(~lmask)).select([on] + rcols)
+        lt = take_side(g, lmask, [on] + lcols)
+        rt = take_side(g, ~lmask, [on] + rcols)
         return lt.join(rt, keys=on, join_type=how)
 
     return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")

@@ -148,3 +148,77 @@ def test_connected_components_paths_agree(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(key(a), key(b))
+
+
+def _write_customers(tmp_path, rows):
+    """rows: (custkey, nationkey, segment) triples."""
+    d = tmp_path / "tri"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+                "c_mktsegment": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    return str(d)
+
+
+def _brute_triangles(rows, window):
+    """Per-node (deg, tri) over the band graph, by enumeration."""
+    from itertools import combinations
+
+    edges = set()
+    for (a, na, sa), (b, nb, sb) in combinations(sorted(rows), 2):
+        if na == nb and sa == sb and 0 < b - a <= window:
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            # each triangle is found via all 3 of its edges -> every vertex
+            # is incremented 3 times per triangle; divide below
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {v: (len(adj[v]), tri[v] // 3) for v in adj}
+
+
+def test_triangle_count_planted_vs_bruteforce(ray_session, tmp_path):
+    """K6 clique, a K3, a bucket-boundary edge (straddles the band join's
+    range-replication seam at window*8), and an isolated node."""
+    from index_ray.pipelines.graph import triangle_count
+
+    window = 10  # internal bucket width R = 80
+    rows = (
+        # K6: six customers within 10 of each other, same (nation, seg)
+        [(k, 0, "AUTO") for k in (1, 2, 3, 5, 8, 9)]
+        # K3 in another group
+        + [(11, 1, "AUTO"), (12, 1, "AUTO"), (13, 1, "AUTO")]
+        # same nation, different segment: no cross edges
+        + [(4, 0, "BLDG"), (6, 0, "BLDG")]
+        # straddles the R=80 bucket boundary: 75 | 82 (diff 7 <= 10)
+        + [(75, 2, "MACH"), (82, 2, "MACH"), (85, 2, "MACH")]
+        # isolated (no neighbor within the window)
+        + [(500, 0, "AUTO")]
+    )
+    sf_dir = _write_customers(tmp_path, rows)
+    got = triangle_count(sf_dir, window=window).to_pandas()
+    want = _brute_triangles(rows, window)
+    assert set(got["c_custkey"]) == set(want)  # isolated 500 excluded
+    for _, r in got.iterrows():
+        deg, tri = want[r["c_custkey"]]
+        assert (r["deg"], r["tri"]) == (deg, tri), r["c_custkey"]
+    # spot-pin the cliques: K6 nodes have deg 5 / tri C(5,2)=10
+    k6 = got[got["c_custkey"].isin([1, 2, 3, 5, 8, 9])]
+    assert (k6["deg"] == 5).all() and (k6["tri"] == 10).all()
+    k3 = got[got["c_custkey"].isin([11, 12, 13])]
+    assert (k3["deg"] == 2).all() and (k3["tri"] == 1).all()
+    seam = got[got["c_custkey"].isin([75, 82])]
+    assert (seam["deg"] == 2).all() and (seam["tri"] == 1).all()
