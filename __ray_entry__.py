@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed band self-join -> degree-oriented wedge-join triangle
         # counting (Suri & Vassilvitskii): per-node (deg, tri) table
         "triangle_count": graph.triangle_count,
+        # HLL set algebra: pairwise distinct-user overlap via register-max
+        # union + inclusion-exclusion, error pinned against the exact leg
+        "hll_intersections": sketches.hll_intersections,
     }
 
 
@@ -518,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         approx_percentiles_sql_oracle,
         cms_term_counts_sql_oracle,
         distinct_users_hll_sql_oracle,
+        hll_intersections_sql_oracle,
         heavy_hitter_terms_sql_oracle,
     )
     from index_ray.pipelines.text import (
@@ -810,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "distinct_users_hll": distinct_users_hll_sql_oracle(),
+        "hll_intersections": hll_intersections_sql_oracle(),
         "cms_term_counts": cms_term_counts_sql_oracle(),
         "approx_percentiles": approx_percentiles_sql_oracle(),
         "heavy_hitter_terms": heavy_hitter_terms_sql_oracle(),

@@ -510,3 +510,141 @@ def heavy_hitter_terms_sql_oracle() -> str:
         SELECT term, cf FROM s
         WHERE cf >= 2 * (SELECT count(*) FROM t) // {MG_COUNTERS + 1} + 1
     """
+
+
+def hll_intersections(sf_dir: str, p: int = 13) -> pa.Table:
+    """HLL set algebra: distinct-user overlap for every unordered pair of
+    event types — (type_a, type_b, n_both, ie_within_10pct).
+
+    Sketch leg: one register array per type (mergeable by max, the same
+    partial pass as :func:`distinct_users_hll`); the driver holds only
+    ``types x 2^p`` bytes and derives every pairwise union by register
+    max, then the intersection by inclusion–exclusion
+    ``|A ∩ B| = |A| + |B| - |A ∪ B|``.  That subtraction amplifies the
+    relative error (each term carries ~1.04/sqrt(m) of ITS OWN scale),
+    which is exactly what the flag pins: the estimate must land within
+    10% of the true intersection on this data, or the row goes red.
+
+    Exact leg (feeds the oracle): distinct (type, user) pairs, then a
+    user-bucketed shuffle where each bucket emits per-pair partial
+    counts over ITS users — the cross-type pair table never exceeds
+    C(types, 2) rows per bucket, so the final fold is driver-trivial.
+    """
+    from ..util import hash_groupby
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial_regs(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array(
+                    [_registers(uid[inv == i], p).tobytes() for i in range(len(types))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def merge_regs(group: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in group["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()]),
+                "regs": pa.array([merged.tobytes()], pa.binary()),
+            }
+        )
+
+    regs_tbl = (
+        src.map_batches(partial_regs, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .map_groups(merge_regs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    regs = {
+        r["event_type"]: np.frombuffer(r["regs"], dtype=np.uint8)
+        for _, r in regs_tbl.iterrows()
+    }
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("type_a", pa.string()), ("type_b", pa.string()), ("cnt", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        types, tcode = np.unique(et, return_inverse=True)
+        key = uid * np.int64(len(types)) + tcode
+        ukey = np.unique(key)
+        u = ukey // len(types)
+        c = (ukey % len(types)).astype(np.int64)
+        # per user: all ordered type-code pairs (a < b in type order)
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        grp_start = np.flatnonzero(new)
+        sizes = np.diff(np.append(grp_start, len(u)))
+        ends = np.repeat(grp_start + sizes, sizes)
+        pos = np.arange(len(u), dtype=np.int64)
+        counts = ends - pos - 1
+        tot = int(counts.sum())
+        if tot == 0:
+            return schema.empty_table()
+        starts = np.repeat(pos + 1, counts)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ia = np.repeat(c, counts)
+        ib = c[starts + within]
+        pk, pcnt = np.unique(ia * np.int64(len(types)) + ib, return_counts=True)
+        return pa.table(
+            {
+                "type_a": pa.array(types[pk // len(types)], pa.string()),
+                "type_b": pa.array(types[pk % len(types)], pa.string()),
+                "cnt": pa.array(pcnt.astype(np.int64)),
+            }
+        )
+
+    parts = hash_groupby(src, ["user_id"], pair_partials).to_pandas()
+    if len(parts) == 0:
+        exact: dict = {}
+    else:
+        exact = (
+            parts.groupby(["type_a", "type_b"])["cnt"].sum().to_dict()
+        )
+
+    out_a, out_b, out_n, out_ok = [], [], [], []
+    for (a, b), n_both in sorted(exact.items()):
+        est_a = _estimate(regs[a], p)
+        est_b = _estimate(regs[b], p)
+        est_u = _estimate(np.maximum(regs[a], regs[b]), p)
+        est_i = est_a + est_b - est_u
+        out_a.append(a)
+        out_b.append(b)
+        out_n.append(int(n_both))
+        out_ok.append(int(abs(est_i - n_both) <= 0.10 * n_both))
+    return pa.table(
+        {
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n_both": pa.array(out_n, pa.int64()),
+            "ie_within_10pct": pa.array(out_ok, pa.int64()),
+        }
+    )
+
+
+def hll_intersections_sql_oracle() -> str:
+    return """
+        WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both,
+               CAST(1 AS BIGINT) AS ie_within_10pct
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """

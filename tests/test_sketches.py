@@ -203,3 +203,41 @@ def test_centroid_classify_noncontiguous_labels(ray_session, tmp_path):
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert set(got["label"]) == {0, 5, 9}
+
+
+def test_hll_intersections_planted_overlap(ray_session, tmp_path):
+    """Three event types with known pairwise user overlaps: the exact leg
+    must be exact, and the inclusion-exclusion estimate must stay within
+    the pinned 10% on every pair (tiny row groups split the input into
+    multiple blocks so both partial merges actually run)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.sketches import hll_intersections
+
+    # users: A = 0..1999, B = 1000..2999 (|A∩B| = 1000), C = 0..499 union
+    # 2500..2999 (|A∩C| = 500, |B∩C| = 500)
+    a = list(range(0, 2000))
+    b = list(range(1000, 3000))
+    c = list(range(0, 500)) + list(range(2500, 3000))
+    uid = a + b + c
+    et = ["A"] * len(a) + ["B"] * len(b) + ["C"] * len(c)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(uid)), pa.int64()),
+            "ts": pa.array([0] * len(uid), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array([1.0] * len(uid), pa.float64()),
+        }
+    )
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"), row_group_size=1000)
+    got = hll_intersections(d).to_pandas().set_index(["type_a", "type_b"])
+    assert got.loc[("A", "B"), "n_both"] == 1000
+    assert got.loc[("A", "C"), "n_both"] == 500
+    assert got.loc[("B", "C"), "n_both"] == 500
+    assert (got["ie_within_10pct"] == 1).all()
