@@ -71,7 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": graph.pagerank,
         "connected_components": graph.connected_components,
         "hopping_windows": events.hopping_windows,
-        "skipgram_counts": text.skipgram_counts,
+        # distributed band self-join -> degree-oriented wedge-join triangle
+        # counting (skipgram_counts — same co-occurrence family as
+        # collocations in-fold — demoted for the slot)
+        "triangle_count": graph.triangle_count,
         # CCNet-style per-language LM-quality thirds (new family: quality
         # bucketing; user_outlier_events — driver-green r02, gap kernel
         # shared verbatim with session_concurrency above — demoted)
@@ -82,15 +85,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # msm/fuzzy stay pinned by pytest + their registered oracles)
         # demoted for the slots
         "hybrid_search": flagship.hybrid_search,
-        "spell_suggest": flagship.spell_suggest,
+        # indexed substring search (code-search trigram plan): derived
+        # hex-trigram column -> unchanged index build -> AND skip-seek
+        # candidates -> exact contains verify (spell_suggest — lexicon-probe
+        # family, SymSpell kernel stays pytest+oracle-pinned — demoted)
+        "trigram_search": flagship.trigram_search,
         "uniform_sample": curation.uniform_sample,
         # the index itself (build -> varint round-trip -> BM25 top-k)
         "bm25_topk": flagship.bm25_topk,
         "bm25_scores": flagship.bm25_scores,
-        # faceted search: per-facet match counts over the FULL match set
-        # (index_terms — driver-green r01+r02 — demoted; its varint
-        # round-trip stays pinned by the testPL golden pytest suite)
-        "bm25_facets": flagship.bm25_facets,
+        # snapshot time travel: build(v1) -> append(v2) -> delete(v3); reads
+        # AS OF v1/v2 reproduce from-scratch BM25 over the matching corpus
+        # subsets (bm25_facets — driver-green r02, facet counting shares the
+        # full-match-set machinery bm25_filtered pins — demoted)
+        "time_travel_bm25": flagship.time_travel_bm25,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -99,11 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": dedup.line_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
-        # find-similar-documents (doc-as-query: top tf-idf terms -> BM25,
-        # source excluded); dedup_canonical (retention argmax over the
-        # simhash relation, which simhash_dedup above already pins) demoted
-        "more_like_this": flagship.more_like_this,
-        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        # entity resolution end to end: similarity-join pairs -> connected
+        # components -> per-record cluster id, recursive-CTE oracle
+        # (more_like_this — doc-as-query over the in-fold BM25 path —
+        # demoted for the slot)
+        "linkage_clusters": _linkage_clusters_q,
+        # ngram-Jaccard family: the LSH-vs-exact consistency row holds the
+        # fold slot (ngram_jaccard_dedup — the quadratic exact baseline the
+        # consistency row already recomputes — demoted)
         "ngram_lsh_consistency": dedup.ngram_lsh_consistency,
         # span-level (substring) dedup: duplicated-k-gram stats + boilerplate
         # corpus-global window function (row_number + SQL-exact ntile over
@@ -126,9 +137,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall/exactness checks stay pinned in pytest)
         "semdedup_consistency": similarity.semdedup_consistency,
         "embedding_neardup": similarity.embedding_neardup,
-        "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
-        # sketches
+        # sketches (embedding_lsh_consistency — third constant-pinned
+        # LSH-consistency rep; its pair-set equality stays pytest-pinned —
+        # demoted for the HLL set-algebra slot)
         "distinct_users_hll": sketches.distinct_users_hll,
+        # HLL set algebra: pairwise distinct-user overlap via register-max
+        # union + inclusion-exclusion, error pinned against the exact leg
+        "hll_intersections": sketches.hll_intersections,
         "cms_term_counts": sketches.cms_term_counts,
         "approx_percentiles": sketches.approx_percentiles,
         # exact heavy hitters through a 2-pass Misra-Gries candidate sweep
@@ -158,6 +173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention matrix (new analytics family; redact_pii — a
         # stateless regex map, SQL-pinned since r02 — demoted)
         "cohort_retention": events.cohort_retention,
+        # order-sensitive mergeable aggregates: hourly OHLC bars (first/last
+        # by (ts, event_id) as arg-min/max partials — never a raw-stream
+        # sort; quality_filter stays, the slot came from the dedup family)
+        "ohlc_bars": events.ohlc_bars,
         "quality_filter": curation.quality_filter,
         # The Stack/StarCoder-style source-file filters (line-length /
         # alnum-share / digit-share); stratified_sample (driver-green
@@ -319,14 +338,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frequency-ordered prefix filtering (recall 1 by the prefix
         # theorem, precision 1 by the distributed exact verify)
         "set_similarity_join": _set_similarity_join_q,
-        # snapshot time travel: build(v1) -> append(v2) -> delete(v3);
-        # reads AS OF v1/v2 must reproduce from-scratch BM25 over the
-        # matching corpus subsets (frozen stats + hard-linked lexicon)
-        "time_travel_bm25": flagship.time_travel_bm25,
-        # indexed substring search (code-search trigram plan): derived
-        # hex-trigram column -> unchanged index build -> AND skip-seek
-        # candidates -> exact contains verify; oracle = full corpus scan
-        "trigram_search": flagship.trigram_search,
         # ingestion round trip: documents -> JSONL dump -> parquet ingest
         # -> per-lang aggregate hash-compared against the original table
         "jsonl_ingest": audit.jsonl_ingest,
@@ -334,18 +345,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # branch (Cox query analysis), exact re-verify; grouped patterns
         # honestly full-scan — oracle is regexp_matches over the corpus
         "trigram_regex": flagship.trigram_regex,
-        # entity resolution end to end: similarity-join pairs -> connected
-        # components -> per-record cluster id (recursive-CTE oracle)
-        "linkage_clusters": _linkage_clusters_q,
-        # order-sensitive mergeable aggregates: hourly OHLC bars (first/
-        # last by (ts, event_id) as arg-min/max partials, exact floats)
-        "ohlc_bars": events.ohlc_bars,
-        # distributed band self-join -> degree-oriented wedge-join triangle
-        # counting (Suri & Vassilvitskii): per-node (deg, tri) table
-        "triangle_count": graph.triangle_count,
-        # HLL set algebra: pairwise distinct-user overlap via register-max
-        # union + inclusion-exclusion, error pinned against the exact leg
-        "hll_intersections": sketches.hll_intersections,
+        # ---- demoted from the fold for the round-3 flagship families
+        # ---- (all driver-green in r02 or oracle-checked standalone) ------
+        "skipgram_counts": text.skipgram_counts,
+        "spell_suggest": flagship.spell_suggest,
+        "bm25_facets": flagship.bm25_facets,
+        "more_like_this": flagship.more_like_this,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
     }
 
 
