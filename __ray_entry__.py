@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (still oracle-backed and pytest-pinned)
         "bm25_msm_topk": flagship.bm25_msm_topk,
         "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
+        # second ranking model over the same index (Dirichlet LM)
+        "lm_dirichlet_topk": flagship.lm_dirichlet_topk,
         # partition-transparent federation: two lang-split indexes, one
         # logical search — the oracle IS the single-corpus BM25 SQL
         "federated_bm25": flagship.federated_bm25,
@@ -488,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
         bm25_explain_sql_oracle,
+        lm_dirichlet_sql_oracle,
         bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
@@ -594,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": bm25_and_sql_oracle(),
         "bm25_not_topk": bm25_not_sql_oracle(),
         "bm25_msm_topk": bm25_msm_sql_oracle(),
+        "lm_dirichlet_topk": lm_dirichlet_sql_oracle(),
         "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),

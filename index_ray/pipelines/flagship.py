@@ -580,6 +580,73 @@ FROM ranked r JOIN scored s ON s.qid = r.qid AND s.doc_id = r.doc_id
 WHERE r.rank <= 10"""
 
 
+LM_MU = 2000.0
+
+
+def lm_dirichlet_topk(sf_dir: str) -> pa.Table:
+    """Flagship queries ranked by query-likelihood Dirichlet LM scoring
+    instead of BM25 — same index, same shards, different ranking model
+    (``_score_chunk_lm`` holds the scoring contract; the reference
+    hard-codes one ranker, this engine's postings serve both).  Output
+    (qid, rank, doc_id, score_e6) with the same floor(x*1e6+0.5) integer
+    lift as ``bm25_scores`` (same float-determinism caveat)."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_lm_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], mu=LM_MU
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables).rename_columns(["qid", "rank", "doc_id", "score"])
+    s = t["score"].to_numpy(zero_copy_only=False)
+    e6 = np.floor(s * 1e6 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "qid": t["qid"],
+            "rank": t["rank"],
+            "doc_id": t["doc_id"],
+            "score_e6": pa.array(e6, type=pa.int64()),
+        }
+    )
+
+
+def lm_dirichlet_sql_oracle() -> str:
+    """DuckDB recomputation of the Dirichlet LM contract from scratch:
+    cf/C smoothing from the tokenized corpus, ln(1 + tf/((mu*cf)/C)) per
+    matching term plus count(*)*ln(mu/(dl+mu)), identical float op order
+    to ``_score_chunk_lm``."""
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    mu = LM_MU
+    return _corpus_ctes() + f""",
+q(qid, term) AS (VALUES {values}),
+cf AS (SELECT term, count(*) AS cf FROM t GROUP BY term),
+c AS (SELECT count(*) * 1.0 AS c FROM t),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1.0 + tf.tf / (({mu} * cf.cf) / c.c)))
+         + count(*) * ln({mu} / (dl.dl + {mu})) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN cf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN c
+  GROUP BY q.qid, tf.doc_id, dl.dl
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rank <= 10"""
+
+
 def bm25_not_sql_oracle() -> str:
     return (
         _bm25_ctes(

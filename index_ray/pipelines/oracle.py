@@ -51,6 +51,35 @@ class BruteForceBM25:
         df = len(self.postings[term][0]) if term in self.postings else 0
         return math.log((self.N - df + 0.5) / (df + 0.5) + 1.0)
 
+    def search_lm(self, query: str, k: int = 10, mu: float = 2000.0) -> pa.Table:
+        """Query-likelihood Dirichlet LM scoring — mirrors the exact
+        float64 op order of ``_score_chunk_lm`` (ascending term order,
+        ``(mu*cf)/C`` then divide, ``ln(1.0+x)``, dl term added last), so
+        engine scores must match bit-for-bit."""
+        terms = query_terms(query, self.mode)
+        maxdoc = int(self.docids.max()) + 1 if len(self.docids) else 1
+        scores = np.zeros(maxdoc, dtype=np.float64)
+        m = np.zeros(maxdoc, dtype=np.int64)
+        total = float(self.total_tokens)
+        for term in terms:  # ascending term order == engine order
+            if term not in self.postings:
+                continue
+            docs, tfs = self.postings[term]
+            denom = (mu * float(tfs.sum())) / total
+            scores[docs] += np.log(1.0 + tfs / denom)
+            m[docs] += 1
+        nz = np.flatnonzero(m)
+        scores[nz] += m[nz] * np.log(mu / (self._dl[nz] + mu))
+        order = np.lexsort((nz, -scores[nz]))[:k]
+        top = nz[order]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "docID": pa.array(top.astype(np.int64)),
+                "score": pa.array(scores[top], type=pa.float64()),
+            }
+        )
+
     def search(self, query: str, k: int = 10) -> pa.Table:
         terms = query_terms(query, self.mode)
         maxdoc = int(self.docids.max()) + 1 if len(self.docids) else 1

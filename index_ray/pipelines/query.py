@@ -113,6 +113,7 @@ class Lexicon:
             glob.glob(os.path.join(lex_dir or os.path.join(index_dir, "lexicon"), "*.parquet"))
         )
         size = sum(os.path.getsize(f) for f in files)
+        self._files = files
         self._map: dict[str, int] | None = None
         self._ds = None
         if size <= max_resident_bytes:
@@ -181,6 +182,22 @@ class Lexicon:
         for v in _deletions1(term):
             cands.update(self._del_index.get(v, ()))
         return sorted(c for c in cands if _within_lev1(term, c))
+
+    def cf(self, terms: list[str]) -> dict[str, int]:
+        """term -> collection frequency from the merged lexicon's ``cf``
+        column (the reference's A1 counter).  Query terms are few, so this
+        is one term-filtered parquet read regardless of residency mode —
+        the resident map deliberately holds only df to keep its footprint
+        at the BM25 path's needs."""
+        if not terms:
+            return {}
+        t = pads.dataset(self._files).to_table(
+            columns=["term", "cf"], filter=pads.field("term").isin(terms)
+        )
+        out: dict[str, int] = {}
+        for term, c in zip(t["term"].to_pylist(), t["cf"].to_pylist()):
+            out[term] = out.get(term, 0) + int(c)
+        return out
 
     def idf(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         if not terms:
@@ -462,6 +479,69 @@ def _excluded_docs(ci: _ChunkIndex, terms: list[str]) -> np.ndarray:
     if not parts:
         return np.empty(0, np.int64)
     return np.unique(np.concatenate(parts))
+
+
+def _score_chunk_lm(
+    ci: _ChunkIndex,
+    terms: list[str],
+    cfs: np.ndarray,
+    total_tokens: float,
+    k: int,
+    mu: float,
+    excluded: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Query-likelihood scoring with Dirichlet smoothing over one chunk
+    (Zhai & Lafferty 2001) — a second ranking model over the SAME posting
+    lists/doclens the BM25 path reads, proving the index is
+    ranker-agnostic (the reference hard-codes BM25-ish scoring at rank
+    time; its postings carry only (doc, tf), exactly what LM needs too).
+
+    Contract (mirrored verbatim by ``lm_dirichlet_sql_oracle`` and the
+    brute-force test oracle):
+
+        score(q, d) = sum_{t in q, tf_td > 0} ln(1 + tf_td / ((mu*cf_t)/C))
+                      + m_d * ln(mu / (dl_d + mu))
+
+    where ``cf_t`` is the term's collection frequency, ``C`` total corpus
+    tokens, ``dl_d`` the doc length and ``m_d`` the number of DISTINCT
+    query terms matching d.  Only docs matching >= 1 term are returned
+    (the rank-invariant constant part of the true log-likelihood is
+    dropped, as in Lucene's LMDirichletSimilarity).  Float64 op order is
+    fixed — ascending term order, ``(mu*cf)/C`` before the division,
+    ``ln(1.0 + x)`` not log1p — so engine/oracle scores match bitwise.
+
+    No block-max pruning: the dl term is negative and per-doc, so the
+    BM25 path's monotone upper bounds don't transfer; chunks score dense
+    (bounded by ``chunk_docs``), which is the same cost envelope as an
+    unpruned BM25 chunk scan.
+    """
+    base = ci.doc_min
+    scores = np.zeros_like(ci.doclen)
+    m = np.zeros(len(ci.doclen), dtype=np.int64)
+    for j, term in enumerate(terms):
+        rows = ci.terms.get(term)
+        if not rows:
+            continue
+        denom = (mu * float(cfs[j])) / total_tokens
+        for i in rows:
+            docs, tfs = unpack_block(ci.posting(i), int(ci.df[i]))
+            if len(docs) == 0:
+                continue
+            idx = docs - base
+            tfe = _eff_tf(ci, tfs, 1.0)  # real tf on style-built chunks
+            scores[idx] += np.log(1.0 + tfe / denom)
+            m[idx] += 1  # (term, doc) unique => distinct-term counter
+    if excluded is not None and len(excluded):
+        inr = excluded[(excluded >= base) & (excluded <= ci.doc_max)] - base
+        if len(inr):
+            m[inr] = 0
+    nz = np.flatnonzero(m)
+    if len(nz) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores[nz] += m[nz] * np.log(mu / (ci.doclen[nz] + mu))
+    order = np.lexsort((nz, -scores[nz]))[:k]
+    top = nz[order]
+    return top + base, scores[top]
 
 
 def _decode_for_candidates(
@@ -797,6 +877,28 @@ class SearchShard:
                         prune and after is None, exc,
                         style_weight=style_weight, after=after,
                     )
+                tops.append(t)
+                scs.append(s)
+            out.append((np.concatenate(tops), np.concatenate(scs)))
+        return out
+
+    def lm_many(
+        self,
+        queries: list[tuple[list[str], list[int], int]],
+        total_tokens: float,
+        mu: float,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Query-likelihood Dirichlet LM scoring (``_score_chunk_lm``):
+        one (terms, collection-frequencies, k) triple per query."""
+        out = []
+        for terms, cfs, k in queries:
+            tops, scs = [], []
+            cf_arr = np.asarray(cfs, dtype=np.float64)
+            for ci in self.chunks:
+                t, s = _score_chunk_lm(
+                    ci, terms, cf_arr, total_tokens, k, mu,
+                    excluded=self.tombstones,
+                )
                 tops.append(t)
                 scs.append(s)
             out.append((np.concatenate(tops), np.concatenate(scs)))
@@ -1424,6 +1526,41 @@ class BM25Searcher:
             )
         if meta_cols:
             out = self._join_meta(out, meta_cols)
+        return out
+
+    def search_lm_many(
+        self, queries: list[tuple[str, int]], mu: float = 2000.0
+    ) -> list[pa.Table]:
+        """Top-k under query-likelihood Dirichlet LM ranking
+        (``_score_chunk_lm`` holds the scoring contract) — the same
+        shards, postings and doclens as BM25, different ranking model.
+        Absent terms (cf == 0) drop, exactly like the BM25 OR path."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        total = float(self.stats["total_tokens"])
+        prepared = []
+        for q, k in queries:
+            terms = query_terms(q, tok_mode)
+            cf = self.lexicon.cf(terms)
+            present = [t for t in terms if cf.get(t, 0) > 0]
+            prepared.append((present, [cf[t] for t in present], k))
+        futs = [a.lm_many.remote(prepared, total, mu) for a in self.actors]
+        per_actor = ray.get(futs)
+        out = []
+        for qi, (_, _, k) in enumerate(prepared):
+            docs = np.concatenate([pa_res[qi][0] for pa_res in per_actor])
+            scores = np.concatenate([pa_res[qi][1] for pa_res in per_actor])
+            order = np.lexsort((docs, -scores))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "rank": pa.array(
+                            np.arange(1, len(order) + 1, dtype=np.int64)
+                        ),
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "score": pa.array(scores[order], type=pa.float64()),
+                    }
+                )
+            )
         return out
 
     def match_docs(self, query: str, mode: str = "or") -> np.ndarray:

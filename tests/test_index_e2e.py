@@ -44,6 +44,28 @@ def test_engine_matches_golden_and_oracle(searcher, tiny_oracle, prune):
         )
 
 
+def test_lm_dirichlet_matches_oracle(searcher, tiny_oracle):
+    """Dirichlet LM ranking (second ranker over the same index) matches the
+    brute-force LM oracle bitwise — docIDs AND float64 scores — including
+    an all-absent-terms query (empty result path)."""
+    queries = [q["query"] for q in _queries()] + ["zzznotaterm qqqnothere"]
+    results = searcher.search_lm_many([(q, 10) for q in queries])
+    for q, eng in zip(queries, results):
+        orc = tiny_oracle.search_lm(q, k=10)
+        assert eng["docID"].to_pylist() == orc["docID"].to_pylist(), q
+        assert eng["score"].to_pylist() == orc["score"].to_pylist(), q
+    assert len(results[-1]) == 0
+    # LM and BM25 rank from the same postings but are different models:
+    # on at least one fixture query the orders differ somewhere in top-10
+    # (sanity that this isn't BM25 under a new name)
+    diff = 0
+    for q in queries[:-1]:
+        bm = searcher.search(q, k=10)["docID"].to_pylist()
+        lm = searcher.search_lm_many([(q, 10)])[0]["docID"].to_pylist()
+        diff += bm != lm
+    assert diff >= 1
+
+
 def test_sha256_invariant(tiny_index_dir, tiny_corpus_table):
     # per-row content sha256 equality vs the source table (input_hint)
     dm = pq.read_table(
