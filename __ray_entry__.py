@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
         # second ranking model over the same index (Dirichlet LM)
         "lm_dirichlet_topk": flagship.lm_dirichlet_topk,
+        # multi-source BFS hop distance (graph suite, below-fold sibling
+        # of pagerank/connected_components/triangle_count)
+        "bfs_hops": graph.bfs_hops,
         # partition-transparent federation: two lang-split indexes, one
         # logical search — the oracle IS the single-corpus BM25 SQL
         "federated_bm25": flagship.federated_bm25,
@@ -473,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines import events as events_mod
     from index_ray.pipelines import text as text_mod
     from index_ray.pipelines.graph import (
+        bfs_hops_sql_oracle,
         connected_components_sql_oracle,
         pagerank_sql_oracle,
         triangle_count_sql_oracle,
@@ -1163,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
         "ohlc_bars": events_mod.ohlc_bars_sql_oracle(),
         "triangle_count": triangle_count_sql_oracle(),
+        "bfs_hops": bfs_hops_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
         "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
         "linkage_clusters": linkage_mod.linkage_clusters_sql_oracle(),

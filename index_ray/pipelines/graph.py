@@ -725,3 +725,189 @@ def triangle_count_sql_oracle(window: int = 400) -> str:
                CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri
         FROM d LEFT JOIN t ON t.v = d.v
     """
+
+
+# --------------------------------------------------- multi-source BFS ----
+
+BFS_SEEDS = [2, 4, 6]  # customer nodes custkey 1..3 (node id = 2*custkey)
+BFS_MAX_HOPS = 4
+
+
+@ray.remote
+def _bfs_scatter(edges: pa.Table, frontier: pa.Table, nparts: int):
+    """One src-bucket's frontier expansion: every out-edge of a frontier
+    node emits its dst, pre-deduped (the combiner), split by hash(dst).
+    Frontier buckets share the edge buckets' hash(src) keying, so the
+    vectorized searchsorted range join never leaves the task."""
+    empty = pa.schema([("node", pa.int64())]).empty_table()
+    if edges.num_rows == 0 or frontier.num_rows == 0:
+        return tuple(empty for _ in range(nparts)) if nparts > 1 else empty
+    src = edges["src"].to_numpy(zero_copy_only=False)
+    dst = edges["dst"].to_numpy(zero_copy_only=False)
+    f = frontier["node"].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(src, f, side="left")
+    hi = np.searchsorted(src, f, side="right")
+    cand = np.unique(dst[_expand_ranges(lo, hi)])
+    b = _knuth_bucket(cand, nparts)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(nparts + 1))
+    out = tuple(
+        pa.table(
+            {"node": pa.array(cand[order[bounds[i] : bounds[i + 1]]], pa.int64())}
+        )
+        for i in range(nparts)
+    )
+    return out if nparts > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _bfs_gather(visited: pa.Table, hop: int, *parts: pa.Table):
+    """Min-combine one node-bucket's incoming candidates: drop nodes seen
+    at an earlier level (their recorded dist is already minimal — BFS is
+    level-synchronous), stamp the rest with ``hop``.  Returns
+    (visited', next frontier)."""
+    fr_empty = pa.schema([("node", pa.int64())]).empty_table()
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return visited, fr_empty
+    cand = np.unique(
+        np.concatenate([p["node"].to_numpy(zero_copy_only=False) for p in live])
+    )
+    seen = visited["node"].to_numpy(zero_copy_only=False)
+    new = cand[~np.isin(cand, seen)]
+    if len(new) == 0:
+        return visited, fr_empty
+    add = pa.table(
+        {
+            "node": pa.array(new, pa.int64()),
+            "dist": pa.array(np.full(len(new), hop, dtype=np.int64), pa.int64()),
+        }
+    )
+    return (
+        pa.concat_tables([visited, add]),
+        pa.table({"node": pa.array(new, pa.int64())}),
+    )
+
+
+def _bfs_label(t: pa.Table) -> pa.Table:
+    out_schema = pa.schema(
+        [("node", pa.int64()), ("kind", pa.string()), ("dist", pa.int64())]
+    )
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    n = t["node"].to_numpy(zero_copy_only=False)
+    kind = np.where(n % 2 == 0, "customer", "supplier")
+    return pa.table(
+        {"node": t["node"], "kind": pa.array(kind.tolist(), pa.string()), "dist": t["dist"]}
+    )
+
+
+def bfs_hops(
+    sf_dir: str,
+    seeds: list[int] | None = None,
+    max_hops: int = BFS_MAX_HOPS,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distance over the customer<->supplier graph:
+    (node, kind, dist) for every node within ``max_hops`` of a seed, dist
+    = exact minimum hop count (int64, hash-comparable).
+
+    Level-synchronous Pregel/BSP frontier expansion over the SAME
+    hash(src)-bucketed resident edge list PageRank uses: per level, one
+    scatter task per bucket (searchsorted range join, pre-dedup, hash(dst)
+    fan-out) and one gather per node bucket (drop visited, stamp level).
+    Per level the only bytes crossing the object store are the deduped
+    frontier candidates — O(frontier), never O(edges).  Fixed ``max_hops``
+    levels; an exhausted frontier makes later levels metadata-only no-ops.
+
+    Seeds default to customers 1..3 (training-data use: label propagation
+    radius from trusted seed documents — crawl-depth/quality tiers)."""
+    sarr = np.unique(np.asarray(seeds if seeds is not None else BFS_SEEDS, np.int64))
+    edges = _order_edges(sf_dir)
+
+    per_block = []
+    for bundle in edges.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            if num_buckets > 1:
+                per_block.append(
+                    _edge_split.options(num_returns=num_buckets).remote(
+                        bref, num_buckets
+                    )
+                )
+            else:
+                per_block.append((_edge_split.remote(bref, num_buckets),))
+    if not per_block:
+        return ray.data.from_arrow(
+            _bfs_label(
+                pa.table(
+                    {
+                        "node": pa.array(sarr, pa.int64()),
+                        "dist": pa.array(np.zeros(len(sarr), np.int64), pa.int64()),
+                    }
+                )
+            )
+        )
+    ebuckets = [
+        _edge_bucket.remote(*[pb[i] for pb in per_block])
+        for i in range(num_buckets)
+    ]
+
+    sb = _knuth_bucket(sarr, num_buckets)
+    visited, frontier = [], []
+    for i in range(num_buckets):
+        mine = sarr[sb == i]
+        visited.append(
+            ray.put(
+                pa.table(
+                    {
+                        "node": pa.array(mine, pa.int64()),
+                        "dist": pa.array(np.zeros(len(mine), np.int64), pa.int64()),
+                    }
+                )
+            )
+        )
+        frontier.append(ray.put(pa.table({"node": pa.array(mine, pa.int64())})))
+
+    for hop in range(1, max_hops + 1):
+        partials = [
+            _bfs_scatter.options(num_returns=num_buckets).remote(e, f, num_buckets)
+            if num_buckets > 1
+            else (_bfs_scatter.remote(e, f, num_buckets),)
+            for e, f in zip(ebuckets, frontier)
+        ]
+        rounds = [
+            _bfs_gather.remote(visited[i], hop, *[p[i] for p in partials])
+            for i in range(num_buckets)
+        ]
+        visited = [r[0] for r in rounds]
+        frontier = [r[1] for r in rounds]
+
+    return ray.data.from_arrow_refs(visited).map_batches(
+        _bfs_label, batch_format="pyarrow"
+    )
+
+
+def bfs_hops_sql_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
+    seeds = ", ".join(f"({s})" for s in BFS_SEEDS)
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs
+        ),
+        seeds(node) AS (VALUES {seeds}),
+        walk(node, dist) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT e.dst, w.dist + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.dist < {max_hops}
+        )
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """

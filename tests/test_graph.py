@@ -222,3 +222,50 @@ def test_triangle_count_planted_vs_bruteforce(ray_session, tmp_path):
     assert (k3["deg"] == 2).all() and (k3["tri"] == 1).all()
     seam = got[got["c_custkey"].isin([75, 82])]
     assert (seam["deg"] == 2).all() and (seam["tri"] == 1).all()
+
+
+def test_bfs_hops_planted_path(ray_session, tmp_path):
+    """Path graph c1-s1-c2-s2-...: distances grow 1 per hop; nodes past
+    max_hops are absent; an isolated seed still appears at dist 0."""
+    from index_ray.pipelines.graph import bfs_hops
+
+    # chain: cust k - supp k - cust k+1 (k = 1..6) => path of 13 nodes
+    pairs = []
+    for k in range(1, 7):
+        pairs.append((k, k))
+        pairs.append((k + 1, k))
+    d = _write_graph(tmp_path, pairs)
+    # seed at cust 1 (node 2) plus isolated node 9999*2
+    out = (
+        bfs_hops(d, seeds=[2, 19998], max_hops=4, num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    got = dict(zip(out["node"], out["dist"]))
+    want = {2: 0, 19998: 0}  # cust1 seed + isolated seed
+    # walk the chain: supp k at 2k-1 hops... path order: c1(2) s1(3) c2(4) s2(5)...
+    # dist(s_k) = 2k-1, dist(c_{k+1}) = 2k
+    for k in range(1, 7):
+        dk = 2 * k - 1
+        if dk <= 4:
+            want[k * 2 + 1] = dk
+        if 2 * k <= 4:
+            want[(k + 1) * 2] = 2 * k
+    assert got == want
+    kinds = dict(zip(out["node"], out["kind"]))
+    assert all(kinds[n] == ("customer" if n % 2 == 0 else "supplier") for n in got)
+
+
+def test_bfs_hops_bucket_invariance(ray_session, tmp_path):
+    from index_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    pairs = [
+        (int(c), int(s))
+        for c, s in zip(rng.integers(1, 40, 200), rng.integers(1, 12, 200))
+    ]
+    d = _write_graph(tmp_path, pairs)
+    a = bfs_hops(d, max_hops=3, num_buckets=1).to_pandas().sort_values("node")
+    b = bfs_hops(d, max_hops=3, num_buckets=16).to_pandas().sort_values("node")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["dist"].tolist() == b["dist"].tolist()
