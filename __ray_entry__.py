@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS hop distance (graph suite, below-fold sibling
         # of pagerank/connected_components/triangle_count)
         "bfs_hops": graph.bfs_hops,
+        # query-time synonym expansion (disjunction, per-term idf)
+        "bm25_synonyms": flagship.bm25_synonyms,
+        # OLAP CUBE: all four grouping sets from one finest-level scan
+        "cube_revenue": relational.cube_revenue,
         # partition-transparent federation: two lang-split indexes, one
         # logical search — the oracle IS the single-corpus BM25 SQL
         "federated_bm25": flagship.federated_bm25,
@@ -495,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_facets_sql_oracle,
         bm25_explain_sql_oracle,
         lm_dirichlet_sql_oracle,
+        bm25_synonyms_sql_oracle,
         bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
@@ -602,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not_topk": bm25_not_sql_oracle(),
         "bm25_msm_topk": bm25_msm_sql_oracle(),
         "lm_dirichlet_topk": lm_dirichlet_sql_oracle(),
+        "bm25_synonyms": bm25_synonyms_sql_oracle(),
         "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),
@@ -1161,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, date_trunc('hour', ts), event_type
         """,
         "rollup_revenue": rel_mod.rollup_revenue_sql_oracle(),
+        "cube_revenue": rel_mod.cube_revenue_sql_oracle(),
         "regression_by_flag": rel_mod.regression_by_flag_sql_oracle(),
         "skyline_orders": rel_mod.skyline_orders_sql_oracle(),
         "bloom_semi_join": rel_mod.bloom_semi_join_sql_oracle(),

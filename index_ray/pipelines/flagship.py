@@ -647,6 +647,52 @@ SELECT qid, rank, doc_id,
 FROM ranked WHERE rank <= 10"""
 
 
+# query-time synonym table (terms from the corpus vocabulary; 'quick' is
+# deliberately absent from the corpus — the drop path)
+SYNONYMS: dict[str, list[str]] = {
+    "merge": ["join"],
+    "scan": ["row", "line"],
+    "fast": ["quick"],
+    "table": ["column"],
+}
+
+
+def bm25_synonyms(sf_dir: str) -> pa.Table:
+    """Flagship queries with query-time synonym expansion
+    (``BM25Searcher.search_synonyms_many``): each expanded term scores
+    with its own idf, disjunction semantics — the standard synonym-filter
+    behavior search platforms bolt onto an analyzer chain.  Output
+    (qid, rank, doc_id); oracle re-runs BM25 over the pre-expanded term
+    lists."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_synonyms_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], SYNONYMS
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables).rename_columns(["qid", "rank", "doc_id", "score"])
+    return t.select(["qid", "rank", "doc_id"])
+
+
+def bm25_synonyms_sql_oracle() -> str:
+    expanded = [
+        (
+            qid,
+            sorted({*terms, *(s for t in terms for s in SYNONYMS.get(t, []))}),
+            k,
+        )
+        for qid, terms, k in DOC_QUERIES
+    ]
+    return (
+        _bm25_ctes(queries=expanded)
+        + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+    )
+
+
 def bm25_not_sql_oracle() -> str:
     return (
         _bm25_ctes(

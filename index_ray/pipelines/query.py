@@ -1667,6 +1667,36 @@ class BM25Searcher:
             prepared.append((terms, k))
         return self._expanded_or_search(prepared, prune)
 
+    def search_synonyms_many(
+        self,
+        queries: list[tuple[str, int]],
+        synonyms: dict[str, list[str]],
+        prune: bool = True,
+    ) -> list[pa.Table]:
+        """Query-time synonym expansion (the analyzer-chain synonym filter
+        in disjunction form): each query term additionally contributes its
+        synonyms' postings, every expanded term scored with its OWN idf —
+        exactly as if the user had typed them all.  The map holds RAW
+        user-level words; both its keys and values pass through the
+        index's analyzer (Lucene SynonymFilter semantics), so on a
+        stemming index 'connection -> socket' matches the token
+        'connect' and contributes 'socket''s stem.  Synonyms absent from
+        the corpus drop, like any other absent term."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        amap: dict[str, set[str]] = {}
+        for key, vals in synonyms.items():
+            avals = {t for v in vals for t in query_terms(v, tok_mode)}
+            for kt in query_terms(key, tok_mode):
+                amap.setdefault(kt, set()).update(avals)
+        prepared = []
+        for q, k in queries:
+            terms: set[str] = set()
+            for tok in query_terms(q, tok_mode):
+                terms.add(tok)
+                terms.update(amap.get(tok, ()))
+            prepared.append((terms, k))
+        return self._expanded_or_search(prepared, prune)
+
     def _expanded_or_search(
         self, prepared: list[tuple[set[str], int]], prune: bool
     ) -> list[pa.Table]:

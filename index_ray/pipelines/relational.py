@@ -769,19 +769,12 @@ def top_parts_by_brand(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return hash_groupby(per_part, keys=["p_brand"], finalize=topk)
 
 
-def rollup_revenue(sf_dir: str) -> pa.Table:
-    """OLAP ROLLUP over (l_returnflag, l_linestatus): finest-level rows
-    plus per-returnflag subtotals plus a grand total, exactly DuckDB's
-    ``GROUP BY ROLLUP`` (NULL marks a rolled-up dimension).
-
-    One scan computes the FINEST level distributed (integer-cents
-    partials, same exactness contract as ``pricing_summary``); the
-    coarser levels are derived from that small result on the driver —
-    the standard rollup identity (each level is an exact re-aggregation
-    of the level below), so no second pass over the fact table ever
-    runs.  At 100 TB the finest level is |flags|x|statuses| rows — the
-    derivation cost is independent of fact-table size.
-    """
+def _revenue_fine(sf_dir: str):
+    """Finest-level (l_returnflag, l_linestatus) revenue aggregate as a
+    pandas frame — ONE distributed scan (integer-cents partials, same
+    exactness contract as ``pricing_summary``); every coarser ROLLUP /
+    CUBE level is an exact re-aggregation of this |flags|x|statuses|-row
+    result, so the derivation cost is independent of fact-table size."""
 
     def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -801,7 +794,7 @@ def rollup_revenue(sf_dir: str) -> pa.Table:
             ["l_returnflag", "l_linestatus", "n_part", "rev_part"]
         )
 
-    fine = (
+    return (
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
@@ -814,6 +807,32 @@ def rollup_revenue(sf_dir: str) -> pa.Table:
         )
         .to_pandas()
     )
+
+
+_REV_SCHEMA = pa.schema(
+    [
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("n", pa.int64()),
+        ("revenue_cents", pa.int64()),
+    ]
+)
+
+
+def _rev_table(out) -> pa.Table:
+    out = out[["l_returnflag", "l_linestatus", "n", "revenue_cents"]].copy()
+    out["n"] = out["n"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_REV_SCHEMA)
+
+
+def rollup_revenue(sf_dir: str) -> pa.Table:
+    """OLAP ROLLUP over (l_returnflag, l_linestatus): finest-level rows
+    plus per-returnflag subtotals plus a grand total, exactly DuckDB's
+    ``GROUP BY ROLLUP`` (NULL marks a rolled-up dimension).  One
+    distributed scan (``_revenue_fine``); coarser levels derive on the
+    driver from that tiny result."""
+    fine = _revenue_fine(sf_dir)
     mid = (
         fine.groupby("l_returnflag", as_index=False)[["n", "revenue_cents"]]
         .sum()
@@ -824,21 +843,46 @@ def rollup_revenue(sf_dir: str) -> pa.Table:
     top["l_linestatus"] = None
     import pandas as pd
 
-    out = pd.concat([fine, mid, top], ignore_index=True)[
-        ["l_returnflag", "l_linestatus", "n", "revenue_cents"]
-    ]
-    out["n"] = out["n"].astype("int64")
-    out["revenue_cents"] = out["revenue_cents"].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False).cast(
-        pa.schema(
-            [
-                ("l_returnflag", pa.string()),
-                ("l_linestatus", pa.string()),
-                ("n", pa.int64()),
-                ("revenue_cents", pa.int64()),
-            ]
-        )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    return _rev_table(out)
+
+
+def cube_revenue(sf_dir: str) -> pa.Table:
+    """OLAP CUBE over (l_returnflag, l_linestatus): all four grouping
+    sets — finest, per-flag, per-status, grand total — exactly DuckDB's
+    ``GROUP BY CUBE``.  Same shape as :func:`rollup_revenue` plus the
+    per-status marginal: one distributed finest-level scan
+    (``_revenue_fine``), every marginal an exact driver-side
+    re-aggregation of that tiny table."""
+    import pandas as pd
+
+    fine = _revenue_fine(sf_dir)
+    by_flag = (
+        fine.groupby("l_returnflag", as_index=False)[["n", "revenue_cents"]]
+        .sum()
+        .assign(l_linestatus=None)
     )
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)[["n", "revenue_cents"]]
+        .sum()
+        .assign(l_returnflag=None)
+    )
+    top = fine[["n", "revenue_cents"]].sum().to_frame().T
+    top["l_returnflag"] = None
+    top["l_linestatus"] = None
+    out = pd.concat([fine, by_flag, by_status, top], ignore_index=True)
+    return _rev_table(out)
+
+
+def cube_revenue_sql_oracle() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
 
 
 def rollup_revenue_sql_oracle() -> str:

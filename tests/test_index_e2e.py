@@ -291,3 +291,17 @@ def test_search_filtered_matches_postfilter(searcher, tiny_corpus_table):
         )
         assert list(zip(got["docID"].to_pylist(), got["score"].to_pylist())) == want
     assert len(searcher.search_filtered("connection", k=5, filter_vals=[])) == 0
+
+
+def test_synonym_expansion_equals_typed_disjunction(searcher):
+    """Synonym expansion == the user typing the expanded disjunction:
+    bitwise identical docIDs and scores (per-term idf semantics)."""
+    syn = {"connection": ["socket"], "parse": ["decode", "zzzabsent"]}
+    r1 = searcher.search_synonyms_many([("parse connection", 10)], syn)[0]
+    r2 = searcher.search("parse connection socket decode zzzabsent", k=10)
+    assert r1["docID"].to_pylist() == r2["docID"].to_pylist()
+    assert r1["score"].to_pylist() == r2["score"].to_pylist()
+    # no synonym map: plain search
+    r3 = searcher.search_synonyms_many([("parse connection", 10)], {})[0]
+    r4 = searcher.search("parse connection", k=10)
+    assert r3["score"].to_pylist() == r4["score"].to_pylist()
