@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": graph.bfs_hops,
         # query-time synonym expansion (disjunction, per-term idf)
         "bm25_synonyms": flagship.bm25_synonyms,
+        # field collapsing: <= cap results per group, exact combiner
+        "bm25_collapse": flagship.bm25_collapse,
         # OLAP CUBE: all four grouping sets from one finest-level scan
         "cube_revenue": relational.cube_revenue,
         # partition-transparent federation: two lang-split indexes, one
@@ -500,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_explain_sql_oracle,
         lm_dirichlet_sql_oracle,
         bm25_synonyms_sql_oracle,
+        bm25_collapse_sql_oracle,
         bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
@@ -608,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_msm_topk": bm25_msm_sql_oracle(),
         "lm_dirichlet_topk": lm_dirichlet_sql_oracle(),
         "bm25_synonyms": bm25_synonyms_sql_oracle(),
+        "bm25_collapse": bm25_collapse_sql_oracle(),
         "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),

@@ -647,6 +647,54 @@ SELECT qid, rank, doc_id,
 FROM ranked WHERE rank <= 10"""
 
 
+COLLAPSE_CAP = 2
+
+
+def bm25_collapse(sf_dir: str) -> pa.Table:
+    """Field collapsing (Elasticsearch ``collapse`` / result
+    diversification): flagship queries with at most ``COLLAPSE_CAP``
+    results per language.  Exact distributed semantics — shards emit
+    per-group top-cap candidates, the driver re-caps in global
+    (score desc, docID asc) order before the top-k cut
+    (``BM25Searcher.search_collapse_many``).  Output
+    (qid, rank, doc_id, lang)."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_collapse_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES],
+        collapse_col="lang",
+        cap=COLLAPSE_CAP,
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables).rename_columns(
+        ["qid", "rank", "doc_id", "score", "lang"]
+    )
+    return t.select(["qid", "rank", "doc_id", "lang"])
+
+
+def bm25_collapse_sql_oracle() -> str:
+    return _bm25_ctes() + f""",
+g AS (
+  SELECT s.qid, s.doc_id, s.score, d.lang,
+         row_number() OVER (
+           PARTITION BY s.qid, d.lang ORDER BY s.score DESC, s.doc_id ASC
+         ) AS gr
+  FROM scored s JOIN d0 d USING (doc_id)
+),
+cranked AS (
+  SELECT qid, doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM g WHERE gr <= {COLLAPSE_CAP}
+)
+SELECT qid, rank, doc_id, lang FROM cranked WHERE rank <= 10"""
+
+
 # query-time synonym table (terms from the corpus vocabulary; 'quick' is
 # deliberately absent from the corpus — the drop path)
 SYNONYMS: dict[str, list[str]] = {

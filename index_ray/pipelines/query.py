@@ -1007,6 +1007,70 @@ class SearchShard:
             out.append(agg)
         return out
 
+    def collapse_many(
+        self,
+        queries: list[tuple[list[str], list[float], int]],
+        facet_col: str,
+        cap: int,
+    ) -> list[tuple[np.ndarray, np.ndarray, list[str]]]:
+        """Field collapsing (Elasticsearch ``collapse``): per query, this
+        shard's per-facet-group top-``cap`` candidates with exact BM25
+        scores.  Per-shard per-group top-cap is a sound combiner — group
+        membership is a docmap property, docs are disjoint across chunks,
+        so the GLOBAL per-group top-cap is a subset of the union of shard
+        top-caps.  Dense (prune=False) chunk scans: a top-k prune bound
+        is per-query, not per-group, and would starve small groups."""
+        maps = self._facet_maps(facet_col)
+        out = []
+        for terms, idfs, _k in queries:
+            dd: list[np.ndarray] = []
+            ss: list[np.ndarray] = []
+            gg: list[str] = []
+            for ci, (ids, codes, cats) in zip(self.chunks, maps):
+                t, s = _score_chunk(
+                    ci, terms, np.asarray(idfs), len(ci.doclen) or 1,
+                    self.avgdl, False, excluded=self.tombstones,
+                )
+                if len(t) == 0:
+                    continue
+                gcodes = codes[np.searchsorted(ids, t)]
+                # t is already (score desc, docID asc); stable group sort
+                # preserves that order inside each group
+                order = np.argsort(gcodes, kind="stable")
+                sg = gcodes[order]
+                _, start, inv = np.unique(sg, return_index=True, return_inverse=True)
+                in_rank = np.arange(len(sg)) - start[inv]
+                keep = order[in_rank < cap]
+                dd.append(t[keep])
+                ss.append(s[keep])
+                gg.extend(str(cats[c]) for c in gcodes[keep])
+            if not dd:
+                out.append(
+                    (np.empty(0, np.int64), np.empty(0, np.float64), [])
+                )
+                continue
+            docs = np.concatenate(dd)
+            scores = np.concatenate(ss)
+            # shard-level re-cap across chunks shrinks the driver payload
+            order = np.lexsort((docs, -scores))
+            gid_of = {}
+            gids = np.fromiter(
+                (gid_of.setdefault(g, len(gid_of)) for g in gg),
+                dtype=np.int64,
+                count=len(gg),
+            )
+            sg = gids[order]
+            order2 = np.argsort(sg, kind="stable")
+            sg2 = sg[order2]
+            _, start, inv = np.unique(sg2, return_index=True, return_inverse=True)
+            in_rank = np.arange(len(sg2)) - start[inv]
+            keep = order[order2[in_rank < cap]]
+            names = list(gid_of)
+            out.append(
+                (docs[keep], scores[keep], [names[g] for g in gids[keep]])
+            )
+        return out
+
     def match_many(
         self, queries: list[list[str]], mode: str = "or"
     ) -> list[np.ndarray]:
@@ -1666,6 +1730,66 @@ class BM25Searcher:
                 terms.update(self.lexicon.fuzzy_terms(tok))
             prepared.append((terms, k))
         return self._expanded_or_search(prepared, prune)
+
+    def search_collapse_many(
+        self,
+        queries: list[tuple[str, int]],
+        collapse_col: str,
+        cap: int = 2,
+    ) -> list[pa.Table]:
+        """Top-k with field collapsing: at most ``cap`` results per
+        distinct ``collapse_col`` value (result diversification /
+        dedup-by-source — Elasticsearch's ``collapse``).  Exact: shards
+        return per-group top-cap candidates (``SearchShard.collapse_many``
+        combiner), the driver re-caps per group globally, then cuts the
+        standard (score desc, docID asc) top-k.  Returns
+        (rank, docID, score, group)."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared = []
+        for q, k in queries:
+            terms = query_terms(q, tok_mode)
+            weights = self.lexicon.idf(terms)
+            present = [t for t in terms if t in weights]
+            prepared.append((present, [weights[t][1] for t in present], k))
+        futs = [
+            a.collapse_many.remote(prepared, collapse_col, cap)
+            for a in self.actors
+        ]
+        per_actor = ray.get(futs)
+        out = []
+        for qi, (_, _, k) in enumerate(prepared):
+            docs = np.concatenate([r[qi][0] for r in per_actor])
+            scores = np.concatenate([r[qi][1] for r in per_actor])
+            groups: list[str] = []
+            for r in per_actor:
+                groups.extend(r[qi][2])
+            order = np.lexsort((docs, -scores))
+            seen: dict[str, int] = {}
+            keep = []
+            for i in order:
+                g = groups[i]
+                c = seen.get(g, 0)
+                if c < cap:
+                    seen[g] = c + 1
+                    keep.append(i)
+                    if len(keep) == k:
+                        break
+            keep_arr = np.asarray(keep, dtype=np.int64)
+            out.append(
+                pa.table(
+                    {
+                        "rank": pa.array(
+                            np.arange(1, len(keep_arr) + 1, dtype=np.int64)
+                        ),
+                        "docID": pa.array(docs[keep_arr], type=pa.int64()),
+                        "score": pa.array(scores[keep_arr], type=pa.float64()),
+                        "group": pa.array(
+                            [groups[i] for i in keep], type=pa.string()
+                        ),
+                    }
+                )
+            )
+        return out
 
     def search_synonyms_many(
         self,

@@ -305,3 +305,38 @@ def test_synonym_expansion_equals_typed_disjunction(searcher):
     r3 = searcher.search_synonyms_many([("parse connection", 10)], {})[0]
     r4 = searcher.search("parse connection", k=10)
     assert r3["score"].to_pylist() == r4["score"].to_pylist()
+
+
+def test_collapse_matches_postfilter(searcher, tiny_index_dir):
+    """Field collapsing == post-filtering the FULL ranked list with a
+    per-group cap (bitwise scores) — including groups that would flood
+    an uncollapsed top-k."""
+    dm = pa.concat_tables(
+        [
+            pq.read_table(f, columns=["docID", "lang"])
+            for f in glob.glob(
+                os.path.join(tiny_index_dir, "chunks", "*", "docmap", "*.parquet")
+            )
+        ]
+    )
+    lang_of = dict(zip(dm["docID"].to_pylist(), dm["lang"].to_pylist()))
+    for q, cap in [("parse connection", 2), ("def return value", 1)]:
+        full = searcher.search(q, k=10**6, prune=False)
+        seen: dict = {}
+        want = []
+        for d, s in zip(full["docID"].to_pylist(), full["score"].to_pylist()):
+            g = lang_of[d]
+            if seen.get(g, 0) < cap:
+                seen[g] = seen.get(g, 0) + 1
+                want.append((d, s, str(g)))
+            if len(want) == 10:
+                break
+        got = searcher.search_collapse_many([(q, 10)], "lang", cap=cap)[0]
+        assert got["docID"].to_pylist() == [d for d, _, _ in want], q
+        assert got["score"].to_pylist() == [s for _, s, _ in want], q
+        assert got["group"].to_pylist() == [g for _, _, g in want], q
+        # cap actually binds: every group count <= cap
+        from collections import Counter
+
+        c = Counter(got["group"].to_pylist())
+        assert max(c.values()) <= cap
