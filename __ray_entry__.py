@@ -292,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": flagship.bm25_synonyms,
         # field collapsing: <= cap results per group, exact combiner
         "bm25_collapse": flagship.bm25_collapse,
+        # MMR diversified rerank on integer-lifted decisions; the oracle
+        # replays the greedy chain as a recursive CTE
+        "mmr_rerank": flagship.mmr_rerank,
         # OLAP CUBE: all four grouping sets from one finest-level scan
         "cube_revenue": relational.cube_revenue,
         # partition-transparent federation: two lang-split indexes, one
@@ -503,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         lm_dirichlet_sql_oracle,
         bm25_synonyms_sql_oracle,
         bm25_collapse_sql_oracle,
+        mmr_rerank_sql_oracle,
         bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
@@ -612,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_topk": lm_dirichlet_sql_oracle(),
         "bm25_synonyms": bm25_synonyms_sql_oracle(),
         "bm25_collapse": bm25_collapse_sql_oracle(),
+        "mmr_rerank": mmr_rerank_sql_oracle(),
         "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),

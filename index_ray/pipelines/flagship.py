@@ -647,6 +647,134 @@ SELECT qid, rank, doc_id,
 FROM ranked WHERE rank <= 10"""
 
 
+MMR_CAND = 20  # BM25 candidate pool per query
+MMR_K = 10
+# lambda = 0.7 in exact integer form: decide on 7*rel_e6 - 3*max_sim_e6
+MMR_REL_W, MMR_DIV_W = 7, 3
+
+
+def mmr_rerank(sf_dir: str) -> pa.Table:
+    """Maximal-Marginal-Relevance diversified rerank (Carbonell &
+    Goldstein 1998) of the flagship BM25 top-``MMR_CAND``: greedily pick
+    the candidate maximizing ``0.7*rel - 0.3*max_sim(to picked)``, rel =
+    BM25 score, sim = embedding cosine.  Retrieval and the embedding
+    fetch are the engine's distributed paths; the greedy loop itself is
+    O(qids x CAND^2) driver arithmetic on two tiny matrices — at 100 TB
+    only the top-CAND lists ever meet.
+
+    Determinism contract (mirrored by the recursive-CTE SQL oracle):
+    decisions compare INTEGER-lifted quantities — rel_e6/sim_e6 =
+    floor(x*1e6+0.5), cosine computed in float64 over the float32
+    embedding values — with doc_id ASC tie-break, so the greedy argmax
+    chain is bit-reproducible (same e6-boundary caveat as
+    ``bm25_scores``).  Candidates without an embedding drop from the
+    pool (the oracle's JOIN semantics).  Output (qid, rank, doc_id)."""
+    from .similarity import _query_matrix
+
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    res = searcher.search_many(
+        [(" ".join(terms), MMR_CAND) for _, terms, _ in DOC_QUERIES]
+    )
+    rows_q: list[int] = []
+    rows_r: list[int] = []
+    rows_d: list[int] = []
+    for (qid, _, _), r in zip(DOC_QUERIES, res):
+        ids = r["docID"].to_numpy(zero_copy_only=False)
+        rel = r["score"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            continue
+        emb, found = _query_matrix(sf_dir, ids.tolist())
+        found_arr = np.asarray(found, np.int64)
+        mask = np.isin(ids, found_arr)
+        ids, rel = ids[mask], rel[mask]
+        n = len(ids)
+        if n == 0:
+            continue
+        m = emb[np.searchsorted(found_arr, ids)]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        rel_e6 = np.floor(rel * 1e6 + 0.5).astype(np.int64)
+        sim_e6 = np.floor((m @ m.T) * 1e6 + 0.5).astype(np.int64)
+        remaining = np.ones(n, dtype=bool)
+        first = int(np.lexsort((ids, -rel_e6))[0])
+        picked = [first]
+        remaining[first] = False
+        while len(picked) < MMR_K and remaining.any():
+            rem = np.flatnonzero(remaining)
+            pen = sim_e6[np.ix_(rem, picked)].max(axis=1)
+            score = MMR_REL_W * rel_e6[rem] - MMR_DIV_W * pen
+            j = int(rem[np.lexsort((ids[rem], -score))[0]])
+            picked.append(j)
+            remaining[j] = False
+        for i, p in enumerate(picked, 1):
+            rows_q.append(qid)
+            rows_r.append(i)
+            rows_d.append(int(ids[p]))
+    return pa.table(
+        {
+            "qid": pa.array(rows_q, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+        }
+    )
+
+
+def mmr_rerank_sql_oracle() -> str:
+    """Greedy MMR as a DuckDB RECURSIVE CTE: the working table carries the
+    picked list; each step LATERAL-joins the max sim_e6 against it and
+    window-ranks the integer MMR score (7*rel_e6 - 3*max_sim_e6, doc_id
+    ASC tie-break) — the same lifted-integer decision chain the engine
+    runs."""
+    # the recursive mmr CTE needs RECURSIVE on the (shared) WITH clause
+    ctes = _bm25_ctes().replace("WITH d0 AS", "WITH RECURSIVE d0 AS", 1)
+    return ctes + f""",
+cand AS (
+  SELECT r.qid, r.doc_id,
+         CAST(floor(s.score * 1000000 + 0.5) AS BIGINT) AS rel_e6
+  FROM ranked r JOIN scored s ON s.qid = r.qid AND s.doc_id = r.doc_id
+  WHERE r.rank <= {MMR_CAND}
+),
+emb AS (
+  SELECT c.qid, c.doc_id, c.rel_e6,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+),
+sims AS (
+  SELECT a.qid, a.doc_id AS x, b.doc_id AS y,
+         CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+              AS BIGINT) AS sim_e6
+  FROM emb a JOIN emb b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+),
+mmr(qid, step, doc_id, picked) AS (
+  (SELECT qid, 1, doc_id, [doc_id]
+   FROM (SELECT qid, doc_id,
+                row_number() OVER (
+                  PARTITION BY qid ORDER BY rel_e6 DESC, doc_id ASC
+                ) AS r
+         FROM emb) WHERE r = 1)
+  UNION ALL
+  (SELECT qid, step + 1, doc_id, list_append(picked, doc_id)
+   FROM (
+     SELECT m.qid, m.step, c.doc_id, m.picked,
+            row_number() OVER (
+              PARTITION BY m.qid
+              ORDER BY ({MMR_REL_W} * c.rel_e6 - {MMR_DIV_W} * mx.s) DESC,
+                       c.doc_id ASC
+            ) AS r
+     FROM mmr m
+     JOIN emb c ON c.qid = m.qid AND NOT list_contains(m.picked, c.doc_id)
+     JOIN LATERAL (
+       SELECT max(s2.sim_e6) AS s
+       FROM sims s2
+       WHERE s2.qid = m.qid AND s2.x = c.doc_id
+         AND list_contains(m.picked, s2.y)
+     ) mx ON TRUE
+     WHERE m.step < {MMR_K}
+   ) WHERE r = 1)
+)
+SELECT qid, CAST(step AS BIGINT) AS rank, doc_id FROM mmr"""
+
+
 COLLAPSE_CAP = 2
 
 

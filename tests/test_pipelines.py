@@ -1118,3 +1118,27 @@ def test_trigram_regex_analyzer_and_pruning(ray_session):
     assert rt("agg (row|line) scan") is None      # grouping: unanalyzable
     assert rt("a.b") is None                      # no >=3-byte literal
     assert rt("x[yz]w") is None                   # character class
+
+
+def test_mmr_rerank_semantics(ray_session):
+    """MMR diversified rerank: first pick per query is the top BM25
+    candidate, picks are distinct, and diversification actually reorders
+    at least one query vs pure relevance order."""
+    from index_ray.pipelines.flagship import (
+        DOC_QUERIES, MMR_K, bm25_topk, mmr_rerank,
+    )
+
+    out = mmr_rerank(SF).to_pandas()
+    base = bm25_topk(SF).to_pandas()
+    assert (out.groupby("qid")["rank"].max() <= MMR_K).all()
+    reordered = 0
+    for qid, _terms, _k in DOC_QUERIES:
+        m = out[out.qid == qid].sort_values("rank")["doc_id"].tolist()
+        b = base[base.qid == qid].sort_values("rank")["doc_id"].tolist()
+        assert len(m) == len(set(m))
+        if not m:
+            assert not b  # the no-match query stays empty
+            continue
+        assert m[0] == b[0]  # first pick = max relevance
+        reordered += m != b
+    assert reordered >= 1
