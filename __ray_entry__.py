@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MMR diversified rerank on integer-lifted decisions; the oracle
         # replays the greedy chain as a recursive CTE
         "mmr_rerank": flagship.mmr_rerank,
+        # significant-terms aggregation: match-set vs background lift
+        "significant_terms": flagship.significant_terms,
         # OLAP CUBE: all four grouping sets from one finest-level scan
         "cube_revenue": relational.cube_revenue,
         # partition-transparent federation: two lang-split indexes, one
@@ -507,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_synonyms_sql_oracle,
         bm25_collapse_sql_oracle,
         mmr_rerank_sql_oracle,
+        significant_terms_sql_oracle,
         bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
@@ -617,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonyms": bm25_synonyms_sql_oracle(),
         "bm25_collapse": bm25_collapse_sql_oracle(),
         "mmr_rerank": mmr_rerank_sql_oracle(),
+        "significant_terms": significant_terms_sql_oracle(),
         "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),

@@ -647,6 +647,163 @@ SELECT qid, rank, doc_id,
 FROM ranked WHERE rank <= 10"""
 
 
+SIG_TOP = 10
+
+
+def significant_terms(sf_dir: str) -> pa.Table:
+    """Significant-terms aggregation (Elasticsearch ``significant_terms``):
+    per flagship query, the terms most overrepresented in the MATCHING
+    documents vs the corpus background — lift = (df_fg/n_fg)/(df_bg/N),
+    ranked per query by ``df_fg/df_bg`` (the per-query constants drop
+    out of the ordering), term-ASC tie-break, the query's own terms
+    excluded.  Output (qid, rank, term, df_fg, df_bg), top ``SIG_TOP``.
+
+    Distributed shape: the match set comes from the shard actors (the
+    index as a filter, ``match_docs``), is broadcast once via
+    ``ray.put``, and one streaming pass over ``documents`` emits
+    pre-aggregated per-batch (qid, term, df) partials -> one small
+    groupby; df_bg joins from the merged lexicon (same tokenization as
+    the corpus CTE).  At a match set too large to broadcast, the id
+    filter swaps for the bucketed ``hash_join`` (``join.py``) — the
+    pass's shape is otherwise unchanged."""
+    from ..functions.tokenize import TokenNormalizer, doc_term_tf
+    from ..util import stage_fn
+    from .text import docs_dataset
+
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    match_sets: dict[int, np.ndarray] = {}
+    for qid, terms, _ in DOC_QUERIES:
+        m = searcher.match_docs(" ".join(terms))
+        if len(m):
+            match_sets[qid] = np.sort(m)
+    qterms = {qid: set(terms) for qid, terms, _ in DOC_QUERIES}
+    ms_ref = ray.put(match_sets)
+
+    class _FgPartials:
+        """batch -> (qid, term, df_part): distinct matching docs per term,
+        pre-aggregated inside the batch (the combiner)."""
+
+        def __init__(self):
+            self.ms = ray.get(ms_ref)
+            self.norm = TokenNormalizer("simple")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, tid, _tf, vocab = doc_term_tf(batch["text"], self.norm)
+            empty = pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "df_part": pa.array([], pa.int64()),
+                }
+            )
+            if not vocab:
+                return empty
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            doc_of = ids[d]  # (doc, term) rows are distinct per doc
+            vocab_arr = np.asarray(vocab, dtype=object)
+            qs, ts, cs = [], [], []
+            for qid, mset in self.ms.items():
+                mask = np.isin(doc_of, mset)
+                if not mask.any():
+                    continue
+                bc = np.bincount(tid[mask], minlength=len(vocab))
+                nz = np.flatnonzero(bc)
+                qs.append(np.full(len(nz), qid, np.int64))
+                ts.append(vocab_arr[nz])
+                cs.append(bc[nz].astype(np.int64))
+            if not qs:
+                return empty
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(qs), pa.int64()),
+                    "term": pa.array(
+                        np.concatenate(ts).tolist(), pa.string()
+                    ),
+                    "df_part": pa.array(np.concatenate(cs), pa.int64()),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    fg = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_FgPartials), batch_format="pyarrow", batch_size=512
+        )
+        .groupby(["qid", "term"])
+        .aggregate(Sum("df_part", alias_name="df_fg"))
+        .to_pandas()
+    )
+    if len(fg) == 0:
+        return pa.schema(
+            [
+                ("qid", pa.int64()),
+                ("rank", pa.int64()),
+                ("term", pa.string()),
+                ("df_fg", pa.int64()),
+                ("df_bg", pa.int64()),
+            ]
+        ).empty_table()
+    fg = fg[
+        ~fg.apply(lambda r: r["term"] in qterms.get(r["qid"], ()), axis=1)
+    ].copy()
+    bg = searcher.lexicon.idf(sorted(fg["term"].unique().tolist()))
+    fg["df_bg"] = fg["term"].map(lambda t: bg[t][0]).astype("int64")
+    # same IEEE double division as the oracle's CAST(df_fg AS DOUBLE)/df_bg
+    fg["lift"] = fg["df_fg"].to_numpy(np.float64) / fg["df_bg"].to_numpy(
+        np.float64
+    )
+    fg = fg.sort_values(
+        ["qid", "lift", "term"], ascending=[True, False, True], kind="stable"
+    )
+    fg["rank"] = fg.groupby("qid").cumcount() + 1
+    fg = fg[fg["rank"] <= SIG_TOP]
+    return pa.Table.from_pandas(
+        fg[["qid", "rank", "term", "df_fg", "df_bg"]], preserve_index=False
+    ).cast(
+        pa.schema(
+            [
+                ("qid", pa.int64()),
+                ("rank", pa.int64()),
+                ("term", pa.string()),
+                ("df_fg", pa.int64()),
+                ("df_bg", pa.int64()),
+            ]
+        )
+    )
+
+
+def significant_terms_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return _corpus_ctes() + f""",
+q(qid, term) AS (VALUES {values}),
+dt AS (SELECT DISTINCT doc_id, term FROM t),
+m AS (SELECT DISTINCT q.qid, dt.doc_id FROM q JOIN dt USING (term)),
+fg AS (
+  SELECT m.qid, dt.term, count(*) AS df_fg
+  FROM m JOIN dt USING (doc_id)
+  GROUP BY m.qid, dt.term
+),
+fgx AS (
+  SELECT fg.* FROM fg
+  LEFT JOIN q ON q.qid = fg.qid AND q.term = fg.term
+  WHERE q.term IS NULL
+),
+r AS (
+  SELECT fgx.qid, fgx.term, fgx.df_fg, df.df AS df_bg,
+         CAST(row_number() OVER (
+           PARTITION BY fgx.qid
+           ORDER BY CAST(fgx.df_fg AS DOUBLE) / df.df DESC, fgx.term ASC
+         ) AS BIGINT) AS rank
+  FROM fgx JOIN df USING (term)
+)
+SELECT qid, rank, term, CAST(df_fg AS BIGINT) AS df_fg, CAST(df_bg AS BIGINT) AS df_bg
+FROM r WHERE rank <= {SIG_TOP}"""
+
+
 MMR_CAND = 20  # BM25 candidate pool per query
 MMR_K = 10
 # lambda = 0.7 in exact integer form: decide on 7*rel_e6 - 3*max_sim_e6
