@@ -297,6 +297,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": flagship.mmr_rerank,
         # significant-terms aggregation: match-set vs background lift
         "significant_terms": flagship.significant_terms,
+        # percolator: stored queries matched against streamed documents
+        "percolate_queries": flagship.percolate_queries,
+        # IR eval: BM25-vs-LM overlap@10 + Spearman footrule
+        "ranker_agreement": flagship.ranker_agreement,
+        # one-string query DSL: +req -excl "phrase" prefix* fuzzy~
+        "dsl_search": flagship.dsl_search,
         # OLAP CUBE: all four grouping sets from one finest-level scan
         "cube_revenue": relational.cube_revenue,
         # partition-transparent federation: two lang-split indexes, one
@@ -510,6 +516,9 @@ def oracle_sql() -> dict[str, str]:
         bm25_collapse_sql_oracle,
         mmr_rerank_sql_oracle,
         significant_terms_sql_oracle,
+        percolate_sql_oracle,
+        ranker_agreement_sql_oracle,
+        dsl_search_sql_oracle,
         bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
@@ -621,6 +630,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_collapse": bm25_collapse_sql_oracle(),
         "mmr_rerank": mmr_rerank_sql_oracle(),
         "significant_terms": significant_terms_sql_oracle(),
+        "percolate_queries": percolate_sql_oracle(),
+        "ranker_agreement": ranker_agreement_sql_oracle(),
+        "dsl_search": dsl_search_sql_oracle(),
         "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),

@@ -647,6 +647,320 @@ SELECT qid, rank, doc_id,
 FROM ranked WHERE rank <= 10"""
 
 
+# query-DSL fixtures: every clause type, incl. a phrase filter and an
+# all-expansions-empty query (6)
+DSL_QUERIES: list[tuple[int, str]] = [
+    (1, "merge sort +fast -window"),
+    (2, "group quer* spark"),
+    (3, "+scan +table window"),
+    (4, "customer filte~ stream"),
+    (5, '"merge sort" key'),
+    (6, "xyzzy* qqnothere~"),
+]
+
+
+def dsl_search(sf_dir: str) -> pa.Table:
+    """The one-string user surface: each DSL fixture parsed and composed
+    over the engine primitives by ``BM25Searcher.search_dsl`` (required
+    AND filter, NOT channel, prefix/fuzzy expansion, positional phrase
+    filter).  Runs on the positional documents index (fixture 5 needs
+    phrases).  Output (qid, rank, doc_id)."""
+    out = documents_index(sf_dir, positions=True)
+    searcher = BM25Searcher(out)
+    tables = []
+    for qid, q in DSL_QUERIES:
+        r = searcher.search_dsl(q, k=10)
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables).rename_columns(["qid", "rank", "doc_id", "score"])
+    return t.select(["qid", "rank", "doc_id"])
+
+
+def _sql_quote_list(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def dsl_search_sql_oracle() -> str:
+    """Recompute every DSL fixture from scratch: the scored term set is a
+    UNION of static terms, LIKE-prefix matches and levenshtein<=1 fuzzy
+    matches over the corpus vocabulary; required terms gate via HAVING,
+    exclusions anti-join, phrases filter via the same word-boundary regex
+    as ``phrase_sql_oracle``."""
+    from .query import parse_dsl
+
+    per_qid = []
+    for qid, q in DSL_QUERIES:
+        spec = parse_dsl(q)
+        static = sorted(
+            {t.lower() for t in spec["opt"]} | {t.lower() for t in spec["req"]}
+        )
+        term_selects = []
+        if static:
+            term_selects.append(
+                "SELECT term FROM (VALUES "
+                + ", ".join(f"('{t}')" for t in static)
+                + ") v(term)"
+            )
+        for p in spec["prefix"]:
+            term_selects.append(
+                f"SELECT DISTINCT term FROM t WHERE term LIKE '{p.lower()}%'"
+            )
+        for f in spec["fuzzy"]:
+            term_selects.append(
+                "SELECT DISTINCT term FROM t "
+                f"WHERE levenshtein(term, '{f.lower()}') <= 1"
+            )
+        q_cte = " UNION ".join(term_selects) if term_selects else (
+            "SELECT term FROM t WHERE 1 = 0"
+        )
+        req = sorted({t.lower() for t in spec["req"]})
+        having = (
+            "HAVING count(DISTINCT CASE WHEN tf.term IN "
+            f"({_sql_quote_list(req)}) THEN tf.term END) = {len(req)}"
+            if req
+            else ""
+        )
+        where_parts = []
+        exc = sorted({t.lower() for t in spec["exc"]})
+        if exc:
+            where_parts.append(
+                "s.doc_id NOT IN (SELECT doc_id FROM t "
+                f"WHERE term IN ({_sql_quote_list(exc)}))"
+            )
+        for ph in spec["phrases"]:
+            toks = ph.lower().split()
+            pat = "(^|[^a-z0-9])" + "[^a-z0-9]+".join(toks) + "([^a-z0-9]|$)"
+            where_parts.append(
+                "s.doc_id IN (SELECT doc_id FROM documents "
+                f"WHERE regexp_matches(lower(text), '{pat}'))"
+            )
+        where = ("WHERE " + " AND ".join(where_parts)) if where_parts else ""
+        per_qid.append(
+            f"""
+sel_{qid} AS (
+  SELECT {qid} AS qid, doc_id, rank FROM (
+    SELECT s.doc_id,
+           CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS BIGINT) AS rank
+    FROM (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ) AS score
+      FROM (SELECT DISTINCT term FROM ({q_cte})) q
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      {having}
+    ) s
+    {where}
+  ) WHERE rank <= 10
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM sel_{qid}" for qid, _ in DSL_QUERIES)
+    return (
+        _corpus_ctes()
+        + ","
+        + ",".join(per_qid)
+        + f"\nSELECT qid, rank, doc_id FROM ({union})"
+    )
+
+
+def ranker_agreement(sf_dir: str) -> pa.Table:
+    """IR evaluation: per query, how much the two ranking models over the
+    same index agree — overlap@10 (shared docs in the top-10s) and the
+    Spearman footrule on the intersection (sum |rank_bm25 - rank_lm|,
+    exact ints).  Both rankers run their normal distributed paths; the
+    metric is O(k) driver arithmetic on the two tiny rank tables.
+    Output (qid, overlap, footrule) for every qid either ranker answered.
+    The SQL oracle recomputes BOTH rankers from scratch and the same
+    metric — a composition check over two independently-green contracts."""
+    bm = bm25_topk(sf_dir).to_pandas()
+    lm = lm_dirichlet_topk(sf_dir).to_pandas()[["qid", "rank", "doc_id"]]
+    j = bm.merge(lm, on=["qid", "doc_id"], suffixes=("_b", "_l"))
+    j["fr"] = (j["rank_b"] - j["rank_l"]).abs()
+    agg = (
+        j.groupby("qid")
+        .agg(overlap=("doc_id", "count"), footrule=("fr", "sum"))
+        .reset_index()
+    )
+    qids = sorted(set(bm["qid"]) | set(lm["qid"]))
+    import pandas as pd
+
+    out = (
+        pd.DataFrame({"qid": qids})
+        .merge(agg, on="qid", how="left")
+        .fillna(0)
+    )
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"].astype("int64"), pa.int64()),
+            "overlap": pa.array(out["overlap"].astype("int64"), pa.int64()),
+            "footrule": pa.array(out["footrule"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def ranker_agreement_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    mu = LM_MU
+    return _corpus_ctes() + f""",
+q(qid, term) AS (VALUES {values}),
+bscored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+btop AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM bscored
+  ) WHERE rank <= 10
+),
+cf AS (SELECT term, count(*) AS cf FROM t GROUP BY term),
+c AS (SELECT count(*) * 1.0 AS c FROM t),
+lscored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1.0 + tf.tf / (({mu} * cf.cf) / c.c)))
+         + count(*) * ln({mu} / (dl.dl + {mu})) AS score
+  FROM q JOIN tf USING (term) JOIN cf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+  GROUP BY q.qid, tf.doc_id, dl.dl
+),
+ltop AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM lscored
+  ) WHERE rank <= 10
+),
+qq AS (SELECT DISTINCT qid FROM btop UNION SELECT DISTINCT qid FROM ltop),
+j AS (
+  SELECT b.qid, count(*) AS overlap, sum(abs(b.rank - l.rank)) AS footrule
+  FROM btop b JOIN ltop l USING (qid, doc_id) GROUP BY b.qid
+)
+SELECT qq.qid,
+       CAST(COALESCE(j.overlap, 0) AS BIGINT) AS overlap,
+       CAST(COALESCE(j.footrule, 0) AS BIGINT) AS footrule
+FROM qq LEFT JOIN j USING (qid)"""
+
+
+# percolator registry: (pq_id, terms, mode) — mode 'all' requires every
+# term in the document, 'any' at least one (Elasticsearch percolate:
+# store the queries, stream the documents)
+PERC_QUERIES: list[tuple[int, list[str], str]] = [
+    (1, ["fast", "merge"], "all"),
+    (2, ["spark"], "any"),
+    (3, ["scan", "window", "table"], "all"),
+    (4, ["stream", "customer"], "any"),
+    (5, ["xyzzy"], "any"),  # never matches: empty-result path
+]
+
+
+class _Percolator:
+    """Stateful percolation stage: the stored-query registry compiles to a
+    term -> query-ids inverted map ONCE per worker (``stage_fn`` init);
+    each documents batch evaluates every stored query vectorized —
+    distinct-matched-term counts per (doc, query) via one isin + one
+    bincount per query."""
+
+    def __init__(self):
+        from ..functions.tokenize import TokenNormalizer
+
+        self.norm = TokenNormalizer("simple")
+        self.queries = [
+            (pq_id, sorted(set(terms)), 1 if mode == "any" else len(set(terms)))
+            for pq_id, terms, mode in PERC_QUERIES
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import doc_term_tf
+
+        d, tid, _tf, vocab = doc_term_tf(batch["text"], self.norm)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pq_id": pa.array([], pa.int64())}
+        )
+        if not vocab:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = {t: i for i, t in enumerate(vocab)}
+        out_d, out_q = [], []
+        n = len(batch)
+        for pq_id, terms, need in self.queries:
+            tidx = np.array([pos[t] for t in terms if t in pos], dtype=np.int64)
+            if len(tidx) == 0 or (need > 1 and len(tidx) < need):
+                continue  # a required term absent from this batch's vocab
+            sel = np.isin(tid, tidx)
+            # (doc, term) rows are distinct, so this counts distinct terms
+            cnt = np.bincount(d[sel], minlength=n)
+            hit = np.flatnonzero(cnt >= need)
+            if len(hit):
+                out_d.append(ids[hit])
+                out_q.append(np.full(len(hit), pq_id, np.int64))
+        if not out_d:
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "pq_id": pa.array(np.concatenate(out_q), pa.int64()),
+            }
+        )
+
+
+def percolate_queries(sf_dir: str) -> ray.data.Dataset:
+    """Reverse search (Elasticsearch percolate): match every document in
+    the corpus against the stored-query registry ``PERC_QUERIES`` —
+    the alerting / route-on-ingest primitive.  One streaming pass; the
+    registry compiles once per worker; output (doc_id, pq_id) matches.
+    At 100 TB this is exactly the ingest-tap shape: the stage bolts onto
+    the build pipeline's tokenize pass at zero extra scans."""
+    from ..util import stage_fn
+    from .text import docs_dataset
+
+    return docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage_fn(_Percolator), batch_format="pyarrow", batch_size=512
+    )
+
+
+def percolate_sql_oracle() -> str:
+    values = ", ".join(
+        f"({pq_id}, '{t}')"
+        for pq_id, terms, _ in PERC_QUERIES
+        for t in sorted(set(terms))
+    )
+    needs = ", ".join(
+        f"({pq_id}, {1 if mode == 'any' else len(set(terms))})"
+        for pq_id, terms, mode in PERC_QUERIES
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+        pq(pq_id, term) AS (VALUES {values}),
+        need(pq_id, n) AS (VALUES {needs}),
+        m AS (
+          SELECT pq.pq_id, t.doc_id, count(DISTINCT t.term) AS c
+          FROM pq JOIN t USING (term) GROUP BY 1, 2
+        )
+        SELECT m.doc_id, m.pq_id
+        FROM m JOIN need USING (pq_id) WHERE m.c >= need.n
+    """
+
+
 SIG_TOP = 10
 
 

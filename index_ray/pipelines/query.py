@@ -36,6 +36,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -68,6 +69,52 @@ def query_terms_ordered(query: str, tokenizer_mode: str) -> list[str]:
     norm = TokenNormalizer(tokenizer_mode)
     _, tid, vocab = tokenize_batch(pa.array([query]), norm)
     return [vocab[t] for t in tid]
+
+
+_DSL_TOKEN = re.compile(r'"([^"]*)"|(\S+)')
+
+
+def parse_dsl(q: str) -> dict:
+    """Parse the mini query DSL into clause lists (raw, un-analyzed):
+
+    - ``"a b"``   exact phrase (FILTER clause — phrase words score only
+                  if they also appear as bare terms)
+    - ``+term``   required (document must contain it)
+    - ``-term``   excluded (boolean NOT)
+    - ``ns:term`` field-scoped term (requires a field-marker index)
+    - ``term*``   prefix expansion, ``term~`` fuzzy expansion
+    - ``term``    optional scored term
+
+    Returns {opt, req, exc, prefix, fuzzy, phrases, fields}."""
+    out: dict[str, list] = {
+        "opt": [], "req": [], "exc": [], "prefix": [], "fuzzy": [],
+        "phrases": [], "fields": [],
+    }
+    for m in _DSL_TOKEN.finditer(q):
+        if m.group(1) is not None:
+            if m.group(1).strip():
+                out["phrases"].append(m.group(1))
+            continue
+        tok = m.group(2)
+        sign = ""
+        if tok[0] in "+-":
+            sign, tok = tok[0], tok[1:]
+        if not tok:
+            continue
+        if ":" in tok[1:]:
+            ns, t = tok.split(":", 1)
+            out["fields"].append((ns, t))
+        elif tok.endswith("*") and len(tok) > 1:
+            out["prefix"].append(tok[:-1])
+        elif tok.endswith("~") and len(tok) > 1:
+            out["fuzzy"].append(tok[:-1])
+        elif sign == "+":
+            out["req"].append(tok)
+        elif sign == "-":
+            out["exc"].append(tok)
+        else:
+            out["opt"].append(tok)
+    return out
 
 
 def _deletions1(t: str) -> list[str]:
@@ -1730,6 +1777,93 @@ class BM25Searcher:
                 terms.update(self.lexicon.fuzzy_terms(tok))
             prepared.append((terms, k))
         return self._expanded_or_search(prepared, prune)
+
+    def search_dsl(self, q: str, k: int = 10, prune: bool = True) -> pa.Table:
+        """One-string query surface: parse the mini DSL (``parse_dsl``)
+        and compose the engine's primitives —
+
+        - optional / required / field terms and prefix-/fuzzy-expansions
+          all SCORE as a disjunction, each term with its own idf;
+        - required terms additionally FILTER (doc must contain all of
+          them — skip-seek AND match set from the shards);
+        - excluded terms bar documents (the score-lossless NOT channel);
+        - phrases FILTER via the positional index (phrase words score
+          only if also present as bare terms).
+
+        With a required/phrase inclusion filter, per-chunk top-k pruning
+        is unsound (tau would form from docs the filter then removes), so
+        those queries run dense chunk scans; pure disjunctions keep the
+        pruned path."""
+        spec = parse_dsl(q)
+        tok_mode = self.stats.get("tokenizer", "code")
+        if spec["fields"] and not self.stats.get("field_col"):
+            raise ValueError(
+                f"index at {self.index_dir} was built without field_col"
+            )
+        if spec["phrases"] and not self.stats.get("positions"):
+            raise ValueError(
+                f"index at {self.index_dir} was built without positions=True"
+            )
+
+        def analyze(tokens: list[str]) -> set[str]:
+            out: set[str] = set()
+            for t in tokens:
+                out.update(query_terms(t, tok_mode))
+            return out
+
+        opt = analyze(spec["opt"])
+        req = analyze(spec["req"])
+        exc = sorted(analyze(spec["exc"]))
+        expand: set[str] = set()
+        for p in spec["prefix"]:
+            expand.update(self.lexicon.prefix_terms(p.lower()))
+        for f in spec["fuzzy"]:
+            for ft in query_terms(f, tok_mode):
+                expand.update(self.lexicon.fuzzy_terms(ft))
+        for ns, t in spec["fields"]:
+            expand.update(f"{ns}:{at}" for at in query_terms(t, tok_mode))
+        scored_terms = sorted(opt | req | expand)
+        weights = self.lexicon.idf(scored_terms)
+        present = [t for t in scored_terms if t in weights]
+        idfs = [weights[t][1] for t in present]
+
+        incl: np.ndarray | None = None
+        req_sorted = sorted(req)
+        if req_sorted:
+            per = ray.get(
+                [a.match_many.remote([req_sorted], "and") for a in self.actors]
+            )
+            incl = np.concatenate([r[0] for r in per])
+        for ph in spec["phrases"]:
+            ph_docs = self.phrase_many([ph])[0]["docID"].to_numpy(
+                zero_copy_only=False
+            )
+            incl = (
+                ph_docs if incl is None else np.intersect1d(incl, ph_docs)
+            )
+
+        kk = k if incl is None else (1 << 31)
+        prepared = [(present, idfs, kk)]
+        futs = [
+            a.score_many.remote(
+                prepared, prune and incl is None, "or", [exc] if exc else None
+            )
+            for a in self.actors
+        ]
+        per_actor = ray.get(futs)
+        docs = np.concatenate([r[0][0] for r in per_actor])
+        scores = np.concatenate([r[0][1] for r in per_actor])
+        if incl is not None:
+            m = np.isin(docs, incl)
+            docs, scores = docs[m], scores[m]
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "docID": pa.array(docs[order], type=pa.int64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
 
     def search_collapse_many(
         self,

@@ -461,3 +461,57 @@ def test_fuzzy_rejects_marker_indexes(tiny_corpus_dir, tmp_path):
     s = BM25Searcher(out, num_shards=1)
     with pytest.raises(ValueError, match="marker-namespace"):
         s.search_fuzzy_many([("connection", 10)])
+
+
+# ------------------------------------------------------------- query DSL --
+
+
+def test_parse_dsl_clauses():
+    from index_ray.pipelines.query import parse_dsl
+
+    s = parse_dsl('+req -exc opt pre* fuz~ ns:val "a phrase" +')
+    assert s["req"] == ["req"] and s["exc"] == ["exc"] and s["opt"] == ["opt"]
+    assert s["prefix"] == ["pre"] and s["fuzzy"] == ["fuz"]
+    assert s["fields"] == [("ns", "val")] and s["phrases"] == ["a phrase"]
+
+
+def test_dsl_composes_primitives(pos_index_dir, tiny_corpus_table):
+    searcher = BM25Searcher(pos_index_dir, num_shards=2)
+    # bare terms == plain OR search (bitwise)
+    a = searcher.search_dsl("parse connection", k=10)
+    b = searcher.search("parse connection", k=10)
+    assert a["docID"].to_pylist() == b["docID"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # exclusion == the NOT channel (bitwise)
+    e = searcher.search_dsl("parse connection -socket", k=10)
+    f = searcher.search_many([("parse connection", 10)], exclude=["socket"])[0]
+    assert e["docID"].to_pylist() == f["docID"].to_pylist()
+    assert e["score"].to_pylist() == f["score"].to_pylist()
+    # all-required == conjunctive match set, scores = OR scores on it
+    c = searcher.search_dsl("+parse +connection", k=10)
+    d = searcher.search("parse connection", k=10, mode="and")
+    assert c["docID"].to_pylist() == d["docID"].to_pylist()
+    # phrase clause filters; scored by the bare term
+    toks = _doc_tokens(tiny_corpus_table)
+    ph = " ".join(toks[7][0:3])
+    g = searcher.search_dsl(f'"{ph}" parse', k=10)
+    ph_docs = set(searcher.phrase_many([ph])[0]["docID"].to_pylist())
+    full = searcher.search("parse", k=10**6, prune=False)
+    want = [
+        (doc, s)
+        for doc, s in zip(full["docID"].to_pylist(), full["score"].to_pylist())
+        if doc in ph_docs
+    ][:10]
+    assert g["docID"].to_pylist() == [doc for doc, _ in want]
+    assert g["score"].to_pylist() == [s for _, s in want]
+    assert len(g) > 0  # the planted phrase matches something
+
+
+def test_dsl_requires_capabilities(tiny_index_dir):
+    s = BM25Searcher(tiny_index_dir, num_shards=1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positions"):
+        s.search_dsl('"merge sort" key')
+    with _pt.raises(ValueError, match="field_col"):
+        s.search_dsl("lang:python parse")
