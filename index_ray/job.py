@@ -69,6 +69,12 @@ def _cmd_build(a: argparse.Namespace) -> dict:
 
     _init_ray()
     cfg = _build_cfg(a)
+    if a.cmd == "upsert":
+        from .pipelines.compact import upsert_index
+
+        r = upsert_index(a.source, a.out, cfg, key_col=a.key_col)
+        m = read_json(os.path.join(a.out, "metrics.json")) or {}
+        return {**m, **r}
     fn = append_index if a.cmd == "append" else build_index
     fn(a.source, a.out, cfg)
     return read_json(os.path.join(a.out, "metrics.json")) or {}
@@ -159,7 +165,7 @@ def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(prog="python -m index_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    for name in ("build", "append"):
+    for name in ("build", "append", "upsert"):
         b = sub.add_parser(name)
         b.add_argument("--source", required=True, help="parquet file/dir/glob")
         b.add_argument("--out", required=True, help="index directory")
@@ -171,6 +177,11 @@ def main(argv: list[str] | None = None) -> dict:
         b.add_argument("--field-col", default=None)
         b.add_argument("--style-head", type=int, default=0)
         b.add_argument("--shuffle", choices=["bucket", "sort", "hash"], default=None)
+        if name == "upsert":
+            b.add_argument(
+                "--key-col", default="path",
+                help="docmap identity column matched for replacement",
+            )
         b.set_defaults(fn=_cmd_build)
 
     q = sub.add_parser("query")

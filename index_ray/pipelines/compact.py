@@ -81,6 +81,77 @@ def delete_docs(out_dir: str, doc_ids) -> dict:
     return stats
 
 
+def upsert_index(
+    source, out_dir: str, cfg=None, key_col: str = "path"
+) -> dict:
+    """Re-crawl upsert: replace documents whose ``key_col`` identity
+    already exists — the reference crawler's FindUrl-then-reindex loop
+    (``/root/reference/index.h:409``) as one idempotent operation:
+
+    1. restrict to source fragments NOT yet ingested (chunk-manifest
+       lineage — the same identity ``append_index`` uses);
+    2. ``find_docs`` the incoming identities in the docmap and tombstone
+       the surviving old docIDs (``delete_docs``; logical, immediate);
+    3. ``append_index`` the new versions as fresh chunks.
+
+    Searches see the new versions as soon as the append commits and the
+    old versions never; the next ``compact_index`` purges the tombstoned
+    postings physically.  Because step 2 only considers fragments that
+    step 3 has not ingested, a re-run (or a crash between the steps and
+    a retry) is a no-op / clean resume: the new versions are never
+    self-tombstoned, and re-tombstoning an already-deleted doc is
+    idempotent."""
+    from ..sources.fragments import scan_fragments
+    from ..state.manifest import manifest_path, read_json
+    from .build import append_index
+    from .query import find_docs
+
+    stats = load_stats(out_dir)
+    manifests = [
+        read_json(
+            manifest_path(os.path.join(out_dir, "chunks", f"chunk-{c['chunk']:05d}"))
+        )
+        for c in stats.get("chunks", [])
+    ]
+    ingested = {
+        (os.path.abspath(fr["path"]), fr["row_group"])
+        for m in manifests
+        if m
+        for fr in m.get("input_fragments", [])
+    }
+    new_specs = [
+        s
+        for s in scan_fragments(source)
+        if (os.path.abspath(s.path), s.row_group) not in ingested
+    ]
+    n_replaced = 0
+    if new_specs:
+        keys: set = set()
+        for s in new_specs:
+            keys.update(
+                pq.ParquetFile(s.path)
+                .read_row_group(s.row_group, columns=[key_col])[key_col]
+                .to_pylist()
+            )
+        old = find_docs(out_dir, key_col, sorted(keys))
+        if old.num_rows:
+            old_ids = np.unique(
+                old["docID"].to_numpy(zero_copy_only=False)
+            )
+            already = load_tombstones(out_dir)
+            live = old_ids[~np.isin(old_ids, already)]
+            if len(live):
+                delete_docs(out_dir, live)
+            n_replaced = int(len(live))
+    res = append_index(source, out_dir, cfg)
+    return {
+        "n_replaced": n_replaced,
+        "n_docs": res.n_docs,
+        "n_chunks": res.n_chunks,
+        "chunks_skipped": res.chunks_skipped,
+    }
+
+
 def load_tombstones(out_dir: str, only_files: list[str] | None = None) -> np.ndarray:
     """Sorted unique tombstoned docIDs (empty array if none).
 

@@ -415,3 +415,74 @@ def test_merged_bm25_reruns_and_tombstone_count(tmp_path):
     delete_docs(idxs["y"], [31, 32])
     stats = merge_indexes(idxs["x"], idxs["y"])
     assert stats["n_tombstoned"] == 2
+
+
+def test_upsert_replaces_by_identity(tmp_path):
+    """Re-crawl upsert: changed documents (same path identity) replace the
+    old versions — searches see the new content immediately and the old
+    never; re-running the same upsert is a no-op; compaction purges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from index_ray.pipelines.compact import (
+        compact_index,
+        load_tombstones,
+        upsert_index,
+    )
+    from index_ray.pipelines.query import find_docs
+    from index_ray.sources.corpus import generate_corpus
+
+    corp = tmp_path / "corp"
+    write_corpus(str(corp), TINY_DOCS, seed=TINY_SEED, n_files=3)
+    cfg = BuildConfig(**TINY_CFG)
+    idx = str(tmp_path / "idx")
+    build_index(str(corp), idx, cfg)
+    n0 = load_stats(idx)["N"]
+
+    # re-crawl: docs 5..9 change content (same repo/path identity)
+    full = generate_corpus(TINY_DOCS, TINY_SEED)
+    sl = full.slice(5, 5)
+    new_content = pa.array(
+        [c + " zzupdated token" for c in sl["content"].to_pylist()]
+    )
+    recrawl = pa.table(
+        {
+            "repo": sl["repo"],
+            "path": sl["path"],
+            "commit": sl["commit"],
+            "lang": sl["lang"],
+            "content": new_content,
+        }
+    )
+    rdir = tmp_path / "recrawl"
+    rdir.mkdir()
+    pq_.write_table(recrawl, str(rdir / "recrawl-0.parquet"))
+
+    r = upsert_index(str(rdir), idx, cfg, key_col="path")
+    assert r["n_replaced"] == 5
+    old_ids = set(range(5, 10))
+    assert set(load_tombstones(idx).tolist()) == old_ids
+
+    # the new versions are searchable; the old docIDs are barred
+    s = BM25Searcher(idx)
+    got = s.search("zzupdated", k=10)["docID"].to_pylist()
+    assert len(got) == 5 and all(d >= n0 for d in got)
+    for q in QUERIES:
+        assert not (set(s.search(q, k=200)["docID"].to_pylist()) & old_ids)
+    # identity now resolves to both docmap rows until compaction; the
+    # new row carries the updated sha
+    rows = find_docs(idx, "path", [sl["path"][0].as_py()])
+    assert rows.num_rows == 2
+
+    # idempotent re-run: nothing new to replace, nothing re-appended
+    r2 = upsert_index(str(rdir), idx, cfg, key_col="path")
+    assert r2["n_replaced"] == 0
+    assert set(load_tombstones(idx).tolist()) == old_ids
+
+    # compaction purges the old versions physically
+    compact_index(idx)
+    assert load_stats(idx)["N"] == n0  # 200 - 5 + 5
+    rows = find_docs(idx, "path", [sl["path"][0].as_py()])
+    assert rows.num_rows == 1
+    s2 = BM25Searcher(idx)
+    assert len(s2.search("zzupdated", k=10)) == 5

@@ -93,3 +93,36 @@ def test_lifecycle_subcommands(tiny_corpus_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="collision"):
         main(["merge", "--dst", a, "--src", b])
+
+
+def test_upsert_cli(tiny_corpus_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.sources.corpus import generate_corpus
+
+    out = str(tmp_path / "idx")
+    main(["build", "--source", tiny_corpus_dir, "--out", out,
+          "--chunk-docs", "100"])
+    full = generate_corpus(200, 42)
+    sl = full.slice(0, 3)
+    recrawl = pa.table(
+        {
+            "repo": sl["repo"],
+            "path": sl["path"],
+            "commit": sl["commit"],
+            "lang": sl["lang"],
+            "content": pa.array(
+                [c + " qqrecrawled" for c in sl["content"].to_pylist()]
+            ),
+        }
+    )
+    rdir = tmp_path / "re"
+    rdir.mkdir()
+    pq.write_table(recrawl, str(rdir / "r0.parquet"))
+    m = main(["upsert", "--source", str(rdir), "--out", out,
+              "--chunk-docs", "100"])
+    assert m["n_replaced"] == 3
+    r = main(["query", "--index", out, "--q", "qqrecrawled", "--k", "5"])
+    assert len(r["rows"]) == 3
+    assert all(row["docID"] >= 200 for row in r["rows"])
