@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": events.event_gaps,
         "event_transitions": events.event_transitions,
         "distinct_users_daily": events.distinct_users_daily,
+        # semi-structured: vectorized JSON field extraction + aggregate
+        "json_props_stats": events.json_props_stats,
         "near_match": flagship.near_match,
         "search_snippets": flagship.search_snippets,
         "bm25_head_boost": flagship.bm25_head_boost,
@@ -1085,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "session_concurrency": session_concurrency_sql_oracle(),
         "events_in_signup_window": signup_window_sql_oracle(),
         "value_percentiles": value_percentiles_sql_oracle(),
+        "json_props_stats": events_mod.json_props_sql_oracle(),
         "rolling_user_value": rolling_sql_oracle(),
         "running_user_total": running_user_total_sql_oracle(),
         "event_gaps": event_gaps_sql_oracle(),

@@ -1611,3 +1611,67 @@ def ohlc_bars_sql_oracle() -> str:
                CAST(count(*) AS BIGINT) AS n
         FROM x GROUP BY event_type, hour
     """
+
+
+# ------------------------------------------------- JSON props extraction --
+
+
+def json_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured column processing: extract the integer ``k`` field
+    from the JSON ``props`` string per event (vectorized
+    ``pc.extract_regex`` — no per-row json.loads in the hot path; the
+    contract covers flat integer fields, which is what DuckDB's
+    ``json_extract`` + BIGINT cast computes on the oracle side) and
+    aggregate per event_type: event count, non-null k count, sum/min/max
+    of k.  All-integer outputs, partials per batch, one tiny groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ext, "k").cast(pa.int64())
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": k,
+                "one": pa.array(np.ones(len(t), np.int64)),
+            }
+        ).group_by(["event_type"], use_threads=False).aggregate(
+            [
+                ("one", "sum"),
+                ("k", "count"),
+                ("k", "sum"),
+                ("k", "min"),
+                ("k", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["event_type", "n_p", "nk_p", "sum_p", "min_p", "max_p"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_p", alias_name="n_events"),
+            Sum("nk_p", alias_name="n_with_k"),
+            Sum("sum_p", alias_name="k_sum"),
+            Min("min_p", alias_name="k_min"),
+            Max("max_p", alias_name="k_max"),
+        )
+    )
+
+
+def json_props_sql_oracle() -> str:
+    return """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        FROM events GROUP BY event_type
+    """
