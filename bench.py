@@ -183,6 +183,13 @@ def run_bench() -> dict:
             ("connected_components", lambda: graph.connected_components(SF_DIR).materialize()),
             ("hopping_windows", lambda: events.hopping_windows(SF_DIR).materialize()),
             ("skipgram_counts", lambda: text.skipgram_counts(SF_DIR).materialize()),
+            ("lm_dirichlet_topk", lambda: flagship.lm_dirichlet_topk(SF_DIR)),
+            ("dsl_search", lambda: flagship.dsl_search(SF_DIR)),
+            ("mmr_rerank", lambda: flagship.mmr_rerank(SF_DIR)),
+            ("significant_terms", lambda: flagship.significant_terms(SF_DIR)),
+            ("percolate_queries", lambda: flagship.percolate_queries(SF_DIR).materialize()),
+            ("bfs_hops", lambda: graph.bfs_hops(SF_DIR).materialize()),
+            ("json_props_stats", lambda: events.json_props_stats(SF_DIR).materialize()),
         ]:
             runs = []
             for _ in range(2):

@@ -152,3 +152,27 @@ def test_session_bounds_match_bruteforce(rows, gap_us):
     assert starts.tolist() == [e[0] for e in exp]
     assert ends.tolist() == [e[1] for e in exp]
     assert seq.tolist() == [e[2] for e in exp]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["", "+", "-"]),
+            st.text(alphabet="abcz", min_size=1, max_size=5),
+            st.sampled_from(["", "*", "~"]),
+        ),
+        max_size=8,
+    )
+)
+def test_parse_dsl_partitions_every_token(tokens):
+    """Every whitespace token lands in exactly one clause list, whatever
+    the sign/suffix combination (suffix markers bind tighter than signs)."""
+    from index_ray.pipelines.query import parse_dsl
+
+    q = " ".join(f"{s}{t}{m}" for s, t, m in tokens)
+    p = parse_dsl(q)
+    total = sum(
+        len(p[k]) for k in ("opt", "req", "exc", "prefix", "fuzzy", "fields")
+    )
+    assert total == len(tokens)
+    assert not p["phrases"]
