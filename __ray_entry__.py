@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranker_agreement": flagship.ranker_agreement,
         # one-string query DSL: +req -excl "phrase" prefix* fuzzy~
         "dsl_search": flagship.dsl_search,
+        # lexicon-backed suggest: prefix -> top completions by cf
+        "autocomplete": flagship.autocomplete,
         # OLAP CUBE: all four grouping sets from one finest-level scan
         "cube_revenue": relational.cube_revenue,
         # partition-transparent federation: two lang-split indexes, one
@@ -521,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         percolate_sql_oracle,
         ranker_agreement_sql_oracle,
         dsl_search_sql_oracle,
+        autocomplete_sql_oracle,
         bm25_range_sql_oracle,
         match_stats_sql_oracle,
         bm25_filtered_sql_oracle,
@@ -635,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_queries": percolate_sql_oracle(),
         "ranker_agreement": ranker_agreement_sql_oracle(),
         "dsl_search": dsl_search_sql_oracle(),
+        "autocomplete": autocomplete_sql_oracle(),
         "bm25_fuzzy_topk": bm25_fuzzy_sql_oracle(),
         "bm25_after_delete": bm25_after_delete_sql_oracle(),
         "bm25_prefix_topk": bm25_prefix_sql_oracle(),

@@ -770,6 +770,59 @@ sel_{qid} AS (
     )
 
 
+AUTOCOMPLETE_PREFIXES = ["s", "c", "qu", "zz"]  # 'zz': empty-result path
+AUTOCOMPLETE_K = 5
+
+
+def autocomplete(sf_dir: str) -> pa.Table:
+    """Search-box autocomplete: for each prefix, the top-``K`` completions
+    from the index vocabulary ranked by collection frequency (cf DESC,
+    term ASC) — the suggest surface every search platform bolts onto its
+    lexicon.  The candidate range comes from the merged lexicon's sorted
+    term order (``Lexicon.prefix_terms``: bisect on the resident map /
+    row-group-pruned range read at scale); cf joins from the same
+    lexicon.  Output (prefix, rank, term, cf)."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    rows_p: list[str] = []
+    rows_r: list[int] = []
+    rows_t: list[str] = []
+    rows_c: list[int] = []
+    for p in AUTOCOMPLETE_PREFIXES:
+        terms = searcher.lexicon.prefix_terms(p)
+        if not terms:
+            continue
+        cf = searcher.lexicon.cf(terms)
+        ranked = sorted(terms, key=lambda t: (-cf.get(t, 0), t))[:AUTOCOMPLETE_K]
+        for i, t in enumerate(ranked, 1):
+            rows_p.append(p)
+            rows_r.append(i)
+            rows_t.append(t)
+            rows_c.append(cf.get(t, 0))
+    return pa.table(
+        {
+            "prefix": pa.array(rows_p, pa.string()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "term": pa.array(rows_t, pa.string()),
+            "cf": pa.array(rows_c, pa.int64()),
+        }
+    )
+
+
+def autocomplete_sql_oracle() -> str:
+    selects = []
+    for p in AUTOCOMPLETE_PREFIXES:
+        selects.append(
+            f"""
+SELECT '{p}' AS prefix, rank, term, cf FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS BIGINT) AS rank
+  FROM t WHERE term LIKE '{p}%' GROUP BY term
+) WHERE rank <= {AUTOCOMPLETE_K}"""
+        )
+    return _corpus_ctes() + "\n" + " UNION ALL ".join(selects)
+
+
 def ranker_agreement(sf_dir: str) -> pa.Table:
     """IR evaluation: per query, how much the two ranking models over the
     same index agree — overlap@10 (shared docs in the top-10s) and the
