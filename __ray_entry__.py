@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS hop distance (graph suite, below-fold sibling
         # of pagerank/connected_components/triangle_count)
         "bfs_hops": graph.bfs_hops,
+        # semi-supervised majority-label spreading from clamped seeds
+        "label_propagation": graph.label_propagation,
         # query-time synonym expansion (disjunction, per-term idf)
         "bm25_synonyms": flagship.bm25_synonyms,
         # field collapsing: <= cap results per group, exact combiner
@@ -498,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines import text as text_mod
     from index_ray.pipelines.graph import (
         bfs_hops_sql_oracle,
+        label_propagation_sql_oracle,
         connected_components_sql_oracle,
         pagerank_sql_oracle,
         triangle_count_sql_oracle,
@@ -1207,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_bars": events_mod.ohlc_bars_sql_oracle(),
         "triangle_count": triangle_count_sql_oracle(),
         "bfs_hops": bfs_hops_sql_oracle(),
+        "label_propagation": label_propagation_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
         "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
         "linkage_clusters": linkage_mod.linkage_clusters_sql_oracle(),

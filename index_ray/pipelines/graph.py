@@ -911,3 +911,230 @@ def bfs_hops_sql_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
                CAST(min(dist) AS BIGINT) AS dist
         FROM walk GROUP BY node
     """
+
+
+# ----------------------------------------------------- label propagation --
+
+LP_SEEDS = {2: 1, 4: 2, 6: 3}  # customer nodes 1..3 -> label tiers
+LP_ROUNDS = 3
+
+
+@ray.remote
+def _lp_scatter(edges: pa.Table, frontier: pa.Table, nparts: int):
+    """One src-bucket's vote scatter: every out-edge of a last-round-
+    labeled node emits (dst, label), pre-aggregated to (dst, label,
+    votes) before the hash(dst) fan-out.  Frontier-only voting is EXACT:
+    an unlabeled dst cannot have a neighbor labeled before the last
+    round (it would have been labeled then itself), so the frontier IS
+    its whole labeled neighborhood."""
+    empty = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("votes", pa.int64())]
+    ).empty_table()
+    if edges.num_rows == 0 or frontier.num_rows == 0:
+        return tuple(empty for _ in range(nparts)) if nparts > 1 else empty
+    src = edges["src"].to_numpy(zero_copy_only=False)
+    dst = edges["dst"].to_numpy(zero_copy_only=False)
+    f = frontier["node"].to_numpy(zero_copy_only=False)
+    fl = frontier["label"].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(src, f, side="left")
+    hi = np.searchsorted(src, f, side="right")
+    idx = _expand_ranges(lo, hi)
+    if len(idx) == 0:
+        return tuple(empty for _ in range(nparts)) if nparts > 1 else empty
+    vd = dst[idx]
+    vl = np.repeat(fl, hi - lo)
+    # pre-aggregate (dst, label) votes — the combiner
+    key = vd * np.int64(1 << 20) + vl  # labels are tiny ints
+    uk, inv = np.unique(key, return_inverse=True)
+    votes = np.bincount(inv).astype(np.int64)
+    ud = (uk >> np.int64(20)).astype(np.int64)
+    ul = (uk & np.int64((1 << 20) - 1)).astype(np.int64)
+    b = _knuth_bucket(ud, nparts)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(nparts + 1))
+    out = tuple(
+        pa.table(
+            {
+                "node": pa.array(ud[order[bounds[i] : bounds[i + 1]]], pa.int64()),
+                "label": pa.array(ul[order[bounds[i] : bounds[i + 1]]], pa.int64()),
+                "votes": pa.array(votes[order[bounds[i] : bounds[i + 1]]], pa.int64()),
+            }
+        )
+        for i in range(nparts)
+    )
+    return out if nparts > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _lp_gather(labeled: pa.Table, *parts: pa.Table):
+    """Majority election per newly-reached node in one node bucket:
+    already-labeled nodes are clamped (hard seeds); the rest adopt the
+    label with the most votes, tie -> smallest label.  Returns
+    (labeled', new frontier)."""
+    fr_empty = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64())]
+    ).empty_table()
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return labeled, fr_empty
+    t = pa.concat_tables(live, promote_options="default")
+    node = t["node"].to_numpy(zero_copy_only=False)
+    lab = t["label"].to_numpy(zero_copy_only=False)
+    votes = t["votes"].to_numpy(zero_copy_only=False)
+    seen = labeled["node"].to_numpy(zero_copy_only=False)
+    new_mask = ~np.isin(node, seen)
+    node, lab, votes = node[new_mask], lab[new_mask], votes[new_mask]
+    if len(node) == 0:
+        return labeled, fr_empty
+    # sum votes across shards for the same (node, label)
+    key = node * np.int64(1 << 20) + lab
+    uk, inv = np.unique(key, return_inverse=True)
+    v = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(v, inv, votes)
+    un = (uk >> np.int64(20)).astype(np.int64)
+    ul = (uk & np.int64((1 << 20) - 1)).astype(np.int64)
+    # majority with (votes DESC, label ASC): sort by (node, -votes, label)
+    order = np.lexsort((ul, -v, un))
+    un_s = un[order]
+    first = np.ones(len(un_s), dtype=bool)
+    first[1:] = un_s[1:] != un_s[:-1]
+    win = order[first]
+    add = pa.table(
+        {
+            "node": pa.array(un[win], pa.int64()),
+            "label": pa.array(ul[win], pa.int64()),
+        }
+    )
+    return pa.concat_tables([labeled, add]), add
+
+
+def label_propagation(
+    sf_dir: str,
+    seeds: dict[int, int] | None = None,
+    rounds: int = LP_ROUNDS,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Semi-supervised label propagation over the customer<->supplier
+    graph (hard-clamped seeds): each round, unlabeled nodes adjacent to
+    the last round's newly-labeled frontier adopt the majority neighbor
+    label (votes DESC, label ASC tie-break) — the quality-tier /
+    trust-propagation primitive for crawl corpora.  Bucketed
+    scatter/gather over PageRank's resident edge list (frontier-only
+    voting, provably equal to voting from the full labeled set).
+    Integer labels, bitwise deterministic at any parallelism.  Output
+    (node, kind, label) for every node labeled within ``rounds``."""
+    sd = dict(seeds) if seeds is not None else dict(LP_SEEDS)
+    if any(l < 0 or l >= (1 << 20) for l in sd.values()):
+        raise ValueError("labels must fit in 20 bits (packed vote keys)")
+    edges = _order_edges(sf_dir)
+    per_block = []
+    for bundle in edges.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            if num_buckets > 1:
+                per_block.append(
+                    _edge_split.options(num_returns=num_buckets).remote(
+                        bref, num_buckets
+                    )
+                )
+            else:
+                per_block.append((_edge_split.remote(bref, num_buckets),))
+    sarr = np.array(sorted(sd), dtype=np.int64)
+    larr = np.array([sd[int(n)] for n in sarr], dtype=np.int64)
+
+    def label_out(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("node", pa.int64()), ("kind", pa.string()), ("label", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t["node"].to_numpy(zero_copy_only=False)
+        kind = np.where(n % 2 == 0, "customer", "supplier")
+        return pa.table(
+            {
+                "node": t["node"],
+                "kind": pa.array(kind.tolist(), pa.string()),
+                "label": t["label"],
+            }
+        )
+
+    if not per_block:
+        return ray.data.from_arrow(
+            label_out(
+                pa.table(
+                    {"node": pa.array(sarr), "label": pa.array(larr)}
+                )
+            )
+        )
+    ebuckets = [
+        _edge_bucket.remote(*[pb[i] for pb in per_block])
+        for i in range(num_buckets)
+    ]
+    sb = _knuth_bucket(sarr, num_buckets)
+    labeled, frontier = [], []
+    for i in range(num_buckets):
+        mine = sb == i
+        t = pa.table(
+            {
+                "node": pa.array(sarr[mine], pa.int64()),
+                "label": pa.array(larr[mine], pa.int64()),
+            }
+        )
+        labeled.append(ray.put(t))
+        frontier.append(ray.put(t))
+    for _ in range(rounds):
+        partials = [
+            _lp_scatter.options(num_returns=num_buckets).remote(e, f, num_buckets)
+            if num_buckets > 1
+            else (_lp_scatter.remote(e, f, num_buckets),)
+            for e, f in zip(ebuckets, frontier)
+        ]
+        rounds_out = [
+            _lp_gather.remote(labeled[i], *[p[i] for p in partials])
+            for i in range(num_buckets)
+        ]
+        labeled = [r[0] for r in rounds_out]
+        frontier = [r[1] for r in rounds_out]
+    return ray.data.from_arrow_refs(labeled).map_batches(
+        label_out, batch_format="pyarrow"
+    )
+
+
+def label_propagation_sql_oracle(rounds: int = LP_ROUNDS) -> str:
+    seeds = ", ".join(f"({n}, {l})" for n, l in sorted(LP_SEEDS.items()))
+    prev = "l0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS (
+          SELECT node, label FROM {prev}
+          UNION ALL
+          SELECT node, label FROM (
+            SELECT e.dst AS node, p.label,
+                   row_number() OVER (
+                     PARTITION BY e.dst
+                     ORDER BY count(*) DESC, p.label ASC
+                   ) AS r
+            FROM edges e JOIN {prev} p ON p.node = e.src
+            WHERE e.dst NOT IN (SELECT node FROM {prev})
+            GROUP BY e.dst, p.label
+          ) WHERE r = 1
+        )"""
+        )
+        prev = f"l{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs
+        ),
+        l0(node, label) AS (VALUES {seeds}),
+        {chain}
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               CAST(label AS BIGINT) AS label
+        FROM {prev}
+    """

@@ -269,3 +269,34 @@ def test_bfs_hops_bucket_invariance(ray_session, tmp_path):
     b = bfs_hops(d, max_hops=3, num_buckets=16).to_pandas().sort_values("node")
     assert a["node"].tolist() == b["node"].tolist()
     assert a["dist"].tolist() == b["dist"].tolist()
+
+
+def test_label_propagation_planted(ray_session, tmp_path):
+    """Two seed labels race down a path: the closer seed wins each node;
+    the tie node (equidistant, equal votes) takes the SMALLER label;
+    seeds stay clamped; bucket counts don't change anything."""
+    from index_ray.pipelines.graph import label_propagation
+
+    # path: c1 - s1 - c2 - s2 - c3 - s3 - c4, seeds c1(label 5), c4(label 4)
+    pairs = []
+    for k in range(1, 4):
+        pairs.append((k, k))
+        pairs.append((k + 1, k))
+    d = _write_graph(tmp_path, pairs)
+    seeds = {1 * 2: 5, 4 * 2: 4}
+    out = (
+        label_propagation(d, seeds=seeds, rounds=3, num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    got = dict(zip(out["node"], out["label"]))
+    # s1 from c1; s3 from c4; c2 from s1; c3 from s3;
+    # s2 equidistant (c2 label 5 vs c3 label 4 arrive same round) -> min 4
+    want = {2: 5, 8: 4, 3: 5, 7: 4, 4: 5, 6: 4, 5: 4}
+    assert got == want
+    a = label_propagation(d, seeds=seeds, rounds=3, num_buckets=1).to_pandas()
+    b = label_propagation(d, seeds=seeds, rounds=3, num_buckets=16).to_pandas()
+    assert (
+        a.sort_values("node")["label"].tolist()
+        == b.sort_values("node")["label"].tolist()
+    )
