@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": events.distinct_users_daily,
         # semi-structured: vectorized JSON field extraction + aggregate
         "json_props_stats": events.json_props_stats,
+        # market-basket doc-level co-occurrence with min support
+        "term_cooccurrence": text.term_cooccurrence,
         "near_match": flagship.near_match,
         "search_snippets": flagship.search_snippets,
         "bm25_head_boost": flagship.bm25_head_boost,
@@ -875,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_terms": heavy_hitter_terms_sql_oracle(),
         "bigram_counts": bigram_counts_sql_oracle(),
         "collocations": collocations_sql_oracle(),
+        "term_cooccurrence": text_mod.term_cooccurrence_sql_oracle(),
         "keywords_tfidf": keywords_tfidf_sql_oracle(),
         "knn_cosine": _KNN_SQL,
         # the persisted-IVF path probed exhaustively IS brute-force cosine

@@ -841,3 +841,111 @@ def top_terms_by_source_sql_oracle(k: int = 10) -> str:
         )
         SELECT source, rank, term, cf FROM r WHERE rank <= {k}
     """
+
+
+# -------------------------------------------------- doc-level co-occurrence
+
+
+COOC_MIN_SUPPORT = 25  # pair kept if it co-occurs in >= this many docs
+
+
+def term_cooccurrence(sf_dir: str, min_support: int = COOC_MIN_SUPPORT) -> ray.data.Dataset:
+    """Market-basket co-occurrence: (term_a, term_b, n_docs) for every
+    unordered pair of DISTINCT terms sharing >= ``min_support``
+    documents — the document-level companion to the sequence-adjacency
+    ``bigram_counts``/``collocations`` (PMI matrices, embedding co-count
+    statistics).
+
+    Per batch: per-doc distinct-term sets -> all in-doc pairs (cached
+    triu index tables per set size; the pair loop is per DOC over
+    vectorized per-doc work, and per-doc distinct terms bound the O(k^2)
+    blowup — real deployments cap k by keeping only top-frequency
+    terms), pre-aggregated to (a, b, cnt) before the one groupby.
+    Exact integer counts."""
+
+    class _PairPartials:
+        def __init__(self):
+            self.norm = TokenNormalizer("simple")
+            self._triu: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _pairs(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+            if k not in self._triu:
+                self._triu[k] = np.triu_indices(k, 1)
+            return self._triu[k]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, tid, _tf, vocab = doc_term_tf(batch["text"], self.norm)
+            empty = pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+            if not vocab:
+                return empty
+            order = np.lexsort((tid, d))
+            ds, ts = d[order], tid[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], ds[1:] != ds[:-1]])
+            )
+            bounds = np.append(starts, len(ds))
+            pa_ids, pb_ids = [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                k = e - s
+                if k < 2:
+                    continue
+                i, j = self._pairs(int(k))
+                seg = ts[s:e]  # sorted distinct term ids (lexsort + dedup
+                pa_ids.append(seg[i])  # per (doc, term) from doc_term_tf)
+                pb_ids.append(seg[j])
+            if not pa_ids:
+                return empty
+            a = np.concatenate(pa_ids)
+            b = np.concatenate(pb_ids)
+            key = a.astype(np.int64) * np.int64(len(vocab)) + b
+            uk, inv = np.unique(key, return_inverse=True)
+            cnt = np.bincount(inv).astype(np.int64)
+            va = np.asarray(vocab, dtype=object)
+            a_s = va[(uk // len(vocab))]
+            b_s = va[(uk % len(vocab))]
+            # vocab ids are first-appearance order; canonicalize each pair
+            # to string order (term_a < term_b) like the SQL self-join.
+            # Unordered pairs keep unique keys after the swap: one doc
+            # emits each unordered pair once, so no in-batch collision.
+            sw = a_s > b_s
+            ta = np.where(sw, b_s, a_s)
+            tb = np.where(sw, a_s, b_s)
+            return pa.table(
+                {
+                    "term_a": pa.array(ta.tolist(), pa.string()),
+                    "term_b": pa.array(tb.tolist(), pa.string()),
+                    "cnt": pa.array(cnt, pa.int64()),
+                }
+            )
+
+    return (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_PairPartials), batch_format="pyarrow", batch_size=512
+        )
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("cnt", alias_name="n_docs"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_docs"], min_support)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def term_cooccurrence_sql_oracle(min_support: int = COOC_MIN_SUPPORT) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), dt AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> '')
+        SELECT x.term AS term_a, y.term AS term_b,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
+        GROUP BY 1, 2 HAVING count(*) >= {min_support}
+    """
