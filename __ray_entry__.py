@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": text.regex_search,
         "term_freq_spectrum": text.term_freq_spectrum,
         "revenue_by_month": relational.revenue_by_month,
+        "pivot_revenue": relational.pivot_revenue,
         "revenue_by_segment": relational.revenue_by_segment,
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
@@ -1205,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, date_trunc('hour', ts), event_type
         """,
         "rollup_revenue": rel_mod.rollup_revenue_sql_oracle(),
+        "pivot_revenue": rel_mod.pivot_revenue_sql_oracle(),
         "cube_revenue": rel_mod.cube_revenue_sql_oracle(),
         "regression_by_flag": rel_mod.regression_by_flag_sql_oracle(),
         "skyline_orders": rel_mod.skyline_orders_sql_oracle(),

@@ -1220,3 +1220,95 @@ def bloom_semi_join_sql_oracle(segment: str = "BUILDING") -> str:
         )
         GROUP BY o_orderpriority
     """
+
+
+PIVOT_YEARS = list(range(1995, 2002))
+
+
+def pivot_revenue(sf_dir: str) -> pa.Table:
+    """PIVOT: the nation x order-year revenue matrix — one row per nation,
+    one integer column per order year (y1995..y2001), values = total
+    o_totalprice in cents for that nation's customers in that year.
+
+    The wide step is a single (nation, year)-keyed partial aggregation —
+    at most 25 x 7 rows per batch cross the shuffle, never raw orders; the
+    pivot itself reshapes the tiny (nation, year) aggregate on the driver.
+    customer->nationkey is the broadcast small side (``ray.put`` once; at
+    10^12 rows it becomes a hash-partitioned join, the pivot is unchanged).
+    """
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    order_c = np.argsort(ckeys)
+    nnames = {
+        int(k): v
+        for k, v in zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    }
+    lookup_ref = ray.put((ckeys[order_c], cnat[order_c], nnames))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck_sorted, cn_sorted, names = ray.get(lookup_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        nat = cn_sorted[np.searchsorted(ck_sorted, ck)]
+        yr = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        # one combined (nation, year) key per row; bincount both measures
+        key = nat.astype(np.int64) * 10_000 + yr
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [names[int(u // 10_000)] for u in uniq], pa.string()
+                ),
+                "year": pa.array((uniq % 10_000).astype(np.int64)),
+                "cents_part": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["n_name", "year"])
+        .aggregate(Sum("cents_part", alias_name="cents"))
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    names = pc.unique(t["n_name"]).to_pylist()
+    names.sort()
+    row_of = {n: i for i, n in enumerate(names)}
+    mat = np.zeros((len(names), len(PIVOT_YEARS)), dtype=np.int64)
+    nn = t["n_name"].to_pylist()
+    yy = t["year"].to_numpy(zero_copy_only=False)
+    cc = t["cents"].to_numpy(zero_copy_only=False)
+    for n, y, c in zip(nn, yy, cc):
+        mat[row_of[n], int(y) - PIVOT_YEARS[0]] = c
+    cols: dict[str, pa.Array] = {"n_name": pa.array(names, pa.string())}
+    for j, y in enumerate(PIVOT_YEARS):
+        cols[f"y{y}"] = pa.array(mat[:, j])
+    return pa.table(cols)
+
+
+def pivot_revenue_sql_oracle() -> str:
+    year_cols = ",\n               ".join(
+        f"CAST(coalesce(sum(CASE WHEN y = {y} THEN cents END), 0) AS BIGINT) AS y{y}"
+        for y in PIVOT_YEARS
+    )
+    return f"""
+        SELECT n_name,
+               {year_cols}
+        FROM (
+          SELECT c_nationkey, year(o_orderdate) AS y,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ) j JOIN nation ON n_nationkey = j.c_nationkey
+        GROUP BY n_name
+    """

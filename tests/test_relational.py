@@ -26,6 +26,7 @@ NAMES = [
     "orders_with_big_items",
     "top_parts_by_brand",
     "rollup_revenue",
+    "pivot_revenue",
     "regression_by_flag",
     "skyline_orders",
     "bloom_semi_join",
