@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counting (skipgram_counts — same co-occurrence family as
         # collocations in-fold — demoted for the slot)
         "triangle_count": graph.triangle_count,
+        "adamic_adar": graph.adamic_adar,
         # CCNet-style per-language LM-quality thirds (new family: quality
         # bucketing; user_outlier_events — driver-green r02, gap kernel
         # shared verbatim with session_concurrency above — demoted)
@@ -505,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         bfs_hops_sql_oracle,
         label_propagation_sql_oracle,
         connected_components_sql_oracle,
+        adamic_adar_sql_oracle,
         pagerank_sql_oracle,
         triangle_count_sql_oracle,
     )
@@ -1214,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
         "ohlc_bars": events_mod.ohlc_bars_sql_oracle(),
         "triangle_count": triangle_count_sql_oracle(),
+        "adamic_adar": adamic_adar_sql_oracle(),
         "bfs_hops": bfs_hops_sql_oracle(),
         "label_propagation": label_propagation_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),

@@ -512,14 +512,20 @@ def _band_edges(sf_dir: str, window: int, num_partitions: int | None):
         ck = t["ck"].to_numpy(zero_copy_only=False)
         nk = t["nk"].to_numpy(zero_copy_only=False)
         seg = t["seg"].to_numpy(zero_copy_only=False)
+        bkt = t["bkt"].to_numpy(zero_copy_only=False)
         native = t["native"].to_numpy(zero_copy_only=False)
         if ck.max(initial=0) >= 1 << 30:
             raise ValueError("band key encoding assumes custkey < 2^30")
         _, seg_code = np.unique(seg, return_inverse=True)
-        # (group, custkey) fused into one sortable int64 key; groups are
-        # (nation, segment) so the group id is tiny
+        # (bkt, group, custkey) fused into one sortable int64 key; groups
+        # are (nation, segment) so the group id is tiny.  bkt MUST be part
+        # of the key: one hash partition can hold several distinct band
+        # buckets, and a window must never cross them — a native row's
+        # carried twin lives under a different bkt value, so pairing
+        # across bkt double-counts every cross-bucket pair.
         gid = nk * np.int64(seg_code.max(initial=0) + 1) + seg_code
-        key = gid * np.int64(1 << 31) + ck
+        _, grp = np.unique(bkt * np.int64(1 << 31) + gid, return_inverse=True)
+        key = grp.astype(np.int64) * np.int64(1 << 31) + ck
         order = np.argsort(key, kind="stable")
         key_s, ck_s = key[order], ck[order]
         nat_keys = key[native]
@@ -1137,4 +1143,192 @@ def label_propagation_sql_oracle(rounds: int = LP_ROUNDS) -> str:
                CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                CAST(label AS BIGINT) AS label
         FROM {prev}
+    """
+
+
+# ------------------------------------- Adamic-Adar link prediction ----
+
+AA_WINDOW = 20
+AA_TOPK = 30
+
+
+def adamic_adar(
+    sf_dir: str,
+    window: int = AA_WINDOW,
+    k: int = AA_TOPK,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Adamic-Adar link prediction over the band graph of
+    :func:`_band_edges`: for every NON-adjacent pair (a, b) with at least
+    one common neighbor, AA(a,b) = sum over common neighbors z of
+    1/ln(deg(z)); returns the top-k pairs as (rank, a, b, aa_e9).
+
+    Exactness: each wedge contributes the INTEGER weight
+    floor(1e9/ln(deg(z)) + 0.5), so pair scores are order-independent
+    int64 sums that hash-compare against the SQL oracle (duckdb ln() and
+    numpy log are the same libm double op on integer degrees).
+
+    Distribution shape: adjacency rows (z, x) are bucketed by z
+    (``hash_groupby``) so each z's full neighbor list is co-located —
+    deg(z) is simply the group size; wedges are emitted vectorized with
+    per-group weights and pre-summed per (a, b) inside the task; a second
+    bucket groupby finishes the pair sums; adjacency is removed with a
+    bucketed LEFT OUTER ``hash_join`` on the fused pair key (no broadcast
+    of the edge list); per-batch local top-k candidates merge on the
+    driver (k x batches rows, tiny).
+    """
+    edges = _band_edges(sf_dir, window, num_partitions)
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "z": pa.array(np.concatenate([a, b]), pa.int64()),
+                "x": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    pair_schema = pa.schema([("kk", pa.int64()), ("w_part", pa.int64())])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        z = t["z"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, z))
+        z_s, x_s = z[order], x[order]
+        new = np.concatenate([[True], z_s[1:] != z_s[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(z_s))
+        m = ends - starts  # deg(z): the full neighbor count, co-located here
+        w_g = np.zeros(len(m), np.int64)
+        big = m >= 2
+        w_g[big] = np.floor(1e9 / np.log(m[big]) + 0.5).astype(np.int64)
+        # all C(m, 2) neighbor pairs per z, vectorized; x_s is sorted
+        # within each z-run so a < b by construction
+        pos = np.arange(len(z_s), dtype=np.int64)
+        grp_end = np.repeat(ends, m)
+        idx = _expand_ranges(pos + 1, grp_end)
+        counts = grp_end - pos - 1
+        a = np.repeat(x_s, counts)
+        b = x_s[idx]
+        w = np.repeat(np.repeat(w_g, m), counts)
+        if len(b) and b.max() >= 1 << 30:
+            raise ValueError("pair key encoding assumes id < 2^30")
+        kk = a * np.int64(1 << 30) + b
+        u, inv = np.unique(kk, return_inverse=True)
+        return pa.table(
+            {
+                "kk": pa.array(u, pa.int64()),
+                "w_part": pa.array(np.bincount(inv, weights=w).astype(np.int64)),
+            }
+        )
+
+    def sum_pairs(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("kk", pa.int64()), ("aa_e9", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        kk = t["kk"].to_numpy(zero_copy_only=False)
+        w = t["w_part"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(kk, return_inverse=True)
+        return pa.table(
+            {
+                "kk": pa.array(u, pa.int64()),
+                "aa_e9": pa.array(np.bincount(inv, weights=w).astype(np.int64)),
+            }
+        )
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow")
+    pair_parts = hash_groupby(adjacency, ["z"], wedges, num_partitions)
+    aa = hash_groupby(pair_parts, ["kk"], sum_pairs, num_partitions)
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        if len(b) and b.max() >= 1 << 30:
+            raise ValueError("pair key encoding assumes id < 2^30")
+        return pa.table(
+            {
+                "kk": pa.array(a * np.int64(1 << 30) + b, pa.int64()),
+                "hit": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    joined = hash_join(
+        aa, edges.map_batches(edge_key, batch_format="pyarrow"),
+        on="kk", how="left outer",
+    )
+
+    cand_schema = pa.schema([("kk", pa.int64()), ("aa_e9", pa.int64())])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_null(t["hit"]))
+        if keep.num_rows == 0:
+            return cand_schema.empty_table()
+        kk = keep["kk"].to_numpy(zero_copy_only=False)
+        s = keep["aa_e9"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kk, -s))[:k]
+        return pa.table(
+            {
+                "kk": pa.array(kk[order], pa.int64()),
+                "aa_e9": pa.array(s[order], pa.int64()),
+            }
+        )
+
+    cand = joined.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    kk = cand["kk"].to_numpy()
+    s = cand["aa_e9"].to_numpy()
+    order = np.lexsort((kk, -s))[:k]
+    kk, s = kk[order], s[order]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(kk) + 1, dtype=np.int64)),
+            "a": pa.array(kk >> np.int64(30), pa.int64()),
+            "b": pa.array(kk & np.int64((1 << 30) - 1), pa.int64()),
+            "aa_e9": pa.array(s, pa.int64()),
+        }
+    )
+
+
+def adamic_adar_sql_oracle(window: int = AA_WINDOW, k: int = AA_TOPK) -> str:
+    return f"""
+        WITH c AS (
+          SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg
+          FROM customer
+        ),
+        edges AS (
+          SELECT x.ck AS a, y.ck AS b
+          FROM c x JOIN c y
+            ON x.nk = y.nk AND x.seg = y.seg
+           AND y.ck > x.ck AND y.ck <= x.ck + {window}
+        ),
+        nbr AS (
+          SELECT a AS z, b AS x FROM edges
+          UNION ALL SELECT b AS z, a AS x FROM edges
+        ),
+        d AS (SELECT z, count(*) AS deg FROM nbr GROUP BY z),
+        w AS (
+          SELECT z, CAST(floor(1e9 / ln(deg) + 0.5) AS BIGINT) AS w
+          FROM d WHERE deg >= 2
+        ),
+        wedge AS (
+          SELECT n1.x AS a, n2.x AS b, w.w
+          FROM nbr n1
+          JOIN nbr n2 ON n2.z = n1.z AND n2.x > n1.x
+          JOIN w ON w.z = n1.z
+        ),
+        aa AS (
+          SELECT a, b, CAST(sum(w) AS BIGINT) AS aa_e9 FROM wedge GROUP BY a, b
+        ),
+        na AS (
+          SELECT aa.* FROM aa
+          LEFT JOIN edges e ON e.a = aa.a AND e.b = aa.b
+          WHERE e.a IS NULL
+        )
+        SELECT rank, a, b, aa_e9 FROM (
+          SELECT a, b, aa_e9,
+                 CAST(row_number() OVER (ORDER BY aa_e9 DESC, a, b) AS BIGINT) AS rank
+          FROM na
+        ) WHERE rank <= {k}
     """

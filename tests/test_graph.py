@@ -300,3 +300,97 @@ def test_label_propagation_planted(ray_session, tmp_path):
         a.sort_values("node")["label"].tolist()
         == b.sort_values("node")["label"].tolist()
     )
+
+
+# ------------------------------------------------- Adamic-Adar ----
+
+
+def _write_customers(tmp_path, rows, name="aa"):
+    """rows: (custkey, nationkey, segment)."""
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_nationkey": pa.array([r[1] for r in rows], pa.int64()),
+                "c_mktsegment": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    return str(d)
+
+
+def test_band_edges_no_duplicates_across_buckets(ray_session, tmp_path):
+    """Regression: with window=20 (R=160) and >1 band bucket hashed into
+    the same partition, cross-bucket pairs used to be emitted twice (the
+    finalize windowed across bkt values)."""
+    from index_ray.pipelines.graph import _band_edges
+
+    keys = list(range(1, 1201))
+    sf = _write_customers(tmp_path, [(key, 0, "A") for key in keys])
+    e = _band_edges(sf, 20, 3).to_pandas()  # 3 partitions << 8 buckets
+    assert len(e) == len(e.drop_duplicates())
+    expect = {
+        (a, b) for a in keys for b in range(a + 1, min(a + 21, 1201))
+    }
+    assert set(zip(e["a"], e["b"])) == expect
+
+
+def _brute_aa(keys, window, k):
+    import math
+
+    nbr = {a: set() for a in keys}
+    for a in keys:
+        for b in keys:
+            if a < b <= a + window:
+                nbr[a].add(b)
+                nbr[b].add(a)
+    scores = {}
+    for z in keys:
+        if len(nbr[z]) < 2:
+            continue
+        w = int(math.floor(1e9 / math.log(len(nbr[z])) + 0.5))
+        ns = sorted(nbr[z])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                scores[(ns[i], ns[j])] = scores.get((ns[i], ns[j]), 0) + w
+    out = [(a, b, s) for (a, b), s in scores.items() if b not in nbr[a]]
+    out.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return out[:k]
+
+
+def test_adamic_adar_planted(ray_session, tmp_path):
+    from index_ray.pipelines.graph import adamic_adar
+
+    # two (nation, segment) groups; window 2 => non-adjacent pairs at
+    # distance 3..4 share 1-2 common neighbors of varying degree
+    rows = [(key, key % 2, "A") for key in range(1, 41)]
+    sf = _write_customers(tmp_path, rows)
+    got = adamic_adar(sf, window=2, k=15).to_pandas()
+    # per-group adjacency: same parity, |b-a| <= 2*2 is NOT right — edges
+    # are key-distance <= 2 within the same group, so same-parity keys at
+    # distance 2; brute-force each group then merge
+    import math
+
+    nbr = {a: set() for a, _, _ in rows}
+    for a, na, _ in rows:
+        for b, nb, _ in rows:
+            if na == nb and a < b <= a + 2:
+                nbr[a].add(b)
+                nbr[b].add(a)
+    scores = {}
+    for z in nbr:
+        if len(nbr[z]) < 2:
+            continue
+        w = int(math.floor(1e9 / math.log(len(nbr[z])) + 0.5))
+        ns = sorted(nbr[z])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                scores[(ns[i], ns[j])] = scores.get((ns[i], ns[j]), 0) + w
+    want = [(a, b, s) for (a, b), s in scores.items() if b not in nbr[a]]
+    want.sort(key=lambda r: (-r[2], r[0], r[1]))
+    want = want[:15]
+    got_rows = list(zip(got["a"], got["b"], got["aa_e9"]))
+    assert [tuple(map(int, r)) for r in got_rows] == want
