@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": events.rolling_user_value,
         "running_user_total": events.running_user_total,
         "event_gaps": events.event_gaps,
+        "ewma_user_value": events.ewma_user_value,
         "event_transitions": events.event_transitions,
         "distinct_users_daily": events.distinct_users_daily,
         # semi-structured: vectorized JSON field extraction + aggregate
@@ -1214,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_orders": rel_mod.skyline_orders_sql_oracle(),
         "bloom_semi_join": rel_mod.bloom_semi_join_sql_oracle(),
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
+        "ewma_user_value": events_mod.ewma_sql_oracle(),
         "ohlc_bars": events_mod.ohlc_bars_sql_oracle(),
         "triangle_count": triangle_count_sql_oracle(),
         "adamic_adar": adamic_adar_sql_oracle(),

@@ -1675,3 +1675,105 @@ def json_props_sql_oracle() -> str:
                CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
         FROM events GROUP BY event_type
     """
+
+
+# ------------------------------------------------------------- EWMA ----
+
+EWMA_WINDOW = 16  # alpha = 1/2, truncated to the last 16 events
+
+
+def ewma_user_value(sf_dir: str, window: int = EWMA_WINDOW) -> ray.data.Dataset:
+    """Per-user exponential moving average of ``value`` with alpha = 1/2
+    over the user's last ``window`` events in (ts, event_id) order —
+    e_1 = v_1, e_i = (v_i + e_{i-1}) / 2, seeded at the window's oldest
+    event.
+
+    EXACT despite being a float: with alpha = 1/2 the EWMA is the dyadic
+    rational  num / 2^(n_used-1)  where  num = v_oldest + sum_i v_i *
+    2^(i-2)  over cents values (num < 2^53), and dividing an int64-exact
+    numerator by a power of two is lossless in IEEE double — so the
+    result hash-compares bitwise against the SQL oracle instead of "close
+    to".  Output: (user_id, n_used, ewma_num, ewma_cents).
+
+    Same single user-bucket shuffle as the other event kernels; inside a
+    bucket: one lexsort, per-segment rank-from-newest, coefficient table
+    lookup, bincount — no per-row Python.
+    """
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_used", pa.int64()),
+            ("ewma_num", pa.int64()),
+            ("ewma_cents", pa.float64()),
+        ]
+    )
+
+    def ewma(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return schema.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = _ts_us(group["ts"])
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        c = _cents(group["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, c = u[order], c[order]
+        new_user, useg = _user_segments(u)
+        starts = np.flatnonzero(new_user)
+        ends = np.append(starts[1:], len(u))
+        m = ends - starts
+        lastn = np.minimum(m, window)
+        # rank from the segment's newest row (1 = most recent)
+        rn = np.repeat(ends, m) - np.arange(len(u))
+        ln_row = np.repeat(lastn, m)
+        coeff = np.zeros(len(u), dtype=np.int64)
+        inside = rn <= ln_row
+        oldest = inside & (rn == ln_row)
+        mid = inside & ~oldest
+        coeff[oldest] = 1
+        coeff[mid] = np.int64(1) << (ln_row[mid] - rn[mid] - 1)
+        num = np.bincount(useg, weights=c * coeff, minlength=len(m)).astype(
+            np.int64
+        )
+        denom = (np.int64(1) << (lastn - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_used": pa.array(lastn, pa.int64()),
+                "ewma_num": pa.array(num, pa.int64()),
+                "ewma_cents": pa.array(num / denom, pa.float64()),
+            }
+        )
+
+    return (
+        _tagged_events(sf_dir, ["user_id", "ts", "event_id", "value"], 64)
+        .groupby(_BUCKET)
+        .map_groups(ewma, batch_format="pyarrow")
+    )
+
+
+def ewma_sql_oracle(window: int = EWMA_WINDOW) -> str:
+    return f"""
+        WITH v AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS m
+          FROM events
+        ),
+        w AS (
+          SELECT user_id, cents, rn, least(m, {window}) AS lastn
+          FROM v WHERE rn <= {window}
+        ),
+        n AS (
+          SELECT user_id, lastn,
+                 CAST(sum(cents * CASE WHEN rn = lastn THEN 1
+                          ELSE CAST(power(2, lastn - rn - 1) AS BIGINT) END)
+                      AS BIGINT) AS num
+          FROM w GROUP BY user_id, lastn
+        )
+        SELECT user_id, CAST(lastn AS BIGINT) AS n_used, num AS ewma_num,
+               num / power(2, lastn - 1) AS ewma_cents
+        FROM n
+    """

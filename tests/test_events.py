@@ -463,3 +463,31 @@ def test_ohlc_bars_order_sensitivity_across_batches(ray_session, tmp_path):
     assert (row["open"], row["high"], row["low"], row["close"], row["n"]) == (
         1.0, 25.0, 1.0, 4.0, 4,
     )
+
+
+def test_ewma_recursive_definition(ray_session, tmp_path):
+    """Engine EWMA == the literal recursion e_i = (v_i + e_{i-1}) / 2
+    seeded at the window's oldest event — users below, at, and above the
+    16-event window."""
+    rows = []
+    eid = 0
+    vals = {1: [10.0], 2: [1.0, 2.0, 3.0], 3: [float(i) for i in range(1, 25)]}
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, i * US, uid, "c", v))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    got = (
+        ev.ewma_user_value(sf)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for uid, vs in vals.items():
+        cents = [round(v * 100) for v in vs][-16:]
+        e = float(cents[0])
+        for c in cents[1:]:
+            e = (c + e) / 2.0
+        r = got[got.user_id == uid].iloc[0]
+        assert int(r.n_used) == len(cents)
+        assert float(r.ewma_cents) == e  # bitwise: dyadic rational
