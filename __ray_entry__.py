@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # subsets (bm25_facets — driver-green r02, facet counting shares the
         # full-match-set machinery bm25_filtered pins — demoted)
         "time_travel_bm25": flagship.time_travel_bm25,
+        "snapshot_diff": flagship.snapshot_diff,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -539,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         prf_sql_oracle,
         search_after_sql_oracle,
         time_travel_bm25_sql_oracle,
+        snapshot_diff_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -656,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_topk": search_after_sql_oracle(),
         "merged_bm25": bm25_sql_oracle(),
         "time_travel_bm25": time_travel_bm25_sql_oracle(),
+        "snapshot_diff": snapshot_diff_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),

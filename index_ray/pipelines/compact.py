@@ -724,3 +724,127 @@ def merge_indexes(dst: str, src: str) -> dict:
     prune_invalid_snapshots(dst)  # adopted/renumbered chunks retire old versions
     snapshot_index(dst)
     return stats
+
+
+def diff_snapshots(
+    out_dir: str, v_from: int, v_to: int, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Iceberg-style snapshot diff: which documents became visible
+    ('added') or stopped being visible ('removed') between two snapshots
+    of the same index (``state/snapshots.py``).
+
+    Visibility(v) = union of v's chunk docmaps minus v's tombstones.
+    Only chunks whose CONTENT fingerprint differs between the two
+    versions are scanned (a chunk common to both can only change
+    visibility through tombstones, handled via the small tombstone-delta
+    sets with predicate-pushdown docmap probes) — the diff streams
+    O(changed chunks + tombstone delta), never O(index).
+
+    Output Dataset: (<id_col>, change) with change in {'added',
+    'removed'}; a doc that appears AND disappears nets to zero rows.
+    """
+    import pyarrow.dataset as pads
+
+    from ..state.snapshots import load_snapshot
+    from ray.data.aggregate import Sum
+
+    mf = load_snapshot(out_dir, v_from)
+    mt = load_snapshot(out_dir, v_to)
+    fp_f = {int(k): v for k, v in mf.get("chunk_fps", {}).items()}
+    fp_t = {int(k): v for k, v in mt.get("chunk_fps", {}).items()}
+    tomb_f = load_tombstones(out_dir, mf.get("tombstone_files", []))
+    tomb_t = load_tombstones(out_dir, mt.get("tombstone_files", []))
+    only_f = sorted(c for c in fp_f if fp_t.get(c) != fp_f[c])
+    only_t = sorted(c for c in fp_t if fp_f.get(c) != fp_t[c])
+    common = sorted(c for c in fp_t if fp_f.get(c) == fp_t[c])
+
+    def dm_files(chunks: list[int]) -> list[str]:
+        out: list[str] = []
+        for c in chunks:
+            out += sorted(
+                glob.glob(
+                    os.path.join(
+                        out_dir, "chunks", f"chunk-{c:05d}", "docmap", "*.parquet"
+                    )
+                )
+            )
+        return out
+
+    schema = pa.schema([(id_col, pa.int64()), ("delta", pa.int64())])
+    parts: list[ray.data.Dataset] = []
+
+    def chunk_side(files: list[str], tombs: np.ndarray, delta: int):
+        tomb_ref = ray.put(np.asarray(tombs, np.int64))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            tt = ray.get(tomb_ref)
+            ids = batch["docID"].to_numpy(zero_copy_only=False)
+            b = batch.filter(pa.array(~np.isin(ids, tt)))
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "delta": pa.array(np.full(b.num_rows, delta, np.int64)),
+                }
+            )
+
+        cols = ["docID"] + ([id_col] if id_col != "docID" else [])
+        parts.append(
+            ray.data.read_parquet(files, columns=cols).map_batches(
+                tag, batch_format="pyarrow"
+            )
+        )
+
+    if only_t:
+        chunk_side(dm_files(only_t), tomb_t, +1)
+    if only_f:
+        chunk_side(dm_files(only_f), tomb_f, -1)
+
+    # tombstone-only visibility changes within chunks common to both
+    # versions: probe just those docIDs (predicate pushdown)
+    cfiles = dm_files(common)
+    for ids, delta in (
+        (np.setdiff1d(tomb_t, tomb_f), -1),
+        (np.setdiff1d(tomb_f, tomb_t), +1),
+    ):
+        if len(ids) and cfiles:
+            probe = pads.dataset(cfiles).to_table(
+                filter=pads.field("docID").isin(ids.tolist()),
+                columns=["docID"] + ([id_col] if id_col != "docID" else []),
+            )
+            parts.append(
+                ray.data.from_arrow(
+                    pa.table(
+                        {
+                            id_col: probe[id_col],
+                            "delta": pa.array(
+                                np.full(probe.num_rows, delta, np.int64)
+                            ),
+                        }
+                    )
+                )
+            )
+
+    if not parts:
+        return ray.data.from_arrow(
+            pa.schema([(id_col, pa.int64()), ("change", pa.string())]).empty_table()
+        )
+    ds = parts[0]
+    if len(parts) > 1:
+        ds = ds.union(*parts[1:])
+    net = ds.groupby(id_col).aggregate(Sum("delta", alias_name="net"))
+
+    def label(batch: pa.Table) -> pa.Table:
+        n = batch["net"].to_numpy(zero_copy_only=False)
+        keep = n != 0
+        b = batch.filter(pa.array(keep))
+        nn = b["net"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "change": pa.array(
+                    np.where(nn > 0, "added", "removed"), pa.string()
+                ),
+            }
+        )
+
+    return net.map_batches(label, batch_format="pyarrow")

@@ -2851,21 +2851,10 @@ SELECT qid, rank, doc_id FROM ranked_r WHERE rank <= 10"""
 TT_DELETE_MOD = 13
 
 
-def time_travel_bm25(sf_dir: str) -> pa.Table:
-    """Snapshot time travel end to end (``state/snapshots.py``): build the
-    index over the even-doc_id half (publishes snapshot v1), append the
-    odd half (v2), tombstone-delete ``doc_id % 13 == 0`` (v3) — then run
-    the fixture queries AS OF v1 and AS OF v2 on the LIVE index.
-
-    (version, qid, rank, doc_id).  v1 must reproduce a from-scratch BM25
-    over the even half alone (the snapshot's frozen N/avgdl and
-    hard-linked lexicon, not today's), and v2 the full corpus — even
-    though the live index already carries v3's tombstones, which time
-    travel must ignore.  The oracle recomputes both from SQL with the
-    matching corpus filters.  v3's deferred-delete view (frozen stats,
-    masked results — not SQL-expressible as a filtered corpus) is pinned
-    bitwise in ``tests/test_snapshots.py``.
-    """
+def _tt_index(sf_dir: str) -> str:
+    """Build (once, marker-cached) the three-snapshot lifecycle index the
+    time-travel and snapshot-diff queries share: v1 = even-doc_id half,
+    v2 = + odd half appended, v3 = + tombstone-delete doc_id % 13 == 0."""
     import shutil as _shutil
 
     from .build import append_index
@@ -2897,6 +2886,25 @@ def time_travel_bm25(sf_dir: str) -> pa.Table:
         delete_docs(base, ids[ids % TT_DELETE_MOD == 0])  # -> v3
         with open(marker, "w") as f:
             f.write("done")
+    return base
+
+
+def time_travel_bm25(sf_dir: str) -> pa.Table:
+    """Snapshot time travel end to end (``state/snapshots.py``): build the
+    index over the even-doc_id half (publishes snapshot v1), append the
+    odd half (v2), tombstone-delete ``doc_id % 13 == 0`` (v3) — then run
+    the fixture queries AS OF v1 and AS OF v2 on the LIVE index.
+
+    (version, qid, rank, doc_id).  v1 must reproduce a from-scratch BM25
+    over the even half alone (the snapshot's frozen N/avgdl and
+    hard-linked lexicon, not today's), and v2 the full corpus — even
+    though the live index already carries v3's tombstones, which time
+    travel must ignore.  The oracle recomputes both from SQL with the
+    matching corpus filters.  v3's deferred-delete view (frozen stats,
+    masked results — not SQL-expressible as a filtered corpus) is pinned
+    bitwise in ``tests/test_snapshots.py``.
+    """
+    base = _tt_index(sf_dir)
     tables = []
     for version in (1, 2):
         searcher = BM25Searcher(base, snapshot=version)
@@ -2931,6 +2939,47 @@ def time_travel_bm25_sql_oracle() -> str:
         "FROM ranked WHERE rank <= 10"
     )
     return f"SELECT * FROM ({v1})\nUNION ALL\nSELECT * FROM ({v2})"
+
+
+def snapshot_diff(sf_dir: str) -> pa.Table:
+    """Snapshot DIFF over the same three-version lifecycle index as
+    :func:`time_travel_bm25` (``compact.diff_snapshots``): v1 -> v2 must
+    report exactly the appended odd-doc_id half as 'added'; v2 -> v3
+    exactly the ``doc_id % 13 == 0`` tombstones as 'removed'.
+
+    (from_v, to_v, doc_id, change).  The diff reads only changed chunks'
+    docmaps plus the tombstone delta — never the postings; the oracle
+    restates both transitions as corpus predicates.
+    """
+    from .compact import diff_snapshots
+
+    base = _tt_index(sf_dir)
+    tables = []
+    for vf, vt in ((1, 2), (2, 3)):
+        d = diff_snapshots(base, vf, vt)
+        t = pa.Table.from_pandas(d.to_pandas(), preserve_index=False)
+        tables.append(
+            pa.table(
+                {
+                    "from_v": pa.array(np.full(t.num_rows, vf, np.int64)),
+                    "to_v": pa.array(np.full(t.num_rows, vt, np.int64)),
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "change": t["change"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def snapshot_diff_sql_oracle() -> str:
+    return f"""
+        SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+               doc_id, 'added' AS change
+        FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), doc_id, 'removed'
+        FROM documents WHERE doc_id % {TT_DELETE_MOD} = 0
+    """
 
 
 _TRI_HEX_LUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)

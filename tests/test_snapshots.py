@@ -95,6 +95,28 @@ def test_snapshot_idempotent_no_version_churn(tt_index):
     assert [s["version"] for s in list_snapshots(tt_index["idx"])] == before
 
 
+def test_diff_snapshots_transitions(tt_index):
+    """v1->v2 = exactly the appended odd half added; v2->v3 = exactly the
+    %7 tombstones removed; v1->v3 nets both; v->v is empty."""
+    from index_ray.pipelines.compact import diff_snapshots
+
+    idx = tt_index["idx"]
+    d12 = diff_snapshots(idx, 1, 2).to_pandas()
+    assert set(d12["change"]) == {"added"}
+    assert sorted(d12["doc_id"]) == [i for i in range(120) if i % 2 == 1]
+    d23 = diff_snapshots(idx, 2, 3).to_pandas()
+    assert set(d23["change"]) == {"removed"}
+    assert sorted(d23["doc_id"]) == [i for i in range(120) if i % 7 == 0]
+    d13 = diff_snapshots(idx, 1, 3).to_pandas()
+    added = set(d13[d13["change"] == "added"]["doc_id"])
+    removed = set(d13[d13["change"] == "removed"]["doc_id"])
+    # odd docs added unless deleted again by v3 (net zero -> no row)
+    assert added == {i for i in range(120) if i % 2 == 1 and i % 7 != 0}
+    assert removed == {i for i in range(120) if i % 2 == 0 and i % 7 == 0}
+    d22 = diff_snapshots(idx, 2, 2).to_pandas()
+    assert len(d22) == 0
+
+
 def test_compaction_retires_stale_snapshots(tt_index):
     idx = tt_index["idx"]
     compact_index(idx)
