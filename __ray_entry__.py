@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-match-set machinery bm25_filtered pins — demoted)
         "time_travel_bm25": flagship.time_travel_bm25,
         "snapshot_diff": flagship.snapshot_diff,
+        "routed_bm25": flagship.routed_bm25,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -541,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         search_after_sql_oracle,
         time_travel_bm25_sql_oracle,
         snapshot_diff_sql_oracle,
+        routed_bm25_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -659,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "merged_bm25": bm25_sql_oracle(),
         "time_travel_bm25": time_travel_bm25_sql_oracle(),
         "snapshot_diff": snapshot_diff_sql_oracle(),
+        "routed_bm25": routed_bm25_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),

@@ -3295,3 +3295,86 @@ def trigram_regex_sql_oracle() -> str:
         FROM q JOIN documents d ON regexp_matches(lower(d.text), q.pat)
         ORDER BY qid, doc_id
     """
+
+
+# routed queries: (qid, routing key = lang, terms, k)
+ROUTED_QUERIES: list[tuple[int, str, list[str], int]] = [
+    (1, "en", ["fast", "key", "merge", "sort"], 10),
+    (2, "de", ["group", "query", "spark"], 10),
+    (3, "es", ["customer", "filter", "stream"], 10),
+    (4, "fr", ["scan", "table", "window"], 10),
+    (5, "zh", ["nonexistentterm", "xyzzy"], 10),
+]
+
+
+def _routed_indexes(sf_dir: str) -> dict[str, str]:
+    """One self-contained index per lang routing key (marker-cached)."""
+    import pyarrow.dataset as pads
+
+    base = _index_dir_for(sf_dir)
+    dsx = pads.dataset(f"{sf_dir}/documents.parquet")
+    langs = sorted(
+        set(dsx.to_table(columns=["lang"])["lang"].to_pylist())
+    )
+    routes: dict[str, str] = {}
+    for lang in langs:
+        pdir = f"{base}_route_{lang}"
+        src_dir = f"{pdir}_src"
+        src = os.path.join(src_dir, "documents.parquet")
+        if not os.path.exists(src):
+            os.makedirs(src_dir, exist_ok=True)
+            pq.write_table(
+                dsx.to_table(filter=pads.field("lang") == lang), src
+            )
+        cfg = BuildConfig(
+            tokenizer="simple",
+            text_col="text",
+            id_col="doc_id",
+            chunk_docs=250_000,
+            num_parts=8,
+            batch_size=512,
+            salt_docs=4096,
+        )
+        build_index(src, pdir, cfg)
+        routes[lang] = pdir
+    return routes
+
+
+def routed_bm25(sf_dir: str) -> pa.Table:
+    """Routing-key partitioned retrieval (``query.RoutedBM25``): the
+    corpus is split into one index per ``lang`` and each fixture query
+    carries a routing key — only THAT partition is probed, and it scores
+    with its own partition-local (N, df, avgdl).
+
+    (qid, rank, doc_id).  The oracle recomputes each query's BM25 over
+    the corpus restricted to its routing lang (``doc_where``), which is
+    exactly what per-partition statistics mean.
+    """
+    from .query import RoutedBM25
+
+    routed = RoutedBM25(_routed_indexes(sf_dir))
+    tables = []
+    for qid, lang, terms, k in ROUTED_QUERIES:
+        r = routed.search(lang, " ".join(terms), k=k)
+        tables.append(
+            r.add_column(
+                0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64))
+            )
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def routed_bm25_sql_oracle() -> str:
+    parts = []
+    for qid, lang, terms, k in ROUTED_QUERIES:
+        ctes = _bm25_ctes(
+            queries=[(qid, terms, k)], doc_where=f"lang = '{lang}'"
+        )
+        parts.append(
+            f"SELECT qid, rank, doc_id FROM ({ctes}\n"
+            f"SELECT qid, rank, doc_id FROM ranked WHERE rank <= {k})"
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -2178,3 +2178,40 @@ class FederatedBM25:
                 )
             )
         return out
+
+
+class RoutedBM25:
+    """Elasticsearch-style CUSTOM ROUTING: documents are partitioned by a
+    routing key at index time (one self-contained index per key), and a
+    query carrying the key probes exactly ONE partition — no fan-out.
+
+    Scoring is per-partition by design: each route's index carries its
+    own (N, df, avgdl), so results equal a standalone index built over
+    just that partition's corpus (the tenant/language-scoped semantics).
+    This is the complement of :class:`FederatedBM25`, which fans out to
+    every partition and merges statistics for partition-TRANSPARENT
+    global search.  The cluster story: routing turns a 256-node broadcast
+    into a single node-group probe for key-scoped queries (tenant, lang,
+    repo), so query throughput scales with partitions instead of being
+    bounded by the slowest global fan-out.
+
+    Searchers open lazily and are cached per route key.
+    """
+
+    def __init__(self, routes: dict[str, str]):
+        if not routes:
+            raise ValueError("need at least one route -> index_dir")
+        self.routes = dict(routes)
+        self._searchers: dict[str, BM25Searcher] = {}
+
+    def searcher(self, key: str) -> "BM25Searcher":
+        if key not in self.routes:
+            raise KeyError(
+                f"no route {key!r} (known: {sorted(self.routes)})"
+            )
+        if key not in self._searchers:
+            self._searchers[key] = BM25Searcher(self.routes[key])
+        return self._searchers[key]
+
+    def search(self, key: str, q: str, k: int = 10) -> pa.Table:
+        return self.searcher(key).search(q, k=k)

@@ -1142,3 +1142,31 @@ def test_mmr_rerank_semantics(ray_session):
         assert m[0] == b[0]  # first pick = max relevance
         reordered += m != b
     assert reordered >= 1
+
+
+def test_routed_bm25_single_partition_probe(ray_session):
+    """Routing contract: a routed search is bitwise-identical to a
+    standalone BM25Searcher over just that partition's index, every
+    result doc belongs to the routing lang, and an unknown key raises."""
+    import pytest as _pytest
+
+    from index_ray.pipelines.flagship import _routed_indexes
+    from index_ray.pipelines.query import BM25Searcher, RoutedBM25
+
+    routes = _routed_indexes(SF)
+    routed = RoutedBM25(routes)
+    standalone = BM25Searcher(routes["en"])
+    a = routed.search("en", "fast merge sort", k=10)
+    b = standalone.search("fast merge sort", k=10)
+    assert a["docID"].to_pylist() == b["docID"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()  # bitwise
+    import duckdb as _duckdb
+
+    en_ids = set(
+        _duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet' WHERE lang='en'"
+        ).df()["doc_id"]
+    )
+    assert set(a["docID"].to_pylist()) <= en_ids
+    with _pytest.raises(KeyError):
+        routed.search("tlh", "fast merge", k=5)
