@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_travel_bm25": flagship.time_travel_bm25,
         "snapshot_diff": flagship.snapshot_diff,
         "routed_bm25": flagship.routed_bm25,
+        "term_vectors": flagship.term_vectors_q,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -543,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         time_travel_bm25_sql_oracle,
         snapshot_diff_sql_oracle,
         routed_bm25_sql_oracle,
+        term_vectors_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -662,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_bm25": time_travel_bm25_sql_oracle(),
         "snapshot_diff": snapshot_diff_sql_oracle(),
         "routed_bm25": routed_bm25_sql_oracle(),
+        "term_vectors": term_vectors_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),

@@ -82,6 +82,11 @@ class BuildConfig:
     # head_tokens' posting duplication.  Weighted at rank time via
     # ``BM25Searcher.search(..., style_weight=w)``.
     style_head: int = 0
+    # store the FORWARD index too: per-chunk tvec/ sidecars of (docID,
+    # term, tf) rows — Lucene's "stored term vectors".  doc -> terms is
+    # unanswerable from the inverted shards without a full lexicon scan,
+    # so it is captured in the same tokenize pass (query.term_vectors).
+    term_vectors: bool = False
 
     pipeline_chunks: int = 2             # concurrent phase-B shuffles (driver threads)
     # "bucket" (default): map-side bucketing — tokenize workers return one
@@ -519,6 +524,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                 cfg.tokenizer, cfg.text_col, "docID", cfg.num_parts,
                 max(cfg.salt_docs, 1), hot_ref, None, cfg.positions,
                 cfg.field_col, cfg.head_tokens, cfg.style_head,
+                cfg.term_vectors,
             ),
         )
     ]

@@ -3378,3 +3378,57 @@ def routed_bm25_sql_oracle() -> str:
             f"SELECT qid, rank, doc_id FROM ranked WHERE rank <= {k})"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+TV_DOC_MOD = 100  # fixture probe: every 100th doc_id
+
+
+def term_vectors_q(sf_dir: str) -> pa.Table:
+    """Stored term vectors end to end: a ``term_vectors=True`` build writes
+    the forward index (tvec/ sidecars) alongside the postings, and
+    ``query.term_vectors`` probes it for the fixture docs — (doc_id,
+    term, tf), one row per distinct term of each probed document.
+
+    The oracle recomputes the same rows by tokenizing the probed docs in
+    SQL; the engine side must agree exactly (tf included), which pins the
+    sidecar to the SAME tokenization that built the postings.
+    """
+    from .query import term_vectors
+
+    out = _index_dir_for(sf_dir) + "_tv"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=8,
+        batch_size=512,
+        salt_docs=4096,
+        term_vectors=True,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False)
+    probe = sorted(int(i) for i in ids if i % TV_DOC_MOD == 0)
+    t = term_vectors(out, probe)
+    return pa.table(
+        {
+            "doc_id": t["docID"],
+            "term": t["term"],
+            "tf": t["tf"],
+        }
+    )
+
+
+def term_vectors_sql_oracle() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents WHERE doc_id % {TV_DOC_MOD} = 0
+        )
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE term <> ''
+        GROUP BY doc_id, term
+    """

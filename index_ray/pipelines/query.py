@@ -2215,3 +2215,29 @@ class RoutedBM25:
 
     def search(self, key: str, q: str, k: int = 10) -> pa.Table:
         return self.searcher(key).search(q, k=k)
+
+
+def term_vectors(index_dir: str, doc_ids: list) -> pa.Table:
+    """Stored TERM VECTORS (the forward index): (docID, term, tf) rows for
+    the requested documents, from the ``tvec/`` sidecars a
+    ``BuildConfig(term_vectors=True)`` build wrote in the same tokenize
+    pass as the postings (Lucene's per-doc stored term vectors — the
+    inverted shards alone cannot answer doc -> terms without a full
+    lexicon scan).
+
+    Predicate-pushdown scan, same shape as :func:`find_docs`: parquet
+    statistics prune to the row groups containing the requested docIDs —
+    at cluster scale the tvec sidecars are docID-range partitioned with
+    the chunks, so the probe touches one chunk's files."""
+    import pyarrow.dataset as pads
+
+    tv_files = sorted(
+        glob.glob(os.path.join(index_dir, "chunks", "*", "tvec", "*.parquet"))
+    )
+    if not tv_files:
+        raise FileNotFoundError(
+            f"no tvec sidecars under {index_dir} — build with "
+            "BuildConfig(term_vectors=True)"
+        )
+    dsx = pads.dataset(tv_files)
+    return dsx.to_table(filter=pads.field("docID").isin(list(doc_ids)))

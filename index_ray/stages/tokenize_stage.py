@@ -44,6 +44,7 @@ class TokenizeBlob:
         field_col: str | None = None,
         head_tokens: int = 0,
         style_head: int = 0,
+        term_vectors: bool = False,
     ):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
@@ -65,6 +66,12 @@ class TokenizeBlob:
         self._part_cache: dict[str, tuple[int, bool]] = {}
         self.docmap_dir = docmap_dir
         self._dm_buf: list[pa.Table] = []
+        # term_vectors: also persist the FORWARD index (docID, term, tf) as
+        # a tvec/ sidecar next to docmap/ — Lucene's stored term vectors:
+        # doc -> terms is unanswerable from the inverted shards without a
+        # full lexicon scan, so it must be captured at tokenize time.
+        self.term_vectors = term_vectors
+        self._tv_buf: list[pa.Table] = []
         if docmap_dir:
             import os
 
@@ -182,6 +189,18 @@ class TokenizeBlob:
 
         import pyarrow.parquet as pq
 
+        if self.term_vectors:
+            tv = pa.concat_tables(self._tv_buf) if self._tv_buf else None
+            self._tv_buf = []
+            if tv is not None and len(tv):
+                tv_dir = os.path.join(os.path.dirname(self.docmap_dir), "tvec")
+                os.makedirs(tv_dir, exist_ok=True)
+                tpath = os.path.join(
+                    tv_dir, f"rg-{spec['base_docid']:012d}.parquet"
+                )
+                ttmp = tpath + f".{os.getpid()}.tmp"
+                pq.write_table(tv, ttmp)
+                os.replace(ttmp, tpath)
         t = pa.concat_tables(self._dm_buf) if self._dm_buf else None
         self._dm_buf = []
         if t is None or len(t) == 0:
@@ -214,6 +233,7 @@ class TokenizeBlob:
         # one occurrence-level pass + ONE lexsort; (term, doc, tf) postings
         # fall out as run lengths (no separate np.unique aggregation sort)
         docc, tidocc, vocab = _tb(batch[self.text_col], self.norm)
+        n_orig_vocab = len(vocab)
         if self.docmap_dir:
             n_tok = np.bincount(docc, minlength=len(batch)).astype(np.int64)
             self._buffer_docmap(batch, n_tok)
@@ -242,6 +262,22 @@ class TokenizeBlob:
         tfs = np.diff(np.append(pstarts, len(t_o))).astype(np.int64)
         tcode = t_o[pstarts]
         doc = doc_o[pstarts]
+        if self.term_vectors and self.docmap_dir:
+            # content-namespace postings only (marker terms sit past the
+            # original vocab boundary); (doc, term, tf) falls out of the
+            # same run-length pass — no second tokenize
+            tvm = tcode < n_orig_vocab
+            self._tv_buf.append(
+                pa.table(
+                    {
+                        "docID": pa.array(doc[tvm], pa.int64()),
+                        "term": pa.array(
+                            vocab[: n_orig_vocab], type=pa.string()
+                        ).take(pa.array(tcode[tvm])),
+                        "tf": pa.array(tfs[tvm], pa.int64()),
+                    }
+                )
+            )
         vhash, vhot = self._vocab_info(vocab)
         if self.hot:
             salt = np.where(vhot[tcode], doc // self.salt_docs, 0).astype(np.int64)

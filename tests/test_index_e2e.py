@@ -340,3 +340,37 @@ def test_collapse_matches_postfilter(searcher, tiny_index_dir):
 
         c = Counter(got["group"].to_pylist())
         assert max(c.values()) <= cap
+
+
+def test_term_vectors_sidecar(ray_session, tiny_corpus_dir, tiny_corpus_table, tmp_path):
+    """term_vectors=True writes tvec/ forward-index sidecars whose (doc,
+    term, tf) rows equal a brute-force tokenize of the same docs; a build
+    without the flag raises a clear error."""
+    import collections
+
+    import pytest as _pytest
+
+    from conftest import TINY_CFG
+    from index_ray.functions.tokenize import TokenNormalizer, tokenize_batch
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import term_vectors
+
+    idx = str(tmp_path / "tv_idx")
+    build_index(
+        tiny_corpus_dir, idx, BuildConfig(term_vectors=True, **TINY_CFG)
+    )
+    probe = [0, 7, 42, 199]
+    got = term_vectors(idx, probe).to_pandas()
+    texts = tiny_corpus_table["content"].to_pylist()
+    norm = TokenNormalizer("code")
+    for d in probe:
+        import pyarrow as _pa
+
+        docc, tid, vocab = tokenize_batch(_pa.array([texts[d]]), norm)
+        want = collections.Counter(vocab[t] for t in tid)
+        sub = got[got["docID"] == d]
+        assert dict(zip(sub["term"], sub["tf"])) == dict(want)
+    idx2 = str(tmp_path / "no_tv_idx")
+    build_index(tiny_corpus_dir, idx2, BuildConfig(**TINY_CFG))
+    with _pytest.raises(FileNotFoundError):
+        term_vectors(idx2, probe)
