@@ -3432,3 +3432,99 @@ def term_vectors_sql_oracle() -> str:
         FROM tok WHERE term <> ''
         GROUP BY doc_id, term
     """
+
+
+def bm25f_topk(sf_dir: str) -> pa.Table:
+    """True BM25F ranking over the head/body field split (first 8 tokens
+    vs rest): per-field length-normalized tf, weight-blended BEFORE the
+    k1 saturation (``query._score_chunk_bm25f``) — the genuinely
+    different ranking from ``bm25_head_boost``'s add-two-BM25-scores.
+    Same ``head_tokens=8`` index as the boost query (build reused);
+    (qid, rank, doc_id); the oracle recomputes BM25F from SQL.
+    """
+    out = _index_dir_for(sf_dir) + "_head"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        head_tokens=8,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many_f(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES],
+        w_head=2.0,
+        w_body=1.0,
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25f_sql_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+th AS (SELECT doc_id, unnest(toks[1:8]) AS term FROM arr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+tfh AS (SELECT doc_id, term, count(*) AS tf FROM th GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+fl AS (
+  -- n counts ALL documents (a zero-token doc adds 0 to the length sums
+  -- but still counts in N/avg, exactly like the engine's dense doclen)
+  SELECT (SELECT count(*) FROM documents) AS n,
+         sum(least(dl, 8)) * 1.0 / (SELECT count(*) FROM documents) AS avg_h,
+         (sum(dl) - sum(least(dl, 8))) * 1.0
+           / (SELECT count(*) FROM documents) AS avg_b
+  FROM dl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+tfw AS (
+  SELECT q.qid, tf.doc_id, tf.term,
+         (1.0 * (tf.tf - coalesce(tfh.tf, 0)))
+           / (0.25 + 0.75 * (dl.dl - least(dl.dl, 8)) / fl.avg_b)
+         + (2.0 * coalesce(tfh.tf, 0))
+           / (0.25 + 0.75 * least(dl.dl, 8) / fl.avg_h) AS w
+  FROM q
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  LEFT JOIN tfh ON tfh.doc_id = tf.doc_id AND tfh.term = tf.term
+  CROSS JOIN fl
+),
+scored AS (
+  SELECT tfw.qid, tfw.doc_id,
+         sum(
+           ln((fl.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * ((tfw.w * 2.2) / (tfw.w + 1.2))
+         ) AS score
+  FROM tfw
+  JOIN df ON df.term = tfw.term
+  CROSS JOIN fl
+  GROUP BY tfw.qid, tfw.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""

@@ -514,6 +514,83 @@ def _score_chunk(
     return top + base, scores[top]
 
 
+def _score_chunk_bm25f(
+    ci: _ChunkIndex,
+    terms: list[str],
+    idfs: np.ndarray,
+    k: int,
+    H: int,
+    w_head: float,
+    w_body: float,
+    avg_h: float,
+    avg_b: float,
+    excluded: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """True BM25F over the head/body field split (Robertson & Zaragoza,
+    "The Probabilistic Relevance Framework", 2009 §6.2): per-field tf is
+    length-normalized and weight-blended BEFORE the k1 saturation —
+
+        tfw(t, d) = w_body * tf_body / B_body(d) + w_head * tf_head / B_head(d)
+        score     = sum_t idf(t) * tfw * (k1 + 1) / (tfw + k1)
+
+    which is NOT the same ranking as adding two per-field BM25 scores
+    (``boost={"head": w}``): a term hit in both fields saturates once on
+    the blended tf, so BM25F rewards covering more query terms over
+    stacking one term's fields.  Field decomposition: head = first H
+    tokens (the ``head:`` marker namespace), body = rest; tf_body =
+    tf_content - tf_head needs both posting lists, decoded into dense
+    per-term field-tf arrays (no pruning in this mode — the block-max
+    bound would need per-field maxima the skips don't carry; documented
+    trade-off, the fan-out/merge shape is unchanged)."""
+    base = ci.doc_min
+    dl = ci.doclen
+    lh = np.minimum(dl, float(H))
+    lb = dl - lh
+    Bh = (1.0 - B) + B * lh / avg_h if avg_h > 0 else np.ones_like(dl)
+    Bb = (1.0 - B) + B * lb / avg_b if avg_b > 0 else np.ones_like(dl)
+    scores = np.zeros_like(dl)
+    tfc = np.zeros_like(dl)
+    tfh = np.zeros_like(dl)
+    allowed: np.ndarray | None = None
+    if excluded is not None and len(excluded):
+        inr = excluded[(excluded >= base) & (excluded <= ci.doc_max)] - base
+        if len(inr):
+            allowed = np.ones(len(dl), dtype=bool)
+            allowed[inr] = False
+
+    any_hit = False
+    for j, term in enumerate(terms):
+        touched = []
+        for key, acc in ((term, tfc), (f"head:{term}", tfh)):
+            for i in ci.terms.get(key, []):
+                docs, tfs = unpack_block(ci.posting(i), int(ci.df[i]))
+                idx = docs - base
+                if allowed is not None:
+                    m = allowed[idx]
+                    idx, tfs = idx[m], tfs[m]
+                if len(idx) == 0:
+                    continue
+                acc[idx] += tfs
+                touched.append(idx)
+        if not touched:
+            continue
+        any_hit = True
+        u = np.unique(np.concatenate(touched))
+        body = tfc[u] - tfh[u]
+        tfw = w_body * body / Bb[u] + w_head * tfh[u] / Bh[u]
+        scores[u] += idfs[j] * (tfw * (K1 + 1.0)) / (tfw + K1)
+        tfc[u] = 0.0
+        tfh[u] = 0.0
+    if not any_hit:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    nz = np.flatnonzero(scores)
+    if len(nz) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    order = np.lexsort((nz, -scores[nz]))[:k]
+    top = nz[order]
+    return top + base, scores[top]
+
+
 def _excluded_docs(ci: _ChunkIndex, terms: list[str]) -> np.ndarray:
     """Union of this chunk's docIDs containing ANY of ``terms`` — the
     boolean-NOT membership set (the complement side of the reference's
@@ -924,6 +1001,40 @@ class SearchShard:
                         prune and after is None, exc,
                         style_weight=style_weight, after=after,
                     )
+                tops.append(t)
+                scs.append(s)
+            out.append((np.concatenate(tops), np.concatenate(scs)))
+        return out
+
+    def field_len_sums(self, H: int) -> tuple[float, float]:
+        """(sum of min(dl, H), sum of dl) over this shard's docs — the
+        per-shard partials the driver merges into exact BM25F per-field
+        average lengths (absent docIDs in the dense doclen are zeros and
+        contribute nothing)."""
+        sh = sb = 0.0
+        for ci in self.chunks:
+            dl = ci.doclen
+            sh += float(np.minimum(dl, float(H)).sum())
+            sb += float(dl.sum())
+        return sh, sb
+
+    def bm25f_many(
+        self,
+        queries: list[tuple[list[str], list[float], int]],
+        H: int,
+        w_head: float,
+        w_body: float,
+        avg_h: float,
+        avg_b: float,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        out = []
+        for terms, idfs, k in queries:
+            tops, scs = [], []
+            for ci in self.chunks:
+                t, s = _score_chunk_bm25f(
+                    ci, terms, np.asarray(idfs), k, H, w_head, w_body,
+                    avg_h, avg_b, excluded=self.tombstones,
+                )
                 tops.append(t)
                 scs.append(s)
             out.append((np.concatenate(tops), np.concatenate(scs)))
@@ -1637,6 +1748,64 @@ class BM25Searcher:
             )
         if meta_cols:
             out = self._join_meta(out, meta_cols)
+        return out
+
+    def search_many_f(
+        self,
+        queries: list[tuple[str, int]],
+        w_head: float = 2.0,
+        w_body: float = 1.0,
+    ) -> list[pa.Table]:
+        """True BM25F over the head/body field split — see
+        ``_score_chunk_bm25f`` for the model (per-field length-normalized
+        tf blended BEFORE k1 saturation; NOT the same ranking as
+        ``boost={"head": w}``).  Requires an index built with
+        ``head_tokens``; idf comes from the content namespace.  Per-field
+        average lengths are exact: each shard returns its (sum min(dl,H),
+        sum dl) partials once (cached), merged on the driver — the same
+        integer-exact merge discipline as FederatedBM25's stats."""
+        H = int(self.stats.get("head_tokens") or 0)
+        if not H:
+            raise ValueError(
+                f"index at {self.index_dir} was built without head_tokens"
+            )
+        if not hasattr(self, "_flen"):
+            parts = ray.get(
+                [a.field_len_sums.remote(H) for a in self.actors]
+            )
+            sh = sum(p[0] for p in parts)
+            sb = sum(p[1] for p in parts)
+            n = float(self.stats["N"])
+            self._flen = (sh / n if n else 0.0, (sb - sh) / n if n else 0.0)
+        avg_h, avg_b = self._flen
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared = []
+        for q, k in queries:
+            terms = query_terms(q, tok_mode)
+            weights = self.lexicon.idf(terms)
+            present = [t for t in terms if t in weights]
+            prepared.append((present, [weights[t][1] for t in present], k))
+        futs = [
+            a.bm25f_many.remote(prepared, H, w_head, w_body, avg_h, avg_b)
+            for a in self.actors
+        ]
+        per_actor = ray.get(futs)
+        out = []
+        for qi, (_, _, k) in enumerate(prepared):
+            docs = np.concatenate([r[qi][0] for r in per_actor])
+            scores = np.concatenate([r[qi][1] for r in per_actor])
+            order = np.lexsort((docs, -scores))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "rank": pa.array(
+                            np.arange(1, len(order) + 1, dtype=np.int64)
+                        ),
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "score": pa.array(scores[order], type=pa.float64()),
+                    }
+                )
+            )
         return out
 
     def search_lm_many(

@@ -1170,3 +1170,86 @@ def test_routed_bm25_single_partition_probe(ray_session):
     assert set(a["docID"].to_pylist()) <= en_ids
     with _pytest.raises(KeyError):
         routed.search("tlh", "fast merge", k=5)
+
+
+def test_bm25f_matches_bruteforce(ray_session, tmp_path):
+    """Engine BM25F == a from-scratch python BM25F on a planted corpus,
+    and it is a genuinely different ranking from the add-two-BM25-scores
+    head boost (a doc stacking one term's fields must not outrank a doc
+    covering more query terms)."""
+    import math
+
+    import numpy as _np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher
+
+    texts = [
+        "alpha beta gamma delta eps zeta eta theta body body",  # both terms
+        "alpha alpha alpha alpha alpha alpha alpha alpha alpha alpha",
+        "beta filler filler filler filler filler alpha filler",
+        "gamma filler alpha beta filler filler filler filler",
+        "filler filler filler filler filler filler filler filler",
+    ]
+    d = tmp_path / "f"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "f_idx")
+    H, WH, WB, K1, B = 4, 2.0, 1.0, 1.2, 0.75
+    build_index(
+        str(d / "docs.parquet"),
+        idx,
+        BuildConfig(
+            tokenizer="simple", text_col="text", id_col="doc_id",
+            chunk_docs=100, num_parts=4, salt_docs=64, head_tokens=H,
+        ),
+    )
+    s = BM25Searcher(idx)
+    got = s.search_many_f([("alpha beta", 5)], w_head=WH, w_body=WB)[0]
+
+    toks = [t.split() for t in texts]
+    n = len(toks)
+    dl = [len(t) for t in toks]
+    avg_h = sum(min(x, H) for x in dl) / n
+    avg_b = (sum(dl) - sum(min(x, H) for x in dl)) / n
+    want = {}
+    for term in ["alpha", "beta"]:
+        df = sum(term in t for t in toks)
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i, t in enumerate(toks):
+            tf_h = t[:H].count(term)
+            tf_b = t[H:].count(term)
+            if tf_h + tf_b == 0:
+                continue
+            Bh = (1 - B) + B * min(dl[i], H) / avg_h
+            Bb = (1 - B) + B * (dl[i] - min(dl[i], H)) / avg_b
+            tfw = WB * tf_b / Bb + WH * tf_h / Bh
+            want[i] = want.get(i, 0.0) + idf * (tfw * (K1 + 1)) / (tfw + K1)
+    order = sorted(want, key=lambda i: (-want[i], i))
+    assert got["docID"].to_pylist() == order
+    assert _np.allclose(got["score"].to_numpy(), [want[i] for i in order],
+                        rtol=0, atol=1e-12)
+    # doc 0 (covers both terms) must beat doc 1 (stacks alpha in head+body)
+    assert order[0] == 0
+    # and the API guards: no head namespace -> clear error
+    idx2 = str(tmp_path / "nohead_idx")
+    build_index(
+        str(d / "docs.parquet"),
+        idx2,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BM25Searcher(idx2).search_many_f([("alpha", 3)])
