@@ -136,19 +136,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strictly stronger evidence than ivf_knn_consistency's constant
         # row (demoted; its invariants stay pytest-pinned)
         "vector_index_topk": _vector_index_topk_q,
-        # SemDeDup (k-means clusters -> within-cluster cosine pruning);
-        # the consistency row holds the fold slot (pq_knn_consistency —
-        # third rep of the same constant-oracle family — demoted; its
-        # recall/exactness checks stay pinned in pytest)
-        "semdedup_consistency": similarity.semdedup_consistency,
+        # multimodal representative: media decode/feature plumbing pinned
+        # by golden rows (semdedup_consistency — third rep of the
+        # constant-oracle consistency family — demoted; its recall checks
+        # stay pinned in pytest)
+        "media_consistency": multimodal.media_consistency,
         "embedding_neardup": similarity.embedding_neardup,
         # sketches (embedding_lsh_consistency — third constant-pinned
         # LSH-consistency rep; its pair-set equality stays pytest-pinned —
         # demoted for the HLL set-algebra slot)
         "distinct_users_hll": sketches.distinct_users_hll,
-        # HLL set algebra: pairwise distinct-user overlap via register-max
-        # union + inclusion-exclusion, error pinned against the exact leg
-        "hll_intersections": sketches.hll_intersections,
+        # ordered-funnel analysis (hll_intersections — same HLL register
+        # family as distinct_users_hll above — demoted for the slot)
+        "funnel_conversion": events.funnel_conversion,
         "cms_term_counts": sketches.cms_term_counts,
         "approx_percentiles": sketches.approx_percentiles,
         # exact heavy hitters through a 2-pass Misra-Gries candidate sweep
@@ -169,12 +169,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-LM document scoring (CCNet-style quality signal; broadcast
         # log-prob table; asof_purchase_click — driver-green r02 — demoted)
         "lm_score": textstats.lm_score,
-        # DSIR hashed-n-gram importance weights (new family: importance
-        # resampling; lm_bigram_score — same LM-scoring family as lm_score
-        # above — demoted for the slot)
-        "dsir_importance": textstats.dsir_importance,
-        # curation passes (C4/Gopher-style filters, scrub, mixing)
-        "repetition_stats": curation.repetition_stats,
+        # decontamination, Bloom two-tier variant (dsir_importance — same
+        # hashed-n-gram scoring family as lm_score above — demoted)
+        "decontaminate_bloom": curation.decontaminate_bloom,
+        # nearest-centroid classification, integer-exact confusion oracle
+        # (repetition_stats — same doc-quality family as quality_filter
+        # below — demoted)
+        "centroid_classify": similarity.centroid_classify,
         # cohort retention matrix (new analytics family; redact_pii — a
         # stateless regex map, SQL-pinned since r02 — demoted)
         "cohort_retention": events.cohort_retention,
@@ -195,18 +196,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dedup": multimodal.media_phash_dedup,
         # exactly-k-per-stratum quota sample (bm25_and_topk — driver-green
         # r02 — demoted; the AND path stays pinned by pytest + skip-seek)
-        # decontamination: the Bloom two-tier variant holds the fold slot
-        # (same SQL oracle as the exact pass; pytest pins row-identity)
-        "decontaminate_bloom": curation.decontaminate_bloom,
-        # ordered-funnel analysis (new analytics family; epoch_mix — a
-        # stateless deterministic mix, SQL-pinned since r02 — demoted)
-        "funnel_conversion": events.funnel_conversion,
+        "dsir_importance": textstats.dsir_importance,
+        "hll_intersections": sketches.hll_intersections,
         # sequence packing: concat-and-chunk layout over a distributed
         # two-phase prefix scan (exact-integer SQL oracle); phrase_match
         # (driver-green r02) demoted for the slot
         "sequence_pack": curation.sequence_pack,
-        # nearest-centroid classification (integer-exact confusion oracle)
-        "centroid_classify": similarity.centroid_classify,
+        "repetition_stats": curation.repetition_stats,
         # distributed BPE vocabulary training, as its consistency row: the
         # shard-actor trainer is re-derived by an independent in-package
         # full-rescan implementation and compared merge-for-merge (the
@@ -221,7 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stronger in-fold multimodal row, and bpe_consistency — the
         # independent re-derivation of the distributed BPE trainer — takes
         # the 50th verdict slot instead of this constant-pinned aggregate)
-        "media_consistency": multimodal.media_consistency,
+        "semdedup_consistency": similarity.semdedup_consistency,
         # bm25_prefix_topk/not_topk/topk_meta were driver-green in r02, as
         # were bm25_after_delete and doc_lookup (demoted for centroid_classify
         # and bpe_train); demoted so new rows get verdicts inside the cap
