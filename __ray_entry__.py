@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph suite (PageRank + distributed CC) and the round-3 window/
         # co-occurrence ops — in-fold so the driver verdicts them
         "pagerank": graph.pagerank,
+        "personalized_pagerank": graph.personalized_pagerank,
         "connected_components": graph.connected_components,
         "hopping_windows": events.hopping_windows,
         # distributed band self-join -> degree-oriented wedge-join triangle
@@ -509,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         connected_components_sql_oracle,
         adamic_adar_sql_oracle,
         pagerank_sql_oracle,
+        personalized_pagerank_sql_oracle,
         triangle_count_sql_oracle,
     )
     from index_ray.pipelines.flagship import (
@@ -997,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_bpe": token_count_bpe_sql_oracle(),
         "pagerank": pagerank_sql_oracle(),
+        "personalized_pagerank": personalized_pagerank_sql_oracle(),
         "skipgram_counts": text_mod.skipgram_counts_sql_oracle(),
         "top_terms_by_source": text_mod.top_terms_by_source_sql_oracle(),
         "hopping_windows": events_mod.hopping_windows_sql_oracle(),

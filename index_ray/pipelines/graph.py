@@ -217,18 +217,11 @@ def _pr_gather(base: int, *parts: pa.Table) -> pa.Table:
     )
 
 
-def pagerank(
-    sf_dir: str, iters: int = 3, num_buckets: int = 32
-) -> ray.data.Dataset:
-    """Integer fixed-point PageRank over the customer<->supplier graph.
-
-    Output: (node, kind, rank_fp) — rank_fp is the int64 fixed-point rank
-    (multiples of 1/SCALE) after ``iters`` synchronous iterations; kind
-    tags the bipartite side.  Bitwise deterministic at any parallelism.
-    """
+def _bucketed_order_graph(sf_dir: str, num_buckets: int):
+    """Bucket the order-graph edge list once (it stays put for every
+    iteration); returns (ebucket refs, node-table refs) or None if the
+    graph is empty."""
     edges = _order_edges(sf_dir)
-
-    # bucket the edge list once; it stays put for every iteration
     per_block = []
     for bundle in edges.iter_internal_ref_bundles():
         for bref in bundle.block_refs:
@@ -241,15 +234,47 @@ def pagerank(
             else:
                 per_block.append((_edge_split.remote(bref, num_buckets),))
     if not per_block:
-        empty = pa.schema(
-            [("node", pa.int64()), ("kind", pa.string()), ("rank_fp", pa.int64())]
-        ).empty_table()
-        return ray.data.from_arrow(empty)
+        return None
     ebuckets = [
         _edge_bucket.remote(*[pb[i] for pb in per_block])
         for i in range(num_buckets)
     ]
     nodes = [_bucket_nodes.remote(e) for e in ebuckets]
+    return ebuckets, nodes
+
+
+_PR_OUT_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("kind", pa.string()), ("rank_fp", pa.int64())]
+)
+
+
+def _pr_label(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _PR_OUT_SCHEMA.empty_table()
+    n = t["node"].to_numpy(zero_copy_only=False)
+    kind = np.where(n % 2 == 0, "customer", "supplier")
+    return pa.table(
+        {
+            "node": t["node"],
+            "kind": pa.array(kind.tolist(), pa.string()),
+            "rank_fp": t["r"],
+        }
+    )
+
+
+def pagerank(
+    sf_dir: str, iters: int = 3, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Integer fixed-point PageRank over the customer<->supplier graph.
+
+    Output: (node, kind, rank_fp) — rank_fp is the int64 fixed-point rank
+    (multiples of 1/SCALE) after ``iters`` synchronous iterations; kind
+    tags the bipartite side.  Bitwise deterministic at any parallelism.
+    """
+    g = _bucketed_order_graph(sf_dir, num_buckets)
+    if g is None:
+        return ray.data.from_arrow(_PR_OUT_SCHEMA.empty_table())
+    ebuckets, nodes = g
     n_nodes = sum(t.num_rows for t in ray.get(nodes))
     base = (15 * SCALE // 100) // n_nodes
     ranks = [_init_ranks.remote(t, n_nodes) for t in nodes]
@@ -266,24 +291,126 @@ def pagerank(
             for i in range(num_buckets)
         ]
 
-    def label(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema(
-                [("node", pa.int64()), ("kind", pa.string()), ("rank_fp", pa.int64())]
-            ).empty_table()
-        n = t["node"].to_numpy(zero_copy_only=False)
-        kind = np.where(n % 2 == 0, "customer", "supplier")
-        return pa.table(
-            {
-                "node": t["node"],
-                "kind": pa.array(kind.tolist(), pa.string()),
-                "rank_fp": t["r"],
-            }
-        )
-
     return ray.data.from_arrow_refs(ranks).map_batches(
-        label, batch_format="pyarrow"
+        _pr_label, batch_format="pyarrow"
     )
+
+
+# --------------------------------------- personalized PageRank ----
+
+PPR_SEEDS = [2, 4, 6]  # customer nodes custkey 1..3 (node id = 2*custkey)
+
+
+@ray.remote
+def _ppr_init(nodes: pa.Table, seeds: np.ndarray, per_seed: int) -> pa.Table:
+    n = nodes["node"].to_numpy(zero_copy_only=False)
+    r = np.where(np.isin(n, seeds), np.int64(per_seed), np.int64(0))
+    return pa.table({"node": nodes["node"], "r": pa.array(r, pa.int64())})
+
+
+@ray.remote
+def _ppr_gather(seed_base: int, seeds: np.ndarray, *parts: pa.Table) -> pa.Table:
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return pa.schema([("node", pa.int64()), ("r", pa.int64())]).empty_table()
+    t = pa.concat_tables(live, promote_options="default")
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    c = t["c"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(dst, return_inverse=True)
+    s = np.where(np.isin(uniq, seeds), np.int64(seed_base), np.int64(0))
+    np.add.at(s, inv, c)
+    return pa.table(
+        {"node": pa.array(uniq, pa.int64()), "r": pa.array(s, pa.int64())}
+    )
+
+
+def personalized_pagerank(
+    sf_dir: str,
+    iters: int = 3,
+    num_buckets: int = 32,
+    seeds: list[int] | None = None,
+) -> ray.data.Dataset:
+    """PERSONALIZED PageRank: identical integer fixed-point kernel to
+    :func:`pagerank` (same bucketed scatter/gather, same exactness
+    argument) but the teleport mass lands only on the ``seeds`` — r0 and
+    the per-iteration base are SCALE//|S| and (15%·SCALE)//|S| on seed
+    nodes, zero elsewhere — so rank_fp measures proximity to the seed
+    set (the "related to these customers" relevance vector).  Output:
+    (node, kind, rank_fp), nodes reachable with nonzero in-flow plus the
+    seeds.  Bitwise deterministic at any parallelism.
+    """
+    seed_arr = np.asarray(sorted(seeds or PPR_SEEDS), dtype=np.int64)
+    g = _bucketed_order_graph(sf_dir, num_buckets)
+    if g is None:
+        return ray.data.from_arrow(_PR_OUT_SCHEMA.empty_table())
+    ebuckets, nodes = g
+    per_seed = SCALE // len(seed_arr)
+    seed_base = (15 * SCALE // 100) // len(seed_arr)
+    seeds_ref = ray.put(seed_arr)
+    ranks = [_ppr_init.remote(t, seeds_ref, per_seed) for t in nodes]
+    for _ in range(iters):
+        partials = [
+            _pr_scatter.options(num_returns=num_buckets).remote(e, r, num_buckets)
+            if num_buckets > 1
+            else (_pr_scatter.remote(e, r, num_buckets),)
+            for e, r in zip(ebuckets, ranks)
+        ]
+        ranks = [
+            _ppr_gather.remote(seed_base, seeds_ref, *[p[i] for p in partials])
+            for i in range(num_buckets)
+        ]
+    return ray.data.from_arrow_refs(ranks).map_batches(
+        _pr_label, batch_format="pyarrow"
+    )
+
+
+def personalized_pagerank_sql_oracle(
+    iters: int = 3, seeds: list[int] | None = None
+) -> str:
+    seed_list = ", ".join(str(s) for s in sorted(seeds or PPR_SEEDS))
+    n_seeds = len(seeds or PPR_SEEDS)
+    per_seed = SCALE // n_seeds
+    seed_base = (15 * SCALE // 100) // n_seeds
+    damp = f"* {DAMP_NUM} // {DAMP_DEN}"
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+          SELECT e.dst AS node,
+                 CAST(CASE WHEN e.dst IN ({seed_list})
+                           THEN {seed_base} ELSE 0 END
+                      + sum((p.r {damp}) // d.d) AS BIGINT) AS r
+          FROM edges e
+          JOIN {prev} p ON e.src = p.node
+          JOIN deg d ON d.src = e.src
+          GROUP BY e.dst
+        )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs
+        ),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        r0 AS (
+          SELECT src AS node,
+                 CAST(CASE WHEN src IN ({seed_list})
+                           THEN {per_seed} ELSE 0 END AS BIGINT) AS r
+          FROM deg
+        ),
+        {chain}
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               r AS rank_fp
+        FROM {prev}
+    """
 
 
 def pagerank_sql_oracle(iters: int = 3) -> str:

@@ -394,3 +394,41 @@ def test_adamic_adar_planted(ray_session, tmp_path):
     want = want[:15]
     got_rows = list(zip(got["a"], got["b"], got["aa_e9"]))
     assert [tuple(map(int, r)) for r in got_rows] == want
+
+
+def _reference_ppr(pairs, seeds, iters=3):
+    from index_ray.pipelines.graph import SCALE
+
+    uniq = sorted({(c * 2, s * 2 + 1) for c, s in pairs})
+    edges = [(a, b) for a, b in uniq] + [(b, a) for a, b in uniq]
+    nodes = sorted({u for u, _ in edges})
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    per_seed = SCALE // len(seeds)
+    base = (15 * SCALE // 100) // len(seeds)
+    r = {u: (per_seed if u in seeds else 0) for u in nodes}
+    for _ in range(iters):
+        nxt = {u: (base if u in seeds else 0) for u in nodes}
+        for u, v in edges:
+            nxt[v] += (r[u] * 85 // 100) // deg[u]
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_planted(ray_session, tmp_path):
+    from index_ray.pipelines.graph import personalized_pagerank
+
+    pairs = [(1, 1), (1, 2), (2, 2), (3, 3), (4, 3), (4, 4), (5, 5)]
+    sf = _write_graph(tmp_path, pairs)
+    seeds = [2, 4]  # customers 1 and 2
+    got = (
+        personalized_pagerank(sf, iters=3, num_buckets=4, seeds=seeds)
+        .to_pandas()
+        .set_index("node")["rank_fp"]
+        .to_dict()
+    )
+    want = _reference_ppr(pairs, set(seeds))
+    assert got == want
+    # teleport localization: the disconnected (5,5) component gets zero
+    assert got[10] == 0 and got[11] == 0
