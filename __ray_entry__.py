@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_bm25": flagship.routed_bm25,
         "term_vectors": flagship.term_vectors_q,
         "bm25f_topk": flagship.bm25f_topk,
+        "phrase_suggest": flagship.phrase_suggest,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -545,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         routed_bm25_sql_oracle,
         term_vectors_sql_oracle,
         bm25f_sql_oracle,
+        phrase_suggest_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -666,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "routed_bm25": routed_bm25_sql_oracle(),
         "term_vectors": term_vectors_sql_oracle(),
         "bm25f_topk": bm25f_sql_oracle(),
+        "phrase_suggest": phrase_suggest_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),

@@ -3528,3 +3528,138 @@ ranked AS (
 )
 SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
 """
+
+
+# phrase-suggest fixtures: whole-phrase typo corrections
+PHRASE_SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (1, "fust merge sort"),   # fust -> fast (substitution)
+    (2, "sow tabl scan"),     # sow -> {slow, row} (ambiguous), tabl -> table
+    (3, "spark quer"),        # quer -> query (deletion)
+]
+PHRASE_TOPN = 3
+
+
+def phrase_suggest(sf_dir: str) -> pa.Table:
+    """Elasticsearch-style PHRASE suggester ("did you mean" for whole
+    queries): per-slot candidates are the SymSpell Levenshtein<=1
+    neighborhood of each query word (``Lexicon.fuzzy_terms`` — same
+    expansion as ``spell_suggest``), composed into candidate phrases and
+    ranked by adjacent-bigram corpus support — score = sum over adjacent
+    slot pairs of the bigram's corpus frequency (integer-exact).
+
+    (qid, rank, suggestion, score), top ``PHRASE_TOPN`` per query,
+    (score DESC, suggestion ASC) ties.  Engine shape: candidate pairs
+    are broadcast and ONE vectorized corpus pass (the same
+    ``_BigramPartials`` kernel as ``bigram_counts``, filtered to the
+    candidate set before the groupby) counts their support — no full
+    bigram table materializes at query time; a serving platform would
+    precompute it once and this becomes a pure lookup.
+    """
+    import itertools
+
+    from .build import load_stats
+    from .query import Lexicon
+    from .text import _BigramPartials, docs_dataset
+    from ..util import stage_fn
+    from ray.data.aggregate import Sum
+
+    out = documents_index(sf_dir)
+    lex = Lexicon(out, load_stats(out)["N"])
+    slot_cands: dict[int, list[list[str]]] = {}
+    pair_set: set[str] = set()
+    for qid, q in PHRASE_SUGGEST_QUERIES:
+        slots = [sorted(lex.fuzzy_terms(w)) for w in q.split()]
+        slot_cands[qid] = slots
+        for a, b in zip(slots, slots[1:]):
+            pair_set.update(f"{x} {y}" for x in a for y in b)
+    want = sorted(pair_set)
+
+    counts_ds = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_BigramPartials), batch_format="pyarrow", batch_size=512
+        )
+        .map_batches(
+            lambda t, w=want: t.filter(pc.is_in(t["bigram"], pa.array(w))),
+            batch_format="pyarrow",
+        )
+        .groupby("bigram")
+        .aggregate(Sum("cf_part", alias_name="cf"))
+    )
+    cf_tbl = pa.Table.from_pandas(counts_ds.to_pandas(), preserve_index=False)
+    cf = dict(zip(cf_tbl["bigram"].to_pylist(), cf_tbl["cf"].to_pylist()))
+
+    rows = {"qid": [], "rank": [], "suggestion": [], "score": []}
+    for qid, _ in PHRASE_SUGGEST_QUERIES:
+        scored = []
+        for combo in itertools.product(*slot_cands[qid]):
+            s = sum(
+                int(cf.get(f"{a} {b}", 0)) for a, b in zip(combo, combo[1:])
+            )
+            scored.append((" ".join(combo), s))
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        for i, (phrase, s) in enumerate(scored[:PHRASE_TOPN], 1):
+            rows["qid"].append(qid)
+            rows["rank"].append(i)
+            rows["suggestion"].append(phrase)
+            rows["score"].append(s)
+    return pa.table(
+        {
+            "qid": pa.array(rows["qid"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "suggestion": pa.array(rows["suggestion"], pa.string()),
+            "score": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
+def phrase_suggest_sql_oracle() -> str:
+    parts = []
+    for qid, q in PHRASE_SUGGEST_QUERIES:
+        words = q.split()
+        srcs = [
+            f"(SELECT term AS t{i} FROM voc WHERE levenshtein('{w}', term) <= 1) c{i}"
+            for i, w in enumerate(words)
+        ]
+        frm = srcs[0] + "".join(f"\n          CROSS JOIN {s}" for s in srcs[1:])
+        joins = "".join(
+            f"\n          LEFT JOIN big b{i} ON b{i}.bigram = t{i} || ' ' || t{i+1}"
+            for i in range(len(words) - 1)
+        )
+        sugg = " || ' ' || ".join(f"t{i}" for i in range(len(words)))
+        score = " + ".join(
+            f"coalesce(b{i}.cf, 0)" for i in range(len(words) - 1)
+        )
+        parts.append(
+            f"""SELECT CAST({qid} AS BIGINT) AS qid, {sugg} AS suggestion,
+                 CAST({score} AS BIGINT) AS score
+          FROM {frm}{joins}"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH arr AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        t AS (SELECT unnest(toks) AS term FROM arr),
+        voc AS (SELECT DISTINCT term FROM t),
+        b AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM arr
+        ),
+        big AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf FROM b GROUP BY 1),
+        allc AS (
+          {union}
+        ),
+        ranked AS (
+          SELECT qid, suggestion, score,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, suggestion ASC
+                 ) AS BIGINT) AS rank
+          FROM allc
+        )
+        SELECT qid, rank, suggestion, score FROM ranked WHERE rank <= {PHRASE_TOPN}
+    """

@@ -1253,3 +1253,36 @@ def test_bm25f_matches_bruteforce(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         BM25Searcher(idx2).search_many_f([("alpha", 3)])
+
+
+def test_phrase_suggest_ranks_by_bigram_support(ray_session, tmp_path):
+    """Whole-phrase correction: the candidate phrase with the higher
+    adjacent-bigram corpus support must rank first (and the score is the
+    exact bigram count sum)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import index_ray.pipelines.flagship as fl
+
+    texts = (["slow table scan runs nightly"] * 5) + ["row table scan once"]
+    d = tmp_path / "ps"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    old = fl.PHRASE_SUGGEST_QUERIES
+    fl.PHRASE_SUGGEST_QUERIES = [(1, "sow tabl scan")]
+    try:
+        got = fl.phrase_suggest(str(d)).to_pandas()
+    finally:
+        fl.PHRASE_SUGGEST_QUERIES = old
+    rows = list(zip(got["rank"], got["suggestion"], got["score"]))
+    # slow: 'slow table' x5 + 'table scan' x6 = 11; row: 1 + 6 = 7
+    assert rows[0] == (1, "slow table scan", 11)
+    assert rows[1] == (2, "row table scan", 7)
