@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": flagship.term_vectors_q,
         "bm25f_topk": flagship.bm25f_topk,
         "phrase_suggest": flagship.phrase_suggest,
+        "nrt_search": flagship.nrt_search,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         term_vectors_sql_oracle,
         bm25f_sql_oracle,
         phrase_suggest_sql_oracle,
+        nrt_search_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -669,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": term_vectors_sql_oracle(),
         "bm25f_topk": bm25f_sql_oracle(),
         "phrase_suggest": phrase_suggest_sql_oracle(),
+        "nrt_search": nrt_search_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),

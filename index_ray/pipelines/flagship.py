@@ -3663,3 +3663,57 @@ def phrase_suggest_sql_oracle() -> str:
         )
         SELECT qid, rank, suggestion, score FROM ranked WHERE rank <= {PHRASE_TOPN}
     """
+
+
+def nrt_search(sf_dir: str) -> pa.Table:
+    """Near-real-time search (``query.NRTSearcher``): the even-doc_id half
+    is durably indexed, the odd half is only BUFFERED in the realtime
+    segment (zero flushes) — and the fixture queries must already rank
+    the full corpus exactly as a fused from-scratch index would, because
+    the (N, df, avgdl) merge is exact and the disk shards score under
+    the merged avgdl.  (qid, rank, doc_id); the oracle is deliberately
+    the plain full-corpus BM25 SQL — NRT buffering must be invisible.
+    """
+    import pyarrow.dataset as pads
+
+    from .query import NRTSearcher
+
+    base = _index_dir_for(sf_dir) + "_nrt"
+    src_dir = base + "_src"
+    src = os.path.join(src_dir, "even.parquet")
+    dsx = pads.dataset(f"{sf_dir}/documents.parquet")
+    if not os.path.exists(src):
+        os.makedirs(src_dir, exist_ok=True)
+        t_all = dsx.to_table()
+        ids_all = t_all["doc_id"].to_numpy(zero_copy_only=False)
+        pq.write_table(t_all.filter(pa.array(ids_all % 2 == 0)), src)
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=8,
+        batch_size=512,
+        salt_docs=4096,
+    )
+    build_index(src, base, cfg)
+    nrt = NRTSearcher(base, text_col="text", id_col="doc_id")
+    t_all = dsx.to_table()
+    ids_all = t_all["doc_id"].to_numpy(zero_copy_only=False)
+    nrt.add(t_all.filter(pa.array(ids_all % 2 == 1)))
+    results = nrt.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def nrt_search_sql_oracle() -> str:
+    return _bm25_ctes() + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"

@@ -971,7 +971,13 @@ class SearchShard:
         style_weight: float = 1.0,
         msm: int = 2,
         afters: list[tuple[float, int] | None] | None = None,
+        avgdl: float | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
+        # avgdl override: an NRT caller merges the durable index's stats
+        # with its in-memory segment, so the effective avgdl differs from
+        # the one this actor was loaded with (block-max bounds stay sound:
+        # tau forms from scores computed under the SAME override)
+        av = self.avgdl if avgdl is None else float(avgdl)
         out = []
         for qi, (terms, idfs, k) in enumerate(queries):
             exc_terms = excludes[qi] if excludes else []
@@ -980,12 +986,12 @@ class SearchShard:
             for ci in self.chunks:
                 if mode == "and":
                     t, s = _score_chunk_and(
-                        ci, terms, np.asarray(idfs), k, self.avgdl,
+                        ci, terms, np.asarray(idfs), k, av,
                         excluded=self.tombstones, style_weight=style_weight,
                     )
                 elif mode == "msm":
                     t, s = _score_chunk_msm(
-                        ci, terms, np.asarray(idfs), k, self.avgdl, msm,
+                        ci, terms, np.asarray(idfs), k, av, msm,
                         excluded=self.tombstones, style_weight=style_weight,
                     )
                 else:
@@ -997,7 +1003,7 @@ class SearchShard:
                             else self.tombstones
                         )
                     t, s = _score_chunk(
-                        ci, terms, np.asarray(idfs), k, self.avgdl,
+                        ci, terms, np.asarray(idfs), k, av,
                         prune and after is None, exc,
                         style_weight=style_weight, after=after,
                     )
@@ -2410,3 +2416,168 @@ def term_vectors(index_dir: str, doc_ids: list) -> pa.Table:
         )
     dsx = pads.dataset(tv_files)
     return dsx.to_table(filter=pads.field("docID").isin(list(doc_ids)))
+
+
+class NRTSearcher:
+    """Near-real-time search (the Lucene NRT-reader semantics): an
+    in-memory REALTIME SEGMENT buffers newly added documents and is
+    searchable immediately — no chunk build, no flush — while the durable
+    index serves everything already committed.
+
+    Exactness contract (pinned in pytest): results are rank- AND
+    score-identical to a from-scratch index over (durable + buffered)
+    docs.  BM25 sees the corpus only through (N, df, avgdl); the merge is
+    exact — N and df are integer sums, avgdl = (total_tokens_disk +
+    total_tokens_buf) / N is the same float64 division a fused build
+    computes — and the disk shards score under the merged avgdl via the
+    ``score_many(avgdl=...)`` override (block-max pruning stays sound:
+    tau forms from scores under the same override).
+
+    Cluster shape: the buffer is one writer actor's working set (small by
+    definition — it flushes at chunk granularity via ``flush()`` ->
+    ``append_index``); at platform scale each ingest node owns one, and
+    queries fan out to disk shards + the buffer exactly like
+    ``FederatedBM25`` partitions.
+    """
+
+    def __init__(self, index_dir: str, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.index_dir = index_dir
+        self.searcher = BM25Searcher(index_dir)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok_mode = self.searcher.stats.get("tokenizer", "code")
+        self._norm = None
+        # buffered segment state (docID-aligned arrays + term -> postings)
+        self._ids: list[int] = []
+        self._dl: list[int] = []
+        self._post: dict[str, list[tuple[int, int]]] = {}
+        self._buf_tables: list[pa.Table] = []
+        self._buf_tokens = 0
+
+    def add(self, table: pa.Table) -> None:
+        """Buffer new documents (searchable immediately)."""
+        from ..functions.tokenize import TokenNormalizer, tokenize_batch
+
+        if self._norm is None:
+            self._norm = TokenNormalizer(self.tok_mode)
+        self._buf_tables.append(table)
+        docc, tidocc, vocab = tokenize_batch(table[self.text_col], self._norm)
+        ids = table[self.id_col].to_numpy(zero_copy_only=False)
+        base = len(self._ids)
+        n_tok = np.bincount(docc, minlength=table.num_rows)
+        self._ids.extend(int(i) for i in ids)
+        self._dl.extend(int(x) for x in n_tok)
+        self._buf_tokens += int(n_tok.sum())
+        if len(docc):
+            key = docc.astype(np.int64) * np.int64(len(vocab) or 1) + tidocc
+            order = np.argsort(key, kind="stable")
+            k_s = key[order]
+            starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+            tfs = np.diff(np.append(starts, len(k_s)))
+            uk = k_s[starts]
+            d_loc = (uk // np.int64(len(vocab) or 1)).astype(np.int64)
+            t_loc = (uk % np.int64(len(vocab) or 1)).astype(np.int64)
+            for dl_, tl_, tf_ in zip(d_loc, t_loc, tfs):
+                self._post.setdefault(vocab[int(tl_)], []).append(
+                    (base + int(dl_), int(tf_))
+                )
+
+    @property
+    def buffered_docs(self) -> int:
+        return len(self._ids)
+
+    def _merged_stats(self, terms: list[str]):
+        n = int(self.searcher.stats["N"]) + len(self._ids)
+        total = int(self.searcher.stats["total_tokens"]) + self._buf_tokens
+        avgdl = (total / n) if n else 0.0
+        disk = self.searcher.lexicon.idf(terms)
+        w = {}
+        for t in terms:
+            df = (disk[t][0] if t in disk else 0) + len(self._post.get(t, []))
+            if df:
+                w[t] = (df, math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        return n, avgdl, w
+
+    def _score_buffer(
+        self, terms: list[str], idfs: list[float], k: int, avgdl: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        nb = len(self._ids)
+        if nb == 0 or not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        dl = np.asarray(self._dl, dtype=np.float64)
+        norm_dl = K1 * (1.0 - B + B * dl / avgdl)
+        scores = np.zeros(nb, dtype=np.float64)
+        for term, idf in zip(terms, idfs):
+            posts = self._post.get(term)
+            if not posts:
+                continue
+            idx = np.fromiter((p[0] for p in posts), np.int64, len(posts))
+            tfe = np.fromiter((p[1] for p in posts), np.float64, len(posts))
+            scores[idx] += idf * (tfe * (K1 + 1.0)) / (tfe + norm_dl[idx])
+        nz = np.flatnonzero(scores)
+        if len(nz) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.asarray(self._ids, dtype=np.int64)
+        order = np.lexsort((ids[nz], -scores[nz]))[:k]
+        top = nz[order]
+        return ids[top], scores[top]
+
+    def search_many(
+        self, queries: list[tuple[str, int]], prune: bool = True
+    ) -> list[pa.Table]:
+        prepared = []
+        for q, k in queries:
+            terms = query_terms(q, self.tok_mode)
+            _, avgdl, w = self._merged_stats(terms)
+            present = [t for t in terms if t in w]
+            prepared.append((present, [w[t][1] for t in present], k, avgdl))
+        # one avgdl per call is enough: it's corpus-level, not per-query
+        avgdl = prepared[0][3] if prepared else 0.0
+        shard_q = [(t, i, k) for t, i, k, _ in prepared]
+        futs = [
+            a.score_many.remote(shard_q, prune, "or", None, 1.0, 2, None, avgdl)
+            for a in self.searcher.actors
+        ]
+        per_actor = ray.get(futs)
+        out = []
+        for qi, (terms, idfs, k, _) in enumerate(prepared):
+            bd, bs = self._score_buffer(terms, idfs, k, avgdl)
+            docs = np.concatenate([r[qi][0] for r in per_actor] + [bd])
+            scores = np.concatenate([r[qi][1] for r in per_actor] + [bs])
+            order = np.lexsort((docs, -scores))[:k]
+            out.append(
+                pa.table(
+                    {
+                        "rank": pa.array(
+                            np.arange(1, len(order) + 1, dtype=np.int64)
+                        ),
+                        "docID": pa.array(docs[order], type=pa.int64()),
+                        "score": pa.array(scores[order], type=pa.float64()),
+                    }
+                )
+            )
+        return out
+
+    def search(self, q: str, k: int = 10) -> pa.Table:
+        return self.search_many([(q, k)])[0]
+
+    def flush(self, cfg=None) -> None:
+        """Durably commit the buffer (``append_index``) and clear it; the
+        next search serves everything from the disk shards."""
+        if not self._buf_tables:
+            return
+        import tempfile
+
+        from .build import BuildConfig, append_index
+
+        t = pa.concat_tables(self._buf_tables)
+        d = tempfile.mkdtemp(prefix="nrt_flush_")
+        pq.write_table(t, os.path.join(d, "buffer.parquet"))
+        cfg = cfg or BuildConfig(
+            tokenizer=self.tok_mode, text_col=self.text_col,
+            id_col=self.id_col, chunk_docs=250_000, num_parts=8,
+            batch_size=512, salt_docs=4096,
+        )
+        append_index(os.path.join(d, "buffer.parquet"), self.index_dir, cfg)
+        self.__init__(self.index_dir, self.text_col, self.id_col)

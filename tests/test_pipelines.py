@@ -1286,3 +1286,49 @@ def test_phrase_suggest_ranks_by_bigram_support(ray_session, tmp_path):
     # slow: 'slow table' x5 + 'table scan' x6 = 11; row: 1 + 6 = 7
     assert rows[0] == (1, "slow table scan", 11)
     assert rows[1] == (2, "row table scan", 7)
+
+
+def test_nrt_bitwise_matches_fused_index(ray_session, tmp_path):
+    """NRT contract: durable half + buffered half must reproduce the fused
+    single index bitwise (docIDs AND float64 scores); after flush() the
+    same queries still match (buffer drained to a real chunk)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from conftest import TINY_CFG, TINY_SEED
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher, NRTSearcher
+    from index_ray.sources.corpus import generate_corpus
+
+    texts = generate_corpus(150, TINY_SEED)["content"].to_pylist()
+    ids = np.arange(150, dtype=np.int64)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())}
+    )
+    d = tmp_path / "nrt"
+    d.mkdir()
+    even = ids % 2 == 0
+    _pq.write_table(tbl.filter(pa.array(even)), str(d / "even.parquet"))
+    _pq.write_table(tbl, str(d / "all.parquet"))
+    cfg = BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                      **TINY_CFG)
+    idx = str(tmp_path / "nrt_idx")
+    build_index(str(d / "even.parquet"), idx, cfg)
+    fused_idx = str(tmp_path / "fused_idx")
+    build_index(str(d / "all.parquet"), fused_idx, cfg)
+
+    nrt = NRTSearcher(idx, text_col="text", id_col="doc_id")
+    assert nrt.buffered_docs == 0
+    nrt.add(tbl.filter(pa.array(~even)))
+    assert nrt.buffered_docs == int((~even).sum())
+    fused = BM25Searcher(fused_idx)
+    qs = [("fast merge sort", 10), ("spark query", 10), ("window scan", 10)]
+    for n_r, f_r in zip(nrt.search_many(qs), fused.search_many(qs)):
+        assert n_r["docID"].to_pylist() == f_r["docID"].to_pylist()
+        assert n_r["score"].to_pylist() == f_r["score"].to_pylist()  # bitwise
+
+    nrt.flush(cfg)
+    assert nrt.buffered_docs == 0
+    for n_r, f_r in zip(nrt.search_many(qs), fused.search_many(qs)):
+        assert n_r["docID"].to_pylist() == f_r["docID"].to_pylist()
+        assert n_r["score"].to_pylist() == f_r["score"].to_pylist()
