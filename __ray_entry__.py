@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocations in-fold — demoted for the slot)
         "triangle_count": graph.triangle_count,
         "adamic_adar": graph.adamic_adar,
+        "k_core": graph.k_core,
         # CCNet-style per-language LM-quality thirds (new family: quality
         # bucketing; user_outlier_events — driver-green r02, gap kernel
         # shared verbatim with session_concurrency above — demoted)
@@ -264,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_freq_spectrum": text.term_freq_spectrum,
         "revenue_by_month": relational.revenue_by_month,
         "pivot_revenue": relational.pivot_revenue,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         "revenue_by_segment": relational.revenue_by_segment,
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
@@ -1227,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_revenue": rel_mod.rollup_revenue_sql_oracle(),
         "pivot_revenue": rel_mod.pivot_revenue_sql_oracle(),
+        "small_quantity_revenue": rel_mod.small_quantity_revenue_sql_oracle(),
         "cube_revenue": rel_mod.cube_revenue_sql_oracle(),
         "regression_by_flag": rel_mod.regression_by_flag_sql_oracle(),
         "skyline_orders": rel_mod.skyline_orders_sql_oracle(),

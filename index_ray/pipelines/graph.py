@@ -1459,3 +1459,149 @@ def adamic_adar_sql_oracle(window: int = AA_WINDOW, k: int = AA_TOPK) -> str:
           FROM na
         ) WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------- k-core ----
+
+K_CORE_K = 3
+K_CORE_WINDOW = 200
+
+
+@ray.remote
+def _kcore_bucket_adj(*parts: pa.Table) -> pa.Table:
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return pa.schema([("z", pa.int64()), ("x", pa.int64())]).empty_table()
+    return pa.concat_tables(live, promote_options="default")
+
+
+@ray.remote
+def _kcore_peel(adj: pa.Table, removed: np.ndarray, k: int):
+    """One delta-peel round for one bucket: drop removed neighbors from
+    the co-located adjacency, return (new adjacency, newly-sub-k nodes).
+    Nodes already below k are fully removed from the adjacency so they
+    are reported exactly once."""
+    empty = pa.schema([("z", pa.int64()), ("x", pa.int64())]).empty_table()
+    if adj.num_rows == 0:
+        return empty, np.empty(0, np.int64)
+    z = adj["z"].to_numpy(zero_copy_only=False)
+    x = adj["x"].to_numpy(zero_copy_only=False)
+    if len(removed):
+        keep = ~np.isin(x, removed)
+        z, x = z[keep], x[keep]
+    if len(z) == 0:
+        return empty, np.unique(adj["z"].to_numpy(zero_copy_only=False))
+    u, counts = np.unique(z, return_counts=True)
+    dead = u[counts < k]
+    # nodes whose rows vanished entirely this round are also dead
+    gone = np.setdiff1d(
+        np.unique(adj["z"].to_numpy(zero_copy_only=False)), u
+    )
+    dead = np.union1d(dead, gone)
+    if len(dead):
+        keep = ~np.isin(z, dead)
+        z, x = z[keep], x[keep]
+    return (
+        pa.table({"z": pa.array(z, pa.int64()), "x": pa.array(x, pa.int64())}),
+        dead,
+    )
+
+
+def k_core(
+    sf_dir: str,
+    k: int = K_CORE_K,
+    window: int = K_CORE_WINDOW,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """k-CORE decomposition (membership for one k) over the band graph of
+    :func:`_band_edges`: iteratively peel nodes with fewer than k
+    surviving neighbors until fixpoint; (node, deg_in_core) for the
+    survivors, deg_in_core = the node's degree inside the core.
+
+    Distribution shape — DELTA peeling: adjacency rows (z, x) are
+    bucketed by hash(z) ONCE and stay in the object store; each round
+    broadcasts only the nodes removed LAST round (the frontier, small by
+    definition), each bucket drops those neighbors, recomputes its local
+    degrees (the full neighbor list of z is co-located) and reports the
+    newly sub-k nodes.  Rounds = peeling depth; per round the driver
+    moves O(frontier) ids, never the graph.  No SQL oracle (an
+    iterate-to-fixpoint loop is not expressible in one query); pinned by
+    the planted-graph pytest against a reference python peel.
+    """
+    edges = _band_edges(sf_dir, window, None)
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "z": pa.array(np.concatenate([a, b]), pa.int64()),
+                "x": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow")
+
+    # bucket once by hash(z); rows of one z always land together
+    per_block = []
+    for bundle in adjacency.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            per_block.append(
+                _hgsplit_kcore.options(num_returns=num_buckets).remote(
+                    bref, num_buckets
+                )
+            )
+    if not per_block:
+        return pa.schema(
+            [("node", pa.int64()), ("deg_in_core", pa.int64())]
+        ).empty_table()
+    buckets = [
+        _kcore_bucket_adj.remote(*[pb[i] for pb in per_block])
+        for i in range(num_buckets)
+    ]
+    removed = np.empty(0, np.int64)
+    while True:
+        rem_ref = ray.put(removed)
+        outs = [_kcore_peel.remote(bkt, rem_ref, k) for bkt in buckets]
+        pairs = ray.get(outs)
+        buckets = [ray.put(t) for t, _ in pairs]
+        removed = (
+            np.concatenate([d for _, d in pairs])
+            if any(len(d) for _, d in pairs)
+            else np.empty(0, np.int64)
+        )
+        if len(removed) == 0:
+            break
+    rows = [ray.get(b) for b in buckets]
+    t = pa.concat_tables([r for r in rows if r.num_rows] or rows[:1])
+    if t.num_rows == 0:
+        return pa.schema(
+            [("node", pa.int64()), ("deg_in_core", pa.int64())]
+        ).empty_table()
+    z = t["z"].to_numpy(zero_copy_only=False)
+    u, c = np.unique(z, return_counts=True)
+    return pa.table(
+        {
+            "node": pa.array(u, pa.int64()),
+            "deg_in_core": pa.array(c.astype(np.int64)),
+        }
+    )
+
+
+@ray.remote
+def _hgsplit_kcore(block, nparts: int):
+    """Split one adjacency block into hash(z) buckets (num_returns fan-out)."""
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    if t.num_rows == 0 or "z" not in t.column_names:
+        # empty upstream buckets arrive as schema-less 0-row tables
+        e = pa.schema([("z", pa.int64()), ("x", pa.int64())]).empty_table()
+        return tuple(e for _ in range(nparts)) if nparts > 1 else e
+    z = t["z"].to_numpy(zero_copy_only=False)
+    b = _knuth_bucket(z, nparts)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(nparts + 1))
+    out = tuple(
+        t.take(pa.array(order[bounds[i] : bounds[i + 1]]))
+        for i in range(nparts)
+    )
+    return out if nparts > 1 else out[0]

@@ -1312,3 +1312,107 @@ def pivot_revenue_sql_oracle() -> str:
         ) j JOIN nation ON n_nationkey = j.c_nationkey
         GROUP BY n_name
     """
+
+
+def small_quantity_revenue(sf_dir: str, frac_pct: int = 70) -> pa.Table:
+    """TPC-H Q17 flavor (correlated aggregate subquery): total revenue of
+    lineitems whose quantity is below ``frac_pct``% of their part's
+    average quantity — (n_items, revenue_cents), one row.
+
+    Two passes, no self-join shuffle: pass 1 pre-aggregates (partkey,
+    sum_qty_cents, n) per batch and folds the per-part averages small;
+    pass 2 re-streams lineitem with the threshold map BROADCAST
+    (``ray.put`` once) and filter+sums in place.  Exactness: the
+    threshold compare is integer cents cross-multiplied —
+    ``100 * qty_cents * den < frac_pct * sum_qty_cents`` — no float
+    division on either side.  At 10^12 rows pass 1's fold becomes one
+    more groupby and the broadcast a bucketed join; the two-pass shape
+    is unchanged.
+    """
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p": batch["l_partkey"],
+                "q": _cents(batch["l_quantity"]),
+            }
+        )
+        g = t.group_by(["p"], use_threads=False).aggregate(
+            [("q", "sum"), ("q", "count")]
+        )
+        return g.rename_columns(["p", "q_sum", "n"])
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("p")
+        .aggregate(Sum("q_sum", alias_name="q_sum"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pk = parts["p"].to_numpy()
+    order = np.argsort(pk)
+    thr_ref = ray.put(
+        (
+            pk[order],
+            parts["q_sum"].to_numpy()[order],
+            parts["n"].to_numpy()[order],
+        )
+    )
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        pks, qsum, nn = ray.get(thr_ref)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = _cents(batch["l_quantity"]).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pks, p)
+        # integer cross-multiplication: q < (frac/100) * (q_sum / n)
+        keep = 100 * q * nn[pos] < frac_pct * qsum[pos]
+        rev = _cents(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            )
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_part": pa.array([int(keep.sum())], pa.int64()),
+                "rev_part": pa.array([int(rev[keep].sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(pass2, batch_format="pyarrow", batch_size=16384)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([int(agg["n_part"].sum())], pa.int64()),
+            "revenue_cents": pa.array([int(agg["rev_part"].sum())], pa.int64()),
+        }
+    )
+
+
+def small_quantity_revenue_sql_oracle(frac_pct: int = 70) -> str:
+    return f"""
+        WITH q AS (
+          SELECT l_partkey,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS rc
+          FROM lineitem
+        ),
+        avgq AS (
+          SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS q_sum,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY l_partkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(q.rc), 0) AS BIGINT) AS revenue_cents
+        FROM q JOIN avgq USING (l_partkey)
+        WHERE 100 * q.qc * avgq.n < {frac_pct} * avgq.q_sum
+    """

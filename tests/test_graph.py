@@ -432,3 +432,43 @@ def test_personalized_pagerank_planted(ray_session, tmp_path):
     assert got == want
     # teleport localization: the disconnected (5,5) component gets zero
     assert got[10] == 0 and got[11] == 0
+
+
+def _reference_kcore(nbr, k):
+    alive = {v for v, ns in nbr.items() if ns}
+    changed = True
+    while changed:
+        changed = False
+        for v in sorted(alive):
+            deg = sum(1 for u in nbr[v] if u in alive)
+            if deg < k:
+                alive.discard(v)
+                changed = True
+    return {
+        v: sum(1 for u in nbr[v] if u in alive) for v in sorted(alive)
+    }
+
+
+def test_k_core_planted(ray_session, tmp_path):
+    """Planted graph: a clique-ish dense cluster survives k=3, pendant
+    chains peel away (including cascades)."""
+    from index_ray.pipelines.graph import k_core
+
+    # group A: keys 1..6 within window 5 (dense); group B: a chain
+    # 100,105,110,... (each sees only 1 neighbor at window 5)
+    rows = [(key, 0, "A") for key in range(1, 7)]
+    rows += [(100 + 5 * i, 0, "B") for i in range(6)]
+    sf = _write_customers(tmp_path, rows, name="kc")
+    got = k_core(sf, k=3, window=5, num_buckets=4).to_pandas()
+    import collections
+
+    nbr = collections.defaultdict(set)
+    for key, nk, seg in rows:
+        for key2, nk2, seg2 in rows:
+            if nk == nk2 and seg == seg2 and key < key2 <= key + 5:
+                nbr[key].add(key2)
+                nbr[key2].add(key)
+    want = _reference_kcore(nbr, 3)
+    assert dict(zip(got["node"], got["deg_in_core"])) == want
+    assert len(want) > 0  # the dense cluster really survives
+    assert all(n < 100 for n in want)  # the chain really peeled

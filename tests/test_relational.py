@@ -27,6 +27,7 @@ NAMES = [
     "top_parts_by_brand",
     "rollup_revenue",
     "pivot_revenue",
+    "small_quantity_revenue",
     "regression_by_flag",
     "skyline_orders",
     "bloom_semi_join",
