@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": flagship.bm25f_topk,
         "phrase_suggest": flagship.phrase_suggest,
         "nrt_search": flagship.nrt_search,
+        "snapshot_rollback_bm25": flagship.snapshot_rollback_bm25,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -551,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         bm25f_sql_oracle,
         phrase_suggest_sql_oracle,
         nrt_search_sql_oracle,
+        snapshot_rollback_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -674,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": bm25f_sql_oracle(),
         "phrase_suggest": phrase_suggest_sql_oracle(),
         "nrt_search": nrt_search_sql_oracle(),
+        "snapshot_rollback_bm25": snapshot_rollback_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),

@@ -3717,3 +3717,64 @@ def nrt_search(sf_dir: str) -> pa.Table:
 
 def nrt_search_sql_oracle() -> str:
     return _bm25_ctes() + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+
+
+def snapshot_rollback_bm25(sf_dir: str) -> pa.Table:
+    """Snapshot ROLLBACK end to end (``state/snapshots.py``): build the
+    even half (v1), append the odd half (v2), tombstone-delete
+    ``doc_id % 13 == 0`` (v3) — then ``rollback_to_snapshot(v2)`` and
+    search the LIVE index with plain readers.  The bad delete must be
+    fully undone: (qid, rank, doc_id) equals full-corpus BM25 (the same
+    deliberately-plain oracle as ``nrt_search`` — a rollback must be
+    invisible in the output).
+    """
+    import shutil as _shutil
+
+    from .build import append_index
+    from .compact import delete_docs
+    from ..state.snapshots import rollback_to_snapshot
+
+    base = _index_dir_for(sf_dir) + "_rb"
+    marker = os.path.join(base, ".rb_done")
+    if not os.path.exists(marker):
+        _shutil.rmtree(base, ignore_errors=True)
+        src = base + "_src"
+        _shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        even = (ids % 2) == 0
+        pq.write_table(t.filter(pa.array(even)), f"{src}/even.parquet")
+        pq.write_table(t.filter(pa.array(~even)), f"{src}/odd.parquet")
+        cfg = BuildConfig(
+            tokenizer="simple",
+            text_col="text",
+            id_col="doc_id",
+            chunk_docs=250_000,
+            num_parts=8,
+            batch_size=512,
+            salt_docs=4096,
+        )
+        build_index(f"{src}/even.parquet", base, cfg)   # -> v1
+        append_index(f"{src}/odd.parquet", base, cfg)   # -> v2
+        delete_docs(base, ids[ids % TT_DELETE_MOD == 0])  # -> v3 (the mistake)
+        rollback_to_snapshot(base, 2)                   # undo it
+        with open(marker, "w") as f:
+            f.write("done")
+    searcher = BM25Searcher(base)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES]
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def snapshot_rollback_sql_oracle() -> str:
+    return _bm25_ctes() + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"

@@ -179,3 +179,71 @@ def prune_invalid_snapshots(out_dir: str) -> list[int]:
             shutil.rmtree(_snap_dir(out_dir, v), ignore_errors=True)
             retired.append(v)
     return retired
+
+
+def rollback_to_snapshot(out_dir: str, version: int) -> dict:
+    """ROLL BACK the live index to a published snapshot (the Iceberg
+    ``rollback_to_snapshot``): after this, plain readers (which glob the
+    live chunk namespace) see exactly what ``BM25Searcher(...,
+    snapshot=version)`` sees — the undo for a bad ingest or delete.
+
+    Steps, all idempotent so a crashed rollback is completed by simply
+    re-running it (between chunk removal and the stats rewrite the live
+    index is unreadable — rollback is re-runnable, not crash-atomic):
+
+    1. validate the target snapshot (its chunks must still exist);
+    2. delete tombstone files the snapshot does not record;
+    3. delete chunk dirs the snapshot does not list (newer appends);
+    4. restore the merged lexicon from the snapshot's hard-linked copy;
+    5. atomically write the snapshot's stats.json (the commit point);
+    6. prune snapshots that referenced the removed state.
+
+    Returns the restored stats dict.
+    """
+    m = load_snapshot(out_dir, version)
+    keep_chunks = {int(c["chunk"]) for c in m["stats"]["chunks"]}
+    keep_tomb = set(m.get("tombstone_files", []))
+    for p in glob.glob(os.path.join(out_dir, "tombstones", "*.parquet")):
+        if os.path.basename(p) not in keep_tomb:
+            os.unlink(p)
+    for d in glob.glob(os.path.join(out_dir, "chunks", "chunk-*")):
+        try:
+            num = int(os.path.basename(d).split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if num not in keep_chunks:
+            shutil.rmtree(d, ignore_errors=True)
+    src = snapshot_lexicon_dir(out_dir, version)
+    tmp = os.path.join(out_dir, ".lexicon-rollback-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for f in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        os.link(f, os.path.join(tmp, os.path.basename(f)))
+    live = os.path.join(out_dir, "lexicon")
+    old = os.path.join(out_dir, ".lexicon-old")
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+    from .manifest import write_json_atomic  # commit point
+
+    write_json_atomic(os.path.join(out_dir, "stats.json"), m["stats"])
+    prune_invalid_snapshots(out_dir)
+    return m["stats"]
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete all but the newest ``keep_last`` snapshots (the
+    Iceberg ``expire_snapshots``).  Never touches live data — only the
+    snapshot dirs (whose lexicon files are hard links; chunk data is
+    shared with the live index and stays).  Returns retired versions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = list_snapshots(out_dir)
+    retired = []
+    for m in snaps[:-keep_last] if len(snaps) > keep_last else []:
+        v = int(m["version"])
+        shutil.rmtree(_snap_dir(out_dir, v), ignore_errors=True)
+        retired.append(v)
+    return retired

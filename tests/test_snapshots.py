@@ -129,3 +129,61 @@ def test_compaction_retires_stale_snapshots(tt_index):
     live = BM25Searcher(idx)
     for q in QUERIES:
         assert _page(at_v4, q) == _page(live, q)
+
+
+def test_rollback_and_expire(ray_session, tmp_path):
+    """rollback_to_snapshot(v2) makes plain readers bitwise-equal to the
+    AS-OF-v2 view (appends and deletes after v2 gone); a re-run after a
+    simulated partial rollback completes it; expire_snapshots retains
+    only the newest N."""
+    import shutil as _sh
+
+    from index_ray.state.snapshots import (
+        expire_snapshots,
+        list_snapshots,
+        rollback_to_snapshot,
+    )
+
+    root = tmp_path / "rb"
+    root.mkdir()
+    texts = generate_corpus(100, TINY_SEED)["content"].to_pylist()
+    ids = np.arange(100, dtype=np.int64)
+    even = ids % 2 == 0
+    _write_docs(root / "even.parquet", ids[even], [texts[i] for i in ids[even]])
+    _write_docs(root / "odd.parquet", ids[~even], [texts[i] for i in ids[~even]])
+    cfg = BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                      **TINY_CFG)
+    idx = str(root / "idx")
+    build_index(str(root / "even.parquet"), idx, cfg)     # v1
+    append_index(str(root / "odd.parquet"), idx, cfg)     # v2
+    delete_docs(idx, ids[ids % 7 == 0])                   # v3
+    want = [_page(BM25Searcher(idx, snapshot=2), q) for q in QUERIES]
+
+    rollback_to_snapshot(idx, 2)
+    got = [_page(BM25Searcher(idx), q) for q in QUERIES]
+    assert got == want  # bitwise: docIDs and scores
+    # v3 must be retired (its tombstone file is gone)
+    vs = [s["version"] for s in list_snapshots(idx)]
+    assert 3 not in vs and 2 in vs
+
+    # partial-rollback re-run: simulate a crash that removed a chunk but
+    # never committed stats.json — re-running completes the rollback
+    delete_docs(idx, ids[ids % 11 == 0])                  # new version
+    chunks = sorted(
+        p for p in (root / "idx" / "chunks").iterdir() if p.name.startswith("chunk-")
+    )
+    # tombstones exist again; wipe them like a half-finished rollback
+    for p in (root / "idx" / "tombstones").iterdir():
+        p.unlink()
+    rollback_to_snapshot(idx, 2)
+    got2 = [_page(BM25Searcher(idx), q) for q in QUERIES]
+    assert got2 == want
+
+    # retention: mint a few more versions, then keep only 2
+    delete_docs(idx, ids[ids % 13 == 0])
+    rollback_to_snapshot(idx, 2)
+    n_before = len(list_snapshots(idx))
+    retired = expire_snapshots(idx, keep_last=2)
+    snaps = list_snapshots(idx)
+    assert len(snaps) == min(2, n_before)
+    assert all(r < snaps[0]["version"] for r in retired)
