@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_suggest": flagship.phrase_suggest,
         "nrt_search": flagship.nrt_search,
         "snapshot_rollback_bm25": flagship.snapshot_rollback_bm25,
+        "function_score_bm25": flagship.function_score_bm25,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -553,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         phrase_suggest_sql_oracle,
         nrt_search_sql_oracle,
         snapshot_rollback_sql_oracle,
+        function_score_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -677,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_suggest": phrase_suggest_sql_oracle(),
         "nrt_search": nrt_search_sql_oracle(),
         "snapshot_rollback_bm25": snapshot_rollback_sql_oracle(),
+        "function_score_bm25": function_score_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),

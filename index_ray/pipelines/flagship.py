@@ -3778,3 +3778,38 @@ def snapshot_rollback_bm25(sf_dir: str) -> pa.Table:
 
 def snapshot_rollback_sql_oracle() -> str:
     return _bm25_ctes() + "\nSELECT qid, rank, doc_id FROM ranked WHERE rank <= 10"
+
+
+def function_score_bm25(sf_dir: str) -> pa.Table:
+    """Function-score retrieval (``BM25Searcher.search_function``): BM25
+    multiplied by the per-doc prior ``1 + ln(1 + n_chars/1000)`` — the
+    Elasticsearch ``field_value_factor`` pattern (boost longer docs).
+    (qid, rank, doc_id); the oracle recomputes BM25 x the same factor.
+    """
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    tables = []
+    for qid, terms, k in DOC_QUERIES:
+        r = searcher.search_function(" ".join(terms), k=k)
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def function_score_sql_oracle() -> str:
+    return _bm25_ctes() + """,
+f AS (
+  SELECT s.qid, s.doc_id,
+         s.score * (1.0 + ln(1.0 + d.n_chars / 1000.0)) AS fscore
+  FROM scored s JOIN documents d USING (doc_id)
+),
+r2 AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY fscore DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM f
+)
+SELECT qid, rank, doc_id FROM r2 WHERE rank <= 10"""

@@ -1290,6 +1290,38 @@ class SearchShard:
             exc_per_chunk.append(exc)
         return self._score_with_exclusions(queries, prune, exc_per_chunk)
 
+    def score_function_many(
+        self,
+        queries: list[tuple[list[str], list[float], int]],
+        value_col: str,
+        scale: float,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """FUNCTION SCORE (the Elasticsearch ``function_score`` with a
+        ``field_value_factor``): final = bm25 * (1 + ln(1 + value/scale))
+        over an integer docmap column — longer/better-valued docs get a
+        multiplicative prior.  Block-max pruning is off: the bound is not
+        valid under a per-doc multiplier (a per-chunk max-factor bound
+        would restore it — documented trade-off); only k rows per chunk
+        leave the actor either way."""
+        out = []
+        vmaps = self._value_maps(value_col)
+        for terms, idfs, k in queries:
+            tops, scs = [], []
+            for ci, (vids, vvals) in zip(self.chunks, vmaps):
+                t, s = _score_chunk(
+                    ci, terms, np.asarray(idfs), 1 << 30, self.avgdl,
+                    False, self.tombstones,
+                )
+                if len(t):
+                    pos = np.searchsorted(vids, t)
+                    s = s * (1.0 + np.log(1.0 + vvals[pos] / scale))
+                    order = np.lexsort((t, -s))[:k]
+                    t, s = t[order], s[order]
+                tops.append(t)
+                scs.append(s)
+            out.append((np.concatenate(tops), np.concatenate(scs)))
+        return out
+
     def _value_maps(self, value_col: str):
         """Per-chunk (sorted docIDs, int64 values) from the docmap sidecars
         — resident after first use (numeric twin of ``_facet_maps``)."""
@@ -1538,6 +1570,27 @@ class BM25Searcher:
         per_actor = ray.get(
             [
                 a.score_range_many.remote(prepared, prune, value_col, lo, hi)
+                for a in self.actors
+            ]
+        )
+        return self._merge_topk(per_actor, k)
+
+    def search_function(
+        self,
+        query: str,
+        k: int = 10,
+        value_col: str = "n_chars",
+        scale: float = 1000.0,
+    ) -> pa.Table:
+        """Function-score retrieval: BM25 multiplied by the per-doc prior
+        ``1 + ln(1 + value/scale)`` over an integer docmap column
+        (Elasticsearch ``function_score`` / ``field_value_factor``).  See
+        ``SearchShard.score_function_many`` for the pruning trade-off."""
+        present, idfs = self._prepare_or(query)
+        prepared = [(present, idfs, k)]
+        per_actor = ray.get(
+            [
+                a.score_function_many.remote(prepared, value_col, scale)
                 for a in self.actors
             ]
         )

@@ -1332,3 +1332,49 @@ def test_nrt_bitwise_matches_fused_index(ray_session, tmp_path):
     for n_r, f_r in zip(nrt.search_many(qs), fused.search_many(qs)):
         assert n_r["docID"].to_pylist() == f_r["docID"].to_pylist()
         assert n_r["score"].to_pylist() == f_r["score"].to_pylist()
+
+
+def test_function_score_boosts_by_value(ray_session, tmp_path):
+    """field_value_factor: the factor must be able to flip raw-BM25 order
+    (a long doc with lower raw score overtakes), and equal-factor docs
+    keep the raw order."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher
+
+    texts = [
+        "alpha alpha alpha pad",              # high raw tf, tiny n_chars
+        "alpha " + "filler " * 200,           # low raw tf, huge n_chars
+    ]
+    d = tmp_path / "fs"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "fs_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    s = BM25Searcher(idx)
+    raw = s.search("alpha", k=2)
+    fs = s.search_function("alpha", k=2, value_col="n_chars", scale=10.0)
+    assert raw["docID"].to_pylist()[0] == 0       # tf wins raw
+    assert fs["docID"].to_pylist()[0] == 1        # length prior flips it
+    # exact factor arithmetic
+    for rank, doc in enumerate(fs["docID"].to_pylist()):
+        rs = dict(zip(raw["docID"].to_pylist(), raw["score"].to_pylist()))[doc]
+        f = 1.0 + math.log(1.0 + len(texts[doc]) / 10.0)
+        assert fs["score"].to_pylist()[rank] == rs * f
