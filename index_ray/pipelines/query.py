@@ -2634,3 +2634,51 @@ class NRTSearcher:
         )
         append_index(os.path.join(d, "buffer.parquet"), self.index_dir, cfg)
         self.__init__(self.index_dir, self.text_col, self.id_col)
+
+
+class QueryCache:
+    """LRU query-result cache over a :class:`BM25Searcher`, INVALIDATED BY
+    STATE (the Lucene rule: a cache is valid per-reader, never across
+    commits): every lookup keys on the index's current commit identity —
+    the sha256 of ``stats.json`` plus the sorted tombstone file list — so
+    an append, delete, compaction or rollback changes the key space and a
+    stale page can never be served.  The identity probe is two tiny
+    filesystem reads per call; hits skip the shard fan-out entirely.
+    """
+
+    def __init__(self, searcher: "BM25Searcher", capacity: int = 256):
+        from collections import OrderedDict
+
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.searcher = searcher
+        self.capacity = capacity
+        self._lru: "OrderedDict[tuple, pa.Table]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _state_key(self) -> str:
+        import hashlib
+
+        d = self.searcher.index_dir
+        with open(os.path.join(d, "stats.json"), "rb") as f:
+            h = hashlib.sha256(f.read())
+        for t in sorted(
+            glob.glob(os.path.join(d, "tombstones", "*.parquet"))
+        ):
+            h.update(os.path.basename(t).encode())
+        return h.hexdigest()
+
+    def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:
+        key = (self._state_key(), query, k, mode)
+        hit = self._lru.get(key)
+        if hit is not None:
+            self._lru.move_to_end(key)
+            self.hits += 1
+            return hit
+        self.misses += 1
+        r = self.searcher.search(query, k=k, mode=mode)
+        self._lru[key] = r
+        if len(self._lru) > self.capacity:
+            self._lru.popitem(last=False)
+        return r

@@ -1378,3 +1378,53 @@ def test_function_score_boosts_by_value(ray_session, tmp_path):
         rs = dict(zip(raw["docID"].to_pylist(), raw["score"].to_pylist()))[doc]
         f = 1.0 + math.log(1.0 + len(texts[doc]) / 10.0)
         assert fs["score"].to_pylist()[rank] == rs * f
+
+
+def test_query_cache_hits_and_state_invalidation(ray_session, tmp_path, monkeypatch):
+    """A repeated query is served from the cache (no shard fan-out); a
+    delete commits a new state and the same query re-executes against the
+    post-delete index."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from conftest import TINY_CFG, TINY_SEED
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.compact import delete_docs
+    from index_ray.pipelines.query import BM25Searcher, QueryCache
+    from index_ray.sources.corpus import generate_corpus
+
+    texts = generate_corpus(80, TINY_SEED)["content"].to_pylist()
+    d = tmp_path / "qc"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(80), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "qc_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    **TINY_CFG),
+    )
+    s = BM25Searcher(idx)
+    cache = QueryCache(s, capacity=8)
+    a = cache.search("fast merge", k=10)
+    calls = []
+    orig = s.search
+    monkeypatch.setattr(s, "search", lambda *al, **kw: calls.append(1) or orig(*al, **kw))
+    b = cache.search("fast merge", k=10)
+    assert calls == [] and cache.hits == 1  # pure cache hit
+    assert a["docID"].to_pylist() == b["docID"].to_pylist()
+
+    victim = a["docID"].to_pylist()[0]
+    delete_docs(idx, [victim])
+    s2 = BM25Searcher(idx)  # reader over the new commit
+    cache.searcher = s2
+    c = cache.search("fast merge", k=10)
+    assert cache.misses == 2  # state key changed -> re-executed
+    assert victim not in c["docID"].to_pylist()
