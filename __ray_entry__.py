@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_month": relational.revenue_by_month,
         "pivot_revenue": relational.pivot_revenue,
         "small_quantity_revenue": relational.small_quantity_revenue,
+        "top_supplier_by_period": relational.top_supplier_by_period,
         "revenue_by_segment": relational.revenue_by_segment,
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
@@ -283,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_total": events.running_user_total,
         "event_gaps": events.event_gaps,
         "ewma_user_value": events.ewma_user_value,
+        "top_sessions": events.top_sessions,
         "event_transitions": events.event_transitions,
         "distinct_users_daily": events.distinct_users_daily,
         # semi-structured: vectorized JSON field extraction + aggregate
@@ -1236,12 +1238,14 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": rel_mod.rollup_revenue_sql_oracle(),
         "pivot_revenue": rel_mod.pivot_revenue_sql_oracle(),
         "small_quantity_revenue": rel_mod.small_quantity_revenue_sql_oracle(),
+        "top_supplier_by_period": rel_mod.top_supplier_by_period_sql_oracle(),
         "cube_revenue": rel_mod.cube_revenue_sql_oracle(),
         "regression_by_flag": rel_mod.regression_by_flag_sql_oracle(),
         "skyline_orders": rel_mod.skyline_orders_sql_oracle(),
         "bloom_semi_join": rel_mod.bloom_semi_join_sql_oracle(),
         "gap_fill_daily": events_mod.gap_fill_daily_sql_oracle(),
         "ewma_user_value": events_mod.ewma_sql_oracle(),
+        "top_sessions": events_mod.top_sessions_sql_oracle(),
         "ohlc_bars": events_mod.ohlc_bars_sql_oracle(),
         "triangle_count": triangle_count_sql_oracle(),
         "adamic_adar": adamic_adar_sql_oracle(),

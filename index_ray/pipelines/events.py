@@ -1777,3 +1777,74 @@ def ewma_sql_oracle(window: int = EWMA_WINDOW) -> str:
                num / power(2, lastn - 1) AS ewma_cents
         FROM n
     """
+
+
+def top_sessions(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k sessions corpus-wide by session value — a composition proof:
+    the :func:`sessionize` kernel streams into a per-batch local top-k
+    and a driver merge of k x batches candidate rows (never the session
+    table).  (rank, user_id, session_seq, n_events, value_cents); ties
+    (value DESC, user ASC, seq ASC).
+    """
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        v = t["value_cents"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        s = t["session_seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u, -v))[:k]
+        return t.take(pa.array(order))
+
+    cand = (
+        sessionize(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    order = np.lexsort(
+        (
+            cand["session_seq"].to_numpy(),
+            cand["user_id"].to_numpy(),
+            -cand["value_cents"].to_numpy(),
+        )
+    )[:k]
+    top = cand.iloc[order].reset_index(drop=True)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "user_id": pa.array(top["user_id"].to_numpy(), pa.int64()),
+            "session_seq": pa.array(top["session_seq"].to_numpy(), pa.int64()),
+            "n_events": pa.array(top["n_events"].to_numpy(), pa.int64()),
+            "value_cents": pa.array(top["value_cents"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def top_sessions_sql_oracle(k: int = 10, gap_us: int = SESSION_GAP_US) -> str:
+    return f"""
+        WITH o AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM o
+        ), agg AS (
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          FROM s GROUP BY user_id, session_seq
+        )
+        SELECT CAST(row_number() OVER (
+                 ORDER BY value_cents DESC, user_id ASC, session_seq ASC
+               ) AS BIGINT) AS rank,
+               user_id, session_seq, n_events, value_cents
+        FROM agg
+        ORDER BY rank
+        LIMIT {k}
+    """

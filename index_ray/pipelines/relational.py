@@ -1416,3 +1416,84 @@ def small_quantity_revenue_sql_oracle(frac_pct: int = 70) -> str:
         FROM q JOIN avgq USING (l_partkey)
         WHERE 100 * q.qc * avgq.n < {frac_pct} * avgq.q_sum
     """
+
+
+Q15_FROM = "1996-01-01"
+Q15_TO = "1996-04-01"  # [from, to): the TPC-H Q15 three-month window
+
+
+def top_supplier_by_period(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 flavor (aggregate -> global argmax -> dimension join):
+    the supplier(s) with the maximum lineitem revenue shipped in
+    [Q15_FROM, Q15_TO) — (s_suppkey, s_name, revenue_cents), ALL ties.
+
+    One date-pruned scan with per-batch (suppkey, cents) partials, one
+    small groupby, the argmax on the driver over per-supplier rows, and
+    the supplier dimension probed by key (predicate pushdown) — the
+    revenue table never leaves the cluster unaggregated.
+    """
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64(Q15_FROM)
+    hi = np.datetime64(Q15_TO)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        b = batch.filter(pa.array(keep))
+        rev = _cents(
+            pc.multiply(
+                b["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), b["l_discount"]),
+            )
+        )
+        t = pa.table({"s": b["l_suppkey"], "c": rev})
+        g = t.group_by(["s"], use_threads=False).aggregate([("c", "sum")])
+        return g.rename_columns(["s", "c_part"])
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("s")
+        .aggregate(Sum("c_part", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    best = agg["revenue_cents"].max()
+    top = agg[agg["revenue_cents"] == best].sort_values("s")
+    keys = [int(x) for x in top["s"]]
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys),
+    )
+    names = dict(
+        zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist())
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array([names[k] for k in keys], pa.string()),
+            "revenue_cents": pa.array(
+                [int(x) for x in top["revenue_cents"]], pa.int64()
+            ),
+        }
+    )
+
+
+def top_supplier_by_period_sql_oracle() -> str:
+    return f"""
+        WITH rev AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+            AND l_shipdate <  TIMESTAMP '{Q15_TO}'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, rev.revenue_cents
+        FROM rev JOIN supplier s USING (s_suppkey)
+        WHERE rev.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+    """

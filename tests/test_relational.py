@@ -28,6 +28,7 @@ NAMES = [
     "rollup_revenue",
     "pivot_revenue",
     "small_quantity_revenue",
+    "top_supplier_by_period",
     "regression_by_flag",
     "skyline_orders",
     "bloom_semi_join",
