@@ -190,6 +190,16 @@ def run_bench() -> dict:
             ("percolate_queries", lambda: flagship.percolate_queries(SF_DIR).materialize()),
             ("bfs_hops", lambda: graph.bfs_hops(SF_DIR).materialize()),
             ("json_props_stats", lambda: events.json_props_stats(SF_DIR).materialize()),
+            ("bm25f_topk", lambda: flagship.bm25f_topk(SF_DIR)),
+            ("nrt_search", lambda: flagship.nrt_search(SF_DIR)),
+            ("adamic_adar", lambda: graph.adamic_adar(SF_DIR)),
+            ("k_core", lambda: graph.k_core(SF_DIR)),
+            ("personalized_pagerank",
+             lambda: graph.personalized_pagerank(SF_DIR).materialize()),
+            ("ewma_user_value", lambda: events.ewma_user_value(SF_DIR).materialize()),
+            ("snapshot_diff", lambda: flagship.snapshot_diff(SF_DIR)),
+            ("phrase_suggest", lambda: flagship.phrase_suggest(SF_DIR)),
+            ("function_score_bm25", lambda: flagship.function_score_bm25(SF_DIR)),
         ]:
             runs = []
             for _ in range(2):

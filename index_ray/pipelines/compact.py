@@ -326,13 +326,70 @@ def _repack_rows(
     )
 
 
+def _tiered_groups(
+    manifests: list[dict], small_docs: int, fanin: int
+) -> list[list[dict]]:
+    """Size-tiered grouping: merge only maximal runs (up to ``fanin``) of
+    ADJACENT chunks each smaller than ``small_docs``; everything else is
+    a singleton pass-through.  The LSM policy: repeated small appends
+    fold together without ever rewriting the big established chunks."""
+    groups: list[list[dict]] = []
+    run: list[dict] = []
+
+    def flush_run():
+        nonlocal run
+        while len(run) > 1:
+            groups.append(run[:fanin])
+            run = run[fanin:]
+        if run:
+            groups.append(run)
+            run = []
+
+    for m in manifests:
+        if m["docs"] < small_docs:
+            run.append(m)
+            if len(run) == fanin:
+                groups.append(run)
+                run = []
+        else:
+            flush_run()
+            groups.append([m])
+    flush_run()
+    return groups
+
+
+def compact_tiered(
+    out_dir: str,
+    small_docs: int = 100_000,
+    fanin: int = 8,
+    max_block_postings: int = 1 << 17,
+) -> dict:
+    """Size-tiered compaction (the LSM/Lucene ``TieredMergePolicy``
+    shape): merge only runs of adjacent chunks smaller than
+    ``small_docs`` (at most ``fanin`` per merge); large chunks are
+    carried over as hard links, never rewritten.  Same crash-safe swap
+    as :func:`compact_index`."""
+    return compact_index(
+        out_dir,
+        max_block_postings=max_block_postings,
+        policy="tiered",
+        small_docs=small_docs,
+        fanin=fanin,
+    )
+
+
 def compact_index(
     out_dir: str,
     group_docs: int | None = None,
     max_block_postings: int = 1 << 17,
+    policy: str = "full",
+    small_docs: int = 100_000,
+    fanin: int = 8,
 ) -> dict:
     """Merge the index's chunks into groups of ~``group_docs`` documents
     (default: all chunks into one), re-packing posting blocks.
+    ``policy="tiered"`` switches the grouping to :func:`_tiered_groups`
+    (merge small adjacent runs only — see :func:`compact_tiered`).
 
     Returns the updated stats dict.  The swap is crash-safe: old chunk
     dirs are renamed aside into ``chunks/.trash-swap/`` under a journal,
@@ -361,18 +418,22 @@ def compact_index(
         for p in glob.glob(os.path.join(out_dir, "tombstones", "*.parquet"))
     )
 
-    # group adjacent chunks (docID order == chunk order) up to group_docs
-    groups: list[list[dict]] = []
-    cur: list[dict] = []
-    cur_docs = 0
-    for m in manifests:
-        if cur and group_docs is not None and cur_docs + m["docs"] > group_docs:
+    # group adjacent chunks (docID order == chunk order) up to group_docs;
+    # tiered policy instead folds only small adjacent runs
+    if policy == "tiered":
+        groups = _tiered_groups(manifests, small_docs, fanin)
+    else:
+        groups = []
+        cur: list[dict] = []
+        cur_docs = 0
+        for m in manifests:
+            if cur and group_docs is not None and cur_docs + m["docs"] > group_docs:
+                groups.append(cur)
+                cur, cur_docs = [], 0
+            cur.append(m)
+            cur_docs += m["docs"]
+        if cur:
             groups.append(cur)
-            cur, cur_docs = [], 0
-        cur.append(m)
-        cur_docs += m["docs"]
-    if cur:
-        groups.append(cur)
     if not purging and all(len(g) == 1 for g in groups):
         return stats  # nothing to merge, nothing to purge
 
@@ -389,9 +450,11 @@ def compact_index(
         parts_dir = os.path.join(tmp, "parts")
         os.makedirs(parts_dir)
         if len(group) == 1 and not purging:
-            # singleton group: carry the chunk over untouched
+            # singleton group: carry the chunk over untouched — hard links,
+            # not copies (immutable files, same filesystem), so a tiered
+            # compaction never rewrites nor re-copies the big chunks
             shutil.rmtree(tmp)
-            shutil.copytree(gdirs[0], tmp)
+            shutil.copytree(gdirs[0], tmp, copy_function=os.link)
             os.remove(manifest_path(tmp))
         else:
             part_files = [

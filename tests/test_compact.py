@@ -486,3 +486,77 @@ def test_upsert_replaces_by_identity(tmp_path):
     assert rows.num_rows == 1
     s2 = BM25Searcher(idx)
     assert len(s2.search("zzupdated", k=10)) == 5
+
+
+def test_tiered_compaction_merges_only_small_runs(ray_session, tmp_path):
+    """compact_tiered folds adjacent small chunks, passes big chunks
+    through as hard links (same inode), and search stays bitwise."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import TINY_SEED
+    from index_ray.pipelines.build import (
+        BuildConfig,
+        append_index,
+        build_index,
+        load_stats,
+    )
+    from index_ray.pipelines.compact import compact_tiered
+    from index_ray.pipelines.query import BM25Searcher
+    from index_ray.sources.corpus import generate_corpus
+
+    texts = generate_corpus(320, TINY_SEED)["content"].to_pylist()
+
+    def write(path, lo, hi):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                    "text": pa.array(texts[lo:hi], pa.string()),
+                }
+            ),
+            str(path),
+        )
+
+    root = tmp_path / "tc"
+    root.mkdir()
+    write(root / "big.parquet", 0, 200)
+    for i in range(3):
+        write(root / f"s{i}.parquet", 200 + 40 * i, 240 + 40 * i)
+    cfg = BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                      chunk_docs=400, num_parts=4, salt_docs=64, batch_size=64)
+    idx = str(root / "idx")
+    build_index(str(root / "big.parquet"), idx, cfg)       # 1 chunk, 200 docs
+    for i in range(3):
+        append_index(str(root / f"s{i}.parquet"), idx, cfg)  # 3 x 40-doc chunks
+    assert len(load_stats(idx)["chunks"]) == 4
+    before = [
+        (q, BM25Searcher(idx).search(q, k=10)) for q in ["fast merge", "spark query"]
+    ]
+    big_part = sorted(
+        (root / "idx" / "chunks" / "chunk-00000" / "parts").iterdir()
+    )[0]
+    ino_before = os.stat(big_part).st_ino
+
+    compact_tiered(idx, small_docs=150, fanin=8)
+    stats = load_stats(idx)
+    assert len(stats["chunks"]) == 2  # big pass-through + one merged run
+    docs = sorted(c["docs"] for c in stats["chunks"])
+    assert docs == [120, 200]
+    s2 = BM25Searcher(idx)
+    for q, want in before:
+        got = s2.search(q, k=10)
+        assert got["docID"].to_pylist() == want["docID"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+    # the big chunk's parts were hard-linked, not copied
+    big_after = sorted(
+        p
+        for d in (root / "idx" / "chunks").iterdir()
+        if d.name.startswith("chunk-")
+        for p in (d / "parts").iterdir()
+        if os.stat(p).st_ino == ino_before
+    )
+    assert big_after, "big chunk should carry over by hard link"
