@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ingestion round trip: documents -> JSONL dump -> parquet ingest
         # -> per-lang aggregate hash-compared against the original table
         "jsonl_ingest": audit.jsonl_ingest,
+        "orc_ingest": audit.orc_ingest,
         # indexed regex search: required-trigram AND-probes per alternation
         # branch (Cox query analysis), exact re-verify; grouped patterns
         # honestly full-scan — oracle is regexp_matches over the corpus
@@ -684,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "function_score_bm25": function_score_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
+        "orc_ingest": audit_mod.orc_ingest_sql_oracle(),
         "trigram_regex": trigram_regex_sql_oracle(),
         "prf_search": prf_sql_oracle(),
         "bm25_filtered": bm25_filtered_sql_oracle(),

@@ -357,3 +357,78 @@ def jsonl_ingest_sql_oracle() -> str:
                CAST(sum(length(text)) AS BIGINT) AS text_len_sum
         FROM documents GROUP BY lang
     """
+
+
+def orc_ingest(sf_dir: str) -> ray.data.Dataset:
+    """ORC ingestion round trip (the columnar twin of ``jsonl_ingest``):
+    dump ``documents`` to ORC shards (one per input block, written inside
+    the task), convert back to parquet through
+    ``sources.ingest.ingest_corpus(fmt="orc")``, and aggregate the
+    round-tripped table per language — identical oracle contract to the
+    JSONL path, so types and contents must survive both conversions
+    bit-exactly.
+    """
+    import hashlib
+    import os
+
+    from ..sources.ingest import ingest_corpus
+    from .text import docs_dataset
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = f"/tmp/index_ray_orcingest_{key}"
+    marker = os.path.join(base, ".done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        oc = os.path.join(base, "orc")
+        os.makedirs(oc)
+
+        def dump(t: pa.Table) -> pa.Table:
+            # side-write one ORC shard per block; deterministic name from
+            # the block's id range -> idempotent under task retry
+            import pyarrow.orc as _orc
+
+            if t.num_rows:
+                lo = int(pc.min(t["doc_id"]).as_py())
+                _orc.write_table(t, os.path.join(oc, f"part-{lo:012d}.orc"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        docs_dataset(sf_dir).map_batches(
+            dump, batch_format="pyarrow"
+        ).materialize()
+        ingest_corpus(oc, os.path.join(base, "parquet"), fmt="orc")
+        with open(marker, "w") as f:
+            f.write("done")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "doc_id": t["doc_id"],
+                "text_len": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        ).group_by(["lang"], use_threads=False).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"),
+             ("doc_id", "sum"), ("text_len", "sum")]
+        )
+        return g.rename_columns(["lang", "n_p", "chars_p", "ids_p", "len_p"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ray.data.read_parquet(os.path.join(base, "parquet"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("chars_p", alias_name="chars_sum"),
+            Sum("ids_p", alias_name="id_sum"),
+            Sum("len_p", alias_name="text_len_sum"),
+        )
+    )
+
+
+def orc_ingest_sql_oracle() -> str:
+    return jsonl_ingest_sql_oracle()

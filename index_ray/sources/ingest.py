@@ -24,11 +24,13 @@ import ray.data
 def _infer_format(src: str) -> str:
     low = src.lower()
     for ext, fmt in ((".jsonl", "jsonl"), (".json", "jsonl"),
-                     (".csv", "csv"), (".parquet", "parquet")):
+                     (".csv", "csv"), (".parquet", "parquet"),
+                     (".orc", "orc")):
         if low.endswith(ext):
             return fmt
     raise ValueError(
-        f"cannot infer ingest format from {src!r}; pass fmt='jsonl'|'csv'|'parquet'"
+        f"cannot infer ingest format from {src!r}; "
+        "pass fmt='jsonl'|'csv'|'parquet'|'orc'"
     )
 
 
@@ -45,6 +47,27 @@ def ingest_corpus(src: str | list[str], out_dir: str, fmt: str | None = None) ->
         ds = ray.data.read_csv(src)
     elif fmt == "parquet":
         ds = ray.data.read_parquet(src)
+    elif fmt == "orc":
+        # Ray Data (this version) has no read_orc: stream the files as
+        # bytes and decode with pyarrow.orc per file inside the task —
+        # per-FILE granularity (an ORC dump is many files; stripe-level
+        # splitting is the refinement if single files dominate)
+        import io
+
+        import pyarrow as pa
+
+        def _parse_orc(batch: pa.Table) -> pa.Table:
+            import pyarrow.orc as _orc
+
+            tabs = [
+                _orc.ORCFile(io.BytesIO(b)).read()
+                for b in batch["bytes"].to_pylist()
+            ]
+            return pa.concat_tables(tabs)
+
+        ds = ray.data.read_binary_files(src).map_batches(
+            _parse_orc, batch_format="pyarrow", batch_size=1
+        )
     else:
         raise ValueError(f"unknown ingest format {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)

@@ -170,3 +170,32 @@ def test_ingest_corpus_csv_and_format_inference(ray_session, tmp_path):
     assert got["n"].tolist() == [20, 30, 10]
     with _pytest.raises(ValueError, match="infer ingest format"):
         ingest_corpus(str(tmp_path / "rows.xyz"), str(tmp_path / "pq2"))
+
+
+def test_ingest_corpus_orc_roundtrip(ray_session, tmp_path):
+    """ORC files ingest to parquet with schema and values intact."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    from index_ray.sources.ingest import ingest_corpus
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b", "c", "d e f"], pa.string()),
+            "score": pa.array([1.5, -2.0, 0.25], pa.float64()),
+        }
+    )
+    src = tmp_path / "orc"
+    src.mkdir()
+    orc.write_table(t.slice(0, 2), str(src / "a.orc"))
+    orc.write_table(t.slice(2), str(src / "b.orc"))
+    out = ingest_corpus(str(src / "a.orc"), str(tmp_path / "pq_one"), fmt="orc")
+    got1 = pq.read_table(out)
+    assert got1.num_rows == 2
+    out2 = ingest_corpus(
+        [str(src / "a.orc"), str(src / "b.orc")], str(tmp_path / "pq_all"), fmt="orc"
+    )
+    got = pq.read_table(out2).sort_by("doc_id")
+    assert got.equals(t.select(got.column_names).cast(got.schema))
