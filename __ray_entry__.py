@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_coverage": dedup.dup_span_coverage,
         # similarity search over embeddings
         "knn_cosine": similarity.knn_cosine,
+        "knn_filtered": similarity.knn_filtered,
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
         # persisted IVF index probed exhaustively == brute-force cosine: a
         # REAL hash oracle over the whole build/persist/load/probe path —
@@ -912,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
         "term_cooccurrence": text_mod.term_cooccurrence_sql_oracle(),
         "keywords_tfidf": keywords_tfidf_sql_oracle(),
         "knn_cosine": _KNN_SQL,
+        "knn_filtered": sim_mod.knn_filtered_sql_oracle(),
         # the persisted-IVF path probed exhaustively IS brute-force cosine
         # (the lists partition the corpus), so the identical SQL pins the
         # whole build/persist/load/probe lifecycle

@@ -1150,3 +1150,118 @@ def quantize_embeddings_sql_oracle() -> str:
                     ELSE CAST(round(e.v / s.scale * 127) AS BIGINT) END AS q
         FROM e JOIN s USING (vec_id)
     """
+
+
+def knn_filtered(
+    sf_dir: str,
+    lang: str = "en",
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 10,
+) -> pa.Table:
+    """FILTERED vector search (the Elasticsearch knn-with-filter /
+    pgvector WHERE shape), exact-cosine baseline: top-k restricted to
+    vectors whose paired document (``vec_id == doc_id``, the testdata
+    contract) is in ``lang`` — PRE-filter semantics, so the filter
+    applies before the top-k and k survivors always come back (post-
+    filtering a plain top-k can return fewer).
+
+    (qid, rank, vec_id).  The allowed-id set comes from one
+    predicate-pushdown read of the documents id column, broadcast once
+    (``ray.put``) and applied per batch with a vectorized membership
+    test; at 10^12 rows the broadcast becomes the bloom-semi-join /
+    bucketed-join pattern (``relational.bloom_semi_join``), the scan
+    shape is unchanged.  Ties by ascending vec_id; ranks exact ints.
+    """
+    import pyarrow.dataset as pads
+
+    q, qids = _query_matrix(sf_dir, list(query_ids))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    allowed = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id"], filter=pads.field("lang") == lang)
+    )["doc_id"].to_numpy(zero_copy_only=False)
+    allowed = np.sort(allowed)
+    ctx_ref = ray.put((qn, allowed))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, ok = ray.get(ctx_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ok, ids)
+        pos[pos >= len(ok)] = max(len(ok) - 1, 0)
+        keep = len(ok) > 0 and ok[pos] == ids
+        b = batch.filter(pa.array(keep if len(ok) else np.zeros(len(ids), bool)))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "qi": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        m = _to_matrix(b["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qm @ m.T
+        bids = b["vec_id"].to_numpy(zero_copy_only=False)
+        rows = []
+        top = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            idx = np.lexsort((bids, -s))[:top]
+            rows.append((qi, bids[idx], s[idx]))
+        return pa.table(
+            {
+                "qi": pa.array(
+                    np.repeat([r[0] for r in rows], [len(r[1]) for r in rows]),
+                    pa.int32(),
+                ),
+                "vec_id": pa.array(
+                    np.concatenate([r[1] for r in rows]), pa.int64()
+                ),
+                "sim": pa.array(
+                    np.concatenate([r[2] for r in rows]), pa.float64()
+                ),
+            }
+        )
+
+    df = (
+        emb_dataset(sf_dir)
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    out_q, out_r, out_v = [], [], []
+    for qi, qid in enumerate(qids):
+        sub = df[df["qi"] == qi]
+        ids = sub["vec_id"].to_numpy()
+        sims = sub["sim"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        out_q.extend([qid] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_v.extend(int(x) for x in ids[order])
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+def knn_filtered_sql_oracle(lang: str = "en") -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+          SELECT q.qid, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS sim
+          FROM q
+          CROSS JOIN embeddings e
+          JOIN documents d ON d.doc_id = e.vec_id AND d.lang = '{lang}'
+        )
+        SELECT qid, rank, vec_id FROM (
+          SELECT qid, vec_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+                 ) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+    """

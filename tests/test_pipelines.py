@@ -1428,3 +1428,33 @@ def test_query_cache_hits_and_state_invalidation(ray_session, tmp_path, monkeypa
     c = cache.search("fast merge", k=10)
     assert cache.misses == 2  # state key changed -> re-executed
     assert victim not in c["docID"].to_pylist()
+
+
+def test_knn_filtered_prefilter_semantics(ray_session):
+    """Pre-filter: every hit belongs to the filter lang, k survivors come
+    back even when the global top-k is dominated by other langs, and the
+    result equals brute-force cosine over the restricted set."""
+    import duckdb as _duckdb
+
+    from index_ray.pipelines.similarity import knn_filtered
+
+    got = knn_filtered(SF, lang="de").to_pandas()
+    con = _duckdb.connect()
+    de_ids = set(
+        con.sql(f"SELECT doc_id FROM '{SF}/documents.parquet' WHERE lang='de'").df()["doc_id"]
+    )
+    assert set(got["vec_id"]) <= de_ids
+    want = con.sql(f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM '{SF}/embeddings.parquet' WHERE vec_id IN (0,1,2)),
+        d AS (SELECT doc_id FROM '{SF}/documents.parquet' WHERE lang='de'),
+        s AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) sim
+              FROM q CROSS JOIN '{SF}/embeddings.parquet' e
+              JOIN d ON d.doc_id = e.vec_id)
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, vec_id ASC) r FROM s)
+        WHERE r <= 10 ORDER BY qid, r
+    """).df()
+    got_s = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert list(got_s["vec_id"]) == list(want["vec_id"])
