@@ -1186,10 +1186,12 @@ def knn_filtered(
     def score(batch: pa.Table) -> pa.Table:
         qm, ok = ray.get(ctx_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ok, ids)
-        pos[pos >= len(ok)] = max(len(ok) - 1, 0)
-        keep = len(ok) > 0 and ok[pos] == ids
-        b = batch.filter(pa.array(keep if len(ok) else np.zeros(len(ids), bool)))
+        if len(ok):
+            pos = np.minimum(np.searchsorted(ok, ids), len(ok) - 1)
+            keep = ok[pos] == ids
+        else:
+            keep = np.zeros(len(ids), bool)
+        b = batch.filter(pa.array(keep))
         if b.num_rows == 0:
             return pa.table(
                 {
