@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_revenue": relational.pivot_revenue,
         "small_quantity_revenue": relational.small_quantity_revenue,
         "top_supplier_by_period": relational.top_supplier_by_period,
+        "revenue_ma3": relational.revenue_ma3,
         "revenue_by_segment": relational.revenue_by_segment,
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
@@ -1243,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_revenue": rel_mod.pivot_revenue_sql_oracle(),
         "small_quantity_revenue": rel_mod.small_quantity_revenue_sql_oracle(),
         "top_supplier_by_period": rel_mod.top_supplier_by_period_sql_oracle(),
+        "revenue_ma3": rel_mod.revenue_ma3_sql_oracle(),
         "cube_revenue": rel_mod.cube_revenue_sql_oracle(),
         "regression_by_flag": rel_mod.regression_by_flag_sql_oracle(),
         "skyline_orders": rel_mod.skyline_orders_sql_oracle(),

@@ -1497,3 +1497,50 @@ def top_supplier_by_period_sql_oracle() -> str:
         FROM rev JOIN supplier s USING (s_suppkey)
         WHERE rev.revenue_cents = (SELECT max(revenue_cents) FROM rev)
     """
+
+
+def revenue_ma3(sf_dir: str) -> pa.Table:
+    """Time-series smoothing over a distributed aggregate: the 3-month
+    centered moving average of monthly lineitem revenue — (month, n_items,
+    revenue_cents, ma3_cents_x3).
+
+    The heavy work is :func:`revenue_by_month` (streamed partials + one
+    groupby); the window runs over the resulting ~dozens-of-rows series
+    on the driver, which is the honest shape — a windowed pass over an
+    already-aggregated time series is never cluster-sized.  Exactness:
+    the moving "average" is kept as the 3-month SUM (``x3``), so the
+    output stays integer and hash-exact (boundary months average over
+    the available 2 neighbors in SQL; emitting the sum sidesteps the
+    2-vs-3 denominator convention entirely).
+    """
+    t = pa.Table.from_pandas(
+        revenue_by_month(sf_dir).to_pandas(), preserve_index=False
+    ).sort_by("month")
+    rev = t["revenue_cents"].to_numpy(zero_copy_only=False)
+    prev = np.concatenate([[0], rev[:-1]])
+    nxt = np.concatenate([rev[1:], [0]])
+    return pa.table(
+        {
+            "month": t["month"],
+            "n_items": t["n_items"],
+            "revenue_cents": t["revenue_cents"],
+            "ma3_cents_x3": pa.array(prev + rev + nxt, pa.int64()),
+        }
+    )
+
+
+def revenue_ma3_sql_oracle() -> str:
+    return """
+        WITH m AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM lineitem GROUP BY 1
+        )
+        SELECT month, n_items, revenue_cents,
+               CAST(sum(revenue_cents) OVER (
+                 ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ) AS BIGINT) AS ma3_cents_x3
+        FROM m
+    """

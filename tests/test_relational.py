@@ -29,6 +29,7 @@ NAMES = [
     "pivot_revenue",
     "small_quantity_revenue",
     "top_supplier_by_period",
+    "revenue_ma3",
     "regression_by_flag",
     "skyline_orders",
     "bloom_semi_join",
