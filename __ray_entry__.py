@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nrt_search": flagship.nrt_search,
         "snapshot_rollback_bm25": flagship.snapshot_rollback_bm25,
         "function_score_bm25": flagship.function_score_bm25,
+        "sort_by_field": flagship.sort_by_field,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -560,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         nrt_search_sql_oracle,
         snapshot_rollback_sql_oracle,
         function_score_sql_oracle,
+        sort_by_field_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -685,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "nrt_search": nrt_search_sql_oracle(),
         "snapshot_rollback_bm25": snapshot_rollback_sql_oracle(),
         "function_score_bm25": function_score_sql_oracle(),
+        "sort_by_field": sort_by_field_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "orc_ingest": audit_mod.orc_ingest_sql_oracle(),

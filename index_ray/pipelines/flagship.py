@@ -3813,3 +3813,49 @@ r2 AS (
   FROM f
 )
 SELECT qid, rank, doc_id FROM r2 WHERE rank <= 10"""
+
+
+SORTBY_QUERIES: list[tuple[int, str]] = [
+    (1, "merge sort"),
+    (2, "spark window"),
+]
+
+
+def sort_by_field(sf_dir: str, k: int = 10) -> pa.Table:
+    """Sort-by-field retrieval (``BM25Searcher.search_sorted_by``): the
+    top-k docs matching each fixture query ordered by ``n_chars`` DESC
+    instead of BM25 — the Elasticsearch ``sort`` clause.  (qid, rank,
+    doc_id, n_chars); oracle: the OR match set joined to documents,
+    ranked by (n_chars DESC, doc_id ASC).
+    """
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    tables = []
+    for qid, q in SORTBY_QUERIES:
+        r = searcher.search_sorted_by(q, k=k, value_col="n_chars", desc=True)
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "n_chars"])
+
+
+def sort_by_field_sql_oracle(k: int = 10) -> str:
+    parts = []
+    for qid, q in SORTBY_QUERIES:
+        terms = ", ".join(f"'{w}'" for w in sorted(set(q.split())))
+        parts.append(f"""
+        SELECT CAST({qid} AS BIGINT) AS qid, rank, doc_id, n_chars FROM (
+          SELECT m.doc_id, d.n_chars,
+                 CAST(row_number() OVER (
+                   ORDER BY d.n_chars DESC, m.doc_id ASC
+                 ) AS BIGINT) AS rank
+          FROM (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents
+            ) WHERE term IN ({terms})
+          ) m JOIN documents d USING (doc_id)
+        ) WHERE rank <= {k}""")
+    return "\nUNION ALL\n".join(parts)

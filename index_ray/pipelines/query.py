@@ -1322,6 +1322,37 @@ class SearchShard:
             out.append((np.concatenate(tops), np.concatenate(scs)))
         return out
 
+    def sort_by_value_many(
+        self,
+        queries: list[list[str]],
+        value_col: str,
+        k: int,
+        desc: bool = True,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per query: the k best MATCHING docs ordered by an integer
+        docmap column (Elasticsearch sort-by-field, no relevance score):
+        the full match set never leaves the actor — each chunk looks its
+        matches up in the resident value map and contributes only its own
+        k best (value desc/asc, docID asc ties)."""
+        out = []
+        vmaps = self._value_maps(value_col)
+        for terms in queries:
+            tops, vals = [], []
+            for ci, (vids, vvals) in zip(self.chunks, vmaps):
+                m = _excluded_docs(ci, terms)  # = the OR match set
+                if self.tombstones is not None and len(m):
+                    m = m[~np.isin(m, self.tombstones)]
+                if len(m) == 0:
+                    tops.append(np.empty(0, np.int64))
+                    vals.append(np.empty(0, np.int64))
+                    continue
+                v = vvals[np.searchsorted(vids, m)]
+                order = np.lexsort((m, -v if desc else v))[:k]
+                tops.append(m[order])
+                vals.append(v[order])
+            out.append((np.concatenate(tops), np.concatenate(vals)))
+        return out
+
     def _value_maps(self, value_col: str):
         """Per-chunk (sorted docIDs, int64 values) from the docmap sidecars
         — resident after first use (numeric twin of ``_facet_maps``)."""
@@ -1901,6 +1932,37 @@ class BM25Searcher:
                 )
             )
         return out
+
+    def search_sorted_by(
+        self,
+        query: str,
+        k: int = 10,
+        value_col: str = "n_chars",
+        desc: bool = True,
+    ) -> pa.Table:
+        """Sort-by-field retrieval: the top-k docs MATCHING the query (OR
+        semantics) ordered by an integer docmap column instead of BM25 —
+        (rank, docID, value).  Shards return k rows each
+        (``SearchShard.sort_by_value_many``); the driver merges with the
+        same (value desc/asc, docID asc) tie-break."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        terms = query_terms(query, tok_mode)
+        per_actor = ray.get(
+            [
+                a.sort_by_value_many.remote([terms], value_col, k, desc)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([r[0][0] for r in per_actor])
+        vals = np.concatenate([r[0][1] for r in per_actor])
+        order = np.lexsort((docs, -vals if desc else vals))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "docID": pa.array(docs[order], type=pa.int64()),
+                "value": pa.array(vals[order], type=pa.int64()),
+            }
+        )
 
     def match_docs(self, query: str, mode: str = "or") -> np.ndarray:
         """Full sorted match set for a query — the index as a FILTER: feed
