@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_rollback_bm25": flagship.snapshot_rollback_bm25,
         "function_score_bm25": flagship.function_score_bm25,
         "sort_by_field": flagship.sort_by_field,
+        "hapax_stats": flagship.hapax_stats,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
         # deduplication suite (reference D1/D2 + training-data ops)
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH-consistency rep; its pair-set equality stays pytest-pinned —
         # demoted for the HLL set-algebra slot)
         "distinct_users_hll": sketches.distinct_users_hll,
+        "vocab_size_hll": sketches.vocab_size_hll,
         # ordered-funnel analysis (hll_intersections — same HLL register
         # family as distinct_users_hll above — demoted for the slot)
         "funnel_conversion": events.funnel_conversion,
@@ -562,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         snapshot_rollback_sql_oracle,
         function_score_sql_oracle,
         sort_by_field_sql_oracle,
+        hapax_stats_sql_oracle,
         trigram_search_sql_oracle,
         trigram_regex_sql_oracle,
         more_like_this_sql_oracle,
@@ -596,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         approx_percentiles_sql_oracle,
         cms_term_counts_sql_oracle,
         distinct_users_hll_sql_oracle,
+        vocab_size_hll_sql_oracle,
         hll_intersections_sql_oracle,
         heavy_hitter_terms_sql_oracle,
     )
@@ -688,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_rollback_bm25": snapshot_rollback_sql_oracle(),
         "function_score_bm25": function_score_sql_oracle(),
         "sort_by_field": sort_by_field_sql_oracle(),
+        "hapax_stats": hapax_stats_sql_oracle(),
         "trigram_search": trigram_search_sql_oracle(),
         "jsonl_ingest": audit_mod.jsonl_ingest_sql_oracle(),
         "orc_ingest": audit_mod.orc_ingest_sql_oracle(),
@@ -908,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "distinct_users_hll": distinct_users_hll_sql_oracle(),
+        "vocab_size_hll": vocab_size_hll_sql_oracle(),
         "hll_intersections": hll_intersections_sql_oracle(),
         "cms_term_counts": cms_term_counts_sql_oracle(),
         "approx_percentiles": approx_percentiles_sql_oracle(),

@@ -3859,3 +3859,60 @@ def sort_by_field_sql_oracle(k: int = 10) -> str:
           ) m JOIN documents d USING (doc_id)
         ) WHERE rank <= {k}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def hapax_stats(sf_dir: str) -> pa.Table:
+    """Hapax legomena analysis straight off the MERGED LEXICON (no corpus
+    pass): how many vocabulary terms occur in exactly one document — the
+    classic Zipf-tail corpus-quality signal (a crawl full of boilerplate
+    has few; OCR noise has many).  (n_terms, n_hapax, hapax_x10000);
+    the share is integer-lifted as floor(10000 * hapax / terms).
+
+    The lexicon shards are the already-built (term, df, cf) table, so
+    this is one streamed read + a count — the reason the engine keeps
+    its dictionary as parquet rather than an opaque blob.
+    """
+    out = documents_index(sf_dir)
+    lex = sorted(glob.glob(os.path.join(out, "lexicon", "*.parquet")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_part": pa.array([len(df)], pa.int64()),
+                "h_part": pa.array([int((df == 1).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(lex)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(agg["n_part"].sum())
+    h = int(agg["h_part"].sum())
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "n_hapax": pa.array([h], pa.int64()),
+            "hapax_x10000": pa.array(
+                [(10000 * h) // n if n else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def hapax_stats_sql_oracle() -> str:
+    return """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ), t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+        df AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST((10000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS hapax_x10000
+        FROM df
+    """

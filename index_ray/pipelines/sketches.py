@@ -648,3 +648,63 @@ def hll_intersections_sql_oracle() -> str:
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY 1, 2
     """
+
+
+def vocab_size_hll(sf_dir: str, p: int = 12) -> pa.Table:
+    """(n_terms, hll_within_5pct) — the exact corpus vocabulary size next
+    to a 1-if-within-5% flag for its HyperLogLog estimate over md5 term
+    hashes (mergeable uint8 registers; one 2^p-byte blob per batch crosses
+    the wire, never term strings).  The estimate itself is deterministic
+    but not SQL-expressible; the oracle pins the exact count + the flag,
+    and the exact leg is recomputed engine-side from the same
+    tokenization.
+    """
+    from ..functions.tokenize import TokenNormalizer
+    from ..functions.tokenize import tokenize_batch as _tb
+    from .text import docs_dataset
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, vocab = _tb(batch["text"], TokenNormalizer("simple"))
+        hashes = np.array(
+            [_term_hash(v) for v in vocab], dtype=np.uint64
+        ) if vocab else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "regs": pa.array([_registers(hashes.astype(np.int64), p).tobytes()],
+                                 pa.binary()),
+                "terms": pa.array([",".join(sorted(set(vocab)))], pa.string()),
+            }
+        )
+
+    parts = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=512)
+        .to_pandas()
+    )
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    exact: set[str] = set()
+    for b, ts in zip(parts["regs"], parts["terms"]):
+        np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+        if ts:
+            exact.update(ts.split(","))
+    est = _estimate(merged, p)
+    n = len(exact)
+    ok = 1 if n and abs(est - n) / n <= 0.05 else 0
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "hll_within_5pct": pa.array([ok], pa.int64()),
+        }
+    )
+
+
+def vocab_size_hll_sql_oracle() -> str:
+    return """
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        )
+        SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+               CAST(1 AS BIGINT) AS hll_within_5pct
+        FROM tok WHERE term <> ''
+    """

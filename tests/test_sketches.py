@@ -241,3 +241,34 @@ def test_hll_intersections_planted_overlap(ray_session, tmp_path):
     assert got.loc[("A", "C"), "n_both"] == 500
     assert got.loc[("B", "C"), "n_both"] == 500
     assert (got["ie_within_10pct"] == 1).all()
+
+
+def test_vocab_size_hll_large_vocab(ray_session, tmp_path):
+    """HLL vocabulary estimate stays within 5% on a 6k-term planted vocab
+    (past the linear-counting regime's trivial range)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from index_ray.pipelines.sketches import vocab_size_hll
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i:05d}" for i in range(6000)]
+    texts = [
+        " ".join(rng.choice(words, size=80))
+        for _ in range(300)
+    ]
+    d = tmp_path / "vh"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    t = vocab_size_hll(str(d)).to_pandas()
+    n = int(t["n_terms"][0])
+    assert 4000 < n <= 6000  # sampled-with-replacement coverage
+    assert int(t["hll_within_5pct"][0]) == 1
