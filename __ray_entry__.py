@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocations in-fold — demoted for the slot)
         "triangle_count": graph.triangle_count,
         "adamic_adar": graph.adamic_adar,
-        "k_core": graph.k_core,
+        "ewma_user_value": events.ewma_user_value,
         # CCNet-style per-language LM-quality thirds (new family: quality
         # bucketing; user_outlier_events — driver-green r02, gap kernel
         # shared verbatim with session_concurrency above — demoted)
@@ -288,7 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": events.rolling_user_value,
         "running_user_total": events.running_user_total,
         "event_gaps": events.event_gaps,
-        "ewma_user_value": events.ewma_user_value,
+        "k_core": graph.k_core,
         "top_sessions": events.top_sessions,
         "event_transitions": events.event_transitions,
         "distinct_users_daily": events.distinct_users_daily,
