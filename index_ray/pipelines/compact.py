@@ -505,31 +505,41 @@ def compact_index(
             # partials carry over only when no purge happened
             import pyarrow.compute as pc
 
-            subs = ("docmap",) if purging else ("docmap", "lexicon")
+            # tvec (forward-index) sidecars are carried with the merge —
+            # they are docID-keyed like docmap, so a purge filters their
+            # tombstoned rows the same way; dropping them would break
+            # term_vectors() after any compaction of a term_vectors build
+            subs = ("docmap", "tvec") if purging else ("docmap", "lexicon", "tvec")
             for sub in subs:
+                files = [
+                    (m, f)
+                    for m, d in zip(group, gdirs)
+                    for f in sorted(glob.glob(os.path.join(d, sub, "*")))
+                ]
+                if not files:
+                    continue  # e.g. no tvec sidecars (term_vectors=False)
                 os.makedirs(os.path.join(tmp, sub), exist_ok=True)
-                for m, d in zip(group, gdirs):
-                    for f in sorted(glob.glob(os.path.join(d, sub, "*"))):
-                        dst = os.path.join(
-                            tmp, sub, f"c{m['chunk']:05d}-{os.path.basename(f)}"
-                        )
-                        if (
-                            purging
-                            and sub == "docmap"
-                            and f.endswith(".parquet")
-                        ):
-                            dt = pq.read_table(f)
-                            keep = pc.invert(
-                                pc.is_in(
-                                    dt["docID"],
-                                    value_set=pa.array(tomb_arr, pa.int64()),
-                                )
+                for m, f in files:
+                    dst = os.path.join(
+                        tmp, sub, f"c{m['chunk']:05d}-{os.path.basename(f)}"
+                    )
+                    if (
+                        purging
+                        and sub in ("docmap", "tvec")
+                        and f.endswith(".parquet")
+                    ):
+                        dt = pq.read_table(f)
+                        keep = pc.invert(
+                            pc.is_in(
+                                dt["docID"],
+                                value_set=pa.array(tomb_arr, pa.int64()),
                             )
-                            pq.write_table(dt.filter(keep), dst)
-                        elif purging and sub == "docmap" and f.endswith(".stats.json"):
-                            continue  # stale post-purge; manifests recomputed below
-                        else:
-                            shutil.copy(f, dst)
+                        )
+                        pq.write_table(dt.filter(keep), dst)
+                    elif purging and sub == "docmap" and f.endswith(".stats.json"):
+                        continue  # stale post-purge; manifests recomputed below
+                    else:
+                        shutil.copy(f, dst)
         nm = {
             "chunk": gi,
             "phase_seconds": {},

@@ -1476,6 +1476,25 @@ def _kcore_bucket_adj(*parts: pa.Table) -> pa.Table:
 
 
 @ray.remote
+def _kcore_counts(adj: pa.Table) -> pa.Table:
+    """Survivor degrees for one bucket: z is hash-co-located, so a local
+    unique+count IS the node's exact core degree; the driver gathers only
+    these small (node, deg) tables, never the adjacency."""
+    if adj.num_rows == 0:
+        return pa.schema(
+            [("node", pa.int64()), ("deg_in_core", pa.int64())]
+        ).empty_table()
+    z = adj["z"].to_numpy(zero_copy_only=False)
+    u, c = np.unique(z, return_counts=True)
+    return pa.table(
+        {
+            "node": pa.array(u, pa.int64()),
+            "deg_in_core": pa.array(c.astype(np.int64)),
+        }
+    )
+
+
+@ray.remote
 def _kcore_peel(adj: pa.Table, removed: np.ndarray, k: int):
     """One delta-peel round for one bucket: drop removed neighbors from
     the co-located adjacency, return (new adjacency, newly-sub-k nodes).
@@ -1524,9 +1543,13 @@ def k_core(
     definition), each bucket drops those neighbors, recomputes its local
     degrees (the full neighbor list of z is co-located) and reports the
     newly sub-k nodes.  Rounds = peeling depth; per round the driver
-    moves O(frontier) ids, never the graph.  No SQL oracle (an
-    iterate-to-fixpoint loop is not expressible in one query); pinned by
-    the planted-graph pytest against a reference python peel.
+    moves O(frontier) ids, never the graph (the peeled adjacency is
+    chained bucket-to-bucket as ObjectRefs via ``num_returns=2``; the
+    driver gathers only the frontier arrays and, at the end, the small
+    per-bucket (node, deg) tables).  SQL oracle: fixed-round synchronous
+    peel replay (:func:`k_core_sql_oracle`, 12 unrolled rounds — measured
+    fixpoint depth 5 at sf0.01); also pinned by the planted-graph pytest
+    against a reference python peel.
     """
     edges = _band_edges(sf_dir, window, None)
 
@@ -1562,30 +1585,78 @@ def k_core(
     removed = np.empty(0, np.int64)
     while True:
         rem_ref = ray.put(removed)
-        outs = [_kcore_peel.remote(bkt, rem_ref, k) for bkt in buckets]
-        pairs = ray.get(outs)
-        buckets = [ray.put(t) for t, _ in pairs]
+        # num_returns=2: the (large) peeled adjacency stays in the object
+        # store as a ref chained straight into the next round; the driver
+        # only ever ray.get's the (small) per-round frontier arrays.
+        outs = [
+            _kcore_peel.options(num_returns=2).remote(bkt, rem_ref, k)
+            for bkt in buckets
+        ]
+        buckets = [adj_ref for adj_ref, _ in outs]
+        dead = ray.get([dead_ref for _, dead_ref in outs])
         removed = (
-            np.concatenate([d for _, d in pairs])
-            if any(len(d) for _, d in pairs)
+            np.concatenate(dead)
+            if any(len(d) for d in dead)
             else np.empty(0, np.int64)
         )
         if len(removed) == 0:
             break
-    rows = [ray.get(b) for b in buckets]
-    t = pa.concat_tables([r for r in rows if r.num_rows] or rows[:1])
+    rows = ray.get([_kcore_counts.remote(b) for b in buckets])
+    t = pa.concat_tables(rows)
     if t.num_rows == 0:
         return pa.schema(
             [("node", pa.int64()), ("deg_in_core", pa.int64())]
         ).empty_table()
-    z = t["z"].to_numpy(zero_copy_only=False)
-    u, c = np.unique(z, return_counts=True)
-    return pa.table(
-        {
-            "node": pa.array(u, pa.int64()),
-            "deg_in_core": pa.array(c.astype(np.int64)),
-        }
+    return t.sort_by("node")
+
+
+def k_core_sql_oracle(
+    k: int = K_CORE_K, window: int = K_CORE_WINDOW, rounds: int = 12
+) -> str:
+    """Fixed-round synchronous-peel replay of :func:`k_core` (the
+    ``bfs_hops_sql_oracle`` fixed-iteration pattern): each unrolled round
+    keeps exactly the edges whose BOTH endpoints still have degree >= k,
+    which is one synchronous peel step.  ``rounds`` must be >= the peel
+    fixpoint depth at the checked scale (measured: 1 at sf0.001, 5 at
+    sf0.01; 12 leaves >2x margin) — beyond the fixpoint every extra round
+    is the identity, so overshoot is safe."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous one 3x -- inlined, e{rounds} would
+    # expand to 3^rounds scans of the base table.
+    parts = [
+        """
+        WITH c AS MATERIALIZED (
+          SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg
+          FROM customer
+        ),
+        p AS MATERIALIZED (
+          SELECT x.ck AS a, y.ck AS b
+          FROM c x JOIN c y
+            ON x.nk = y.nk AND x.seg = y.seg
+           AND y.ck > x.ck AND y.ck <= x.ck + {window}
+        ),
+        e0 AS MATERIALIZED (
+          SELECT a AS z, b AS x FROM p UNION ALL SELECT b, a FROM p)
+        """.format(window=window)
+    ]
+    for i in range(rounds):
+        parts.append(
+            """,
+        d{i} AS MATERIALIZED (
+          SELECT z FROM e{i} GROUP BY z HAVING count(*) >= {k}),
+        e{j} AS MATERIALIZED (
+          SELECT e.z, e.x FROM e{i} e
+          JOIN d{i} u ON e.z = u.z
+          JOIN d{i} v ON e.x = v.z
+        )""".format(i=i, j=i + 1, k=k)
+        )
+    parts.append(
+        """
+        SELECT z AS node, CAST(count(*) AS BIGINT) AS deg_in_core
+        FROM e{r} GROUP BY z ORDER BY node
+        """.format(r=rounds)
     )
+    return "".join(parts)
 
 
 @ray.remote

@@ -2530,7 +2530,20 @@ def term_vectors(index_dir: str, doc_ids: list) -> pa.Table:
             "BuildConfig(term_vectors=True)"
         )
     dsx = pads.dataset(tv_files)
-    return dsx.to_table(filter=pads.field("docID").isin(list(doc_ids)))
+    t = dsx.to_table(filter=pads.field("docID").isin(list(doc_ids)))
+    # tombstoned docs are dead for EVERY read surface, the forward index
+    # included — without this a deleted doc's term vectors would survive
+    # until the next purging compaction
+    from .compact import load_tombstones
+
+    tomb = load_tombstones(index_dir)
+    if len(tomb):
+        import pyarrow.compute as pc
+
+        t = t.filter(
+            pc.invert(pc.is_in(t["docID"], value_set=pa.array(tomb, pa.int64())))
+        )
+    return t
 
 
 class NRTSearcher:
@@ -2571,11 +2584,24 @@ class NRTSearcher:
         self._buf_tokens = 0
 
     def add(self, table: pa.Table) -> None:
-        """Buffer new documents (searchable immediately)."""
+        """Buffer NEW documents (searchable immediately).  INSERT-ONLY:
+        a doc_id may enter the buffer once — re-adding a buffered id
+        raises (it would double-count the doc in the merged N/df/avgdl
+        and could return the same docID twice in one result list).  To
+        UPDATE a document that is already durable, tombstone it first
+        (``delete_docs``) and then ``add`` the new version."""
         from ..functions.tokenize import TokenNormalizer, tokenize_batch
 
         if self._norm is None:
             self._norm = TokenNormalizer(self.tok_mode)
+        incoming = table[self.id_col].to_numpy(zero_copy_only=False)
+        if len(np.unique(incoming)) != len(incoming):
+            raise ValueError("duplicate doc_ids within one add() batch")
+        if self._ids and np.isin(incoming, np.asarray(self._ids)).any():
+            raise ValueError(
+                "doc_id already buffered; NRT add() is insert-only — "
+                "delete_docs the old version first to update"
+            )
         self._buf_tables.append(table)
         docc, tidocc, vocab = tokenize_batch(table[self.text_col], self._norm)
         ids = table[self.id_col].to_numpy(zero_copy_only=False)
@@ -2725,10 +2751,18 @@ class QueryCache:
         d = self.searcher.index_dir
         with open(os.path.join(d, "stats.json"), "rb") as f:
             h = hashlib.sha256(f.read())
+        # hash tombstone CONTENTS, not just basenames: delete_docs names
+        # files sequentially (tomb-00000...), so after a rollback a later
+        # delete of a DIFFERENT doc set with equal cardinality reproduces
+        # the same filename and identical stats.json — basenames alone
+        # would collide two distinct index states.  Tombstone files are a
+        # few KB of docIDs, so hashing bytes is still two tiny reads.
         for t in sorted(
             glob.glob(os.path.join(d, "tombstones", "*.parquet"))
         ):
             h.update(os.path.basename(t).encode())
+            with open(t, "rb") as f:
+                h.update(f.read())
         return h.hexdigest()
 
     def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:

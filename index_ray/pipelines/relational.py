@@ -1290,7 +1290,12 @@ def pivot_revenue(sf_dir: str) -> pa.Table:
     yy = t["year"].to_numpy(zero_copy_only=False)
     cc = t["cents"].to_numpy(zero_copy_only=False)
     for n, y, c in zip(nn, yy, cc):
-        mat[row_of[n], int(y) - PIVOT_YEARS[0]] = c
+        # guard to the pivot range (mirrors the oracle's CASE): an
+        # out-of-range year must contribute nothing — unguarded, a year
+        # below the range would negative-index another year's column and
+        # one above would raise
+        if PIVOT_YEARS[0] <= int(y) <= PIVOT_YEARS[-1]:
+            mat[row_of[n], int(y) - PIVOT_YEARS[0]] = c
     cols: dict[str, pa.Array] = {"n_name": pa.array(names, pa.string())}
     for j, y in enumerate(PIVOT_YEARS):
         cols[f"y{y}"] = pa.array(mat[:, j])

@@ -131,8 +131,30 @@ def term_stats(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
 
 
 def top_terms(sf_dir: str, k: int = 100) -> pa.Table:
-    t = term_stats(sf_dir).sort(["cf", "term"], descending=[True, False]).limit(k)
-    out = t.to_pandas()
+    """Global top-k terms by cf without a full lexicon sort: term_stats'
+    hash shuffle already puts each term in exactly one block, so a
+    per-block local top-k (the ``top_sessions`` combiner shape,
+    events.py) reduces the driver merge to k x blocks candidate rows —
+    the lexicon itself is never sorted or collected."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        cf = t["cf"].to_numpy(zero_copy_only=False)
+        term = t["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -cf))[:k]
+        return t.take(pa.array(order))
+
+    cand = (
+        term_stats(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["cf", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -255,31 +255,60 @@ def lm_score(
     (doc_id, n_tokens, sum_log2p, avg_log2p), token-less documents
     omitted (they have no LM score), sorted by doc_id.
 
-    Scale: the broadcast table is the corpus VOCABULARY (Zipf-collapsed,
-    not corpus-sized); at 10^12-doc scale pass ``top_v`` to keep only the
-    top-V terms by cf and score the tail at the OOV floor log2(1/total) —
-    the exact full-vocab mode is the oracle-checked default.
+    DRIVER-MEMORY BOUND — ``top_v`` is the large-corpus default: with
+    ``top_v=None`` (the exact, oracle-checked mode) the FULL vocabulary
+    cf table is collected on the driver to build the broadcast table;
+    the vocabulary is Zipf-collapsed, not corpus-sized, but at 10^12
+    docs it is still billions of terms — more than a driver heap.  At
+    real scale always pass ``top_v`` (e.g. 1_000_000): the candidate set
+    is then reduced by a per-block local top-V + driver merge of
+    V x blocks rows (the ``top_terms`` combiner shape — the lexicon is
+    never collected), the corpus total comes from a distributed sum, and
+    tail terms score at the OOV floor log2(1/total).  Keep ``None`` only
+    for oracle comparison at test scale.
     """
     import ray
 
     from .text import term_stats
 
-    cf = term_stats(sf_dir, mode).to_pandas()
-    if len(cf) == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "n_tokens": pa.array([], pa.int64()),
-                    "sum_log2p": pa.array([], pa.float64()),
-                    "avg_log2p": pa.array([], pa.float64()),
-                }
-            )
+    schema = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "sum_log2p": pa.array([], pa.float64()),
+            "avg_log2p": pa.array([], pa.float64()),
+        }
+    )
+    if top_v is None:
+        # exact mode: full-vocab collect (driver-memory bound above)
+        cf = term_stats(sf_dir, mode).to_pandas()
+        if len(cf) == 0:
+            return ray.data.from_arrow(schema)
+        total = int(cf["cf"].sum())
+    else:
+        # scale mode: the driver only ever sees top_v x blocks candidate
+        # rows and one scalar; the full lexicon stays distributed
+        from ray.data.aggregate import Sum
+
+        ts = term_stats(sf_dir, mode).materialize()
+        agg = ts.aggregate(Sum("cf", alias_name="total"))
+        total = int(agg["total"] or 0)
+        if total == 0:
+            return ray.data.from_arrow(schema)
+
+        def local_topv(t: pa.Table) -> pa.Table:
+            if t.num_rows <= top_v:
+                return t
+            c = t["cf"].to_numpy(zero_copy_only=False)
+            term = t["term"].to_numpy(zero_copy_only=False)
+            return t.take(pa.array(np.lexsort((term, -c))[:top_v]))
+
+        cf = (
+            ts.map_batches(local_topv, batch_format="pyarrow").to_pandas()
+            .sort_values(["cf", "term"], ascending=[False, True])
+            .head(top_v)
         )
-    total = int(cf["cf"].sum())
     floor = float(np.log2(1.0 / np.float64(total)))
-    if top_v is not None:
-        cf = cf.sort_values(["cf", "term"], ascending=[False, True]).head(top_v)
     logp = dict(
         zip(
             cf["term"],

@@ -560,3 +560,45 @@ def test_tiered_compaction_merges_only_small_runs(ray_session, tmp_path):
         if os.stat(p).st_ino == ino_before
     )
     assert big_after, "big chunk should carry over by hard link"
+
+
+def test_compact_preserves_term_vectors(tmp_path):
+    """Compacting a term_vectors=True index must carry the tvec/ forward
+    index through the merge, and a purging compaction (plus the reader
+    itself) must drop tombstoned docs' term vectors."""
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.compact import delete_docs
+    from index_ray.pipelines.query import term_vectors
+
+    corp = tmp_path / "corp"
+    write_corpus(str(corp), TINY_DOCS, seed=TINY_SEED, n_files=4)
+    cfg = BuildConfig(**{**TINY_CFG, "chunk_docs": 50}, term_vectors=True)
+    idx = str(tmp_path / "idx")
+    build_index(str(corp), idx, cfg)
+    assert len(load_stats(idx)["chunks"]) >= 3
+    probe = [0, 7, 42, TINY_DOCS - 1]
+    before = term_vectors(idx, probe).to_pandas()
+    before = before.sort_values(["docID", "term"]).reset_index(drop=True)
+    assert len(before) > 0
+
+    compact_index(idx)  # pure merge, no tombstones
+    after = term_vectors(idx, probe).to_pandas()
+    after = after.sort_values(["docID", "term"]).reset_index(drop=True)
+    assert after.equals(before)
+
+    # reader-level masking: a deleted doc's vectors disappear immediately
+    delete_docs(idx, [probe[1]])
+    masked = term_vectors(idx, probe).to_pandas()
+    assert probe[1] not in set(masked["docID"])
+    expected = before[before["docID"] != probe[1]].reset_index(drop=True)
+    assert masked.sort_values(["docID", "term"]).reset_index(drop=True).equals(
+        expected
+    )
+
+    # purging compaction: rows physically gone, the rest intact
+    compact_index(idx)
+    purged = term_vectors(idx, probe).to_pandas()
+    assert purged.sort_values(["docID", "term"]).reset_index(drop=True).equals(
+        expected
+    )

@@ -1458,3 +1458,97 @@ def test_knn_filtered_prefilter_semantics(ray_session):
     """).df()
     got_s = got.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert list(got_s["vec_id"]) == list(want["vec_id"])
+
+
+def test_nrt_add_is_insert_only(ray_session, tmp_path):
+    """Re-adding a buffered doc_id (or duplicating one within a batch)
+    raises instead of double-counting it in the merged N/df/avgdl."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from conftest import TINY_CFG, TINY_SEED
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import NRTSearcher
+    from index_ray.sources.corpus import generate_corpus
+
+    texts = generate_corpus(40, TINY_SEED)["content"].to_pylist()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "nrt_ins"
+    d.mkdir()
+    _pq.write_table(tbl.slice(0, 20), str(d / "base.parquet"))
+    idx = str(tmp_path / "nrt_ins_idx")
+    build_index(
+        str(d / "base.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    **TINY_CFG),
+    )
+    nrt = NRTSearcher(idx, text_col="text", id_col="doc_id")
+    nrt.add(tbl.slice(20, 10))
+    with _pytest.raises(ValueError, match="insert-only"):
+        nrt.add(tbl.slice(25, 5))  # 25..29 already buffered
+    dup = pa.concat_tables([tbl.slice(30, 2), tbl.slice(30, 2)])
+    with _pytest.raises(ValueError, match="duplicate"):
+        nrt.add(dup)
+    assert nrt.buffered_docs == 10  # failed adds buffered nothing
+
+
+def test_query_cache_rollback_same_cardinality_not_stale(
+    ray_session, tmp_path
+):
+    """The stale-key trap: delete doc A, roll back, delete doc B — the
+    tombstone FILENAME and stats.json are identical in both states, so a
+    basename-only cache key would serve A-state results for the B-state
+    index.  The key hashes tombstone contents, so the second delete must
+    re-execute and exclude B."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from conftest import TINY_CFG, TINY_SEED
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.compact import delete_docs
+    from index_ray.pipelines.query import BM25Searcher, QueryCache
+    from index_ray.sources.corpus import generate_corpus
+    from index_ray.state.snapshots import rollback_to_snapshot, snapshot_index
+
+    texts = generate_corpus(60, TINY_SEED)["content"].to_pylist()
+    d = tmp_path / "qcr"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(60), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "qcr_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    **TINY_CFG),
+    )
+    v = snapshot_index(idx)
+    base = BM25Searcher(idx).search("fast merge", k=10)["docID"].to_pylist()
+    assert len(base) >= 2
+    a, b = base[0], base[1]
+
+    cache = QueryCache(BM25Searcher(idx), capacity=8)
+    delete_docs(idx, [a])
+    cache.searcher = BM25Searcher(idx)
+    r1 = cache.search("fast merge", k=10)
+    assert a not in r1["docID"].to_pylist()
+
+    rollback_to_snapshot(idx, v)
+    delete_docs(idx, [b])  # same cardinality -> same tomb filename
+    cache.searcher = BM25Searcher(idx)
+    r2 = cache.search("fast merge", k=10)
+    assert b not in r2["docID"].to_pylist()  # stale A-state would keep b
+    assert a in r2["docID"].to_pylist()
+    assert cache.misses == 2  # both states executed, nothing served stale

@@ -681,3 +681,16 @@ def test_chunk_documents_boundaries(ray_session, tmp_path):
     n = {0: 0, 1: 8, 2: 9, 3: 14, 4: 15}
     for did, row in last.iterrows():
         assert row["start_tok"] + row["chunk_tokens"] == n[did]
+
+
+def test_lm_score_top_v_matches_exact_when_v_covers_vocab(ray_session, tmp_path):
+    """top_v >= |vocab| must reproduce the exact full-vocab mode bitwise —
+    pins the distributed top-V candidate path (local top-V + driver merge
+    + distributed total) against the oracle-checked exact path."""
+    from index_ray.pipelines.textstats import lm_score
+
+    texts = _rand_texts(60, 8)
+    sf = _write_docs(tmp_path, texts)
+    exact = lm_score(sf).to_pandas().reset_index(drop=True)
+    scaled = lm_score(sf, top_v=100_000).to_pandas().reset_index(drop=True)
+    assert scaled.equals(exact)
