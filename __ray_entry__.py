@@ -54,53 +54,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # inverted index, dedup, similarity, sketches, text analysis, curation,
     # multimodal); redundant same-family variants sit below the fold.
     return {
-        # term/corpus statistics (reference A1-A4)
+        # ---- positions 1-50: the driver verifies these (dict order).
+        # Round-4 fold rotation: 46 entries that had never received a
+        # driver verdict through r03 (every one SQL-oracled) plus 4
+        # canaries; same-family reps verified in earlier rounds sit
+        # below the fold, unchanged and still pytest/oracle-covered.
+        # canary: the index itself (build -> varint -> BM25 top-k)
+        "bm25_topk": flagship.bm25_topk,
+        # canary: reference A1/A2 term/corpus statistics
         "term_stats": text.term_stats,
-        # end-to-end curation funnel (quality -> dedup -> sample -> sink);
-        # windowed_events (driver-green r01+r02, still timed by bench.py)
-        # moved past the fold to make room
+        # canary: the r02-regression hash_groupby kernel
+        "windowed_events": text.windowed_events,
+        # canary+reshape: global top-k now per-block combiner + driver merge
+        "top_terms": text.top_terms,
+        "lm_dirichlet_topk": flagship.lm_dirichlet_topk,
+        "mmr_rerank": flagship.mmr_rerank,
+        "significant_terms": flagship.significant_terms,
+        "percolate_queries": flagship.percolate_queries,
+        "dsl_search": flagship.dsl_search,
+        "autocomplete": flagship.autocomplete,
+        "federated_bm25": flagship.federated_bm25,
+        "bm25_facets": flagship.bm25_facets,
+        "more_like_this": flagship.more_like_this,
+        "spell_suggest": flagship.spell_suggest,
+        "trigram_regex": flagship.trigram_regex,
+        "k_core": graph.k_core,
+        "bfs_hops": graph.bfs_hops,
+        "label_propagation": graph.label_propagation,
+        "pivot_revenue": relational.pivot_revenue,
+        "cube_revenue": relational.cube_revenue,
+        "rollup_revenue": relational.rollup_revenue,
+        "small_quantity_revenue": relational.small_quantity_revenue,
+        "top_supplier_by_period": relational.top_supplier_by_period,
+        "skyline_orders": relational.skyline_orders,
+        "bloom_semi_join": relational.bloom_semi_join,
+        "regression_by_flag": relational.regression_by_flag,
+        "revenue_ma3": relational.revenue_ma3,
+        "top_sessions": events.top_sessions,
+        "event_transitions": events.event_transitions,
+        "json_props_stats": events.json_props_stats,
+        "gap_fill_daily": events.gap_fill_daily,
+        "ccnet_buckets": textstats.ccnet_buckets,
+        "quality_deciles": curation.quality_deciles,
+        "decontaminate": curation.decontaminate,
+        "redact_pii": curation.redact_pii,
+        "epoch_mix": curation.epoch_mix,
+        "sequence_pack": curation.sequence_pack,
+        "hash_split": curation.hash_split,
+        "weighted_sample": curation.weighted_sample,
+        "jsonl_ingest": audit.jsonl_ingest,
+        "orc_ingest": audit.orc_ingest,
+        "profile_documents": audit.profile_documents,
+        "fk_check": audit.fk_check,
+        "lm_score": textstats.lm_score,
+        "nb_lang_classify": textstats.nb_lang_classify,
+        "dsir_importance": textstats.dsir_importance,
+        "strip_dup_spans": dedup.strip_dup_spans,
+        "set_similarity_join": _set_similarity_join_q,
+        # family-coverage slots (VERDICT r03 #5): the BPE trainer via its
+        # driver-side re-encode equality row, and semdedup via its twin
+        "bpe_encode_consistency": _bpe_encode_consistency_q,
+        "semdedup_consistency": similarity.semdedup_consistency,
+        # ---- position 51+ (driver-unchecked this round; 104 of these
+        # ---- are green from r01-r03 folds, the rest remain pytest- and
+        # ---- tools/check_oracles.py-covered until the r05 rotation) ----
         "curate_corpus": curation.curate_corpus,
-        # relational representatives (full family below the fold)
         "pricing_summary": relational.pricing_summary,
-        # event-stream representatives (one user-bucket shuffle), plus the
-        # keyless interval join (time-domain bucketing + interval
-        # replication); term_prefix_stats (driver-green r02) demoted
         "session_concurrency": events.session_concurrency,
-        # graph suite (PageRank + distributed CC) and the round-3 window/
-        # co-occurrence ops — in-fold so the driver verdicts them
         "pagerank": graph.pagerank,
         "personalized_pagerank": graph.personalized_pagerank,
         "connected_components": graph.connected_components,
         "hopping_windows": events.hopping_windows,
-        # distributed band self-join -> degree-oriented wedge-join triangle
-        # counting (skipgram_counts — same co-occurrence family as
-        # collocations in-fold — demoted for the slot)
         "triangle_count": graph.triangle_count,
         "adamic_adar": graph.adamic_adar,
         "ewma_user_value": events.ewma_user_value,
-        # CCNet-style per-language LM-quality thirds (new family: quality
-        # bucketing; user_outlier_events — driver-green r02, gap kernel
-        # shared verbatim with session_concurrency above — demoted)
-        # round-3 search additions: hybrid sparse+dense retrieval (RRF over
-        # the BM25 and cosine-kNN top-K lists) and did-you-mean suggestion
-        # (SymSpell lexicon probe ranked by cf); bm25_msm_topk and
-        # bm25_fuzzy_topk (same BM25-variant family as bm25_topk in-fold;
-        # msm/fuzzy stay pinned by pytest + their registered oracles)
-        # demoted for the slots
         "hybrid_search": flagship.hybrid_search,
-        # indexed substring search (code-search trigram plan): derived
-        # hex-trigram column -> unchanged index build -> AND skip-seek
-        # candidates -> exact contains verify (spell_suggest — lexicon-probe
-        # family, SymSpell kernel stays pytest+oracle-pinned — demoted)
         "trigram_search": flagship.trigram_search,
         "uniform_sample": curation.uniform_sample,
-        # the index itself (build -> varint round-trip -> BM25 top-k)
-        "bm25_topk": flagship.bm25_topk,
         "bm25_scores": flagship.bm25_scores,
-        # snapshot time travel: build(v1) -> append(v2) -> delete(v3); reads
-        # AS OF v1/v2 reproduce from-scratch BM25 over the matching corpus
-        # subsets (bm25_facets — driver-green r02, facet counting shares the
-        # full-match-set machinery bm25_filtered pins — demoted)
         "time_travel_bm25": flagship.time_travel_bm25,
         "snapshot_diff": flagship.snapshot_diff,
         "routed_bm25": flagship.routed_bm25,
@@ -114,123 +145,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": flagship.hapax_stats,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
-        # deduplication suite (reference D1/D2 + training-data ops)
-        # corpus-global duplicate-line removal (RefinedWeb/CCNet line dedup;
-        # keywords_tfidf — driver-green r02 — demoted for the slot)
         "line_dedup": dedup.line_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
-        # entity resolution end to end: similarity-join pairs -> connected
-        # components -> per-record cluster id, recursive-CTE oracle
-        # (more_like_this — doc-as-query over the in-fold BM25 path —
-        # demoted for the slot)
         "linkage_clusters": _linkage_clusters_q,
-        # ngram-Jaccard family: the LSH-vs-exact consistency row holds the
-        # fold slot (ngram_jaccard_dedup — the quadratic exact baseline the
-        # consistency row already recomputes — demoted)
         "ngram_lsh_consistency": dedup.ngram_lsh_consistency,
-        # span-level (substring) dedup: duplicated-k-gram stats + boilerplate
-        # corpus-global window function (row_number + SQL-exact ntile over
-        # one range sort — util.global_row_number); hot_ngrams (same
-        # duplicated-k-gram family as repeated_ngrams above) demoted
-        # exact duplicated-substring coverage (Lee et al. span metric;
-        # corpus_stats — driver-green r01+r02 — demoted for the slot)
         "dup_span_coverage": dedup.dup_span_coverage,
-        # similarity search over embeddings
         "knn_cosine": similarity.knn_cosine,
         "knn_filtered": similarity.knn_filtered,
         "lsh_knn_consistency": similarity.lsh_knn_consistency,
-        # persisted IVF index probed exhaustively == brute-force cosine: a
-        # REAL hash oracle over the whole build/persist/load/probe path —
-        # strictly stronger evidence than ivf_knn_consistency's constant
-        # row (demoted; its invariants stay pytest-pinned)
         "vector_index_topk": _vector_index_topk_q,
-        # multimodal representative: media decode/feature plumbing pinned
-        # by golden rows (semdedup_consistency — third rep of the
-        # constant-oracle consistency family — demoted; its recall checks
-        # stay pinned in pytest)
         "media_consistency": multimodal.media_consistency,
         "embedding_neardup": similarity.embedding_neardup,
-        # sketches (embedding_lsh_consistency — third constant-pinned
-        # LSH-consistency rep; its pair-set equality stays pytest-pinned —
-        # demoted for the HLL set-algebra slot)
         "distinct_users_hll": sketches.distinct_users_hll,
         "vocab_size_hll": sketches.vocab_size_hll,
-        # ordered-funnel analysis (hll_intersections — same HLL register
-        # family as distinct_users_hll above — demoted for the slot)
         "funnel_conversion": events.funnel_conversion,
         "cms_term_counts": sketches.cms_term_counts,
         "approx_percentiles": sketches.approx_percentiles,
-        # exact heavy hitters through a 2-pass Misra-Gries candidate sweep
-        # (took sha256_map's fold slot — that one is a trivial stateless map
-        # whose sha256 path exact_dedup also exercises)
         "heavy_hitter_terms": sketches.heavy_hitter_terms,
-        # cross-split exact-dup contamination over hash_split boundaries
-        # (eval-hygiene family); bigram_counts (collocations below derives
-        # from the same streaming bigram groupby) demoted for the slot
         "split_leakage": curation.split_leakage,
         "collocations": text.collocations,
-        # text analysis
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
-        # trained-merge ENCODING equality over every doc (token_count_bpe —
-        # regex pre-token counting, same family — demoted for the slot)
-        "bpe_encode_consistency": _bpe_encode_consistency_q,
-        # unigram-LM document scoring (CCNet-style quality signal; broadcast
-        # log-prob table; asof_purchase_click — driver-green r02 — demoted)
-        "lm_score": textstats.lm_score,
-        # decontamination, Bloom two-tier variant (dsir_importance — same
-        # hashed-n-gram scoring family as lm_score above — demoted)
         "decontaminate_bloom": curation.decontaminate_bloom,
-        # nearest-centroid classification, integer-exact confusion oracle
-        # (repetition_stats — same doc-quality family as quality_filter
-        # below — demoted)
         "centroid_classify": similarity.centroid_classify,
-        # cohort retention matrix (new analytics family; redact_pii — a
-        # stateless regex map, SQL-pinned since r02 — demoted)
         "cohort_retention": events.cohort_retention,
-        # order-sensitive mergeable aggregates: hourly OHLC bars (first/last
-        # by (ts, event_id) as arg-min/max partials — never a raw-stream
-        # sort; quality_filter stays, the slot came from the dedup family)
         "ohlc_bars": events.ohlc_bars,
         "quality_filter": curation.quality_filter,
-        # The Stack/StarCoder-style source-file filters (line-length /
-        # alnum-share / digit-share); stratified_sample (driver-green
-        # r01+r02, md5-bucket kernel also pinned by hash_split in-fold)
-        # demoted for the slot
         "code_stats": curation.code_stats,
-        # perceptual-hash image near-dup pairs (multimodal x dedup cross —
-        # planted-pair golden rows, a stronger check than the aggregate
-        # constants of media_consistency; hash_split — its md5-bucket
-        # kernel is also exercised by group_sample in-fold — demoted)
         "media_phash_dedup": multimodal.media_phash_dedup,
-        # exactly-k-per-stratum quota sample (bm25_and_topk — driver-green
-        # r02 — demoted; the AND path stays pinned by pytest + skip-seek)
-        "dsir_importance": textstats.dsir_importance,
         "hll_intersections": sketches.hll_intersections,
-        # sequence packing: concat-and-chunk layout over a distributed
-        # two-phase prefix scan (exact-integer SQL oracle); phrase_match
-        # (driver-green r02) demoted for the slot
-        "sequence_pack": curation.sequence_pack,
         "repetition_stats": curation.repetition_stats,
-        # distributed BPE vocabulary training, as its consistency row: the
-        # shard-actor trainer is re-derived by an independent in-package
-        # full-rescan implementation and compared merge-for-merge (the
-        # iterative argmax itself is not SQL-expressible; bpe_train's raw
-        # merge table sits below the fold, rows-only, and its pytest checks
-        # against a THIRD independent reference stay pinned)
         "bpe_consistency": _bpe_consistency_q,
-        # ---- position 51+ (driver-unchecked variants; all still pytest- and
-        # ---- tools/check_oracles.py-covered) -------------------------------
-        # multimodal plumbing (deterministic RAW1 payloads; codecs stubbed;
-        # demoted: media_phash_dedup's planted-pair goldens are the
-        # stronger in-fold multimodal row, and bpe_consistency — the
-        # independent re-derivation of the distributed BPE trainer — takes
-        # the 50th verdict slot instead of this constant-pinned aggregate)
-        "semdedup_consistency": similarity.semdedup_consistency,
-        # bm25_prefix_topk/not_topk/topk_meta were driver-green in r02, as
-        # were bm25_after_delete and doc_lookup (demoted for centroid_classify
-        # and bpe_train); demoted so new rows get verdicts inside the cap
         "bm25_after_delete": flagship.bm25_after_delete,
         "doc_lookup": flagship.doc_lookup,
         "stratified_sample": curation.stratified_sample,
@@ -249,7 +195,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lengths": text.doc_lengths,
-        "windowed_events": text.windowed_events,
         "merged_bm25": flagship.merged_bm25,
         "prf_search": flagship.prf_search,
         "bm25_filtered": flagship.bm25_filtered,
@@ -257,23 +202,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats": flagship.match_stats,
         "bm25_range": flagship.bm25_range,
         "top_terms_by_source": text.top_terms_by_source,
-        # demoted same-family variants (fold keeps one rep per family)
-        "ccnet_buckets": textstats.ccnet_buckets,
         "repeated_ngrams": dedup.repeated_ngrams,
-        "quality_deciles": curation.quality_deciles,
         "group_sample": curation.group_sample,
         "orders_by_nation": relational.orders_by_nation,
         "value_percentiles": events.value_percentiles,
-        "top_terms": text.top_terms,
         "quality_stats": text.quality_stats,
         "token_count_by_lang": text.token_count_by_lang,
         "regex_search": text.regex_search,
         "term_freq_spectrum": text.term_freq_spectrum,
+        "term_cooccurrence": text.term_cooccurrence,
+        "dup_weights": dedup.dup_weights,
         "revenue_by_month": relational.revenue_by_month,
-        "pivot_revenue": relational.pivot_revenue,
-        "small_quantity_revenue": relational.small_quantity_revenue,
-        "top_supplier_by_period": relational.top_supplier_by_period,
-        "revenue_ma3": relational.revenue_ma3,
         "revenue_by_segment": relational.revenue_by_segment,
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
         "supplier_balance_by_region": relational.supplier_balance_by_region,
@@ -288,61 +227,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": events.rolling_user_value,
         "running_user_total": events.running_user_total,
         "event_gaps": events.event_gaps,
-        "k_core": graph.k_core,
-        "top_sessions": events.top_sessions,
-        "event_transitions": events.event_transitions,
         "distinct_users_daily": events.distinct_users_daily,
-        # semi-structured: vectorized JSON field extraction + aggregate
-        "json_props_stats": events.json_props_stats,
-        # market-basket doc-level co-occurrence with min support
-        "term_cooccurrence": text.term_cooccurrence,
         "near_match": flagship.near_match,
         "search_snippets": flagship.search_snippets,
         "bm25_head_boost": flagship.bm25_head_boost,
         "bm25_field_scoped": flagship.bm25_field_scoped,
-        # BM25 variants demoted from the fold for the round-3 search
-        # additions (still oracle-backed and pytest-pinned)
         "bm25_msm_topk": flagship.bm25_msm_topk,
         "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
-        # second ranking model over the same index (Dirichlet LM)
-        "lm_dirichlet_topk": flagship.lm_dirichlet_topk,
-        # multi-source BFS hop distance (graph suite, below-fold sibling
-        # of pagerank/connected_components/triangle_count)
-        "bfs_hops": graph.bfs_hops,
-        # semi-supervised majority-label spreading from clamped seeds
-        "label_propagation": graph.label_propagation,
-        # query-time synonym expansion (disjunction, per-term idf)
         "bm25_synonyms": flagship.bm25_synonyms,
-        # field collapsing: <= cap results per group, exact combiner
         "bm25_collapse": flagship.bm25_collapse,
-        # MMR diversified rerank on integer-lifted decisions; the oracle
-        # replays the greedy chain as a recursive CTE
-        "mmr_rerank": flagship.mmr_rerank,
-        # significant-terms aggregation: match-set vs background lift
-        "significant_terms": flagship.significant_terms,
-        # percolator: stored queries matched against streamed documents
-        "percolate_queries": flagship.percolate_queries,
-        # IR eval: BM25-vs-LM overlap@10 + Spearman footrule
         "ranker_agreement": flagship.ranker_agreement,
-        # one-string query DSL: +req -excl "phrase" prefix* fuzzy~
-        "dsl_search": flagship.dsl_search,
-        # lexicon-backed suggest: prefix -> top completions by cf
-        "autocomplete": flagship.autocomplete,
-        # OLAP CUBE: all four grouping sets from one finest-level scan
-        "cube_revenue": relational.cube_revenue,
-        # partition-transparent federation: two lang-split indexes, one
-        # logical search — the oracle IS the single-corpus BM25 SQL
-        "federated_bm25": flagship.federated_bm25,
         "index_filter_docs": flagship.index_filter_docs,
-        "nb_lang_classify": textstats.nb_lang_classify,
-        "decontaminate": curation.decontaminate,
         "group_topk": curation.group_topk,
         "chunk_documents": curation.chunk_documents,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_probe_consistency": dedup.minhash_probe_consistency,
-        "profile_documents": audit.profile_documents,
-        "fk_check": audit.fk_check,
         "quantize_embeddings": similarity.quantize_embeddings,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
@@ -354,51 +254,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "media_features": multimodal.media_features,
         "video_frame_sample": multimodal.video_frame_sample,
-        # round-3 additions and fold demotions (below the fold; all
-        # oracle-backed and pytest-pinned)
         "bpe_train": _bpe_train_q,
         "bpe_encode": _bpe_encode_q,
-        "dup_weights": dedup.dup_weights,
-        # demoted from the fold (same-family reps hold the slots there)
         "dedup_canonical": dedup.dedup_canonical,
         "hot_ngrams": dedup.hot_ngrams,
         "bigram_counts": text.bigram_counts,
-        "strip_dup_spans": dedup.strip_dup_spans,
         "user_outlier_events": events.user_outlier_events,
-        # demoted from the fold (stronger same-family rows hold the slots)
         "ivf_knn_consistency": similarity.ivf_knn_consistency,
         "token_count_bpe": textstats.token_count_bpe,
-        "redact_pii": curation.redact_pii,
-        "epoch_mix": curation.epoch_mix,
         "lm_bigram_score": textstats.lm_bigram_score,
-        "hash_split": curation.hash_split,
-        # round-3 late additions: OLAP rollup, distributed regression
-        # moments, skyline, Bloom-pushdown semi join, time-series gap
-        # fill, weighted (A-ES) sampling — all exact-SQL-oracled
-        "rollup_revenue": relational.rollup_revenue,
-        "regression_by_flag": relational.regression_by_flag,
-        "skyline_orders": relational.skyline_orders,
-        "bloom_semi_join": relational.bloom_semi_join,
-        "gap_fill_daily": events.gap_fill_daily,
-        "weighted_sample": curation.weighted_sample,
-        # record linkage: exact set-similarity join via PPJoin-style
-        # frequency-ordered prefix filtering (recall 1 by the prefix
-        # theorem, precision 1 by the distributed exact verify)
-        "set_similarity_join": _set_similarity_join_q,
-        # ingestion round trip: documents -> JSONL dump -> parquet ingest
-        # -> per-lang aggregate hash-compared against the original table
-        "jsonl_ingest": audit.jsonl_ingest,
-        "orc_ingest": audit.orc_ingest,
-        # indexed regex search: required-trigram AND-probes per alternation
-        # branch (Cox query analysis), exact re-verify; grouped patterns
-        # honestly full-scan — oracle is regexp_matches over the corpus
-        "trigram_regex": flagship.trigram_regex,
-        # ---- demoted from the fold for the round-3 flagship families
-        # ---- (all driver-green in r02 or oracle-checked standalone) ------
         "skipgram_counts": text.skipgram_counts,
-        "spell_suggest": flagship.spell_suggest,
-        "bm25_facets": flagship.bm25_facets,
-        "more_like_this": flagship.more_like_this,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
     }
@@ -520,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
     from index_ray.pipelines import text as text_mod
     from index_ray.pipelines.graph import (
         bfs_hops_sql_oracle,
+        k_core_sql_oracle,
         label_propagation_sql_oracle,
         connected_components_sql_oracle,
         adamic_adar_sql_oracle,
@@ -634,7 +500,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from index_ray.pipelines.multimodal import (
         media_consistency_sql_oracle,
+        media_features_sql_oracle,
         media_phash_dedup_sql_oracle,
+        video_frame_sample_sql_oracle,
     )
     from index_ray.pipelines.similarity import centroid_classify_sql_oracle
     from index_ray.pipelines.textstats import (
@@ -649,7 +517,7 @@ def oracle_sql() -> dict[str, str]:
         strip_dup_spans_sql_oracle,
     )
 
-    return {
+    out = {
         "doc_lookup": doc_lookup_sql_oracle(),
         "term_prefix_stats": term_prefix_stats_sql_oracle(),
         "near_match": near_match_sql_oracle(),
@@ -882,6 +750,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2)) q(qid)
         """,
         "media_consistency": media_consistency_sql_oracle(),
+        # row-level media oracles: the synthetic media tables are seed-
+        # deterministic and sf-independent, so expected rows are derived
+        # independently at oracle-build time and inlined as VALUES
+        "media_features": media_features_sql_oracle(),
+        "video_frame_sample": video_frame_sample_sql_oracle(),
         # Constant like the *_consistency family: the distributed BPE merge
         # table is re-derived by an independent in-package full-rescan
         # implementation and compared merge-for-merge inside the query; a
@@ -1266,7 +1139,21 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": adamic_adar_sql_oracle(),
         "bfs_hops": bfs_hops_sql_oracle(),
         "label_propagation": label_propagation_sql_oracle(),
+        # fixed-round synchronous peel replay (rounds >= fixpoint depth)
+        "k_core": k_core_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
         "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
         "linkage_clusters": linkage_mod.linkage_clusters_sql_oracle(),
     }
+    # ngram_jaccard_lsh is pinned to the exact twin's oracle: precision 1
+    # is an invariant (the LSH verify IS the exact jaccard, restricted to
+    # candidates — ngram_lsh_consistency pins false pairs at 0), and
+    # recall 1 holds deterministically on this corpus because every exact
+    # pair is high-similarity (jaccard >= 88% at sf0.001/sf0.01; banding
+    # miss probability is per-pair (1-s^8)^8 and the hash functions and
+    # testdata are fixed — verified equal at both scales).  The embedding
+    # LSH variant stays rows-only: its recall at cos>=0.45 is genuinely
+    # partial (11/14 at sf0.01), exactly what its consistency row and the
+    # pytest recall floor document.
+    out["ngram_jaccard_lsh"] = out["ngram_jaccard_dedup"]
+    return out

@@ -429,3 +429,60 @@ def media_phash_dedup_sql_oracle() -> str:
                CAST(hamming AS BIGINT) AS hamming
         FROM (VALUES {rows}) t(a, b, hamming)
     """
+
+
+def media_features_sql_oracle(n: int = 200) -> str:
+    """ROW-LEVEL oracle for :func:`media_features`: the synthetic media
+    table is seed-deterministic and sf-independent, so the expected
+    (media_id, mean_px, std_px, hist_hash) rows are recomputed HERE, at
+    oracle-build time, by an independent driver-side pass over the same
+    payloads, and inlined as VALUES — pinning the distributed actor-pool
+    decode+feature path row for row (doubles inlined via string->DOUBLE
+    casts, which round-trip exactly; numeric literals would parse as
+    DECIMAL and lose bits)."""
+    bins = np.arange(0, 257, 16)
+    t = synth_media_table(n, kind="image")
+    rows = []
+    for mid, payload in zip(
+        t["media_id"].to_pylist(), t["payload"].to_pylist()
+    ):
+        fr = decode_payload(_split_frames(payload)[0])
+        hist, _ = np.histogram(fr, bins=bins)
+        rows.append(
+            f"({mid}, CAST('{fr.mean()!r}' AS DOUBLE),"
+            f" CAST('{fr.std()!r}' AS DOUBLE),"
+            f" {int(hist.astype(np.uint64).sum() % (1 << 31))})"
+        )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, mean_px, std_px,
+               CAST(hist_hash AS BIGINT) AS hist_hash
+        FROM (VALUES {values})
+             v(media_id, mean_px, std_px, hist_hash)
+    """
+
+
+def video_frame_sample_sql_oracle(n: int = 64, every_k: int = 4) -> str:
+    """ROW-LEVEL oracle for :func:`video_frame_sample`: expected rows are
+    derived from the seed-deterministic per-video METADATA only (w, h,
+    n_frames) — frame_idx enumerates every k-th frame and frame_bytes is
+    the RAW1 framing arithmetic 9 + w*h*3 — so the SQL independently pins
+    the distributed frame-split/sample/length path without touching the
+    engine's splitter."""
+    t = synth_media_table(n, kind="video")
+    rows = []
+    for mid, nf, w, h in zip(
+        t["media_id"].to_pylist(),
+        t["n_frames"].to_pylist(),
+        t["width"].to_pylist(),
+        t["height"].to_pylist(),
+    ):
+        for j in range(0, nf, every_k):
+            rows.append(f"({mid}, {j}, {9 + w * h * 3})")
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(frame_bytes AS BIGINT) AS frame_bytes
+        FROM (VALUES {values}) v(media_id, frame_idx, frame_bytes)
+    """
