@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": flagship.hapax_stats,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
+        # 2-bit 4-class style enum (reference index.h:44-49), wire
+        # (tf << 2) | class, per-class rank-time weights
+        "bm25_style_enum": flagship.bm25_style_enum,
         "line_dedup": dedup.line_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
@@ -403,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_field_scoped_sql_oracle,
         bm25_head_boost_sql_oracle,
         bm25_style_boost_sql_oracle,
+        bm25_style_enum_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
         bm25_explain_sql_oracle,
@@ -524,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": search_snippets_sql_oracle(),
         "bm25_head_boost": bm25_head_boost_sql_oracle(),
         "bm25_style_boost": bm25_style_boost_sql_oracle(),
+        "bm25_style_enum": bm25_style_enum_sql_oracle(),
         "bm25_field_scoped": bm25_field_scoped_sql_oracle(),
         "bm25_topk": bm25_sql_oracle(),
         # federation must be invisible: same single-corpus oracle

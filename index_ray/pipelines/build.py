@@ -82,6 +82,13 @@ class BuildConfig:
     # head_tokens' posting duplication.  Weighted at rank time via
     # ``BM25Searcher.search(..., style_weight=w)``.
     style_head: int = 0
+    # 2-bit variant of the above (mutually exclusive with style_head): the
+    # reference's 4-class style enum (Normal/Heading/Italic/Bold,
+    # /root/reference/index.h:44-49) widened onto the wire as
+    # (tf << 2) | class.  Classes by first-occurrence depth: ordinal
+    # p < h1 -> 3, < h2 -> 2, < h3 -> 1, else 0 (3 ascending thresholds).
+    # Weighted at rank time via ``search(..., style_weight=(w0,w1,w2,w3))``.
+    style_levels: tuple | None = None
     # store the FORWARD index too: per-chunk tvec/ sidecars of (docID,
     # term, tf) rows — Lucene's "stored term vectors".  doc -> terms is
     # unanswerable from the inverted shards without a full lexicon scan,
@@ -105,6 +112,15 @@ class BuildConfig:
     n_buckets: int = 0
 
     FORMAT_VERSION = 3  # bump when the on-disk shard layout changes
+
+    @property
+    def style_bits(self) -> int:
+        """Style wire width: 0 (none), 1 (head flag) or 2 (4-class enum)."""
+        if self.style_levels is not None:
+            if self.style_head:
+                raise ValueError("style_head and style_levels are exclusive")
+            return 2
+        return 1 if self.style_head else 0
 
     def fingerprint(self) -> str:
         d = asdict(self)
@@ -209,7 +225,7 @@ def _make_packer(
     parts_dir: str,
     max_block_postings: int,
     positions: bool = False,
-    style: bool = False,
+    style: int = 0,
 ):
     def pack_and_write(group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -241,7 +257,7 @@ def pack_chunk(state, chunk_specs, cid: int, cfg: BuildConfig):
     runs, chunk_dir, parts_dir, phases = state
     t0 = time.time()
     packer = _make_packer(
-        parts_dir, cfg.max_block_postings, cfg.positions, bool(cfg.style_head)
+        parts_dir, cfg.max_block_postings, cfg.positions, cfg.style_bits
     )
     if cfg.shuffle == "hash":
         # streaming exchange: shuffle-map tasks partition tokenize output
@@ -388,7 +404,7 @@ class _PackWorker:
         lex_dir: str,
         max_block_postings: int,
         positions: bool,
-        style: bool,
+        style: int,
         *tables: pa.Table,
     ) -> int:
         """Merge+pack one bucket's blob rows (possibly several ``part``
@@ -523,7 +539,8 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
             (
                 cfg.tokenizer, cfg.text_col, "docID", cfg.num_parts,
                 max(cfg.salt_docs, 1), hot_ref, None, cfg.positions,
-                cfg.field_col, cfg.head_tokens, cfg.style_head,
+                cfg.field_col, cfg.head_tokens,
+                cfg.style_levels or cfg.style_head,
                 cfg.term_vectors,
             ),
         )
@@ -609,7 +626,7 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
                 parts_dir = os.path.join(chunk_dirs[pcid], "parts")
                 fut = pw.pack.remote(
                     parts_dir, lex_dir, cfg.max_block_postings,
-                    cfg.positions, bool(cfg.style_head), *bucket,
+                    cfg.positions, cfg.style_bits, *bucket,
                 )
                 pack_inflight[fut] = (pcid, pw)
             waitable = list(inflight) + list(pack_inflight)
@@ -981,6 +998,7 @@ def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> d
         "field_col": cfg.field_col,
         "head_tokens": cfg.head_tokens,
         "style_head": cfg.style_head,
+        "style_levels": list(cfg.style_levels) if cfg.style_levels else None,
         "hot_terms": hot,
         "chunks": [
             {

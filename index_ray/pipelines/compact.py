@@ -245,7 +245,7 @@ def _repack_rows(
     max_block_postings: int,
     positions: bool,
     tomb: np.ndarray | None = None,
-    style: bool = False,
+    style: int = 0,
 ) -> pa.Table:
     """Decode one hash partition of packed block rows and re-pack per term.
 
@@ -268,12 +268,12 @@ def _repack_rows(
     for i in range(len(t)):
         docs, tfs = unpack_block(post_col[i].as_py(), int(dfs[i]))
         docs_l.append(docs)
-        tfs_l.append(tfs)  # style-built: wire (tf << 1) | style, split below
+        tfs_l.append(tfs)  # style-built: wire (tf << bits) | class, split below
         first[i] = docs[0] if len(docs) else -1
         if positions:
             pos_l.append(
                 unpack_positions(
-                    pos_col[i].as_py(), tfs >> 1 if style else tfs
+                    pos_col[i].as_py(), tfs >> int(style) if style else tfs
                 )
             )
 
@@ -289,7 +289,7 @@ def _repack_rows(
     # duplicate (same term, same doc in two chunks) is corrupt input.
     same_term = codes[1:] == codes[:-1]
     if same_term.any() and not (doc[1:][same_term] > doc[:-1][same_term]).all():
-        true_tf = (tf >> 1) if style else tf
+        true_tf = (tf >> int(style)) if style else tf
         order2 = np.lexsort((doc, codes))
         dup = (codes[order2][1:] == codes[order2][:-1]) & (
             doc[order2][1:] == doc[order2][:-1]
@@ -307,8 +307,9 @@ def _repack_rows(
         doc, tf, codes = doc[order2], tf[order2], codes[order2]
     sbits = None
     if style:
-        sbits = tf & 1
-        tf = tf >> 1
+        b = int(style)
+        sbits = tf & ((1 << b) - 1)
+        tf = tf >> b
     if tomb is not None and len(tomb):
         keep = ~np.isin(doc, tomb)
         if not keep.all():
@@ -322,7 +323,7 @@ def _repack_rows(
     salt = np.zeros(len(doc), np.int64)
     return pack_sorted(
         codes, dictionary, salt, doc, tf, max_block_postings, pos=pos,
-        style=sbits,
+        style=sbits, style_bits=int(style) or 1,
     )
 
 
@@ -406,7 +407,10 @@ def compact_index(
         for c in chunks
     ]
     positions = bool(stats.get("positions"))
-    style = bool(stats.get("style_head"))
+    style = (
+        2 if stats.get("style_levels")
+        else (1 if stats.get("style_head") else 0)
+    )
     tomb = load_tombstones(out_dir)
     purging = len(tomb) > 0
     tomb_arr = tomb if purging else None

@@ -3916,3 +3916,112 @@ def hapax_stats_sql_oracle() -> str:
                     // count(*) AS BIGINT) AS hapax_x10000
         FROM df
     """
+
+
+STYLE_ENUM_LEVELS = (4, 16, 64)
+STYLE_ENUM_WEIGHTS = (1.0, 1.25, 1.5, 2.0)
+
+
+def bm25_style_enum(sf_dir: str) -> pa.Table:
+    """BM25 over a 2-bit style-enum index — the reference's 4-class
+    per-posting style field (Normal/Heading/Italic/Bold,
+    ``/root/reference/index.h:44-49``) widened onto the wire as
+    ``(tf << 2) | class``.  Classes by first-occurrence depth (ordinal
+    p < 4 -> 3, < 16 -> 2, < 64 -> 1, else 0); class c scores with
+    ``tf * w[c]`` at rank time, w = (1.0, 1.25, 1.5, 2.0).  Returns
+    (qid, rank, doc_id); the oracle mirrors the class assignment and tf
+    inflation in SQL."""
+    out = _index_dir_for(sf_dir) + "_style_enum"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        style_levels=STYLE_ENUM_LEVELS,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    searcher = BM25Searcher(out)
+    results = searcher.search_many(
+        [(" ".join(terms), k) for _, terms, k in DOC_QUERIES],
+        style_weight=STYLE_ENUM_WEIGHTS,
+    )
+    tables = []
+    for (qid, _, _), r in zip(DOC_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def bm25_style_enum_sql_oracle(
+    levels: tuple = STYLE_ENUM_LEVELS, weights: tuple = STYLE_ENUM_WEIGHTS
+) -> str:
+    """BM25 with tf' = tf * w[class], class from the (doc, term) pair's
+    first-occurrence ordinal vs the three level thresholds — the SQL
+    mirror of the 2-bit style-enum semantics (weight inside the tf
+    saturation, df/dl/avgdl untouched)."""
+    h1, h2, h3 = levels
+    w0, w1, w2, w3 = weights
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+occ AS (
+  SELECT doc_id, toks[u.i] AS term, u.i - 1 AS p
+  FROM arr, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+firstp AS (SELECT doc_id, term, min(p) AS p FROM occ GROUP BY doc_id, term),
+w AS (
+  SELECT doc_id, term,
+         CASE WHEN p < {h1} THEN {w3!r}
+              WHEN p < {h2} THEN {w2!r}
+              WHEN p < {h3} THEN {w1!r}
+              ELSE {w0!r} END AS w
+  FROM firstp
+),
+tf0 AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+tf AS (
+  SELECT tf0.doc_id, tf0.term, tf0.tf * w.w AS tf
+  FROM tf0 JOIN w USING (doc_id, term)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""

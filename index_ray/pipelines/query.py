@@ -303,18 +303,20 @@ def _binary_views(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 class _ChunkIndex:
     """In-memory image of one build chunk: term dict + doclens.
 
-    ``style``: the chunk was built with ``BuildConfig.style_head`` — wire tf
-    slots carry ``(tf << 1) | style_bit`` (the reference's per-posting
-    style/weight bit, ``/root/reference/index.h:44-49``); decoders must
+    ``style``: the style WIDTH in bits the chunk was built with (bool True
+    == 1 for ``BuildConfig.style_head``; 2 for ``style_levels``) — wire tf
+    slots carry ``(tf << bits) | class`` (the reference's per-posting
+    style/weight bits, ``/root/reference/index.h:44-49``); decoders must
     shift before using tf values.  Skip max_tf and lexicon df/cf are REAL.
     """
 
-    def __init__(self, chunk_dir: str, style: bool = False):
+    def __init__(self, chunk_dir: str, style: int = 0):
         self.chunk_dir = chunk_dir
         self.terms: dict[str, list[int]] = {}
         self.block_seq: np.ndarray
         self.has_positions = False
-        self.style = style
+        self.style_bits = int(style)
+        self.style = bool(style)
         from concurrent.futures import ThreadPoolExecutor
 
         cols = ["term", "block_seq", "df", "cf", "postings", "skips"]
@@ -391,17 +393,43 @@ class _ChunkIndex:
         return self._pos_data[self._pos_offs[i] : self._pos_offs[i + 1]]
 
 
-def _eff_tf(ci: _ChunkIndex, tfs: np.ndarray, style_weight: float) -> np.ndarray:
-    """Wire tf slots -> effective tf for scoring.  On a style-built chunk the
-    slot is ``(tf << 1) | style``; styled postings score with
-    ``tf * style_weight`` (the reference's rank-time style weighting,
-    ``/root/reference/index.h:44-49``)."""
-    if not ci.style:
+def _eff_tf(ci: _ChunkIndex, tfs: np.ndarray, style_weight) -> np.ndarray:
+    """Wire tf slots -> effective tf for scoring.  On a style-built chunk
+    the slot is ``(tf << bits) | class``; styled postings score with
+    ``tf * weight[class]`` (the reference's rank-time style weighting,
+    ``/root/reference/index.h:44-49``).  ``style_weight`` is a scalar on a
+    1-bit chunk (weight of the styled class; scalar w on a 2-bit chunk
+    weights EVERY non-normal class by w) or a length-2^bits sequence of
+    per-class weights (class 0 conventionally 1.0)."""
+    b = ci.style_bits
+    if not b:
         return tfs
-    tf = tfs >> 1
-    if style_weight == 1.0:
-        return tf
-    return np.where(tfs & 1, tf * style_weight, tf)
+    tf = tfs >> b
+    if np.ndim(style_weight) == 0:
+        w = float(style_weight)
+        if w == 1.0:
+            return tf
+        return np.where(tfs & ((1 << b) - 1) != 0, tf * w, tf)
+    w = np.asarray(style_weight, np.float64)
+    if len(w) != 1 << b:
+        raise ValueError(
+            f"style_weight sequence must have {1 << b} entries for a "
+            f"{b}-bit style index"
+        )
+    return tf * w[tfs & ((1 << b) - 1)]
+
+
+def _style_wmax(ci: _ChunkIndex, style_weight) -> float:
+    """Soundness multiplier for block-max bounds: skip max_tf is REAL tf,
+    so a styled posting can reach tf * max(weight)."""
+    if not ci.style_bits:
+        return 1.0
+    m = (
+        float(np.max(np.asarray(style_weight, np.float64)))
+        if np.ndim(style_weight)
+        else float(style_weight)
+    )
+    return m if m > 1.0 else 1.0
 
 
 def _score_chunk(
@@ -455,8 +483,8 @@ def _score_chunk(
     ]
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    # skip max_tf is REAL tf; a styled posting can reach tf * style_weight
-    wmax = style_weight if (ci.style and style_weight > 1.0) else 1.0
+    # skip max_tf is REAL tf; a styled posting can reach tf * max(weight)
+    wmax = _style_wmax(ci, style_weight)
     remaining_ub = np.array(
         [
             ub(wmax * max(float(ci.skip_maxtf[i].max()) for i in rows), idf)
@@ -832,7 +860,7 @@ def _term_occurrences(
             df_i = int(ci.df[i])
             docs, tfs = unpack_block(ci.posting(i), df_i)
             if ci.style:
-                tfs = tfs >> 1  # positions stream is sized by REAL tf
+                tfs = tfs >> ci.style_bits  # positions stream sized by REAL tf
             lo = np.searchsorted(docs, cand[0])
             hi = np.searchsorted(docs, cand[-1], side="right")
             if lo == hi:
@@ -944,7 +972,7 @@ class SearchShard:
         chunk_dirs: list[str],
         avgdl: float,
         tombstones: np.ndarray | None = None,
-        style: bool = False,
+        style: int = 0,
     ):
         self.chunks = [_ChunkIndex(d, style=style) for d in chunk_dirs]
         self.avgdl = avgdl
@@ -1497,10 +1525,14 @@ class BM25Searcher:
 
         tomb = load_tombstones(index_dir, only_files=only_tomb)
         tomb_ref = ray.put(tomb) if len(tomb) else None
-        self.style = bool(self.stats.get("style_head"))
+        self.style_bits = (
+            2 if self.stats.get("style_levels")
+            else (1 if self.stats.get("style_head") else 0)
+        )
+        self.style = bool(self.style_bits)
         self.actors = [
             SearchShard.remote(
-                g, float(self.stats["avgdl"]), tomb_ref, self.style
+                g, float(self.stats["avgdl"]), tomb_ref, self.style_bits
             )
             for g in groups
             if g
@@ -1753,20 +1785,37 @@ class BM25Searcher:
         on top of the content score (the reference's style/weight bits,
         ``/root/reference/index.h:44-49``, as a rank-time weighting hook);
         requires an index built with ``head_tokens`` or ``field_col``.
-        style_weight (>= 1): on an index built with ``style_head``, postings
-        whose style bit is set score with ``tf * style_weight`` — the
-        per-posting variant of the reference's style weighting (the bit
-        rides the wire tf slot; bits cost ~1 varint bit per posting instead
-        of head_tokens' duplicated marker postings).
+        style_weight: on an index built with ``style_head`` a scalar >= 1 —
+        postings whose style bit is set score with ``tf * style_weight``;
+        on an index built with ``style_levels`` a length-4 sequence of
+        per-class weights (class 0 = normal, conventionally 1.0; every
+        weight >= 0) — posting of class c scores with ``tf * w[c]``.  The
+        per-posting variant of the reference's style weighting (the class
+        rides the wire tf slot; bits cost ~1-2 varint bits per posting
+        instead of head_tokens' duplicated marker postings).  Block-max
+        bounds stay sound for any weights: the skip max_tf is real tf and
+        the upper bound multiplies by max(weights, 1).
         """
-        if style_weight != 1.0:
+        sw_seq = np.ndim(style_weight) != 0
+        if sw_seq or float(style_weight) != 1.0:
             if not self.style:
                 raise ValueError(
-                    f"index at {self.index_dir} was built without style_head"
+                    f"index at {self.index_dir} was built without "
+                    "style_head/style_levels"
                 )
-            if style_weight < 1.0:
+            if sw_seq:
+                w = np.asarray(style_weight, np.float64)
+                if len(w) != 1 << self.style_bits:
+                    raise ValueError(
+                        f"style_weight must have {1 << self.style_bits} "
+                        f"entries for this index ({self.style_bits}-bit styles)"
+                    )
+                if (w < 0).any():
+                    raise ValueError("style weights must be >= 0")
+            elif float(style_weight) < 1.0:
                 raise ValueError(
-                    "style_weight must be >= 1 (block-max bounds assume it)"
+                    "scalar style_weight must be >= 1 (use a per-class "
+                    "sequence for down-weighting)"
                 )
         if field and not self.stats.get("field_col"):
             raise ValueError(

@@ -121,15 +121,18 @@ def pack_sorted(
     max_bytes: int = int(np.iinfo(np.int32).max),
     pos: np.ndarray | None = None,
     style: np.ndarray | None = None,
+    style_bits: int = 1,
 ) -> pa.Table:
     """Pack pre-sorted posting arrays (term-code, salt, docID ascending).
 
     ``codes`` index into ``dictionary`` (sorted-unique term strings not
     required — codes must merely be grouped and in final output order).
 
-    ``style`` (0/1 per posting, the reference's per-posting style/weight
-    bit, ``/root/reference/index.h:44-49``): when given, the wire tf slot
-    carries ``(tf << 1) | style`` — readers of a style-built index shift
+    ``style`` (per-posting style class, the reference's per-posting
+    style/weight bits, ``/root/reference/index.h:44-49``): when given, the
+    wire tf slot carries ``(tf << style_bits) | style`` — ``style_bits=1``
+    is the 1-bit head flag, ``style_bits=2`` the reference's 4-class enum
+    (Normal/Heading/Italic/Bold) — readers of a style-built index shift
     before scoring.  All block stats (df, cf, max_tf) stay in REAL tf so
     block-max pruning bounds remain valid (the query side multiplies the
     bound by the style weight).
@@ -173,7 +176,7 @@ def pack_sorted(
     gaps[reset] = doc[reset].astype(np.uint64)
 
     tf_wire = (
-        ((tf.astype(np.uint64) << 1) | style.astype(np.uint64))
+        ((tf.astype(np.uint64) << style_bits) | style.astype(np.uint64))
         if style is not None
         else tf.astype(np.uint64)
     )
@@ -219,6 +222,7 @@ def pack_sorted(
                 max_block_postings, max_bytes,
                 pos[occ_cum[s] : occ_cum[e]] if pos is not None else None,
                 style[s:e] if style is not None else None,
+                style_bits,
             )
             for s, e in zip(row_bounds[:-1], row_bounds[1:])
         ]
@@ -314,6 +318,7 @@ def encode_batch_blobs(
     salt: np.ndarray,
     pos: np.ndarray | None = None,
     style: np.ndarray | None = None,
+    style_bits: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """Per-batch combiner: pack (code, salt)-grouped postings into one blob
     per group — the map-side combine the north rule's "per-partition posting
@@ -351,11 +356,11 @@ def encode_batch_blobs(
     gaps = np.empty(n, dtype=np.int64)
     gaps[1:] = doc[1:] - doc[:-1]
     gaps[newg] = 0
-    # style bit (reference's per-posting style/weight marker,
+    # style class (reference's per-posting style/weight marker,
     # /root/reference/index.h:44-49) rides the blob's tf slot as
-    # (tf << 1) | style; df/cf stats stay REAL tf (computed by the caller)
+    # (tf << style_bits) | style; df/cf stats stay REAL tf (caller-computed)
     tf_wire = (
-        ((tf.astype(np.int64) << 1) | style.astype(np.int64))
+        ((tf.astype(np.int64) << style_bits) | style.astype(np.int64))
         if style is not None
         else tf
     )
@@ -410,15 +415,17 @@ def merge_blob_partition(
     group: pa.Table,
     max_block_postings: int = 1 << 17,
     positions: bool = False,
-    style: bool = False,
+    style: int = 0,
 ) -> pa.Table:
     """Merge a hash partition of per-batch blobs into final posting blocks.
 
     One vectorized decode of the concatenated fixed-width stream (blobs from
     disjoint docID ranges concatenate into valid per-group streams), then
     :func:`pack_sorted` re-encodes with skip resets and block-max skips.
-    With ``style`` the blob tf slots are ``(tf << 1) | style`` — split here
-    so block stats stay real tf and the bit re-rides the final wire.
+    ``style`` is the style WIDTH in bits (0 = none; bool True == 1 for the
+    legacy head flag; 2 = the 4-class enum): blob tf slots are
+    ``(tf << style) | class`` — split here so block stats stay real tf and
+    the class bits re-ride the final wire.
     """
     if len(group) == 0:
         return (PACKED_POS_SCHEMA if positions else PACKED_SCHEMA).empty_table()
@@ -482,12 +489,13 @@ def merge_blob_partition(
     )
     salts = np.repeat(t["salt"].to_numpy(zero_copy_only=False), dfp)
     sbits = None
-    if style:
-        sbits = tfs & 1
-        tfs = tfs >> 1
+    b = int(style)
+    if b:
+        sbits = tfs & ((1 << b) - 1)
+        tfs = tfs >> b
     return pack_sorted(
         codes, row_codes.dictionary, salts, docs, tfs, max_block_postings,
-        pos=pos_flat, style=sbits,
+        pos=pos_flat, style=sbits, style_bits=b,
     )
 
 

@@ -54,12 +54,31 @@ class TokenizeBlob:
         self.positions = positions
         self.field_col = field_col
         self.head_tokens = head_tokens
-        # style_head > 0: each posting carries a 1-bit style flag (term's
-        # first occurrence ordinal < style_head) folded into the wire tf as
-        # (tf << 1) | style — the reference's per-posting style/weight bit
+        # style_head: per-posting style folded into the wire tf slot — the
+        # reference's per-posting style/weight bits
         # (/root/reference/index.h:44-49) without the marker-namespace
         # posting duplication head_tokens costs.
-        self.style_head = style_head
+        #   int H > 0        -> 1-bit head flag (first occurrence < H), wire
+        #                       (tf << 1) | style
+        #   (h1, h2, h3)     -> 2-bit 4-class enum by first-occurrence depth
+        #                       (p < h1 -> 3, < h2 -> 2, < h3 -> 1, else 0 —
+        #                       the reference's Normal/Heading/Italic/Bold
+        #                       widths), wire (tf << 2) | class
+        self.style_levels: np.ndarray | None = None
+        if isinstance(style_head, (tuple, list)):
+            lv = [int(x) for x in style_head]
+            if len(lv) != 3 or any(
+                a >= b for a, b in zip(lv, lv[1:])
+            ) or lv[0] <= 0:
+                raise ValueError(
+                    "style levels must be 3 ascending positive ints"
+                )
+            self.style_levels = np.asarray(lv, dtype=np.int64)
+            self.style_head = lv[-1]  # truthy: style path active
+            self.style_bits = 2
+        else:
+            self.style_head = style_head
+            self.style_bits = 1 if style_head else 0
         self.hot: frozenset = (
             ray.get(hot_ref) if hot_ref is not None else frozenset()
         )
@@ -287,12 +306,21 @@ class TokenizeBlob:
         if self.style_head:
             # occurrences within a posting keep document order (the lexsort
             # chain is stable), so pos_o[pstarts] is each posting's FIRST
-            # occurrence ordinal — styled iff it falls in the head window
-            style = (pos_o[pstarts] < self.style_head).astype(np.uint64)
+            # occurrence ordinal — styled by how early it falls
+            first = pos_o[pstarts]
+            if self.style_levels is not None:
+                # class 3..0 by depth: searchsorted right gives 0 for
+                # p < h1 (deepest prominence), 3 for p >= h3
+                style = (
+                    3 - np.searchsorted(self.style_levels, first, side="right")
+                ).astype(np.uint64)
+            else:
+                style = (first < self.style_head).astype(np.uint64)
         starts, ends, blob_arr = encode_batch_blobs(
             tcode, doc, tfs, salt,
             pos=pos_o if self.positions else None,
             style=style,
+            style_bits=self.style_bits or 1,
         )
         gcodes = tcode[starts]
         gsalt = salt[starts]

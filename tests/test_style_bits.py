@@ -250,3 +250,150 @@ def test_style_weight_validation(tmp_path, tiny_index_dir):
     s2 = BM25Searcher(idx, num_shards=1)
     with pytest.raises(ValueError, match=">= 1"):
         s2.search("needle", style_weight=0.5)
+
+
+# ------------------------------------------------- 2-bit style enum ----
+
+ENUM_LEVELS = (4, 16, 64)
+ENUM_W = (1.0, 1.25, 1.5, 2.0)
+
+
+def _build_enum(path, out, chunk_docs=100, positions=False):
+    build_index(
+        path,
+        str(out),
+        BuildConfig(
+            tokenizer="simple", text_col="text", id_col="doc_id",
+            chunk_docs=chunk_docs, num_parts=4, salt_docs=64, batch_size=16,
+            style_levels=ENUM_LEVELS, positions=positions,
+        ),
+    )
+    return str(out)
+
+
+def _bm25_enum_oracle(texts, terms, weights=ENUM_W, k=10):
+    """Brute-force BM25 with tf' = tf * w[class], class by the (doc, term)
+    first-occurrence ordinal vs ENUM_LEVELS."""
+    toks = [t.split() for t in texts]
+    N = len(toks)
+    dl = np.array([len(x) for x in toks], float)
+    avgdl = dl.sum() / N
+    scores = np.zeros(N)
+    for term in terms:
+        tf = np.array([x.count(term) for x in toks], float)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+        w = np.ones(N)
+        for i, x in enumerate(toks):
+            if term in x:
+                p = x.index(term)
+                h1, h2, h3 = ENUM_LEVELS
+                cls = 3 if p < h1 else (2 if p < h2 else (1 if p < h3 else 0))
+                w[i] = weights[cls]
+        tfe = tf * w
+        denom = tfe + K1 * (1 - B + B * dl / avgdl)
+        with np.errstate(invalid="ignore"):
+            contrib = np.where(tf > 0, idf * (tfe * (K1 + 1)) / denom, 0.0)
+        scores += contrib
+    nz = np.flatnonzero(scores)
+    order = np.lexsort((nz, -scores[nz]))[:k]
+    return nz[order].tolist(), scores[nz[order]]
+
+
+def test_pack_style2_roundtrip():
+    rng = np.random.default_rng(17)
+    n = 2_000
+    docs = np.sort(rng.choice(1_000_000, size=n, replace=False)).astype(np.int64)
+    codes = np.zeros(n, np.int64)
+    salts = np.zeros(n, np.int64)
+    tfs = rng.integers(1, 9, n).astype(np.int64)
+    style = rng.integers(0, 4, n).astype(np.int64)
+    dictionary = pa.array(["t"])
+    t = pack_sorted(
+        codes, dictionary, salts, docs, tfs, 1 << 9, style=style, style_bits=2
+    )
+    got_docs, got_tf, got_style = [], [], []
+    for r in t.to_pylist():
+        d, w = unpack_block(r["postings"], r["df"])
+        got_docs.append(d)
+        got_tf.append(w >> 2)
+        got_style.append(w & 3)
+        assert r["cf"] == int((w >> 2).sum())  # block stats stay REAL tf
+    assert np.concatenate(got_docs).tolist() == docs.tolist()
+    assert np.concatenate(got_tf).tolist() == tfs.tolist()
+    assert np.concatenate(got_style).tolist() == style.tolist()
+
+
+def test_style_enum_identity_weights_match_plain_build(tmp_path):
+    path, _ = _style_corpus(tmp_path, seed=23)
+    plain = _build(path, tmp_path / "e_plain")
+    enum = _build_enum(path, tmp_path / "e_enum")
+    sp = BM25Searcher(plain, num_shards=1)
+    se = BM25Searcher(enum, num_shards=1)
+    for q in ["needle alpha", "beta gamma delta", "zeta"]:
+        a = sp.search(q, k=10)
+        b = se.search(q, k=10, style_weight=(1.0, 1.0, 1.0, 1.0))
+        assert a["docID"].to_pylist() == b["docID"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()  # bitwise
+
+
+def test_style_enum_weights_match_bruteforce(tmp_path):
+    path, texts = _style_corpus(tmp_path, seed=23)
+    idx = _build_enum(path, tmp_path / "e_idx", chunk_docs=20)
+    s = BM25Searcher(idx, num_shards=1)
+    for q in ["needle alpha", "beta gamma", "epsilon zeta alpha"]:
+        terms = sorted(set(q.split()))
+        want_docs, want_scores = _bm25_enum_oracle(texts, terms)
+        r = s.search(q, k=10, style_weight=ENUM_W)
+        assert r["docID"].to_pylist() == want_docs
+        np.testing.assert_allclose(
+            r["score"].to_numpy(), want_scores, rtol=0, atol=1e-12
+        )
+        # prune soundness under per-class weights
+        r2 = s.search(q, k=10, style_weight=ENUM_W, prune=False)
+        assert r["docID"].to_pylist() == r2["docID"].to_pylist()
+        assert r["score"].to_pylist() == r2["score"].to_pylist()
+
+
+def test_style_enum_downweight_and_compaction(tmp_path):
+    """Per-class weights below 1 are allowed (bounds stay sound), and the
+    2-bit wire survives compaction bitwise."""
+    from index_ray.pipelines.compact import compact_index
+
+    path, texts = _style_corpus(tmp_path, seed=29)
+    idx = _build_enum(path, tmp_path / "e_idx2", chunk_docs=20)
+    s = BM25Searcher(idx, num_shards=1)
+    down = (1.0, 1.0, 1.0, 0.25)  # demote very-early occurrences
+    want_docs, want_scores = _bm25_enum_oracle(texts, ["needle", "alpha"], down)
+    r = s.search("needle alpha", k=10, style_weight=down)
+    assert r["docID"].to_pylist() == want_docs
+    np.testing.assert_allclose(
+        r["score"].to_numpy(), want_scores, rtol=0, atol=1e-12
+    )
+    before = s.search("needle alpha", k=10, style_weight=ENUM_W)
+    compact_index(idx)
+    s2 = BM25Searcher(idx, num_shards=1)
+    after = s2.search("needle alpha", k=10, style_weight=ENUM_W)
+    assert before["docID"].to_pylist() == after["docID"].to_pylist()
+    assert before["score"].to_pylist() == after["score"].to_pylist()
+
+
+def test_style_enum_validation(tmp_path):
+    path, _ = _style_corpus(tmp_path)
+    idx = _build_enum(path, tmp_path / "e_idx3")
+    s = BM25Searcher(idx, num_shards=1)
+    with pytest.raises(ValueError, match="entries"):
+        s.search("needle", style_weight=(1.0, 2.0))  # wrong arity
+    with pytest.raises(ValueError, match=">= 0"):
+        s.search("needle", style_weight=(1.0, 1.0, 1.0, -1.0))
+    with pytest.raises(ValueError, match="exclusive"):
+        BuildConfig(style_head=8, style_levels=ENUM_LEVELS).style_bits
+    with pytest.raises(ValueError, match="ascending"):
+        build_index(
+            path, str(tmp_path / "bad"),
+            BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                        chunk_docs=100, num_parts=4, salt_docs=64,
+                        style_levels=(16, 8, 4)),
+        )
