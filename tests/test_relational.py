@@ -171,3 +171,65 @@ def test_bloom_semi_join_empty_and_prune(ray_session, tmp_path):
     assert got["total_cents"].tolist() == [1000, 3000]
     empty = bloom_semi_join(str(d), segment="ZZZ").to_pandas()
     assert len(empty) == 0
+
+
+def test_pivot_revenue_guards_out_of_range_years(ray_session, tmp_path):
+    """An order year outside the pivot range must contribute NOTHING (the
+    oracle's CASE semantics) — unguarded it would negative-index another
+    year's column (1992) or raise (2005)."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.relational import pivot_revenue, PIVOT_YEARS
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+                "n_regionkey": pa.array([0, 0], pa.int64()),
+            }
+        ),
+        str(d / "nation.parquet"),
+    )
+    _pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING", "MACHINERY"]),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    import datetime
+
+    _pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [
+                        datetime.date(1992, 6, 1),   # below range
+                        datetime.date(1996, 6, 1),   # in range
+                        datetime.date(2005, 6, 1),   # above range
+                        datetime.date(1999, 6, 1),   # in range
+                    ]
+                ),
+                "o_totalprice": pa.array([111.0, 222.0, 333.0, 444.0]),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    out = pivot_revenue(str(d)).to_pandas().set_index("n_name")
+    # out-of-range rows must not leak into any column
+    assert out.loc["ALPHA", "y1996"] == 22200
+    assert out.loc["BETA", "y1999"] == 44400
+    for y in PIVOT_YEARS:
+        if y != 1996:
+            assert out.loc["ALPHA", f"y{y}"] == 0
+        if y != 1999:
+            assert out.loc["BETA", f"y{y}"] == 0
