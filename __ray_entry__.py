@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn_cosine": similarity.pq_knn_cosine,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "media_features": multimodal.media_features,
+        # audio sibling: PCM toy codec decode -> integer-exact features
+        "audio_features": multimodal.audio_features,
         "video_frame_sample": multimodal.video_frame_sample,
         "bpe_train": _bpe_train_q,
         "bpe_encode": _bpe_encode_q,
@@ -504,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from index_ray.pipelines.multimodal import (
         media_consistency_sql_oracle,
+        audio_features_sql_oracle,
         media_features_sql_oracle,
         media_phash_dedup_sql_oracle,
         video_frame_sample_sql_oracle,
@@ -759,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic and sf-independent, so expected rows are derived
         # independently at oracle-build time and inlined as VALUES
         "media_features": media_features_sql_oracle(),
+        "audio_features": audio_features_sql_oracle(),
         "video_frame_sample": video_frame_sample_sql_oracle(),
         # Constant like the *_consistency family: the distributed BPE merge
         # table is re-derived by an independent in-package full-rescan

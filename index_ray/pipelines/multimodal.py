@@ -486,3 +486,148 @@ def video_frame_sample_sql_oracle(n: int = 64, every_k: int = 4) -> str:
                CAST(frame_bytes AS BIGINT) AS frame_bytes
         FROM (VALUES {values}) v(media_id, frame_idx, frame_bytes)
     """
+
+
+# ---- audio (PCM toy codec) -------------------------------------------------
+
+PCM_MAGIC = b"PCMA"
+
+
+def encode_pcma(samples: np.ndarray, rate: int, channels: int) -> bytes:
+    """Toy PCM container: ``PCMA | u32 rate | u16 ch | u32 n | int16 LE``
+    interleaved samples — the audio sibling of RAW1 (real WAV/MP3/FLAC
+    decoding is stubbed in :func:`decode_payload`; this deterministic
+    container exercises the full decode -> feature path with real bytes)."""
+    s = np.ascontiguousarray(samples.astype("<i2"))
+    n = len(s) // channels
+    return (
+        PCM_MAGIC
+        + int(rate).to_bytes(4, "little")
+        + int(channels).to_bytes(2, "little")
+        + int(n).to_bytes(4, "little")
+        + s.tobytes()
+    )
+
+
+def decode_pcma(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """-> (interleaved int16 samples, rate, channels)."""
+    if payload[:4] != PCM_MAGIC:
+        raise NotImplementedError(
+            "real audio codecs (WAV/MP3/FLAC) are unavailable in this "
+            "container — STUB: plug a decoder in here; the surrounding Ray "
+            "pipeline is real"
+        )
+    rate = int.from_bytes(payload[4:8], "little")
+    ch = int.from_bytes(payload[8:10], "little")
+    n = int.from_bytes(payload[10:14], "little")
+    samples = np.frombuffer(payload, "<i2", count=n * ch, offset=14)
+    return samples, rate, ch
+
+
+def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic audio table: (media_id, kind, sample_rate, channels,
+    n_samples, payload)."""
+    rates = [8000, 16000, 44100]
+    ids, rs, cs, ns, payloads = [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng([seed, 11, i])
+        rate = rates[int(rng.integers(0, len(rates)))]
+        ch = int(rng.integers(1, 3))
+        nsamp = int(rng.integers(1_000, 8_001))
+        samples = rng.integers(-32768, 32768, nsamp * ch).astype(np.int16)
+        ids.append(i)
+        rs.append(rate)
+        cs.append(ch)
+        ns.append(nsamp)
+        payloads.append(encode_pcma(samples, rate, ch))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "sample_rate": pa.array(rs, pa.int32()),
+            "channels": pa.array(cs, pa.int32()),
+            "n_samples": pa.array(ns, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class AudioFeatures:
+    """payload batch -> integer-exact per-clip features: duration,
+    peak amplitude, channel-0 zero crossings, total energy.
+
+    Actor-pool stage shape like :class:`DecodeFeatures`; every feature is
+    an integer so the oracle comparison is exact (no float tolerance)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, peak, zc, energy = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            samples, rate, ch = decode_pcma(payload)
+            s = samples.astype(np.int64)
+            n = len(s) // ch
+            dur.append(n * 1_000_000 // rate)
+            peak.append(int(np.abs(s).max(initial=0)))
+            c0 = s[::ch]
+            zc.append(int(((c0[1:] >= 0) != (c0[:-1] >= 0)).sum()))
+            energy.append(int((s * s).sum()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "duration_us": pa.array(dur, pa.int64()),
+                "peak": pa.array(peak, pa.int64()),
+                "zero_crossings": pa.array(zc, pa.int64()),
+                "energy": pa.array(energy, pa.int64()),
+            }
+        )
+
+
+def audio_features(sf_dir: str, n: int = 200):
+    """Audio pipeline: synth PCM table -> decode+features actor pool.
+    Returns the streaming Dataset (consume with iter_batches /
+    write_parquet) — the audio sibling of :func:`media_features`."""
+    import ray.data
+
+    from ..util import stage_fn
+
+    ds = ray.data.from_arrow(synth_audio_table(n))
+    return ds.map_batches(
+        stage_fn(AudioFeatures), batch_format="pyarrow", batch_size=32
+    )
+
+
+def audio_features_sql_oracle(n: int = 200) -> str:
+    """ROW-LEVEL oracle for :func:`audio_features`: expected rows are
+    recomputed HERE by an independent numpy pass over the same
+    seed-deterministic payloads and inlined as VALUES — every feature is
+    integer, so the driver comparison is exact."""
+    t = synth_audio_table(n)
+    rows = []
+    for mid, payload in zip(
+        t["media_id"].to_pylist(), t["payload"].to_pylist()
+    ):
+        rate = int.from_bytes(payload[4:8], "little")
+        ch = int.from_bytes(payload[8:10], "little")
+        nsamp = int.from_bytes(payload[10:14], "little")
+        s = np.frombuffer(payload, "<i2", count=nsamp * ch, offset=14).astype(
+            np.int64
+        )
+        c0 = s[::ch]
+        rows.append(
+            "({}, {}, {}, {}, {})".format(
+                mid,
+                nsamp * 1_000_000 // rate,
+                int(np.abs(s).max(initial=0)),
+                int(((c0[1:] >= 0) != (c0[:-1] >= 0)).sum()),
+                int((s * s).sum()),
+            )
+        )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(duration_us AS BIGINT) AS duration_us,
+               CAST(peak AS BIGINT) AS peak,
+               CAST(zero_crossings AS BIGINT) AS zero_crossings,
+               CAST(energy AS BIGINT) AS energy
+        FROM (VALUES {values})
+             v(media_id, duration_us, peak, zero_crossings, energy)
+    """

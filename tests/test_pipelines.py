@@ -1552,3 +1552,35 @@ def test_query_cache_rollback_same_cardinality_not_stale(
     assert b not in r2["docID"].to_pylist()  # stale A-state would keep b
     assert a in r2["docID"].to_pylist()
     assert cache.misses == 2  # both states executed, nothing served stale
+
+
+def test_audio_pcma_roundtrip_and_stub():
+    import pytest as _pytest
+
+    from index_ray.pipelines.multimodal import decode_pcma, encode_pcma
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 2_000).astype("int16")
+    payload = encode_pcma(s, 16000, 2)
+    got, rate, ch = decode_pcma(payload)
+    assert (got == s).all() and rate == 16000 and ch == 2
+    with _pytest.raises(NotImplementedError, match="STUB"):
+        decode_pcma(b"RIFF....WAVE")  # real WAV stays honestly stubbed
+
+
+def test_audio_features_matches_scalar_recompute(ray_session):
+    from index_ray.pipelines.multimodal import audio_features, decode_pcma, synth_audio_table
+
+    out = audio_features(None, n=40).to_pandas().set_index("media_id")
+    t = synth_audio_table(40)
+    for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        s, rate, ch = decode_pcma(payload)
+        s = s.astype("int64")
+        n = len(s) // ch
+        c0 = s[::ch].tolist()
+        zc = sum(1 for a, b in zip(c0, c0[1:]) if (a >= 0) != (b >= 0))
+        row = out.loc[mid]
+        assert row["duration_us"] == n * 1_000_000 // rate
+        assert row["peak"] == max(abs(int(x)) for x in s)
+        assert row["zero_crossings"] == zc
+        assert row["energy"] == sum(int(x) * int(x) for x in s)
