@@ -117,7 +117,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_consistency": similarity.semdedup_consistency,
         # ---- position 51+ (driver-unchecked this round; 104 of these
         # ---- are green from r01-r03 folds, the rest remain pytest- and
-        # ---- tools/check_oracles.py-covered until the r05 rotation) ----
+        # ---- tools/check_oracles.py-covered until the r05 rotation).
+        # ---- ROUND-5 PLAN: exactly 50 entries have never had a driver
+        # ---- verdict after this round (the 48 pre-checked green by
+        # ---- tools/check_oracles.py at sf0.01 in round 4, plus the new
+        # ---- bm25_style_enum and audio_features) — one final rotation
+        # ---- putting those 50 at positions 1-50 completes per-entry
+        # ---- driver coverage of the whole surface. ----
         "curate_corpus": curation.curate_corpus,
         "pricing_summary": relational.pricing_summary,
         "session_concurrency": events.session_concurrency,
@@ -270,8 +276,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_score": textstats.lm_bigram_score,
         "skipgram_counts": text.skipgram_counts,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        # weighted (tf-idf) cosine similarity join, AllPairs prefix filter
+        "cosine_similarity_join": _cosine_similarity_join_q,
         "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
     }
+
+
+def _cosine_similarity_join_q(sf_dir: str):
+    from index_ray.pipelines.linkage import cosine_similarity_join
+
+    return cosine_similarity_join(sf_dir)
 
 
 def _set_similarity_join_q(sf_dir: str):
@@ -1152,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": k_core_sql_oracle(),
         "weighted_sample": curation_mod.weighted_sample_sql_oracle(),
         "set_similarity_join": linkage_mod.set_similarity_join_sql_oracle(),
+        "cosine_similarity_join": linkage_mod.cosine_similarity_join_sql_oracle(),
         "linkage_clusters": linkage_mod.linkage_clusters_sql_oracle(),
     }
     # ngram_jaccard_lsh is pinned to the exact twin's oracle: precision 1

@@ -82,3 +82,76 @@ def test_linkage_clusters_transitive_and_singletons(ray_session, tmp_path):
     clusters = dict(zip(got["p_partkey"], got["cluster"]))
     assert clusters[10] == clusters[11] == clusters[12] == 10  # transitive
     assert clusters[13] == 13  # singleton keeps its own id
+
+
+def test_cosine_similarity_join_matches_oracle(ray_session):
+    from index_ray.pipelines.linkage import (
+        cosine_similarity_join,
+        cosine_similarity_join_sql_oracle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(cosine_similarity_join_sql_oracle()).df()
+    got = cosine_similarity_join(sf).to_pandas()
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    import numpy as np
+
+    np.testing.assert_allclose(got["cos_sim"], want["cos_sim"], rtol=0, atol=1e-9)
+
+
+def test_cosine_similarity_join_planted(ray_session, tmp_path):
+    """Planted geometry: a near-identical doc pair must survive, an
+    orthogonal doc must not pair with anything, and a pair sharing only a
+    stop-like hot term must land below the threshold — recall of the
+    prefix filter and precision of the verify in one corpus."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs = [
+        (0, "alpha beta gamma delta alpha beta"),
+        (1, "alpha beta gamma delta alpha epsilon"),  # near-dup of 0
+        (2, "zeta zeta zeta zeta common"),            # mostly orthogonal
+        (3, "omega omega omega common"),              # shares only 'common' w/ 2
+    ]
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    from index_ray.pipelines.linkage import cosine_similarity_join
+
+    got = cosine_similarity_join(str(d), threshold_pct=80).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs), pairs
+    # exact value check against a scalar recompute
+    tf = {i: {} for i, _ in docs}
+    for i, t in docs:
+        for w in t.split():
+            tf[i][w] = tf[i].get(w, 0) + 1
+    df = {}
+    for i in tf:
+        for w in tf[i]:
+            df[w] = df.get(w, 0) + 1
+    N = len(docs)
+    wv = {
+        i: {w: c * np.log(1 + N / df[w]) for w, c in tf[i].items()} for i in tf
+    }
+    dot = sum(wv[0][w] * wv[1].get(w, 0.0) for w in wv[0])
+    na = np.sqrt(sum(v * v for v in wv[0].values()))
+    nb = np.sqrt(sum(v * v for v in wv[1].values()))
+    want = dot / (na * nb)
+    got01 = float(got[(got["a"] == 0) & (got["b"] == 1)]["cos_sim"].iloc[0])
+    assert abs(got01 - want) < 1e-12
