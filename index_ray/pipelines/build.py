@@ -539,9 +539,8 @@ def _pipelined_build(chunks, out_dir: str, cfg: BuildConfig, hot_ref, ex, cid0: 
             (
                 cfg.tokenizer, cfg.text_col, "docID", cfg.num_parts,
                 max(cfg.salt_docs, 1), hot_ref, None, cfg.positions,
-                cfg.field_col, cfg.head_tokens,
-                cfg.style_levels or cfg.style_head,
-                cfg.term_vectors,
+                cfg.field_col, cfg.head_tokens, cfg.style_head,
+                cfg.term_vectors, cfg.style_levels,
             ),
         )
     ]

@@ -1619,7 +1619,9 @@ def k_core_sql_oracle(
     which is one synchronous peel step.  ``rounds`` must be >= the peel
     fixpoint depth at the checked scale (measured: 1 at sf0.001, 5 at
     sf0.01; 12 leaves >2x margin) — beyond the fixpoint every extra round
-    is the identity, so overshoot is safe."""
+    is the identity, so overshoot is safe, and a trailing convergence
+    guard returns 0 rows (loud mismatch) if the depth ever exceeds
+    ``rounds`` instead of silently blessing a superset."""
     # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
     # round references the previous one 3x -- inlined, e{rounds} would
     # expand to 3^rounds scans of the base table.
@@ -1650,11 +1652,17 @@ def k_core_sql_oracle(
           JOIN d{i} v ON e.x = v.z
         )""".format(i=i, j=i + 1, k=k)
         )
+    # convergence guard: peeling only removes rows (e{r} subset of
+    # e{r-1}), so count equality at the end IS set equality; if the depth
+    # ever exceeded `rounds`, this returns 0 rows — a loud driver
+    # mismatch instead of a silent superset masquerading as the core.
     parts.append(
         """
         SELECT z AS node, CAST(count(*) AS BIGINT) AS deg_in_core
-        FROM e{r} GROUP BY z ORDER BY node
-        """.format(r=rounds)
+        FROM e{r}
+        WHERE (SELECT count(*) FROM e{p}) = (SELECT count(*) FROM e{r})
+        GROUP BY z ORDER BY node
+        """.format(r=rounds, p=rounds - 1)
     )
     return "".join(parts)
 

@@ -556,8 +556,11 @@ def cosine_similarity_join(
        a broadcast id filter; one lexsort + weighted bincount per pair
        batch computes the exact dot products (no driver dict, no
        per-pair loop).  The threshold test is ``dot >= t * ||a|| ||b||``
-       — the same algebraic form the SQL oracle uses, so boundary
-       behavior matches.
+       — the same algebraic FORM the SQL oracle uses, so a disagreement
+       would require the two sides' float sums (which differ only in
+       summation order, ~1 ulp) to straddle the threshold — possible in
+       principle for a pair engineered onto the boundary, never for
+       generic data; no systematic formula mismatch exists.
 
     Precision 1 by the verify, recall 1 by the prefix theorem: the
     output hash-compares against the quadratic SQL oracle.

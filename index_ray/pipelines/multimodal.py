@@ -449,8 +449,8 @@ def media_features_sql_oracle(n: int = 200) -> str:
         fr = decode_payload(_split_frames(payload)[0])
         hist, _ = np.histogram(fr, bins=bins)
         rows.append(
-            f"({mid}, CAST('{fr.mean()!r}' AS DOUBLE),"
-            f" CAST('{fr.std()!r}' AS DOUBLE),"
+            f"({mid}, CAST('{float(fr.mean())!r}' AS DOUBLE),"
+            f" CAST('{float(fr.std())!r}' AS DOUBLE),"
             f" {int(hist.astype(np.uint64).sum() % (1 << 31))})"
         )
     values = ",\n               ".join(rows)

@@ -2791,6 +2791,9 @@ class QueryCache:
         self.searcher = searcher
         self.capacity = capacity
         self._lru: "OrderedDict[tuple, pa.Table]" = OrderedDict()
+        # (path, size, mtime_ns) -> content sha256 — tombstone files are
+        # immutable once written, so a stat-identical file never re-reads
+        self._tomb_hash_memo: dict[tuple, str] = {}
         self.hits = 0
         self.misses = 0
 
@@ -2804,14 +2807,22 @@ class QueryCache:
         # files sequentially (tomb-00000...), so after a rollback a later
         # delete of a DIFFERENT doc set with equal cardinality reproduces
         # the same filename and identical stats.json — basenames alone
-        # would collide two distinct index states.  Tombstone files are a
-        # few KB of docIDs, so hashing bytes is still two tiny reads.
+        # would collide two distinct index states.  Content hashes are
+        # memoized per (path, size, mtime_ns): the files are immutable
+        # once written, so a long delete history costs one stat per file
+        # per lookup, not a re-read of every tombstone on the hot path.
         for t in sorted(
             glob.glob(os.path.join(d, "tombstones", "*.parquet"))
         ):
+            st = os.stat(t)
+            memo_key = (t, st.st_size, st.st_mtime_ns)
+            ch = self._tomb_hash_memo.get(memo_key)
+            if ch is None:
+                with open(t, "rb") as f:
+                    ch = hashlib.sha256(f.read()).hexdigest()
+                self._tomb_hash_memo[memo_key] = ch
             h.update(os.path.basename(t).encode())
-            with open(t, "rb") as f:
-                h.update(f.read())
+            h.update(ch.encode())
         return h.hexdigest()
 
     def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:

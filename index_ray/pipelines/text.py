@@ -130,12 +130,12 @@ def term_stats(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
     )
 
 
-def top_terms(sf_dir: str, k: int = 100) -> pa.Table:
-    """Global top-k terms by cf without a full lexicon sort: term_stats'
-    hash shuffle already puts each term in exactly one block, so a
-    per-block local top-k (the ``top_sessions`` combiner shape,
-    events.py) reduces the driver merge to k x blocks candidate rows —
-    the lexicon itself is never sorted or collected."""
+def topk_by_cf(ds: ray.data.Dataset, k: int):
+    """Per-block local top-k by (cf DESC, term ASC) + driver merge of the
+    k x blocks candidate rows — THE combiner for "global top-k of a
+    term-keyed dataset" (``top_sessions`` shape): correct for any
+    batching because each term appears in exactly one row globally.
+    Returns the merged pandas frame (k rows)."""
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
@@ -145,16 +145,20 @@ def top_terms(sf_dir: str, k: int = 100) -> pa.Table:
         order = np.lexsort((term, -cf))[:k]
         return t.take(pa.array(order))
 
-    cand = (
-        term_stats(sf_dir)
-        .map_batches(local_topk, batch_format="pyarrow")
-        .to_pandas()
-    )
-    out = (
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return (
         cand.sort_values(["cf", "term"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def top_terms(sf_dir: str, k: int = 100) -> pa.Table:
+    """Global top-k terms by cf without a full lexicon sort: term_stats'
+    hash shuffle already puts each term in exactly one block, so the
+    :func:`topk_by_cf` combiner reduces the driver merge to k x blocks
+    candidate rows — the lexicon itself is never sorted or collected."""
+    out = topk_by_cf(term_stats(sf_dir), k)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -290,24 +290,14 @@ def lm_score(
         # rows and one scalar; the full lexicon stays distributed
         from ray.data.aggregate import Sum
 
+        from .text import topk_by_cf
+
         ts = term_stats(sf_dir, mode).materialize()
         agg = ts.aggregate(Sum("cf", alias_name="total"))
         total = int(agg["total"] or 0)
         if total == 0:
             return ray.data.from_arrow(schema)
-
-        def local_topv(t: pa.Table) -> pa.Table:
-            if t.num_rows <= top_v:
-                return t
-            c = t["cf"].to_numpy(zero_copy_only=False)
-            term = t["term"].to_numpy(zero_copy_only=False)
-            return t.take(pa.array(np.lexsort((term, -c))[:top_v]))
-
-        cf = (
-            ts.map_batches(local_topv, batch_format="pyarrow").to_pandas()
-            .sort_values(["cf", "term"], ascending=[False, True])
-            .head(top_v)
-        )
+        cf = topk_by_cf(ts, top_v)
     floor = float(np.log2(1.0 / np.float64(total)))
     logp = dict(
         zip(

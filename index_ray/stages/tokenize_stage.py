@@ -45,6 +45,7 @@ class TokenizeBlob:
         head_tokens: int = 0,
         style_head: int = 0,
         term_vectors: bool = False,
+        style_levels: tuple | None = None,
     ):
         self.norm = TokenNormalizer(mode)
         self.text_col = text_col
@@ -65,8 +66,10 @@ class TokenizeBlob:
         #                       the reference's Normal/Heading/Italic/Bold
         #                       widths), wire (tf << 2) | class
         self.style_levels: np.ndarray | None = None
-        if isinstance(style_head, (tuple, list)):
-            lv = [int(x) for x in style_head]
+        if style_levels is not None:
+            if style_head:
+                raise ValueError("style_head and style_levels are exclusive")
+            lv = [int(x) for x in style_levels]
             if len(lv) != 3 or any(
                 a >= b for a, b in zip(lv, lv[1:])
             ) or lv[0] <= 0:
