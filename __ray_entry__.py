@@ -118,12 +118,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- position 51+ (driver-unchecked this round; 104 of these
         # ---- are green from r01-r03 folds, the rest remain pytest- and
         # ---- tools/check_oracles.py-covered until the r05 rotation).
-        # ---- ROUND-5 PLAN: exactly 50 entries have never had a driver
-        # ---- verdict after this round (the 48 pre-checked green by
+        # ---- ROUND-5 PLAN: 51 entries have never had a driver verdict
+        # ---- after this round (the 48 pre-checked green by
         # ---- tools/check_oracles.py at sf0.01 in round 4, plus the new
-        # ---- bm25_style_enum and audio_features) — one final rotation
-        # ---- putting those 50 at positions 1-50 completes per-entry
-        # ---- driver coverage of the whole surface. ----
+        # ---- bm25_style_enum, audio_features and cosine_similarity_join)
+        # ---- — one final rotation putting 50 of them at positions 1-50
+        # ---- (keep the 51st = one of the rows-only kNN variants, whose
+        # ---- oracle-backed consistency twin rotates in instead)
+        # ---- completes per-entry driver coverage of the surface. ----
         "curate_corpus": curation.curate_corpus,
         "pricing_summary": relational.pricing_summary,
         "session_concurrency": events.session_concurrency,
