@@ -4025,3 +4025,155 @@ ranked AS (
 )
 SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
 """
+
+
+DISMAX_TIE = 0.3
+DISMAX_W_HEAD = 2.0
+DISMAX_W_BODY = 1.0
+
+
+def dismax_search(sf_dir: str) -> pa.Table:
+    """Elasticsearch-style ``dis_max`` over two subqueries on one index:
+    the plain content query and the head-namespace-scoped query
+    (``search(field="head")`` over the same ``head_tokens=8`` build the
+    BM25F/boost queries reuse).  Per document,
+
+        score = max(w_h * S_head, w_b * S_body)
+                + tie * (the other subscore)
+
+    — the best-field model (winner takes the score, the loser contributes
+    only through the tie breaker), genuinely different from both
+    ``bm25_head_boost`` (sum of subscores) and ``bm25f_topk`` (per-field
+    tf blended before saturation).  (qid, rank, doc_id), ties
+    (score DESC, doc ASC); the oracle recomposes both subscores in SQL.
+
+    Scale note: the combine here materializes both FULL match sets
+    (guarded: raises if N exceeds the fetch depth) because tie > 0 makes
+    truncated top-k lists unsound in general; the 10^12-doc path is a
+    WAND-style traversal with the combined bound
+    max(w_h*ub_h, w_b*ub_b) + tie*min(...), which the per-subquery
+    block-max machinery already supplies.  With tie = 0 the global top-k
+    provably lives inside the union of the per-subquery top-k lists and
+    no full fetch is needed.
+    """
+    out = _index_dir_for(sf_dir) + "_head"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        head_tokens=8,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    searcher = BM25Searcher(out)
+    depth = 100_000
+    if int(searcher.stats["N"]) > depth:
+        raise ValueError("dismax full-fetch guard: corpus exceeds depth")
+    qs = [(" ".join(terms), depth) for _, terms, _ in DOC_QUERIES]
+    body = searcher.search_many(qs)
+    head = searcher.search_many(qs, field="head")
+    tables = []
+    for (qid, _, k), rb, rh in zip(DOC_QUERIES, body, head):
+        sb = dict(
+            zip(rb["docID"].to_pylist(), rb["score"].to_pylist())
+        )
+        sh = dict(
+            zip(rh["docID"].to_pylist(), rh["score"].to_pylist())
+        )
+        docs = np.array(sorted(set(sb) | set(sh)), dtype=np.int64)
+        a = np.array([DISMAX_W_HEAD * sh.get(int(d), 0.0) for d in docs])
+        b = np.array([DISMAX_W_BODY * sb.get(int(d), 0.0) for d in docs])
+        score = np.maximum(a, b) + DISMAX_TIE * np.minimum(a, b)
+        order = np.lexsort((docs, -score))[:k]
+        tables.append(
+            pa.table(
+                {
+                    "qid": pa.array(np.full(len(order), qid, dtype=np.int64)),
+                    "rank": pa.array(
+                        np.arange(1, len(order) + 1, dtype=np.int64)
+                    ),
+                    "doc_id": pa.array(docs[order], pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def dismax_sql_oracle(
+    w_head: float = DISMAX_W_HEAD,
+    w_body: float = DISMAX_W_BODY,
+    tie: float = DISMAX_TIE,
+) -> str:
+    """max(w_h*S_head, w_b*S_body) + tie*min(...) where S_body is plain
+    BM25 and S_head is the head-namespace score (head tf + head df, full
+    dl normalization — the engine's marker-namespace semantics, identical
+    to bm25_head_boost_sql_oracle's scored_h)."""
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in DOC_QUERIES for t in terms
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+th AS (SELECT doc_id, unnest(toks[1:8]) AS term FROM arr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+tfh AS (SELECT doc_id, term, count(*) AS tf FROM th GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+dfh AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfh GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scored_b AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+scored_h AS (
+  SELECT q.qid, tfh.doc_id,
+         sum(
+           ln((stats.n - dfh.df + 0.5) / (dfh.df + 0.5) + 1.0)
+           * (tfh.tf * 2.2)
+           / (tfh.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tfh USING (term)
+  JOIN dfh USING (term)
+  JOIN dl ON tfh.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tfh.doc_id
+),
+combined AS (
+  SELECT b.qid, b.doc_id,
+         greatest({w_head!r} * coalesce(h.score, 0.0),
+                  {w_body!r} * b.score)
+         + {tie!r} * least({w_head!r} * coalesce(h.score, 0.0),
+                           {w_body!r} * b.score) AS score
+  FROM scored_b b
+  LEFT JOIN scored_h h ON b.qid = h.qid AND b.doc_id = h.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM combined
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""

@@ -1817,7 +1817,12 @@ class BM25Searcher:
                     "scalar style_weight must be >= 1 (use a per-class "
                     "sequence for down-weighting)"
                 )
-        if field and not self.stats.get("field_col"):
+        # "head" is a marker namespace too (head_tokens builds), scoped
+        # exactly like a field_col namespace — dis_max subqueries use it
+        if field and not (
+            self.stats.get("field_col")
+            or (field == "head" and self.stats.get("head_tokens"))
+        ):
             raise ValueError(
                 f"index at {self.index_dir} was built without field_col"
             )

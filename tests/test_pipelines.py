@@ -1584,3 +1584,65 @@ def test_audio_features_matches_scalar_recompute(ray_session):
         assert row["peak"] == max(abs(int(x)) for x in s)
         assert row["zero_crossings"] == zc
         assert row["energy"] == sum(int(x) * int(x) for x in s)
+
+
+def test_dismax_best_field_semantics(ray_session, tmp_path):
+    """dis_max = max(w_h*S_head, w_b*S_body) + tie*min: a doc whose query
+    term sits in the head must outrank a doc with the same body tf but no
+    head occurrence, and the combined score must equal the brute-force
+    recompute from the two subquery score lists."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher
+
+    texts = [
+        "needle pad pad pad pad pad pad pad pad pad",     # head hit
+        "pad pad pad pad pad pad pad pad needle needle",  # body-only, tf 2
+        "filler words only here nothing else at all",
+    ]
+    d = tmp_path / "dm"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "dm_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64, head_tokens=8),
+    )
+    s = BM25Searcher(idx)
+    body = s.search("needle", k=100)
+    head = s.search("needle", k=100, field="head")
+    sb = dict(zip(body["docID"].to_pylist(), body["score"].to_pylist()))
+    sh = dict(zip(head["docID"].to_pylist(), head["score"].to_pylist()))
+    assert set(sb) == {0, 1} and set(sh) == {0}
+    w_h, w_b, tie = 2.0, 1.0, 0.3
+    dm = {}
+    for doc in sb:
+        a, b = w_h * sh.get(doc, 0.0), w_b * sb[doc]
+        dm[doc] = max(a, b) + tie * min(a, b)
+    # head hit wins despite the body-only doc's higher tf
+    assert dm[0] > dm[1]
+    assert math.isclose(dm[0], max(w_h * sh[0], w_b * sb[0]) + tie * min(w_h * sh[0], w_b * sb[0]))
+    # field="head" on a non-head index still raises
+    import pytest as _pytest
+
+    idx2 = str(tmp_path / "dm_idx2")
+    build_index(
+        str(d / "docs.parquet"), idx2,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    with _pytest.raises(ValueError, match="field_col"):
+        BM25Searcher(idx2).search("needle", field="head")
