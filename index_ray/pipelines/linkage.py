@@ -377,6 +377,25 @@ class _MaxNormW:
         )
 
 
+def prefix_emit_mask(
+    d_s: np.ndarray, contrib: np.ndarray, t: float
+) -> np.ndarray:
+    """The AllPairs suffix-bound emit rule, as a pure kernel (property-
+    tested in isolation): rows are (doc, term) pairs sorted by
+    (doc, global term order) with ``contrib = nw * maxw`` per row; row i
+    is emitted iff the suffix sum of contrib within its doc run >= t."""
+    if len(d_s) == 0:
+        return np.zeros(0, dtype=bool)
+    starts = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+    sizes = np.diff(np.append(starts, len(d_s)))
+    gid = np.repeat(np.arange(len(starts)), sizes)
+    csum = np.cumsum(contrib)
+    excl = csum - contrib  # exclusive prefix sum
+    doc_tot = csum[starts + sizes - 1] - (excl[starts])
+    suffix = doc_tot[gid] - (excl - excl[starts][gid])
+    return suffix >= t
+
+
 class _CosPrefixEmit(_MaxNormW):
     """batch -> (tok=ord, doc_id) rows for each doc's PREFIX under the
     AllPairs suffix bound: in a fixed global term order, a doc emits term
@@ -400,17 +419,7 @@ class _CosPrefixEmit(_MaxNormW):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((o, d))
         d_s, o_s, nw_s = d[order], o[order], nw[order]
-        contrib = nw_s * self.maxw[o_s]
-        # per-doc reversed cumsum: suffix_bound[i] = sum of contrib[i:] in
-        # the doc's run — subtract the exclusive prefix from the doc total
-        starts = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
-        sizes = np.diff(np.append(starts, len(d_s)))
-        gid = np.repeat(np.arange(len(starts)), sizes)
-        csum = np.cumsum(contrib)
-        excl = csum - contrib  # exclusive prefix sum
-        doc_tot = csum[starts + sizes - 1] - (excl[starts])
-        suffix = doc_tot[gid] - (excl - excl[starts][gid])
-        keep = suffix >= self.t
+        keep = prefix_emit_mask(d_s, nw_s * self.maxw[o_s], self.t)
         return pa.table(
             {
                 "tok": pa.array(o_s[keep], pa.int64()),

@@ -176,3 +176,49 @@ def test_parse_dsl_partitions_every_token(tokens):
     )
     assert total == len(tokens)
     assert not p["phrases"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=10),   # docs
+    st.integers(min_value=2, max_value=8),    # vocab size
+    st.integers(min_value=50, max_value=95),  # threshold pct
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_allpairs_prefix_filter_recall(n_docs, n_terms, pct, seed):
+    """The AllPairs suffix-bound recall theorem, fuzzed: for ANY weighted
+    corpus and ANY fixed global term order, every pair with cosine >= t
+    must share at least one term emitted by BOTH sides of
+    prefix_emit_mask (linkage.py docstring has the proof this pins)."""
+    from index_ray.pipelines.linkage import prefix_emit_mask
+
+    rng = np.random.default_rng(seed)
+    t = pct / 100.0
+    # sparse nonneg weights; some zero rows/cols allowed
+    w = rng.random((n_docs, n_terms)) * (rng.random((n_docs, n_terms)) < 0.6)
+    norms = np.sqrt((w * w).sum(axis=1))
+    live = norms > 0
+    nw = np.zeros_like(w)
+    nw[live] = w[live] / norms[live][:, None]
+    maxw = nw.max(axis=0)
+    # build the sorted (doc, term) rows the kernel expects (term order =
+    # a random permutation — the theorem holds for any fixed order)
+    perm = rng.permutation(n_terms)
+    emitted = {}
+    for d in range(n_docs):
+        terms = np.flatnonzero(w[d] > 0)
+        if len(terms) == 0:
+            emitted[d] = set()
+            continue
+        order = terms[np.argsort(perm[terms])]
+        contrib = nw[d][order] * maxw[order]
+        keep = prefix_emit_mask(np.zeros(len(order), np.int64), contrib, t)
+        emitted[d] = set(order[keep].tolist())
+    cos = nw @ nw.T
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            if cos[a, b] >= t:
+                assert emitted[a] & emitted[b], (
+                    f"pair ({a},{b}) cos={cos[a, b]:.3f} lost by the "
+                    f"prefix filter"
+                )
