@@ -118,14 +118,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- position 51+ (driver-unchecked this round; 104 of these
         # ---- are green from r01-r03 folds, the rest remain pytest- and
         # ---- tools/check_oracles.py-covered until the r05 rotation).
-        # ---- ROUND-5 PLAN: 52 entries have never had a driver verdict
+        # ---- ROUND-5 PLAN: 53 entries have never had a driver verdict
         # ---- after this round — the 48 pre-checked green by
         # ---- tools/check_oracles.py at sf0.01 in round 4, plus the new
-        # ---- bm25_style_enum, audio_features, cosine_similarity_join
-        # ---- and dismax_search.  One final rotation putting 50 of them
-        # ---- at positions 1-50 (leave out two rows-only kNN variants,
-        # ---- whose oracle-backed consistency twins rotate in instead)
-        # ---- completes per-entry driver coverage of the surface. ----
+        # ---- bm25_style_enum, audio_features, cosine_similarity_join,
+        # ---- dismax_search and wildcard_search.  One final rotation
+        # ---- putting 50 of them at positions 1-50 (leave out three
+        # ---- rows-only kNN variants, whose oracle-backed consistency
+        # ---- twins rotate in instead) completes per-entry driver
+        # ---- coverage of the surface. ----
         "curate_corpus": curation.curate_corpus,
         "pricing_summary": relational.pricing_summary,
         "session_concurrency": events.session_concurrency,
@@ -158,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_style_enum": flagship.bm25_style_enum,
         # ES dis_max: best-field max + tie-breaker over head/body subqueries
         "dismax_search": flagship.dismax_search,
+        # suffix/infix wildcard expansion (*s, a*b) over the lexicon
+        "wildcard_search": flagship.wildcard_search,
         "line_dedup": dedup.line_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
@@ -428,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_style_boost_sql_oracle,
         bm25_style_enum_sql_oracle,
         dismax_sql_oracle,
+        wildcard_sql_oracle,
         bm25_meta_sql_oracle,
         bm25_facets_sql_oracle,
         bm25_explain_sql_oracle,
@@ -552,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_style_boost": bm25_style_boost_sql_oracle(),
         "bm25_style_enum": bm25_style_enum_sql_oracle(),
         "dismax_search": dismax_sql_oracle(),
+        "wildcard_search": wildcard_sql_oracle(),
         "bm25_field_scoped": bm25_field_scoped_sql_oracle(),
         "bm25_topk": bm25_sql_oracle(),
         # federation must be invisible: same single-corpus oracle

@@ -4177,3 +4177,90 @@ ranked AS (
 )
 SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
 """
+
+
+# (qid, query with one-star wildcards, k)
+WILDCARD_QUERIES: list[tuple[int, str, int]] = [
+    (1, "*ow scan", 10),       # suffix: row, slow, ...
+    (2, "f*t table", 10),      # infix: fast, ...
+    (3, "*le query", 10),      # suffix: table, ...
+    (4, "s* window", 10),      # prefix via the same surface
+    (5, "*zzz merge", 10),     # no-match wildcard contributes nothing
+]
+
+
+def wildcard_search(sf_dir: str) -> pa.Table:
+    """General wildcard BM25: ``p*`` / ``*s`` / ``a*b`` tokens expand via
+    the lexicon (prefix = sorted range probe; suffix/infix = vectorized
+    ends_with sweep — the reversed-term-lexicon sidecar is the 10^12
+    scale path, see ``Lexicon.wildcard_terms``) into an OR over every
+    matching term with its own idf.  Completes the term-expansion family
+    (prefix ``bm25_prefix_topk``, fuzzy ``bm25_fuzzy_topk``, regex
+    ``trigram_regex``).  (qid, rank, doc_id); the oracle expands the same
+    patterns with SQL LIKE over the distinct vocabulary."""
+    out = documents_index(sf_dir)
+    searcher = BM25Searcher(out)
+    results = searcher.search_wildcard_many(
+        [(q, k) for _, q, k in WILDCARD_QUERIES]
+    )
+    tables = []
+    for (qid, _, _), r in zip(WILDCARD_QUERIES, results):
+        tables.append(
+            r.add_column(0, "qid", pa.array(np.full(len(r), qid, dtype=np.int64)))
+        )
+    t = pa.concat_tables(tables)
+    return t.rename_columns(["qid", "rank", "doc_id", "score"]).select(
+        ["qid", "rank", "doc_id"]
+    )
+
+
+def wildcard_sql_oracle() -> str:
+    pats = []
+    for qid, q, _ in WILDCARD_QUERIES:
+        for tok in q.split():
+            if "*" in tok:
+                pre, suf = tok.lower().split("*")
+                pats.append(
+                    f"({qid}, '{pre}%{suf}', {len(pre) + len(suf)})"
+                )
+            else:
+                pats.append(f"({qid}, '{tok.lower()}', {len(tok)})")
+    values = ", ".join(pats)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM t) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+qp(qid, pat, minlen) AS (VALUES {values}),
+q AS (
+  SELECT DISTINCT qp.qid, df.term
+  FROM qp JOIN df ON df.term LIKE qp.pat AND length(df.term) >= qp.minlen
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id FROM ranked WHERE rank <= 10
+"""

@@ -201,6 +201,67 @@ class Lexicon:
             )
         return out
 
+    def wildcard_terms(self, pattern: str, limit: int | None = None) -> list[str]:
+        """Every lexicon term matching a single-``*`` wildcard pattern
+        (ascending): ``p*`` is the sorted-lexicon range probe
+        (:meth:`prefix_terms`), ``*s`` a vectorized ends_with sweep over
+        the term column, ``a*b`` the prefix range restricted by suffix +
+        a length guard (so prefix and suffix never overlap — LIKE 'a%b'
+        semantics).  The suffix sweep touches the whole vocabulary
+        (vectorized, still vocabulary-bounded); the 10^12-scale path is a
+        REVERSED-term lexicon sidecar turning ``*s`` into the same range
+        probe ``p*`` uses — the honest full-sweep here is the no-sidecar
+        baseline, exactly like trigram_regex's grouped-pattern fallback."""
+        import pyarrow.compute as _pc
+
+        star = pattern.count("*")
+        if star != 1:
+            raise ValueError("wildcard pattern needs exactly one '*'")
+        pre, suf = pattern.split("*")
+        if not pre and not suf:
+            raise ValueError("bare '*' would expand to the whole lexicon")
+        if pre and not suf:
+            return self.prefix_terms(pre, limit)
+        if self._map is not None:
+            if not hasattr(self, "_sorted_terms"):
+                self._sorted_terms = sorted(self._map)
+            if pre:
+                import bisect
+
+                st = self._sorted_terms
+                hi = pre[:-1] + chr(ord(pre[-1]) + 1)
+                cand = st[bisect.bisect_left(st, pre):bisect.bisect_left(st, hi)]
+            else:
+                cand = self._sorted_terms
+            arr = pa.array(cand, pa.string())
+        else:
+            if pre:
+                hi = pre[:-1] + chr(ord(pre[-1]) + 1)
+                t = self._ds.to_table(
+                    columns=["term"],
+                    filter=(pads.field("term") >= pre)
+                    & (pads.field("term") < hi),
+                )
+            else:
+                t = self._ds.to_table(columns=["term"])
+            arr = t["term"].combine_chunks()
+            cand = None
+        mask = _pc.ends_with(arr, pattern=suf)
+        if len(pre) + len(suf) > 0:
+            mask = _pc.and_(
+                mask,
+                _pc.greater_equal(
+                    _pc.utf8_length(arr), len(pre) + len(suf)
+                ),
+            )
+        out = sorted(set(arr.filter(mask).to_pylist()))
+        if limit is not None and len(out) > limit:
+            raise ValueError(
+                f"wildcard '{pattern}' expands to {len(out)} terms, over "
+                f"the caller's limit={limit}; narrow the pattern"
+            )
+        return out
+
     def fuzzy_terms(self, term: str) -> list[str]:
         """Every lexicon term within Levenshtein distance <= 1 of ``term``
         (ascending, includes the term itself when present).
@@ -2089,6 +2150,30 @@ class BM25Searcher:
                 if tok.endswith("*") and len(tok) > 1:
                     terms.update(
                         self.lexicon.prefix_terms(tok[:-1].lower(), max_expand)
+                    )
+                else:
+                    terms.update(query_terms(tok, tok_mode))
+            prepared.append((terms, k))
+        return self._expanded_or_search(prepared, prune)
+
+    def search_wildcard_many(
+        self,
+        queries: list[tuple[str, int]],
+        prune: bool = True,
+        max_expand: int | None = None,
+    ) -> list[pa.Table]:
+        """General single-``*`` wildcard BM25 (``p*``, ``*s``, ``a*b``):
+        each wildcard token expands via :meth:`Lexicon.wildcard_terms`
+        into an OR over every matching term (each with its own idf) —
+        the suffix/infix companion of :meth:`search_prefix_many`."""
+        tok_mode = self.stats.get("tokenizer", "code")
+        prepared = []
+        for q, k in queries:
+            terms: set[str] = set()
+            for tok in q.split():
+                if "*" in tok:
+                    terms.update(
+                        self.lexicon.wildcard_terms(tok.lower(), max_expand)
                     )
                 else:
                     terms.update(query_terms(tok, tok_mode))

@@ -515,3 +515,58 @@ def test_dsl_requires_capabilities(tiny_index_dir):
         s.search_dsl('"merge sort" key')
     with _pt.raises(ValueError, match="field_col"):
         s.search_dsl("lang:python parse")
+
+
+def test_wildcard_terms_and_search(ray_session, tmp_path):
+    """Single-star wildcard semantics: suffix and infix expansion match
+    LIKE with the overlap length guard; bare '*' and multi-star raise;
+    the search surface scores the expansion as a plain disjunction
+    (bitwise equal to typing the expanded terms)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher
+
+    texts = [
+        "window widow shadow row",
+        "fast fit foot fat feet",
+        "aba ab aab abab",
+        "plain filler text",
+    ]
+    d = tmp_path / "wc"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "wc_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    s = BM25Searcher(idx, num_shards=1)
+    lx = s.lexicon
+    assert lx.wildcard_terms("*ow") == ["row", "shadow", "widow", "window"]
+    assert lx.wildcard_terms("f*t") == ["fast", "fat", "feet", "fit", "foot"]
+    # overlap guard: 'ab*b' must NOT match 'ab' (LIKE 'ab%b' semantics)
+    assert lx.wildcard_terms("ab*b") == ["abab"]
+    assert lx.wildcard_terms("a*b") == ["aab", "ab", "abab"]
+    with _pytest.raises(ValueError, match="one '\\*'"):
+        lx.wildcard_terms("a*b*c")
+    with _pytest.raises(ValueError, match="whole lexicon"):
+        lx.wildcard_terms("*")
+    with _pytest.raises(ValueError, match="limit"):
+        lx.wildcard_terms("*ow", limit=2)
+    # the search == the expanded disjunction, bitwise
+    r = s.search_wildcard_many([("*ow", 10)])[0]
+    expanded = s.search("row shadow widow window", k=10)
+    assert r["docID"].to_pylist() == expanded["docID"].to_pylist()
+    assert r["score"].to_pylist() == expanded["score"].to_pylist()
