@@ -118,15 +118,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- position 51+ (driver-unchecked this round; 104 of these
         # ---- are green from r01-r03 folds, the rest remain pytest- and
         # ---- tools/check_oracles.py-covered until the r05 rotation).
-        # ---- ROUND-5 PLAN: 53 entries have never had a driver verdict
+        # ---- ROUND-5 PLAN: 54 entries have never had a driver verdict
         # ---- after this round — the 48 pre-checked green by
         # ---- tools/check_oracles.py at sf0.01 in round 4, plus the new
         # ---- bm25_style_enum, audio_features, cosine_similarity_join,
-        # ---- dismax_search and wildcard_search.  One final rotation
-        # ---- putting 50 of them at positions 1-50 (leave out three
-        # ---- rows-only kNN variants, whose oracle-backed consistency
-        # ---- twins rotate in instead) completes per-entry driver
-        # ---- coverage of the surface. ----
+        # ---- dismax_search, wildcard_search and decontaminate_fuzzy.
+        # ---- One final rotation
+        # ---- putting 50 of them at positions 1-50 (leave out four
+        # ---- rows-only approximate variants, whose oracle-backed
+        # ---- consistency twins rotate in instead) completes per-entry
+        # ---- driver coverage of the surface. ----
         "curate_corpus": curation.curate_corpus,
         "pricing_summary": relational.pricing_summary,
         "session_concurrency": events.session_concurrency,
@@ -184,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,
         "fingerprints": textstats.fingerprints,
         "decontaminate_bloom": curation.decontaminate_bloom,
+        # near-dup (3-gram Jaccard) train-vs-benchmark contamination
+        "decontaminate_fuzzy": curation.decontaminate_fuzzy,
         "centroid_classify": similarity.centroid_classify,
         "cohort_retention": events.cohort_retention,
         "ohlc_bars": events.ohlc_bars,
@@ -958,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": chunk_documents_sql_oracle(),
         "curate_corpus": curate_corpus_sql_oracle(),
         "decontaminate": decontaminate_sql_oracle(),
+        "decontaminate_fuzzy": curation_mod.decontaminate_fuzzy_sql_oracle(),
         # bloom variant is output-identical to the exact pass by construction
         "decontaminate_bloom": decontaminate_sql_oracle(),
         "epoch_mix": epoch_mix_sql_oracle(),

@@ -1793,3 +1793,125 @@ def weighted_sample_sql_oracle(k: int = WEIGHTED_SAMPLE_K) -> str:
         )
         ORDER BY key DESC, doc_id LIMIT {k}
     """
+
+
+DECONTAM_FUZZY_THRESHOLD = 60  # n-gram Jaccard % flagging a near-dup leak
+
+
+def decontaminate_fuzzy(
+    sf_dir: str, threshold_pct: int = DECONTAM_FUZZY_THRESHOLD
+) -> pa.Table:
+    """FUZZY decontamination: training documents that are NEAR-DUPLICATES
+    of a benchmark document — the Dolma/FineWeb companion of the exact
+    n-gram-overlap pass (:func:`decontaminate`): an eval answer lightly
+    paraphrased into a train doc evades exact 13-gram membership but not
+    document-level 3-gram Jaccard.  Same split convention (doc_id %
+    DECONTAM_MOD == 0 is the benchmark side); output (doc_id, eval_doc,
+    jaccard_pct) for every cross-split pair at or above the threshold,
+    integer arithmetic so the SQL comparison is exact.
+
+    Scale shape: per-gram buckets generate only CROSS pairs (train x
+    eval within the bucket), so the quadratic blowup of a hot gram is
+    train_count x EVAL_count — the eval side is small by nature, which
+    is the whole reason this pass is tractable at 10^12 docs (the
+    within-corpus analogue needs the banded LSH path,
+    ``ngram_jaccard_lsh``).  One gram-bucket shuffle + one pair-count
+    shuffle; sizes join against the per-doc distinct-gram counts.
+    """
+    from .dedup import _GramEmit
+
+    grams = (
+        docs_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            stage_fn(_GramEmit, DECONTAM_NGRAM, "simple"),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+        .materialize()  # consumed twice (sizes + pairs)
+    )
+    sizes_t = grams.groupby("doc_id").count().to_pandas()
+    sz = dict(zip(sizes_t["doc_id"], sizes_t["count()"]))
+
+    def cross_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        ev = ids % DECONTAM_MOD == 0
+        t, e = ids[~ev], ids[ev]
+        if len(t) == 0 or len(e) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.repeat(t, len(e)), pa.int64()),
+                "b": pa.array(np.tile(e, len(t)), pa.int64()),
+            }
+        )
+
+    t = (
+        grams.groupby("gram")
+        .map_groups(cross_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .to_pandas()
+    )
+    if len(t) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "eval_doc": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    a = t["a"].to_numpy()
+    b = t["b"].to_numpy()
+    inter = t["count()"].to_numpy().astype(np.int64)
+    union = (
+        np.array([sz[x] for x in a], dtype=np.int64)
+        + np.array([sz[x] for x in b], dtype=np.int64)
+        - inter
+    )
+    keep = 100 * inter >= threshold_pct * union
+    jac = (100 * inter[keep]) // union[keep]
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table(
+        {
+            "doc_id": pa.array(a[keep][order], pa.int64()),
+            "eval_doc": pa.array(b[keep][order], pa.int64()),
+            "jaccard_pct": pa.array(jac[order], pa.int64()),
+        }
+    )
+
+
+def decontaminate_fuzzy_sql_oracle(
+    threshold_pct: int = DECONTAM_FUZZY_THRESHOLD,
+) -> str:
+    # quadratic cross-split baseline (the ngram_jaccard_dedup split)
+    return f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM arr
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT gt.doc_id AS a, ge.doc_id AS b, count(*) AS inter
+          FROM g gt JOIN g ge ON gt.gram = ge.gram
+          WHERE gt.doc_id % {DECONTAM_MOD} <> 0
+            AND ge.doc_id % {DECONTAM_MOD} = 0
+          GROUP BY 1, 2
+        )
+        SELECT a AS doc_id, b AS eval_doc,
+               CAST((100 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_pct
+        FROM inter
+        JOIN sz sa ON sa.doc_id = a
+        JOIN sz sb ON sb.doc_id = b
+        WHERE 100 * inter >= {threshold_pct} * (sa.sz + sb.sz - inter)
+        ORDER BY doc_id, eval_doc
+    """

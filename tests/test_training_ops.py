@@ -694,3 +694,43 @@ def test_lm_score_top_v_matches_exact_when_v_covers_vocab(ray_session, tmp_path)
     exact = lm_score(sf).to_pandas().reset_index(drop=True)
     scaled = lm_score(sf, top_v=100_000).to_pandas().reset_index(drop=True)
     assert scaled.equals(exact)
+
+
+def test_decontaminate_fuzzy_planted(ray_session, tmp_path):
+    """A train doc lightly paraphrasing an eval doc (doc_id % 13 == 0)
+    must be flagged with the exact integer jaccard; unrelated train docs
+    and eval-eval/train-train pairs must not appear."""
+    from index_ray.pipelines.curation import DECONTAM_MOD, decontaminate_fuzzy
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: base,                                   # eval (0 % 13 == 0)
+        1: base + " extra",                        # train near-dup of 0
+        2: "totally different words here now yes", # clean train
+        13: "another benchmark prompt entirely",   # second eval
+        14: base + " padding",                     # train near-dup of 0 too
+    }
+    ids = sorted(texts)
+    import pyarrow.parquet as _pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = decontaminate_fuzzy(str(d), threshold_pct=60).to_pandas()
+    pairs = set(zip(out["doc_id"], out["eval_doc"]))
+    assert (1, 0) in pairs and (14, 0) in pairs
+    assert all(b % DECONTAM_MOD == 0 and a % DECONTAM_MOD != 0 for a, b in pairs)
+    assert 2 not in set(out["doc_id"])
+    # exact integer jaccard: doc 1 shares all 8 of base's 3-grams;
+    # "kappa extra" adds 1 distinct gram -> 8 / 9
+    row = out[(out["doc_id"] == 1) & (out["eval_doc"] == 0)].iloc[0]
+    assert row["jaccard_pct"] == (100 * 8) // 9
