@@ -156,6 +156,7 @@ class Lexicon:
         lex_dir: str | None = None,
     ):
         self.n = n_docs
+        self._rev_dir = os.path.join(index_dir, "lexicon_rev")
         files = sorted(
             glob.glob(os.path.join(lex_dir or os.path.join(index_dir, "lexicon"), "*.parquet"))
         )
@@ -207,11 +208,13 @@ class Lexicon:
         (:meth:`prefix_terms`), ``*s`` a vectorized ends_with sweep over
         the term column, ``a*b`` the prefix range restricted by suffix +
         a length guard (so prefix and suffix never overlap — LIKE 'a%b'
-        semantics).  The suffix sweep touches the whole vocabulary
-        (vectorized, still vocabulary-bounded); the 10^12-scale path is a
-        REVERSED-term lexicon sidecar turning ``*s`` into the same range
-        probe ``p*`` uses — the honest full-sweep here is the no-sidecar
-        baseline, exactly like trigram_regex's grouped-pattern fallback."""
+        semantics).  A pure suffix probe uses the REVERSED-term lexicon
+        sidecar when one exists (``build_reverse_lexicon`` — the
+        10^12-scale path: ``*s`` becomes the same sorted range probe
+        ``p*`` uses, over reversed terms); without the sidecar it falls
+        back to a vectorized ends_with sweep of the whole vocabulary
+        (vocabulary-bounded — the honest no-sidecar baseline, exactly
+        like trigram_regex's grouped-pattern fallback)."""
         import pyarrow.compute as _pc
 
         star = pattern.count("*")
@@ -222,6 +225,25 @@ class Lexicon:
             raise ValueError("bare '*' would expand to the whole lexicon")
         if pre and not suf:
             return self.prefix_terms(pre, limit)
+        if not pre and os.path.isdir(self._rev_dir):
+            # reversed-lexicon range probe: '*s' == prefix probe of
+            # reversed(s) over rev-sorted terms (row-group pruned)
+            rp = suf[::-1]
+            hi = rp[:-1] + chr(ord(rp[-1]) + 1)
+            t = pads.dataset(
+                sorted(glob.glob(os.path.join(self._rev_dir, "*.parquet")))
+            ).to_table(
+                columns=["term"],
+                filter=(pads.field("rev_term") >= rp)
+                & (pads.field("rev_term") < hi),
+            )
+            out = sorted(t["term"].to_pylist())
+            if limit is not None and len(out) > limit:
+                raise ValueError(
+                    f"wildcard '{pattern}' expands to {len(out)} terms, "
+                    f"over the caller's limit={limit}; narrow the pattern"
+                )
+            return out
         if self._map is not None:
             if not hasattr(self, "_sorted_terms"):
                 self._sorted_terms = sorted(self._map)
@@ -328,6 +350,63 @@ def idf_weights(index_dir: str, terms: list[str]) -> dict[str, tuple[int, float]
     """term -> (df, idf) from the merged lexicon (one-shot convenience)."""
     stats = load_stats(index_dir)
     return Lexicon(index_dir, stats["N"]).idf(terms)
+
+
+def build_reverse_lexicon(index_dir: str) -> int:
+    """Write the ``lexicon_rev/`` sidecar: (rev_term, term) sorted by the
+    REVERSED term — Lucene's ReversedWildcardFilter as an offline
+    maintenance pass.  With it, a pure-suffix wildcard (``*s``) is a
+    row-group-pruned range probe instead of a vocabulary sweep
+    (:meth:`Lexicon.wildcard_terms`).  Tiered like ``merge_lexicon``:
+    driver-side when the vocabulary fits, a Ray sort otherwise.  Returns
+    the number of terms written; idempotent (rebuilds in place)."""
+    import shutil as _shutil
+
+    lex_files = sorted(
+        glob.glob(os.path.join(index_dir, "lexicon", "*.parquet"))
+    )
+    rev_dir = os.path.join(index_dir, "lexicon_rev")
+    if os.path.exists(rev_dir):
+        _shutil.rmtree(rev_dir)
+    total_bytes = sum(os.path.getsize(f) for f in lex_files)
+    if total_bytes < 256 << 20:
+        os.makedirs(rev_dir, exist_ok=True)
+        t = (
+            pa.concat_tables(
+                [pq.read_table(f, columns=["term"]) for f in lex_files]
+            )
+            if lex_files
+            else pa.table({"term": pa.array([], pa.string())})
+        )
+        terms = t["term"].to_pylist()
+        rev = [x[::-1] for x in terms]
+        order = np.argsort(np.asarray(rev, dtype=object), kind="stable")
+        out = pa.table(
+            {
+                "rev_term": pa.array([rev[i] for i in order], pa.string()),
+                "term": pa.array([terms[i] for i in order], pa.string()),
+            }
+        )
+        pq.write_table(out, os.path.join(rev_dir, "part-00000.parquet"))
+        return len(terms)
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "rev_term": _pc.utf8_reverse(t["term"]),
+                "term": t["term"],
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(lex_files)
+        .map_batches(add_rev, batch_format="pyarrow")
+        .sort("rev_term")
+    )
+    ds.write_parquet(rev_dir)
+    return ds.count()
 
 
 def find_docs(index_dir: str, col: str, values: list) -> pa.Table:

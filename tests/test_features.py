@@ -570,3 +570,60 @@ def test_wildcard_terms_and_search(ray_session, tmp_path):
     expanded = s.search("row shadow widow window", k=10)
     assert r["docID"].to_pylist() == expanded["docID"].to_pylist()
     assert r["score"].to_pylist() == expanded["score"].to_pylist()
+
+
+def test_reverse_lexicon_probe_matches_sweep(ray_session, tmp_path):
+    """The reversed-term sidecar turns '*s' into a range probe whose
+    expansion is identical to the vocabulary sweep, and the search built
+    on it stays bitwise-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher, build_reverse_lexicon
+
+    texts = [
+        "window widow shadow row",
+        "fast fit foot fat feet",
+        "crow grow own town gown",
+        "plain filler text",
+    ]
+    d = tmp_path / "rl"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "rl_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    s = BM25Searcher(idx, num_shards=1)
+    sweep = s.lexicon.wildcard_terms("*ow")
+    assert sweep == ["crow", "grow", "row", "shadow", "widow", "window"]
+    sweep_search = s.search_wildcard_many([("*ow", 10)])[0]
+
+    n = build_reverse_lexicon(idx)
+    assert n == len(s.lexicon._map)
+    s2 = BM25Searcher(idx, num_shards=1)
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(idx, "lexicon_rev"))
+    probe = s2.lexicon.wildcard_terms("*ow")
+    assert probe == sweep
+    assert s2.lexicon.wildcard_terms("*own") == ["gown", "own", "town"]
+    probe_search = s2.search_wildcard_many([("*ow", 10)])[0]
+    assert probe_search["docID"].to_pylist() == sweep_search["docID"].to_pylist()
+    assert probe_search["score"].to_pylist() == sweep_search["score"].to_pylist()
+    # limit budget still enforced on the probe path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="limit"):
+        s2.lexicon.wildcard_terms("*ow", limit=3)
