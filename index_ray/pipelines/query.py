@@ -156,7 +156,12 @@ class Lexicon:
         lex_dir: str | None = None,
     ):
         self.n = n_docs
-        self._rev_dir = os.path.join(index_dir, "lexicon_rev")
+        # the reversed sidecar belongs to the LIVE lexicon only: a
+        # snapshot reader (lex_dir override) must not probe the current
+        # index's rev table — it would expand against the wrong vocabulary
+        self._rev_dir = (
+            os.path.join(index_dir, "lexicon_rev") if lex_dir is None else ""
+        )
         files = sorted(
             glob.glob(os.path.join(lex_dir or os.path.join(index_dir, "lexicon"), "*.parquet"))
         )
@@ -225,7 +230,7 @@ class Lexicon:
             raise ValueError("bare '*' would expand to the whole lexicon")
         if pre and not suf:
             return self.prefix_terms(pre, limit)
-        if not pre and os.path.isdir(self._rev_dir):
+        if not pre and self._rev_dir and os.path.isdir(self._rev_dir):
             # reversed-lexicon range probe: '*s' == prefix probe of
             # reversed(s) over rev-sorted terms (row-group pruned)
             rp = suf[::-1]
