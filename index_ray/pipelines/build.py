@@ -1023,6 +1023,13 @@ def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
     glex_dir = os.path.join(out_dir, "lexicon")
     if os.path.exists(glex_dir):
         shutil.rmtree(glex_dir)
+    # the reversed-term sidecar mirrors THIS lexicon: any rewrite (append,
+    # purge, compaction) invalidates it — drop it so suffix wildcards fall
+    # back to the exact sweep until build_reverse_lexicon runs again,
+    # instead of silently probing a stale vocabulary
+    rev_dir = os.path.join(out_dir, "lexicon_rev")
+    if os.path.exists(rev_dir):
+        shutil.rmtree(rev_dir)
     if not lex_files:  # zero-document corpus: an empty lexicon, not a crash
         os.makedirs(glex_dir, exist_ok=True)
         pq.write_table(

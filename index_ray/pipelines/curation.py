@@ -1816,9 +1816,11 @@ def decontaminate_fuzzy(
     is the whole reason this pass is tractable at 10^12 docs (the
     within-corpus analogue needs the banded LSH path,
     ``ngram_jaccard_lsh``).  One gram-bucket shuffle + one pair-count
-    shuffle; sizes join against the per-doc distinct-gram counts.
+    shuffle; per-doc gram counts are fetched only for docs appearing in
+    a candidate pair (``dedup.jaccard_pairs_from_grams``), so driver
+    state is pair-bounded.
     """
-    from .dedup import _GramEmit
+    from .dedup import _GramEmit, jaccard_pairs_from_grams
 
     grams = (
         docs_dataset(sf_dir, ["doc_id", "text"])
@@ -1827,10 +1829,8 @@ def decontaminate_fuzzy(
             batch_format="pyarrow",
             batch_size=256,
         )
-        .materialize()  # consumed twice (sizes + pairs)
+        .materialize()  # consumed twice (pairs + sizes)
     )
-    sizes_t = grams.groupby("doc_id").count().to_pandas()
-    sz = dict(zip(sizes_t["doc_id"], sizes_t["count()"]))
 
     def cross_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
@@ -1847,39 +1847,8 @@ def decontaminate_fuzzy(
             }
         )
 
-    t = (
-        grams.groupby("gram")
-        .map_groups(cross_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-        .to_pandas()
-    )
-    if len(t) == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "eval_doc": pa.array([], pa.int64()),
-                "jaccard_pct": pa.array([], pa.int64()),
-            }
-        )
-    a = t["a"].to_numpy()
-    b = t["b"].to_numpy()
-    inter = t["count()"].to_numpy().astype(np.int64)
-    union = (
-        np.array([sz[x] for x in a], dtype=np.int64)
-        + np.array([sz[x] for x in b], dtype=np.int64)
-        - inter
-    )
-    keep = 100 * inter >= threshold_pct * union
-    jac = (100 * inter[keep]) // union[keep]
-    order = np.lexsort((b[keep], a[keep]))
-    return pa.table(
-        {
-            "doc_id": pa.array(a[keep][order], pa.int64()),
-            "eval_doc": pa.array(b[keep][order], pa.int64()),
-            "jaccard_pct": pa.array(jac[order], pa.int64()),
-        }
-    )
+    out = jaccard_pairs_from_grams(grams, cross_pairs, threshold_pct)
+    return out.rename_columns(["doc_id", "eval_doc", "jaccard_pct"])
 
 
 def decontaminate_fuzzy_sql_oracle(

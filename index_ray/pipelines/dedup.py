@@ -754,27 +754,46 @@ def ngram_jaccard_dedup(
     grams = (
         docs_dataset(sf_dir, ["doc_id", "text"])
         .map_batches(stage_fn(_GramEmit, n, mode), batch_format="pyarrow", batch_size=256)
-        .materialize()  # consumed twice (sizes + pairs); bounded by distinct (doc, gram)
+        .materialize()  # consumed twice (pairs + sizes); bounded by distinct (doc, gram)
     )
-    sizes_t = grams.groupby("doc_id").count().to_pandas()
-    sz = dict(zip(sizes_t["doc_id"], sizes_t["count()"]))
-    inter_ds = (
+    return jaccard_pairs_from_grams(grams, gram_pairs, threshold_pct)
+
+
+def jaccard_pairs_from_grams(
+    grams, pair_emit, threshold_pct: int
+) -> pa.Table:
+    """Shared tail of the exact gram-Jaccard joins: per-gram pair
+    generation (``pair_emit``: a gram-bucket -> (a, b) candidate rows —
+    triu for within-corpus, train x eval for cross-split) -> pair-count
+    shuffle -> integer threshold.  Per-doc distinct-gram sizes are
+    fetched only for ids that actually appear in a candidate pair
+    (filtered BEFORE the driver collect), so the driver state is bounded
+    by the candidate-pair footprint, never the corpus."""
+    t = (
         grams.groupby("gram")
-        .map_groups(gram_pairs, batch_format="pyarrow")
+        .map_groups(pair_emit, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
+        .to_pandas()
     )
-    t = inter_ds.to_pandas()
     if len(t) == 0:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "jaccard_pct": pa.array([], pa.int64()),
-            }
-        )
+        return _empty_jaccard_table()
     a = t["a"].to_numpy()
     b = t["b"].to_numpy()
+    need = np.unique(np.concatenate([a, b]))
+    need_ref = ray.put(need)
+
+    def size_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+
+    sizes_t = (
+        grams.groupby("doc_id")
+        .count()
+        .map_batches(size_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sz = dict(zip(sizes_t["doc_id"], sizes_t["count()"]))
     inter = t["count()"].to_numpy().astype(np.int64)
     union = (
         np.array([sz[x] for x in a], dtype=np.int64)

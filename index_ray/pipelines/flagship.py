@@ -83,6 +83,24 @@ def documents_index(sf_dir: str, positions: bool = False) -> str:
     return out
 
 
+def documents_head_index(sf_dir: str) -> str:
+    """Build (or resume) the head_tokens=8 marker-namespace index shared
+    by the head-boost / BM25F / dis_max queries; returns its directory."""
+    out = _index_dir_for(sf_dir) + "_head"
+    cfg = BuildConfig(
+        tokenizer="simple",
+        text_col="text",
+        id_col="doc_id",
+        chunk_docs=250_000,
+        num_parts=16,
+        batch_size=512,
+        salt_docs=4096,
+        head_tokens=8,
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    return out
+
+
 def flagship(sf_dir: str) -> pa.Table:
     out = documents_index(sf_dir)
     searcher = BM25Searcher(out)
@@ -1579,19 +1597,7 @@ def bm25_head_boost(sf_dir: str) -> pa.Table:
     marker the ranker can weight) realized as marker-namespace postings
     plus a rank-time weight.  Returns (qid, rank, doc_id); the oracle
     recomputes content + 2.0 x head scores in SQL."""
-    out = _index_dir_for(sf_dir) + "_head"
-    cfg = BuildConfig(
-        tokenizer="simple",
-        text_col="text",
-        id_col="doc_id",
-        chunk_docs=250_000,
-        num_parts=16,
-        batch_size=512,
-        salt_docs=4096,
-        head_tokens=8,
-    )
-    build_index(f"{sf_dir}/documents.parquet", out, cfg)
-    searcher = BM25Searcher(out)
+    searcher = BM25Searcher(documents_head_index(sf_dir))
     results = searcher.search_many(
         [(" ".join(terms), k) for _, terms, k in DOC_QUERIES], boost={"head": 2.0}
     )
@@ -3442,19 +3448,7 @@ def bm25f_topk(sf_dir: str) -> pa.Table:
     Same ``head_tokens=8`` index as the boost query (build reused);
     (qid, rank, doc_id); the oracle recomputes BM25F from SQL.
     """
-    out = _index_dir_for(sf_dir) + "_head"
-    cfg = BuildConfig(
-        tokenizer="simple",
-        text_col="text",
-        id_col="doc_id",
-        chunk_docs=250_000,
-        num_parts=16,
-        batch_size=512,
-        salt_docs=4096,
-        head_tokens=8,
-    )
-    build_index(f"{sf_dir}/documents.parquet", out, cfg)
-    searcher = BM25Searcher(out)
+    searcher = BM25Searcher(documents_head_index(sf_dir))
     results = searcher.search_many_f(
         [(" ".join(terms), k) for _, terms, k in DOC_QUERIES],
         w_head=2.0,
@@ -4056,19 +4050,7 @@ def dismax_search(sf_dir: str) -> pa.Table:
     provably lives inside the union of the per-subquery top-k lists and
     no full fetch is needed.
     """
-    out = _index_dir_for(sf_dir) + "_head"
-    cfg = BuildConfig(
-        tokenizer="simple",
-        text_col="text",
-        id_col="doc_id",
-        chunk_docs=250_000,
-        num_parts=16,
-        batch_size=512,
-        salt_docs=4096,
-        head_tokens=8,
-    )
-    build_index(f"{sf_dir}/documents.parquet", out, cfg)
-    searcher = BM25Searcher(out)
+    searcher = BM25Searcher(documents_head_index(sf_dir))
     depth = 100_000
     if int(searcher.stats["N"]) > depth:
         raise ValueError("dismax full-fetch guard: corpus exceeds depth")

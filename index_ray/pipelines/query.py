@@ -371,11 +371,15 @@ def build_reverse_lexicon(index_dir: str) -> int:
         glob.glob(os.path.join(index_dir, "lexicon", "*.parquet"))
     )
     rev_dir = os.path.join(index_dir, "lexicon_rev")
-    if os.path.exists(rev_dir):
-        _shutil.rmtree(rev_dir)
+    # tmp-dir + atomic rename publish (the snapshots.py pattern): a crash
+    # or concurrent reader never sees a partial sidecar — the directory
+    # either is the old complete one, absent, or the new complete one
+    tmp_dir = rev_dir + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp_dir):
+        _shutil.rmtree(tmp_dir)
     total_bytes = sum(os.path.getsize(f) for f in lex_files)
     if total_bytes < 256 << 20:
-        os.makedirs(rev_dir, exist_ok=True)
+        os.makedirs(tmp_dir, exist_ok=True)
         t = (
             pa.concat_tables(
                 [pq.read_table(f, columns=["term"]) for f in lex_files]
@@ -392,26 +396,33 @@ def build_reverse_lexicon(index_dir: str) -> int:
                 "term": pa.array([terms[i] for i in order], pa.string()),
             }
         )
-        pq.write_table(out, os.path.join(rev_dir, "part-00000.parquet"))
-        return len(terms)
+        pq.write_table(out, os.path.join(tmp_dir, "part-00000.parquet"))
+        n = len(terms)
+    else:
 
-    def add_rev(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
+        def add_rev(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
 
-        return pa.table(
-            {
-                "rev_term": _pc.utf8_reverse(t["term"]),
-                "term": t["term"],
-            }
+            return pa.table(
+                {
+                    "rev_term": _pc.utf8_reverse(t["term"]),
+                    "term": t["term"],
+                }
+            )
+
+        (
+            ray.data.read_parquet(lex_files)
+            .map_batches(add_rev, batch_format="pyarrow")
+            .sort("rev_term")
+            .write_parquet(tmp_dir)
         )
-
-    ds = (
-        ray.data.read_parquet(lex_files)
-        .map_batches(add_rev, batch_format="pyarrow")
-        .sort("rev_term")
-    )
-    ds.write_parquet(rev_dir)
-    return ds.count()
+        # row count from source parquet metadata — the sort pipeline is
+        # lazy and a ds.count() here would re-execute it end to end
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in lex_files)
+    if os.path.exists(rev_dir):
+        _shutil.rmtree(rev_dir)
+    os.rename(tmp_dir, rev_dir)
+    return n
 
 
 def find_docs(index_dir: str, col: str, values: list) -> pa.Table:

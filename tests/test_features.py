@@ -627,3 +627,53 @@ def test_reverse_lexicon_probe_matches_sweep(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="limit"):
         s2.lexicon.wildcard_terms("*ow", limit=3)
+
+
+def test_reverse_lexicon_invalidated_by_append(ray_session, tmp_path):
+    """Rewriting the lexicon (append) must drop the reversed sidecar: a
+    suffix wildcard after the append sees the NEW vocabulary (sweep
+    fallback) instead of silently probing the stale rev table."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, append_index, build_index
+    from index_ray.pipelines.query import BM25Searcher, build_reverse_lexicon
+
+    d = tmp_path / "ri"
+    d.mkdir()
+    cfg = BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                      chunk_docs=100, num_parts=4, salt_docs=64)
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["window row", "plain filler"], pa.string()),
+            }
+        ),
+        str(d / "base.parquet"),
+    )
+    idx = str(tmp_path / "ri_idx")
+    build_index(str(d / "base.parquet"), idx, cfg)
+    build_reverse_lexicon(idx)
+    s = BM25Searcher(idx, num_shards=1)
+    assert s.lexicon.wildcard_terms("*ow") == ["row", "window"]
+
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([2], pa.int64()),
+                "text": pa.array(["shadow crow"], pa.string()),
+            }
+        ),
+        str(d / "more.parquet"),
+    )
+    append_index(str(d / "more.parquet"), idx, cfg)
+    assert not _os.path.isdir(_os.path.join(idx, "lexicon_rev"))  # dropped
+    s2 = BM25Searcher(idx, num_shards=1)
+    assert s2.lexicon.wildcard_terms("*ow") == ["crow", "row", "shadow", "window"]
+    # rebuilding the sidecar restores the probe path over the new vocab
+    build_reverse_lexicon(idx)
+    s3 = BM25Searcher(idx, num_shards=1)
+    assert s3.lexicon.wildcard_terms("*ow") == ["crow", "row", "shadow", "window"]
