@@ -200,10 +200,13 @@ def run_bench() -> dict:
             ("snapshot_diff", lambda: flagship.snapshot_diff(SF_DIR)),
             ("phrase_suggest", lambda: flagship.phrase_suggest(SF_DIR)),
             ("function_score_bm25", lambda: flagship.function_score_bm25(SF_DIR)),
-            # round-4 additions: the reshaped per-block top-k combiner and
-            # the 2-bit style-enum build+rank path
+            # round-4 additions: the reshaped per-block top-k combiner,
+            # the 2-bit style-enum build+rank path, and the dis_max /
+            # wildcard query surfaces (both reuse already-built indexes)
             ("top_terms", lambda: text.top_terms(SF_DIR)),
             ("bm25_style_enum", lambda: flagship.bm25_style_enum(SF_DIR)),
+            ("dismax_search", lambda: flagship.dismax_search(SF_DIR)),
+            ("wildcard_search", lambda: flagship.wildcard_search(SF_DIR)),
         ]:
             runs = []
             for _ in range(2):
