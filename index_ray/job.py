@@ -60,6 +60,10 @@ def _build_cfg(a: argparse.Namespace):
         kw["shuffle"] = a.shuffle
     if a.style_head:
         kw["style_head"] = a.style_head
+    if getattr(a, "style_levels", None):
+        kw["style_levels"] = tuple(
+            int(x) for x in a.style_levels.split(",") if x
+        )
     return BuildConfig(**kw)
 
 
@@ -161,6 +165,26 @@ def _cmd_snapshot(a: argparse.Namespace) -> dict:
     return {"version": snapshot_index(a.index)}
 
 
+def _cmd_rollback(a: argparse.Namespace) -> dict:
+    from .state.snapshots import rollback_to_snapshot
+
+    st = rollback_to_snapshot(a.index, a.version)
+    return {"version": a.version, **_stats_summary(st)}
+
+
+def _cmd_expire(a: argparse.Namespace) -> dict:
+    from .state.snapshots import expire_snapshots
+
+    return {"expired": expire_snapshots(a.index, keep_last=a.keep_last)}
+
+
+def _cmd_reverse_lexicon(a: argparse.Namespace) -> dict:
+    from .pipelines.query import build_reverse_lexicon
+
+    _init_ray()
+    return {"terms": build_reverse_lexicon(a.index)}
+
+
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(prog="python -m index_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +200,8 @@ def main(argv: list[str] | None = None) -> dict:
         b.add_argument("--positions", action="store_true")
         b.add_argument("--field-col", default=None)
         b.add_argument("--style-head", type=int, default=0)
+        b.add_argument("--style-levels", default=None,
+                       help="3 ascending ints, comma-sep (2-bit style enum)")
         b.add_argument("--shuffle", choices=["bucket", "sort", "hash"], default=None)
         if name == "upsert":
             b.add_argument(
@@ -224,6 +250,23 @@ def main(argv: list[str] | None = None) -> dict:
     sn = sub.add_parser("snapshot", help="publish the current state as a version")
     sn.add_argument("--index", required=True)
     sn.set_defaults(fn=_cmd_snapshot)
+
+    rb = sub.add_parser("rollback", help="restore a published version in place")
+    rb.add_argument("--index", required=True)
+    rb.add_argument("--version", type=int, required=True)
+    rb.set_defaults(fn=_cmd_rollback)
+
+    ex = sub.add_parser("expire-snapshots", help="drop old versions")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--keep-last", type=int, default=2)
+    ex.set_defaults(fn=_cmd_expire)
+
+    rl = sub.add_parser(
+        "reverse-lexicon",
+        help="(re)build the reversed-term sidecar for suffix wildcards",
+    )
+    rl.add_argument("--index", required=True)
+    rl.set_defaults(fn=_cmd_reverse_lexicon)
 
     a = p.parse_args(argv)
     out = a.fn(a)

@@ -126,3 +126,40 @@ def test_upsert_cli(tiny_corpus_dir, tmp_path):
     r = main(["query", "--index", out, "--q", "qqrecrawled", "--k", "5"])
     assert len(r["rows"]) == 3
     assert all(row["docID"] >= 200 for row in r["rows"])
+
+
+def test_snapshot_rollback_and_reverse_lexicon_cli(tiny_corpus_dir, tmp_path):
+    """The remaining operational surface: snapshot/rollback round-trips the
+    delete, expire-snapshots prunes versions, and reverse-lexicon builds
+    the suffix-wildcard sidecar."""
+    import os
+
+    idx = str(tmp_path / "ops")
+    main(["build", "--source", tiny_corpus_dir, "--out", idx,
+          "--chunk-docs", "100"])
+    v = main(["snapshot", "--index", idx])["version"]
+    before = main(["stats", "--index", idx])
+
+    main(["delete", "--index", idx, "--ids", "0,1,2"])
+    assert main(["stats", "--index", idx])["n_tombstoned"] == 3
+
+    r = main(["rollback", "--index", idx, "--version", str(v)])
+    assert r["n_tombstoned"] == 0 and r["N"] == before["N"]
+
+    ls = main(["snapshots", "--index", idx])["snapshots"]
+    assert any(m["version"] == v for m in ls)
+    main(["expire-snapshots", "--index", idx, "--keep-last", "1"])
+
+    n = main(["reverse-lexicon", "--index", idx])["terms"]
+    assert n > 0 and os.path.isdir(os.path.join(idx, "lexicon_rev"))
+
+
+def test_style_levels_cli(tiny_corpus_dir, tmp_path):
+    idx = str(tmp_path / "sl")
+    main(["build", "--source", tiny_corpus_dir, "--out", idx,
+          "--chunk-docs", "100", "--style-levels", "4,16,64"])
+    from index_ray.pipelines.build import load_stats
+
+    assert load_stats(idx)["style_levels"] == [4, 16, 64]
+    r = main(["query", "--index", idx, "--q", "connection", "--k", "5"])
+    assert len(r["rows"]) > 0
