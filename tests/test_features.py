@@ -677,3 +677,47 @@ def test_reverse_lexicon_invalidated_by_append(ray_session, tmp_path):
     build_reverse_lexicon(idx)
     s3 = BM25Searcher(idx, num_shards=1)
     assert s3.lexicon.wildcard_terms("*ow") == ["crow", "row", "shadow", "window"]
+
+
+def test_reverse_lexicon_crash_window_is_harmless(ray_session, tmp_path):
+    """A leftover tmp dir from a killed build_reverse_lexicon never
+    affects readers (they only look at lexicon_rev/), and a rebuild
+    publishes atomically over both the tmp and any previous sidecar."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher, build_reverse_lexicon
+
+    d = tmp_path / "cw"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["window row"], pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "cw_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    # simulate a crash: partial tmp dir with a corrupt parquet
+    stale = _os.path.join(idx, "lexicon_rev.tmp-99999")
+    _os.makedirs(stale)
+    with open(_os.path.join(stale, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    s = BM25Searcher(idx, num_shards=1)
+    assert s.lexicon.wildcard_terms("*ow") == ["row", "window"]  # sweep path
+    n = build_reverse_lexicon(idx)
+    assert n == 2
+    s2 = BM25Searcher(idx, num_shards=1)
+    assert s2.lexicon.wildcard_terms("*ow") == ["row", "window"]  # probe path
+    _shutil.rmtree(stale, ignore_errors=True)
