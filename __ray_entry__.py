@@ -55,17 +55,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multimodal); redundant same-family variants sit below the fold.
     return {
         # ---- positions 1-50: the driver verifies these (dict order).
-        # Round-4 fold rotation: 46 entries that had never received a
-        # driver verdict through r03 (every one SQL-oracled) plus 4
-        # canaries; same-family reps verified in earlier rounds sit
-        # below the fold, unchanged and still pytest/oracle-covered.
-        # canary: the index itself (build -> varint -> BM25 top-k)
+        # Round-5 FINAL fold rotation (VERDICT r04 ask #1): the 50
+        # never-driver-verified SQL-oracled entries.  With this fold
+        # green, 192 of 204 entries carry a driver hash-verdict; the
+        # 12 left out are the documented approximate/no-SQL variants
+        # (plus bpe_consistency / media_features), every one pinned by
+        # a driver-green oracle-backed twin from an earlier fold
+        # (bpe_encode_consistency r04, media_consistency r03, the
+        # *_knn/lsh consistency rows in THIS fold).
+        "bm25_style_enum": flagship.bm25_style_enum,
+        "dismax_search": flagship.dismax_search,
+        "wildcard_search": flagship.wildcard_search,
+        "fingerprints": textstats.fingerprints,
+        "decontaminate_bloom": curation.decontaminate_bloom,
+        "decontaminate_fuzzy": curation.decontaminate_fuzzy,
+        "centroid_classify": similarity.centroid_classify,
+        "cohort_retention": events.cohort_retention,
+        "ohlc_bars": events.ohlc_bars,
+        "quality_filter": curation.quality_filter,
+        "code_stats": curation.code_stats,
+        "media_phash_dedup": multimodal.media_phash_dedup,
+        "hll_intersections": sketches.hll_intersections,
+        "repetition_stats": curation.repetition_stats,
+        "stratified_sample": curation.stratified_sample,
+        "merged_bm25": flagship.merged_bm25,
+        "prf_search": flagship.prf_search,
+        "bm25_filtered": flagship.bm25_filtered,
+        "bm25_explain": flagship.bm25_explain,
+        "match_stats": flagship.match_stats,
+        "bm25_range": flagship.bm25_range,
+        "top_terms_by_source": text.top_terms_by_source,
+        "repeated_ngrams": dedup.repeated_ngrams,
+        "group_sample": curation.group_sample,
+        "term_cooccurrence": text.term_cooccurrence,
+        "dup_weights": dedup.dup_weights,
+        "bm25_msm_topk": flagship.bm25_msm_topk,
+        "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
+        "bm25_synonyms": flagship.bm25_synonyms,
+        "bm25_collapse": flagship.bm25_collapse,
+        "ranker_agreement": flagship.ranker_agreement,
+        "index_filter_docs": flagship.index_filter_docs,
+        "group_topk": curation.group_topk,
+        "chunk_documents": curation.chunk_documents,
+        "minhash_probe_consistency": dedup.minhash_probe_consistency,
+        "quantize_embeddings": similarity.quantize_embeddings,
+        "pq_knn_consistency": similarity.pq_knn_consistency,
+        "audio_features": multimodal.audio_features,
+        "video_frame_sample": multimodal.video_frame_sample,
+        "dedup_canonical": dedup.dedup_canonical,
+        "hot_ngrams": dedup.hot_ngrams,
+        "bigram_counts": text.bigram_counts,
+        "user_outlier_events": events.user_outlier_events,
+        "ivf_knn_consistency": similarity.ivf_knn_consistency,
+        "token_count_bpe": textstats.token_count_bpe,
+        "lm_bigram_score": textstats.lm_bigram_score,
+        "skipgram_counts": text.skipgram_counts,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "cosine_similarity_join": _cosine_similarity_join_q,
+        "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
+        # ---- position 51+ (driver-unchecked this round): every entry
+        # ---- below was hash-green in an r01-r04 fold, except the 12
+        # ---- rows-only/twinned variants named above; all remain
+        # ---- pytest- and tools/check_oracles.py-covered.
         "bm25_topk": flagship.bm25_topk,
-        # canary: reference A1/A2 term/corpus statistics
         "term_stats": text.term_stats,
-        # canary: the r02-regression hash_groupby kernel
         "windowed_events": text.windowed_events,
-        # canary+reshape: global top-k now per-block combiner + driver merge
         "top_terms": text.top_terms,
         "lm_dirichlet_topk": flagship.lm_dirichlet_topk,
         "mmr_rerank": flagship.mmr_rerank,
@@ -111,23 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": textstats.dsir_importance,
         "strip_dup_spans": dedup.strip_dup_spans,
         "set_similarity_join": _set_similarity_join_q,
-        # family-coverage slots (VERDICT r03 #5): the BPE trainer via its
-        # driver-side re-encode equality row, and semdedup via its twin
         "bpe_encode_consistency": _bpe_encode_consistency_q,
         "semdedup_consistency": similarity.semdedup_consistency,
-        # ---- position 51+ (driver-unchecked this round; 104 of these
-        # ---- are green from r01-r03 folds, the rest remain pytest- and
-        # ---- tools/check_oracles.py-covered until the r05 rotation).
-        # ---- ROUND-5 PLAN: 54 entries have never had a driver verdict
-        # ---- after this round — the 48 pre-checked green by
-        # ---- tools/check_oracles.py at sf0.01 in round 4, plus the new
-        # ---- bm25_style_enum, audio_features, cosine_similarity_join,
-        # ---- dismax_search, wildcard_search and decontaminate_fuzzy.
-        # ---- One final rotation
-        # ---- putting 50 of them at positions 1-50 (leave out four
-        # ---- rows-only approximate variants, whose oracle-backed
-        # ---- consistency twins rotate in instead) completes per-entry
-        # ---- driver coverage of the surface. ----
         "curate_corpus": curation.curate_corpus,
         "pricing_summary": relational.pricing_summary,
         "session_concurrency": events.session_concurrency,
@@ -155,13 +194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": flagship.hapax_stats,
         "search_after_topk": flagship.search_after_topk,
         "bm25_style_boost": flagship.bm25_style_boost,
-        # 2-bit 4-class style enum (reference index.h:44-49), wire
-        # (tf << 2) | class, per-class rank-time weights
-        "bm25_style_enum": flagship.bm25_style_enum,
-        # ES dis_max: best-field max + tie-breaker over head/body subqueries
-        "dismax_search": flagship.dismax_search,
-        # suffix/infix wildcard expansion (*s, a*b) over the lexicon
-        "wildcard_search": flagship.wildcard_search,
         "line_dedup": dedup.line_dedup,
         "minhash_exact_consistency": dedup.minhash_exact_consistency,
         "simhash_dedup": dedup.simhash_dedup,
@@ -183,22 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": curation.split_leakage,
         "collocations": text.collocations,
         "language_id": textstats.language_id,
-        "fingerprints": textstats.fingerprints,
-        "decontaminate_bloom": curation.decontaminate_bloom,
-        # near-dup (3-gram Jaccard) train-vs-benchmark contamination
-        "decontaminate_fuzzy": curation.decontaminate_fuzzy,
-        "centroid_classify": similarity.centroid_classify,
-        "cohort_retention": events.cohort_retention,
-        "ohlc_bars": events.ohlc_bars,
-        "quality_filter": curation.quality_filter,
-        "code_stats": curation.code_stats,
-        "media_phash_dedup": multimodal.media_phash_dedup,
-        "hll_intersections": sketches.hll_intersections,
-        "repetition_stats": curation.repetition_stats,
         "bpe_consistency": _bpe_consistency_q,
         "bm25_after_delete": flagship.bm25_after_delete,
         "doc_lookup": flagship.doc_lookup,
-        "stratified_sample": curation.stratified_sample,
         "keywords_tfidf": text.keywords_tfidf,
         "top_customers_by_segment": relational.top_customers_by_segment,
         "asof_purchase_click": events.asof_purchase_click,
@@ -214,23 +233,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not_topk": flagship.bm25_not_topk,
         "bm25_topk_meta": flagship.bm25_topk_meta,
         "doc_lengths": text.doc_lengths,
-        "merged_bm25": flagship.merged_bm25,
-        "prf_search": flagship.prf_search,
-        "bm25_filtered": flagship.bm25_filtered,
-        "bm25_explain": flagship.bm25_explain,
-        "match_stats": flagship.match_stats,
-        "bm25_range": flagship.bm25_range,
-        "top_terms_by_source": text.top_terms_by_source,
-        "repeated_ngrams": dedup.repeated_ngrams,
-        "group_sample": curation.group_sample,
         "orders_by_nation": relational.orders_by_nation,
         "value_percentiles": events.value_percentiles,
         "quality_stats": text.quality_stats,
         "token_count_by_lang": text.token_count_by_lang,
         "regex_search": text.regex_search,
         "term_freq_spectrum": text.term_freq_spectrum,
-        "term_cooccurrence": text.term_cooccurrence,
-        "dup_weights": dedup.dup_weights,
         "revenue_by_month": relational.revenue_by_month,
         "revenue_by_segment": relational.revenue_by_segment,
         "parts_revenue_by_brand": relational.parts_revenue_by_brand,
@@ -251,44 +259,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": flagship.search_snippets,
         "bm25_head_boost": flagship.bm25_head_boost,
         "bm25_field_scoped": flagship.bm25_field_scoped,
-        "bm25_msm_topk": flagship.bm25_msm_topk,
-        "bm25_fuzzy_topk": flagship.bm25_fuzzy_topk,
-        "bm25_synonyms": flagship.bm25_synonyms,
-        "bm25_collapse": flagship.bm25_collapse,
-        "ranker_agreement": flagship.ranker_agreement,
-        "index_filter_docs": flagship.index_filter_docs,
-        "group_topk": curation.group_topk,
-        "chunk_documents": curation.chunk_documents,
         "sha256_map": text.sha256_map,
         "minhash_dedup": dedup.minhash_dedup,
-        "minhash_probe_consistency": dedup.minhash_probe_consistency,
-        "quantize_embeddings": similarity.quantize_embeddings,
         "minhash_clusters": dedup.minhash_clusters,
         "ngram_jaccard_lsh": dedup.ngram_jaccard_lsh,
-        "pq_knn_consistency": similarity.pq_knn_consistency,
         "semdedup": similarity.semdedup,
         "lsh_knn_cosine": similarity.lsh_knn_cosine,
         "ivf_knn_cosine": similarity.ivf_knn_cosine,
         "pq_knn_cosine": similarity.pq_knn_cosine,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "media_features": multimodal.media_features,
-        # audio sibling: PCM toy codec decode -> integer-exact features
-        "audio_features": multimodal.audio_features,
-        "video_frame_sample": multimodal.video_frame_sample,
         "bpe_train": _bpe_train_q,
         "bpe_encode": _bpe_encode_q,
-        "dedup_canonical": dedup.dedup_canonical,
-        "hot_ngrams": dedup.hot_ngrams,
-        "bigram_counts": text.bigram_counts,
-        "user_outlier_events": events.user_outlier_events,
-        "ivf_knn_consistency": similarity.ivf_knn_consistency,
-        "token_count_bpe": textstats.token_count_bpe,
-        "lm_bigram_score": textstats.lm_bigram_score,
-        "skipgram_counts": text.skipgram_counts,
-        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
-        # weighted (tf-idf) cosine similarity join, AllPairs prefix filter
-        "cosine_similarity_join": _cosine_similarity_join_q,
-        "embedding_lsh_consistency": similarity.embedding_lsh_consistency,
     }
 
 

@@ -377,6 +377,10 @@ def build_reverse_lexicon(index_dir: str) -> int:
     tmp_dir = rev_dir + f".tmp-{os.getpid()}"
     if os.path.exists(tmp_dir):
         _shutil.rmtree(tmp_dir)
+    # stale tmp/aside dirs from a crashed pass (any pid) are inert to
+    # readers (wildcard_terms checks `lexicon_rev` exactly) — reap them
+    for stale in glob.glob(rev_dir + ".tmp-*") + glob.glob(rev_dir + ".old-*"):
+        _shutil.rmtree(stale, ignore_errors=True)
     total_bytes = sum(os.path.getsize(f) for f in lex_files)
     if total_bytes < 256 << 20:
         os.makedirs(tmp_dir, exist_ok=True)
@@ -419,9 +423,20 @@ def build_reverse_lexicon(index_dir: str) -> int:
         # row count from source parquet metadata — the sort pipeline is
         # lazy and a ds.count() here would re-execute it end to end
         n = sum(pq.ParquetFile(f).metadata.num_rows for f in lex_files)
+    # Publish: rename the OLD dir aside first, then rename the new one
+    # into place, and rmtree the aside copy LAST.  rmtree(rev_dir) before
+    # the rename would leave a window where a crashed pass (or a reader
+    # globbing mid-delete) sees a partially deleted dir that still passes
+    # the isdir check in wildcard_terms — a truncated vocabulary, silently.
+    # With rename-aside, both renames are atomic: readers only ever see
+    # the old complete dir, no dir, or the new complete dir.
+    aside = rev_dir + f".old-{os.getpid()}"
+    if os.path.exists(aside):
+        _shutil.rmtree(aside)
     if os.path.exists(rev_dir):
-        _shutil.rmtree(rev_dir)
+        os.rename(rev_dir, aside)
     os.rename(tmp_dir, rev_dir)
+    _shutil.rmtree(aside, ignore_errors=True)
     return n
 
 
@@ -2648,6 +2663,20 @@ class FederatedBM25:
         self.n = int(sum(s["N"] for s in statss))
         total_tokens = int(sum(s["total_tokens"] for s in statss))
         self.avgdl = (total_tokens / self.n) if self.n else 0.0
+        # Style postings change the WIRE FORMAT ((tf << bits) | class);
+        # scoring a style-built partition with style_bits=0 would read the
+        # packed slot as tf, inflating every tf 2-4x.  Mirror the
+        # tokenizer-agreement check: all partitions must agree, and the
+        # common width propagates to every shard.
+        bitss = {
+            2 if s.get("style_levels") else (1 if s.get("style_head") else 0)
+            for s in statss
+        }
+        if len(bitss) != 1:
+            raise ValueError(
+                f"partitions disagree on style wire format ({sorted(bitss)}-bit)"
+            )
+        self.style_bits = bitss.pop()
         self.lexicons = [Lexicon(d, s["N"]) for d, s in zip(index_dirs, statss)]
         self.actors = []
         for d in index_dirs:
@@ -2657,7 +2686,9 @@ class FederatedBM25:
             tomb = load_tombstones(d)
             tomb_ref = ray.put(tomb) if len(tomb) else None
             self.actors.append(
-                SearchShard.remote(chunk_dirs, float(self.avgdl), tomb_ref, False)
+                SearchShard.remote(
+                    chunk_dirs, float(self.avgdl), tomb_ref, self.style_bits
+                )
             )
         ray.get([a.ready.remote() for a in self.actors])
 
@@ -2996,6 +3027,7 @@ class QueryCache:
         # memoized per (path, size, mtime_ns): the files are immutable
         # once written, so a long delete history costs one stat per file
         # per lookup, not a re-read of every tombstone on the hot path.
+        seen: dict[tuple, str] = {}
         for t in sorted(
             glob.glob(os.path.join(d, "tombstones", "*.parquet"))
         ):
@@ -3005,9 +3037,14 @@ class QueryCache:
             if ch is None:
                 with open(t, "rb") as f:
                     ch = hashlib.sha256(f.read()).hexdigest()
-                self._tomb_hash_memo[memo_key] = ch
+            seen[memo_key] = ch
             h.update(os.path.basename(t).encode())
             h.update(ch.encode())
+        # keep only keys seen in THIS glob: tombstones removed by rollback
+        # or purging compaction would otherwise leave dead entries and a
+        # long-lived process cycling deletes/rollbacks grows the memo
+        # without bound
+        self._tomb_hash_memo = seen
         return h.hexdigest()
 
     def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:

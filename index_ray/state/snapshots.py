@@ -226,6 +226,12 @@ def rollback_to_snapshot(out_dir: str, version: int) -> dict:
         os.rename(live, old)
     os.rename(tmp, live)
     shutil.rmtree(old, ignore_errors=True)
+    # The reverse-lexicon sidecar indexes the lexicon it was built FROM;
+    # after the swap it may describe a different vocabulary (merge_lexicon
+    # drops it on every rewrite for the same reason).  Remove it so suffix
+    # wildcards fall back to the exact sweep until build_reverse_lexicon
+    # re-runs against the restored lexicon.
+    shutil.rmtree(os.path.join(out_dir, "lexicon_rev"), ignore_errors=True)
     from .manifest import write_json_atomic  # commit point
 
     write_json_atomic(os.path.join(out_dir, "stats.json"), m["stats"])

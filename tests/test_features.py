@@ -721,3 +721,52 @@ def test_reverse_lexicon_crash_window_is_harmless(ray_session, tmp_path):
     s2 = BM25Searcher(idx, num_shards=1)
     assert s2.lexicon.wildcard_terms("*ow") == ["row", "window"]  # probe path
     _shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_reverse_lexicon_publish_never_half_deleted(ray_session, tmp_path):
+    """The publish is rename-aside (old -> .old-pid, tmp -> live, reap
+    aside last), never rmtree-then-rename: at every intermediate state
+    lexicon_rev/ is either a COMPLETE old sidecar, absent, or a COMPLETE
+    new one — a reader can never glob a half-deleted dir that still
+    passes isdir.  A stale aside dir from a killed pass is reaped by the
+    next rebuild and is invisible to readers meanwhile."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.pipelines.query import BM25Searcher, build_reverse_lexicon
+
+    d = tmp_path / "pa"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["window row", "shadow crow"], pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "pa_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    build_reverse_lexicon(idx)
+    want = ["crow", "row", "shadow", "window"]
+    assert BM25Searcher(idx, num_shards=1).lexicon.wildcard_terms("*ow") == want
+
+    # simulate a pass killed between the two renames: live sidecar moved
+    # aside, new one not yet in place -> readers fall back to the sweep
+    rev = _os.path.join(idx, "lexicon_rev")
+    _os.rename(rev, rev + ".old-424242")
+    assert BM25Searcher(idx, num_shards=1).lexicon.wildcard_terms("*ow") == want
+    # the next rebuild publishes a complete sidecar and reaps the aside
+    n = build_reverse_lexicon(idx)
+    assert n == 4
+    assert _glob.glob(rev + ".old-*") == [] and _glob.glob(rev + ".tmp-*") == []
+    assert BM25Searcher(idx, num_shards=1).lexicon.wildcard_terms("*ow") == want

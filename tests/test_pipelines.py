@@ -1552,6 +1552,15 @@ def test_query_cache_rollback_same_cardinality_not_stale(
     assert b not in r2["docID"].to_pylist()  # stale A-state would keep b
     assert a in r2["docID"].to_pylist()
     assert cache.misses == 2  # both states executed, nothing served stale
+    # memo hygiene: the rollback deleted A-state's tombstone file, so its
+    # entry must be evicted — only files seen by the latest glob survive
+    # (a long-lived process cycling deletes/rollbacks stays bounded)
+    import glob as _glob
+    import os
+
+    live_tombs = set(_glob.glob(os.path.join(idx, "tombstones", "*.parquet")))
+    assert {k[0] for k in cache._tomb_hash_memo} <= live_tombs
+    assert len(cache._tomb_hash_memo) == len(live_tombs)
 
 
 def test_audio_pcma_roundtrip_and_stub():

@@ -187,3 +187,38 @@ def test_rollback_and_expire(ray_session, tmp_path):
     snaps = list_snapshots(idx)
     assert len(snaps) == min(2, n_before)
     assert all(r < snaps[0]["version"] for r in retired)
+
+
+def test_rollback_drops_reverse_lexicon(ray_session, tmp_path):
+    """rollback_to_snapshot swaps the live lexicon; a reverse-lexicon
+    sidecar built for the PRE-rollback vocabulary must go with it —
+    otherwise suffix wildcards probe phantom terms (or silently miss
+    ones the restored lexicon has).  After the rollback the sweep
+    fallback serves correct results; rebuilding the sidecar restores
+    the probe path over the restored vocabulary."""
+    from index_ray.pipelines.query import build_reverse_lexicon
+    from index_ray.state.snapshots import rollback_to_snapshot, snapshot_index
+
+    d = tmp_path / "rrl"
+    d.mkdir()
+    cfg = BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                      **TINY_CFG)
+    _write_docs(d / "base.parquet", [0, 1], ["window row", "plain filler"])
+    _write_docs(d / "more.parquet", [2], ["shadow crow gown"])
+    idx = str(tmp_path / "rrl_idx")
+    build_index(str(d / "base.parquet"), idx, cfg)
+    v = snapshot_index(idx)
+    append_index(str(d / "more.parquet"), idx, cfg)
+    build_reverse_lexicon(idx)  # sidecar indexes the POST-append vocab
+    assert BM25Searcher(idx, num_shards=1).lexicon.wildcard_terms("*ow") == [
+        "crow", "row", "shadow", "window",
+    ]
+
+    rollback_to_snapshot(idx, v)
+    assert not os.path.isdir(os.path.join(idx, "lexicon_rev"))  # dropped
+    s = BM25Searcher(idx, num_shards=1)
+    assert s.lexicon.wildcard_terms("*ow") == ["row", "window"]  # sweep
+    n = build_reverse_lexicon(idx)
+    assert n == len(s.lexicon._map)
+    s2 = BM25Searcher(idx, num_shards=1)
+    assert s2.lexicon.wildcard_terms("*ow") == ["row", "window"]  # probe

@@ -397,3 +397,42 @@ def test_style_enum_validation(tmp_path):
                         chunk_docs=100, num_parts=4, salt_docs=64,
                         style_levels=(16, 8, 4)),
         )
+
+
+# ------------------------------------------------- federated x styles ----
+
+
+def test_federated_respects_style_wire(ray_session, tmp_path):
+    """FederatedBM25 over style-built partitions must decode the packed
+    (tf << bits) | class wire slot, not score it as raw tf (which would
+    inflate every tf 2-4x).  With the default weight 1.0 the styled
+    scores equal the plain index's scores, so three views must agree
+    bitwise: federated-styled == fused-styled == fused-plain."""
+    from index_ray.pipelines.query import FederatedBM25
+
+    path, texts = _style_corpus(tmp_path)
+    t = pq.read_table(path)
+    half = len(t) // 2
+    lo, hi = str(tmp_path / "lo.parquet"), str(tmp_path / "hi.parquet")
+    pq.write_table(t.slice(0, half), lo)
+    pq.write_table(t.slice(half), hi)
+    idx_lo = _build_enum(lo, tmp_path / "fed_lo")
+    idx_hi = _build_enum(hi, tmp_path / "fed_hi")
+    fused_styled = _build_enum(path, tmp_path / "fed_all")
+    fused_plain = _build(path, tmp_path / "fed_plain")
+
+    fed = FederatedBM25([idx_lo, idx_hi])
+    assert fed.style_bits == 2
+    qs = [("needle alpha", 10), ("beta gamma", 10)]
+    got = fed.search_many(qs)
+    want_styled = BM25Searcher(fused_styled).search_many(qs)
+    want_plain = BM25Searcher(fused_plain).search_many(qs)
+    for g, ws, wp in zip(got, want_styled, want_plain):
+        assert g["docID"].to_pylist() == ws["docID"].to_pylist()
+        assert g["score"].to_pylist() == ws["score"].to_pylist()  # bitwise
+        assert g["docID"].to_pylist() == wp["docID"].to_pylist()
+        assert g["score"].to_pylist() == wp["score"].to_pylist()
+
+    # mixed wire formats must refuse, mirroring the tokenizer check
+    with pytest.raises(ValueError, match="style wire"):
+        FederatedBM25([idx_lo, fused_plain])
