@@ -35,9 +35,16 @@ _SIDE = "__jside__"
 
 
 def _knuth_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic multiplicative hash -> bucket id (int64 keys)."""
-    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    return (h >> np.uint64(33)).astype(np.int64) % num_buckets
+    """Deterministic hash -> bucket id.  Int64 keys take the multiplicative
+    fast path; any other dtype (strings included) hashes through pandas'
+    deterministic array hash — the same kernel ``util._bucket_of`` relies
+    on across workers."""
+    if np.issubdtype(keys.dtype, np.integer):
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (h >> np.uint64(33)).astype(np.int64) % num_buckets
+    import pandas as pd
+
+    return (pd.util.hash_array(keys) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def _tag(side: int, on: str, num_buckets: int):
@@ -58,7 +65,8 @@ def hash_join(
     num_buckets: int = 64,
     how: str = "inner",
 ) -> ray.data.Dataset:
-    """Join two Datasets on an int64 key column via ONE bucket shuffle.
+    """Join two Datasets on a key column (int64 or string) via ONE bucket
+    shuffle.
 
     Column names (other than ``on``) must be disjoint between the sides.
     ``how`` is forwarded to the per-bucket ``pa.Table.join`` ("inner",

@@ -20,9 +20,12 @@ Distributed shape (three stages, no raw record ever shuffles twice):
 1. token DF: per-batch distinct-(record, token) counts -> one tiny
    groupby (vocabulary-sized result, broadcast back as a rank array).
 2. prefix index: each record emits only its p prefix-token rows
-   (token-rank, id); ``groupby(tok)`` buckets candidates; a vectorized
-   triu per bucket yields pairs.  Rare-first ordering makes the hottest
-   (most frequent) tokens the ones LEAST emitted — the skew antidote.
+   (token-rank, id); a tok-keyed shuffle buckets candidates and each
+   bucket emits bounded TILE DESCRIPTORS (``_tiles_by_tok``) expanded to
+   pairs in small batches — a hot token the filter fails to prune never
+   puts O(g^2) rows in one worker heap.  Rare-first ordering makes the
+   hottest (most frequent) tokens the ones LEAST emitted — the skew
+   antidote.
 3. exact verify: candidate ids' full token-rank sets are re-derived
    behind a broadcast id filter and every candidate pair gets an exact
    integer Jaccard via the run-gather + lexsort kernel shared with
@@ -172,28 +175,22 @@ def set_similarity_join(sf_dir: str, threshold_pct: int = 50) -> pa.Table:
         (vocab[v_order], np.arange(len(vocab), dtype=np.int64)[v_order])
     )
 
-    # stage 2: prefix index -> candidate pairs per token bucket
-    def bucket_cands(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        if len(ids) > MAX_BUCKET:
-            _LOG.warning(
-                "set-similarity bucket with %d members (> %d)", len(ids), MAX_BUCKET
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+    # stage 2: prefix index -> candidate pairs per token bucket, emitted
+    # as bounded TILE DESCRIPTORS (``_tiles_by_tok``) and expanded in
+    # small batches — a hot token the prefix filter fails to prune can
+    # no longer put O(g^2) rows in one worker heap (r04 ADVICE finding)
+    from ..util import hash_groupby
 
     cand = pairs_table(
-        parts.map_batches(
-            stage_fn(_PrefixEmit, vocab_ref, threshold_pct),
-            batch_format="pyarrow",
-            batch_size=8192,
-        )
-        .groupby("tok")
-        .map_groups(bucket_cands, batch_format="pyarrow")
+        hash_groupby(
+            parts.map_batches(
+                stage_fn(_PrefixEmit, vocab_ref, threshold_pct),
+                batch_format="pyarrow",
+                batch_size=8192,
+            ),
+            keys=["tok"],
+            finalize=_tiles_by_tok,
+        ).map_batches(_expand_tiles, batch_format="pyarrow", batch_size=4)
     )
     if cand.num_rows == 0:
         return pa.table(
@@ -330,51 +327,127 @@ def linkage_clusters_sql_oracle(threshold_pct: int = 50) -> str:
 # ------------------------------------------ weighted (tf-idf) cosine join ----
 
 
-class _MaxNormW:
-    """batch -> per-term MAX normalized tf-idf weight partials (ord, maxw)
-    — the global per-term bound the AllPairs prefix filter needs."""
+class _DocTermRows:
+    """batch -> (doc_id, term, tf) rows — the map side of the term join."""
 
-    def __init__(self, vocab_ref):
-        self.terms, self.idf, self.ord = ray.get(vocab_ref)
+    def __init__(self, mode: str = "simple", text_col: str = "text"):
+        from ..functions.tokenize import TokenNormalizer
 
-    def _doc_vectors(self, batch: pa.Table):
-        """(doc_row, ord, w, norm_per_row) for every (doc, term) pair."""
-        from ..functions.tokenize import TokenNormalizer, tokenize_batch
-
-        docc, tid, vocab = tokenize_batch(
-            batch["text"], TokenNormalizer("simple")
-        )
-        if len(docc) == 0:
-            z = np.empty(0, np.int64)
-            return z, z, np.empty(0, np.float64), np.empty(0, np.float64)
-        nv = max(len(vocab), 1)
-        key = docc.astype(np.int64) * nv + tid
-        uniq, inv, tf = np.unique(key, return_inverse=True, return_counts=True)
-        d = uniq // nv
-        t_loc = uniq % nv
-        g = np.searchsorted(self.terms, np.asarray(vocab))[t_loc]
-        w = tf.astype(np.float64) * self.idf[g]
-        norm2 = np.bincount(d, weights=w * w)
-        norm = np.sqrt(norm2)[d]
-        return d, self.ord[g], w, norm
+        self.norm = TokenNormalizer(mode)
+        self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        d, o, w, norm = self._doc_vectors(batch)
+        from ..functions.tokenize import doc_term_tf
+
+        d, tid, tf, vocab = doc_term_tf(batch[self.text_col], self.norm)
         if len(d) == 0:
             return pa.table(
-                {"ord": pa.array([], pa.int64()), "maxw": pa.array([], pa.float64())}
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
             )
-        nw = w / norm
-        # per-ord max partial
-        order = np.argsort(o)
-        o_s, nw_s = o[order], nw[order]
-        starts = np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "ord": pa.array(o_s[starts], pa.int64()),
-                "maxw": pa.array(np.maximum.reduceat(nw_s, starts)),
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "term": pa.array(np.asarray(vocab, dtype=object)[tid], pa.string()),
+                "tf": pa.array(tf, pa.int64()),
             }
         )
+
+
+_EMPTY_VECTORS = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "ords": pa.array([], pa.binary()),
+        "ws": pa.array([], pa.binary()),
+        "norm": pa.array([], pa.float64()),
+    }
+)
+
+
+def _assemble_vectors(t: pa.Table) -> pa.Table:
+    """One doc-keyed bucket of (doc_id, ord, tf, idf) rows -> per-doc
+    packed vectors (doc_id, ords blob, ws blob, norm), ords ascending.
+    The norm sums w^2 in ord order — deterministic at any parallelism."""
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return _EMPTY_VECTORS
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    o = t["ord"].to_numpy(zero_copy_only=False)
+    w = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64) * t[
+        "idf"
+    ].to_numpy(zero_copy_only=False)
+    order = np.lexsort((o, d))
+    d_s, o_s, w_s = d[order], o[order], w[order]
+    starts = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+    ends = np.append(starts[1:], len(d_s))
+    norms = np.sqrt(np.add.reduceat(w_s * w_s, starts))
+    return pa.table(
+        {
+            "doc_id": pa.array(d_s[starts], pa.int64()),
+            "ords": pa.array(
+                [o_s[s:e].astype(np.uint64).tobytes() for s, e in zip(starts, ends)],
+                pa.binary(),
+            ),
+            "ws": pa.array(
+                [w_s[s:e].tobytes() for s, e in zip(starts, ends)], pa.binary()
+            ),
+            "norm": pa.array(norms, pa.float64()),
+        }
+    )
+
+
+def _explode_nw(t: pa.Table) -> pa.Table:
+    """Packed vectors -> (doc_id, ord, nw) rows (nw = w / ||doc||)."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "ord": pa.array([], pa.int64()),
+            "nw": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0 or "ords" not in t.column_names:
+        return empty
+    blobs_o = t["ords"].to_pylist()
+    sizes = np.array([len(x) // 8 for x in blobs_o], dtype=np.int64)
+    if sizes.sum() == 0:
+        return empty
+    flat_o = np.frombuffer(b"".join(blobs_o), dtype=np.uint64).astype(np.int64)
+    flat_w = np.frombuffer(b"".join(t["ws"].to_pylist()), dtype=np.float64)
+    d_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), sizes)
+    n_rep = np.repeat(t["norm"].to_numpy(zero_copy_only=False), sizes)
+    return pa.table(
+        {
+            "doc_id": pa.array(d_rep, pa.int64()),
+            "ord": pa.array(flat_o, pa.int64()),
+            "nw": pa.array(flat_w / n_rep, pa.float64()),
+        }
+    )
+
+
+def _max_by_ord(t: pa.Table, val_col: str) -> pa.Table:
+    """(ord, val) rows -> per-ord maxima.  Used twice: as the per-batch
+    COMBINER over the exploded vectors (val_col='nw', so the ord-keyed
+    exchange is vocabulary-collapsed) and as the shuffle FINALIZE over
+    the partials (val_col='maxw' — max of maxes is exact)."""
+    empty = pa.table(
+        {"ord": pa.array([], pa.int64()), "maxw": pa.array([], pa.float64())}
+    )
+    if t.num_rows == 0 or "ord" not in t.column_names:
+        return empty
+    o = t["ord"].to_numpy(zero_copy_only=False)
+    v = t[val_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(o)
+    o_s, v_s = o[order], v[order]
+    starts = np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
+    return pa.table(
+        {
+            "ord": pa.array(o_s[starts], pa.int64()),
+            "maxw": pa.array(np.maximum.reduceat(v_s, starts), pa.float64()),
+        }
+    )
 
 
 def prefix_emit_mask(
@@ -396,145 +469,203 @@ def prefix_emit_mask(
     return suffix >= t
 
 
-class _CosPrefixEmit(_MaxNormW):
-    """batch -> (tok=ord, doc_id) rows for each doc's PREFIX under the
-    AllPairs suffix bound: in a fixed global term order, a doc emits term
-    position i iff sum_{j>=i} nw_d(t_j) * maxw(t_j) >= t.  Soundness (for
-    ANY fixed order): let t* be a qualifying pair's shared term of
-    minimal order; if either side did not emit t*, that side's suffix
-    bound at t* already upper-bounds the whole cosine below t."""
+def _prefix_emit_bucket(t: pa.Table, threshold: float) -> pa.Table:
+    """One doc-keyed bucket of (doc_id, ord, nw, maxw) rows -> the doc's
+    PREFIX positions (tok=ord, doc_id) under the AllPairs suffix bound:
+    in the fixed global term order, a doc emits position i iff
+    sum_{j>=i} nw(t_j) * maxw(t_j) >= t.  Soundness (for ANY fixed
+    order): let t* be a qualifying pair's shared term of minimal order;
+    if either side did not emit t*, that side's suffix bound at t*
+    already upper-bounds the whole cosine below t."""
+    empty = pa.table(
+        {"tok": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return empty
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    o = t["ord"].to_numpy(zero_copy_only=False)
+    contrib = t["nw"].to_numpy(zero_copy_only=False) * t["maxw"].to_numpy(
+        zero_copy_only=False
+    )
+    order = np.lexsort((o, d))
+    keep = prefix_emit_mask(d[order], contrib[order], threshold)
+    return pa.table(
+        {
+            "tok": pa.array(o[order][keep], pa.int64()),
+            "doc_id": pa.array(d[order][keep], pa.int64()),
+        }
+    )
 
-    def __init__(self, full_ref, threshold_pct: int):
-        self.terms, self.idf, self.ord, maxw_by_ord = ray.get(full_ref)
-        self.maxw = maxw_by_ord
-        self.t = threshold_pct / 100.0
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        d, o, w, norm = self._doc_vectors(batch)
-        if len(d) == 0:
-            return pa.table(
-                {"tok": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+# ------------------------------------------------ bounded candidate emit ----
+
+MAX_TILE = 512  # pairwise-candidate tile edge (dedup.MAX_BUCKET's bound)
+
+_EMPTY_TILES = pa.table(
+    {
+        "a_ids": pa.array([], pa.binary()),
+        "b_ids": pa.array([], pa.binary()),
+        "diag": pa.array([], pa.bool_()),
+    }
+)
+
+
+def _tiles_by_tok(t: pa.Table) -> pa.Table:
+    """One tok-keyed bucket of (tok, doc_id) prefix-index rows -> TILE
+    DESCRIPTOR rows instead of raw O(g^2) candidate pairs: each token's
+    member ids (sorted unique) split into MAX_TILE-sized chunks and each
+    (i <= j) chunk pair becomes ONE row (a_ids blob, b_ids blob, diag).
+    A hot token that the prefix filter fails to prune therefore emits
+    O(g^2 / MAX_TILE) BYTES from this call — never O(g^2) rows in one
+    worker heap (the ADVICE-flagged OOM); ``_expand_tiles`` downstream
+    turns each descriptor into at most MAX_TILE^2 pairs per small batch.
+    """
+    if t.num_rows == 0 or "tok" not in t.column_names:
+        return _EMPTY_TILES
+    toks = t["tok"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, toks))
+    tk_s, id_s = toks[order], ids[order]
+    # distinct (tok, id) then per-tok runs
+    keep = np.concatenate([[True], (tk_s[1:] != tk_s[:-1]) | (id_s[1:] != id_s[:-1])])
+    tk_s, id_s = tk_s[keep], id_s[keep]
+    starts = np.flatnonzero(np.concatenate([[True], tk_s[1:] != tk_s[:-1]]))
+    ends = np.append(starts[1:], len(tk_s))
+    a_blobs, b_blobs, diag = [], [], []
+    for s, e in zip(starts, ends):
+        g = e - s
+        if g < 2:
+            continue
+        if g > MAX_TILE:
+            _LOG.warning(
+                "candidate bucket with %d members (> %d) — tiled emit", g, MAX_TILE
             )
-        nw = w / norm
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((o, d))
-        d_s, o_s, nw_s = d[order], o[order], nw[order]
-        keep = prefix_emit_mask(d_s, nw_s * self.maxw[o_s], self.t)
+        members = id_s[s:e]
+        chunks = [
+            members[i : i + MAX_TILE].astype(np.int64)
+            for i in range(0, g, MAX_TILE)
+        ]
+        for i in range(len(chunks)):
+            for j in range(i, len(chunks)):
+                a_blobs.append(chunks[i].tobytes())
+                b_blobs.append(chunks[j].tobytes())
+                diag.append(i == j)
+    return pa.table(
+        {
+            "a_ids": pa.array(a_blobs, pa.binary()),
+            "b_ids": pa.array(b_blobs, pa.binary()),
+            "diag": pa.array(diag, pa.bool_()),
+        }
+    )
+
+
+def _expand_tiles(batch: pa.Table) -> pa.Table:
+    """Tile descriptors -> candidate (a, b) pairs, bounded per call by
+    batch_size x MAX_TILE^2 rows.  Ids within a tile row are ascending
+    and chunks are disjoint ascending, so a < b by construction (triu
+    for the diagonal tile, full cross product off-diagonal)."""
+    a_parts, b_parts = [], []
+    for a_blob, b_blob, dg in zip(
+        batch["a_ids"].to_pylist(),
+        batch["b_ids"].to_pylist(),
+        batch["diag"].to_pylist(),
+    ):
+        A = np.frombuffer(a_blob, dtype=np.int64)
+        if dg:
+            ii, jj = np.triu_indices(len(A), k=1)
+            a_parts.append(A[ii])
+            b_parts.append(A[jj])
+        else:
+            B = np.frombuffer(b_blob, dtype=np.int64)
+            a_parts.append(np.repeat(A, len(B)))
+            b_parts.append(np.tile(B, len(A)))
+    if not a_parts:
         return pa.table(
-            {
-                "tok": pa.array(o_s[keep], pa.int64()),
-                "doc_id": pa.array(ids[d_s[keep]], pa.int64()),
-            }
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_parts), pa.int64()),
+            "b": pa.array(np.concatenate(b_parts), pa.int64()),
+        }
+    )
 
 
-class _CandVectors(_MaxNormW):
-    """batch -> (doc_id, ords blob, weights blob, norm) for candidate ids
-    only — the verify side's input (the _CandGramSets shape, weighted)."""
-
-    def __init__(self, vocab_ref, cand_ids_ref):
-        super().__init__(vocab_ref)
-        self.want = ray.get(cand_ids_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, self.want)
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "ords": pa.array([], pa.binary()),
-                "ws": pa.array([], pa.binary()),
-                "norm": pa.array([], pa.float64()),
-            }
-        )
-        if not mask.any():
-            return empty
-        sub = batch.filter(pa.array(mask))
-        d, o, w, norm = self._doc_vectors(sub)
-        if len(d) == 0:
-            return empty
-        sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((o, d))
-        d_s, o_s, w_s = d[order], o[order], w[order]
-        starts = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
-        ends = np.append(starts[1:], len(d_s))
-        rows_d, ords_b, ws_b, norms = [], [], [], []
-        for s, e in zip(starts, ends):
-            rows_d.append(int(sub_ids[d_s[s]]))
-            ords_b.append(o_s[s:e].astype(np.uint64).tobytes())
-            ws_b.append(w_s[s:e].tobytes())
-            norms.append(float(np.sqrt(np.sum(w_s[s:e] ** 2))))
+def _distinct_pairs(t: pa.Table) -> pa.Table:
+    """One (a, b)-keyed bucket -> its distinct pairs (candidates repeat
+    across token buckets; dedup happens in the shuffle, not the driver)."""
+    if t.num_rows == 0 or "a" not in t.column_names:
         return pa.table(
-            {
-                "doc_id": pa.array(rows_d, pa.int64()),
-                "ords": pa.array(ords_b, pa.binary()),
-                "ws": pa.array(ws_b, pa.binary()),
-                "norm": pa.array(norms, pa.float64()),
-            }
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    keep = np.concatenate([[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+    return pa.table(
+        {"a": pa.array(a_s[keep], pa.int64()), "b": pa.array(b_s[keep], pa.int64())}
+    )
 
 
-class _PairCosVerify:
-    """Exact tf-idf cosine over candidate-pair partitions, fully
-    vectorized (the _PairJaccardVerify kernel with weighted products):
-    run-gather both sides' (ord, w) runs tagged with the pair index, one
-    lexsort, adjacent (pair, ord) duplicates multiply into dot-product
-    contributions, one weighted bincount."""
-
-    def __init__(self, vec_refs, threshold_pct: int):
-        t = pa.concat_tables(ray.get(list(vec_refs)))
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        self.ids = ids[order]
-        o_blobs = [t["ords"][int(i)].as_py() for i in order]
-        w_blobs = [t["ws"][int(i)].as_py() for i in order]
-        self.sizes = np.array([len(x) // 8 for x in o_blobs], dtype=np.int64)
-        self.flat_o = np.frombuffer(b"".join(o_blobs), dtype=np.uint64)
-        self.flat_w = np.frombuffer(b"".join(w_blobs), dtype=np.float64)
-        self.starts = np.concatenate([[0], np.cumsum(self.sizes)[:-1]]).astype(np.int64)
-        self.norms = t["norm"].to_numpy(zero_copy_only=False)[order]
-        self.t = threshold_pct / 100.0
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from .dedup import _run_gather
-
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(self.ids, a)
-        ib = np.searchsorted(self.ids, b)
-        la, lb = self.sizes[ia], self.sizes[ib]
-        ords = np.concatenate(
-            [
-                _run_gather(self.flat_o, self.starts[ia], la),
-                _run_gather(self.flat_o, self.starts[ib], lb),
-            ]
-        )
-        ws = np.concatenate(
-            [
-                _run_gather(self.flat_w, self.starts[ia], la),
-                _run_gather(self.flat_w, self.starts[ib], lb),
-            ]
-        )
-        pair_idx = np.concatenate(
-            [
-                np.repeat(np.arange(len(a), dtype=np.int64), la),
-                np.repeat(np.arange(len(b), dtype=np.int64), lb),
-            ]
-        )
-        order = np.lexsort((ords, pair_idx))
-        os_, ps, ws_ = ords[order], pair_idx[order], ws[order]
-        dup = (os_[1:] == os_[:-1]) & (ps[1:] == ps[:-1])
-        prod = ws_[1:][dup] * ws_[:-1][dup]
-        dot = np.bincount(ps[1:][dup], weights=prod, minlength=len(a))
-        na, nb = self.norms[ia], self.norms[ib]
-        keep = dot >= self.t * na * nb
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "cos_sim": pa.array(dot[keep] / (na[keep] * nb[keep])),
-            }
-        )
+def _pair_dot(batch: pa.Table, threshold: float) -> pa.Table:
+    """Exact tf-idf cosine per candidate row — both sides' packed vectors
+    arrive ON the row (joined in, never broadcast): run-concat both
+    sides' (ord, w) runs tagged with the row index, one lexsort, adjacent
+    (row, ord) duplicates multiply into dot contributions, one weighted
+    bincount.  The threshold test is ``dot >= t * ||a|| ||b||`` — the
+    same algebraic FORM the SQL oracle uses, so a disagreement would
+    need two float sums differing only in summation order (~1 ulp) to
+    straddle the threshold; no systematic formula mismatch exists."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+    if batch.num_rows == 0 or "a" not in batch.column_names:
+        return empty
+    n = batch.num_rows
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    ao_blobs = batch["a_ords"].to_pylist()
+    bo_blobs = batch["b_ords"].to_pylist()
+    la = np.array([len(x) // 8 for x in ao_blobs], dtype=np.int64)
+    lb = np.array([len(x) // 8 for x in bo_blobs], dtype=np.int64)
+    ords = np.concatenate(
+        [
+            np.frombuffer(b"".join(ao_blobs), dtype=np.uint64),
+            np.frombuffer(b"".join(bo_blobs), dtype=np.uint64),
+        ]
+    )
+    ws = np.concatenate(
+        [
+            np.frombuffer(b"".join(batch["a_ws"].to_pylist()), dtype=np.float64),
+            np.frombuffer(b"".join(batch["b_ws"].to_pylist()), dtype=np.float64),
+        ]
+    )
+    pair_idx = np.concatenate(
+        [
+            np.repeat(np.arange(n, dtype=np.int64), la),
+            np.repeat(np.arange(n, dtype=np.int64), lb),
+        ]
+    )
+    order = np.lexsort((ords, pair_idx))
+    os_, ps, ws_ = ords[order], pair_idx[order], ws[order]
+    dup = (os_[1:] == os_[:-1]) & (ps[1:] == ps[:-1])
+    prod = ws_[1:][dup] * ws_[:-1][dup]
+    dot = np.bincount(ps[1:][dup], weights=prod, minlength=n)
+    na = batch["a_norm"].to_numpy(zero_copy_only=False)
+    nb = batch["b_norm"].to_numpy(zero_copy_only=False)
+    keep = dot >= threshold * na * nb
+    return pa.table(
+        {
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cos_sim": pa.array(dot[keep] / (na[keep] * nb[keep])),
+        }
+    )
 
 
 def cosine_similarity_join(
@@ -545,125 +676,123 @@ def cosine_similarity_join(
     :func:`set_similarity_join` (the AllPairs family, Bayardo et al.
     WWW'07): w(d,t) = tf * ln(1 + N/df), exact cosine, (a, b, cos_sim).
 
-    Distributed shape (mirrors the set join; no raw text shuffles twice):
+    FULLY DISTRIBUTED shape — no vocabulary-, candidate- or corpus-sized
+    driver state anywhere (the r04-flagged driver lexicon collect is
+    gone); every stage is a bounded map or ONE bucket shuffle:
 
-    1. vocabulary stats: the existing ``term_stats`` pipeline gives
-       (term, df); idf and a global df-ascending term order broadcast
-       once.  (Vocabulary-sized driver state — Zipf-collapsed, same
-       documented bound as ``lm_score``; a ``top_v``-style cap is the
-       10^12-doc escape hatch.)
-    2. per-term max normalized weight (one more vocabulary-sized
-       reduce) — the AllPairs bound table.
-    3. prefix emit: each doc emits only term positions whose SUFFIX
-       bound sum(nw * maxw) still reaches the threshold (docstring of
-       ``_CosPrefixEmit`` has the soundness argument) -> groupby(term)
-       candidate buckets -> vectorized triu pairs.  On Zipf text the
-       rare-first order makes hot terms land in the skipped suffix; on
-       this synthetic near-uniform corpus the filter prunes little —
-       the mechanism, not the constant, is the scale path.
-    4. exact verify: candidates' full weighted vectors re-derived behind
-       a broadcast id filter; one lexsort + weighted bincount per pair
-       batch computes the exact dot products (no driver dict, no
-       per-pair loop).  The threshold test is ``dot >= t * ||a|| ||b||``
-       — the same algebraic FORM the SQL oracle uses, so a disagreement
-       would require the two sides' float sums (which differ only in
-       summation order, ~1 ulp) to straddle the threshold — possible in
-       principle for a pair engineered onto the boundary, never for
-       generic data; no systematic formula mismatch exists.
+    1. term order + idf: ``term_stats`` stays a Dataset; the global
+       df-ascending term ordinal comes from ``util.global_row_number``
+       (range sort + one int per block on the driver) and idf is a
+       per-row map.  The vocabulary is never collected or broadcast.
+    2. doc vectors: docs flatten to (doc_id, term, tf) rows and meet the
+       term table in a ``hash_join`` on term (the lm_score ``top_v``
+       lesson, taken further: a rank JOIN, not a capped collect); a
+       doc-keyed shuffle assembles per-doc packed (ords, ws, norm)
+       vectors — the one reusable artifact, materialized in the object
+       store.
+    3. AllPairs bound: per-batch (ord, max nw) partials -> ord-keyed
+       shuffle = the per-term max normalized weight table, joined back
+       onto the exploded vectors by ord, then a doc-keyed regroup applies
+       the suffix-bound ``prefix_emit_mask`` (docstring of
+       ``_prefix_emit_bucket`` has the soundness argument).
+    4. candidates: tok-keyed shuffle -> TILE DESCRIPTORS (never raw
+       O(g^2) pairs in one worker heap — ``_tiles_by_tok``), expanded in
+       bounded batches, deduped by an (a, b)-keyed shuffle.
+    5. exact verify: candidates join BOTH sides' packed vectors by id
+       (two hash joins — vectors ride the rows, nothing is broadcast)
+       and one vectorized pass computes the exact dot products.
 
     Precision 1 by the verify, recall 1 by the prefix theorem: the
     output hash-compares against the quadratic SQL oracle.
     """
-    from ray.data.aggregate import Max
+    import functools
 
+    from ..util import global_row_number, hash_groupby
+    from .join import hash_join
     from .text import docs_dataset, term_stats
 
-    ts = term_stats(sf_dir, "simple").to_pandas()
-    if len(ts) == 0:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "cos_sim": pa.array([], pa.float64()),
-            }
-        )
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+    ts = term_stats(sf_dir, "simple").materialize()
     n_docs = docs_dataset(sf_dir, ["doc_id"]).count()
-    ts = ts.sort_values(["df", "term"]).reset_index(drop=True)
-    ords = np.arange(len(ts), dtype=np.int64)
-    t_order = np.argsort(ts["term"].to_numpy())
-    terms_sorted = ts["term"].to_numpy()[t_order]
-    idf_sorted = np.log(
-        1.0 + n_docs / ts["df"].to_numpy().astype(np.float64)
-    )[t_order]
-    ord_sorted = ords[t_order]
-    vocab_ref = ray.put((terms_sorted, idf_sorted, ord_sorted))
+    if n_docs == 0 or ts.count() == 0:
+        return empty
 
-    maxw_pd = (
-        docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            stage_fn(_MaxNormW, vocab_ref), batch_format="pyarrow", batch_size=256
-        )
-        .groupby("ord")
-        .aggregate(Max("maxw", alias_name="maxw"))
-        .to_pandas()
+    # 1. global term ordinal (df asc, term asc) + idf — distributed
+    ranked = global_row_number(
+        ts.select_columns(["term", "df"]), ["df", "term"], [False, False]
     )
-    maxw_by_ord = np.zeros(len(ts), dtype=np.float64)
-    maxw_by_ord[maxw_pd["ord"].to_numpy()] = maxw_pd["maxw"].to_numpy()
-    full_ref = ray.put((terms_sorted, idf_sorted, ord_sorted, maxw_by_ord))
 
-    def bucket_cands(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
-
-    cand = pairs_table(
-        docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            stage_fn(_CosPrefixEmit, full_ref, threshold_pct),
-            batch_format="pyarrow",
-            batch_size=256,
-        )
-        .groupby("tok")
-        .map_groups(bucket_cands, batch_format="pyarrow")
-    )
-    if cand.num_rows == 0:
+    def add_idf(t: pa.Table) -> pa.Table:
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ordv = t["rn"].to_numpy(zero_copy_only=False) - 1
         return pa.table(
             {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "cos_sim": pa.array([], pa.float64()),
+                "term": t["term"],
+                "ord": pa.array(ordv, pa.int64()),
+                "idf": pa.array(np.log(1.0 + n_docs / dfv), pa.float64()),
             }
         )
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                cand["a"].to_numpy(zero_copy_only=False),
-                cand["b"].to_numpy(zero_copy_only=False),
-            ]
-        )
+
+    term_tab = ranked.map_batches(add_idf, batch_format="pyarrow")
+
+    # 2. per-doc packed vectors via term join + doc-keyed shuffle
+    flat = docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage_fn(_DocTermRows, "simple"), batch_format="pyarrow", batch_size=256
     )
-    vec_refs = tuple(
-        docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            stage_fn(_CandVectors, vocab_ref, ray.put(cand_ids)),
-            batch_format="pyarrow",
-            batch_size=256,
-        )
-        .to_arrow_refs()
-    )
-    out = pairs_table(
-        ray.data.from_arrow(cand).map_batches(
-            stage_fn(_PairCosVerify, vec_refs, threshold_pct),
-            batch_format="pyarrow",
-            batch_size=65536,
+    vectors = hash_groupby(
+        hash_join(flat, term_tab, on="term"),
+        keys=["doc_id"],
+        finalize=_assemble_vectors,
+    ).materialize()
+
+    # 3. AllPairs per-term bound, joined back by ord; prefix emit per doc
+    exploded = vectors.map_batches(_explode_nw, batch_format="pyarrow")
+    maxw = hash_groupby(
+        exploded.map_batches(
+            functools.partial(_max_by_ord, val_col="nw"), batch_format="pyarrow"
         ),
-        extra_cols=("cos_sim",),
+        keys=["ord"],
+        finalize=functools.partial(_max_by_ord, val_col="maxw"),
     )
-    return out
+    emitted = hash_groupby(
+        hash_join(exploded, maxw, on="ord"),
+        keys=["doc_id"],
+        finalize=functools.partial(
+            _prefix_emit_bucket, threshold=threshold_pct / 100.0
+        ),
+    )
+
+    # 4. bounded candidate generation + distributed dedup
+    tiles = hash_groupby(emitted, keys=["tok"], finalize=_tiles_by_tok)
+    cand = hash_groupby(
+        tiles.map_batches(_expand_tiles, batch_format="pyarrow", batch_size=4),
+        keys=["a", "b"],
+        finalize=_distinct_pairs,
+    )
+
+    # 5. verify: vectors ride the candidate rows through two id joins
+    def _rename(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [side, f"{side}_ords", f"{side}_ws", f"{side}_norm"]
+            )
+
+        return fn
+
+    va = vectors.map_batches(_rename("a"), batch_format="pyarrow")
+    vb = vectors.map_batches(_rename("b"), batch_format="pyarrow")
+    out = hash_join(hash_join(cand, va, on="a"), vb, on="b").map_batches(
+        functools.partial(_pair_dot, threshold=threshold_pct / 100.0),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    return pairs_table(out, extra_cols=("cos_sim",))
 
 
 def cosine_similarity_join_sql_oracle(threshold_pct: int = 90) -> str:

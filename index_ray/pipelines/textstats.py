@@ -241,7 +241,7 @@ class _DocLMScore:
 
 
 def lm_score(
-    sf_dir: str, mode: str = "simple", top_v: int | None = None
+    sf_dir: str, mode: str = "simple", top_v: int | None = 1_000_000
 ) -> ray.data.Dataset:
     """Unigram-language-model document scoring — the CCNet-style "how
     surprising is this document under the corpus LM" quality signal.
@@ -255,17 +255,17 @@ def lm_score(
     (doc_id, n_tokens, sum_log2p, avg_log2p), token-less documents
     omitted (they have no LM score), sorted by doc_id.
 
-    DRIVER-MEMORY BOUND — ``top_v`` is the large-corpus default: with
-    ``top_v=None`` (the exact, oracle-checked mode) the FULL vocabulary
-    cf table is collected on the driver to build the broadcast table;
-    the vocabulary is Zipf-collapsed, not corpus-sized, but at 10^12
-    docs it is still billions of terms — more than a driver heap.  At
-    real scale always pass ``top_v`` (e.g. 1_000_000): the candidate set
-    is then reduced by a per-block local top-V + driver merge of
-    V x blocks rows (the ``top_terms`` combiner shape — the lexicon is
-    never collected), the corpus total comes from a distributed sum, and
-    tail terms score at the OOV floor log2(1/total).  Keep ``None`` only
-    for oracle comparison at test scale.
+    DRIVER-MEMORY BOUND — the distributed ``top_v`` path IS the default
+    (1M terms): the candidate set is reduced by a per-block local top-V +
+    driver merge of V x blocks rows (the ``top_terms`` combiner shape —
+    the lexicon is never collected), the corpus total comes from a
+    distributed sum, and tail terms score at the OOV floor
+    log2(1/total).  ``top_v=None`` is the explicit EXACT opt-in: it
+    collects the FULL vocabulary cf table on the driver — fine at test
+    scale (and what the oracle-equality tests pin the default against,
+    since a sub-``top_v`` vocabulary makes the two modes identical), a
+    driver OOM at 10^12 docs where the Zipf-collapsed vocabulary is
+    still billions of terms.
     """
     import ray
 
@@ -376,8 +376,41 @@ class _DocBigramLM:
         )
 
 
+class _CtxPartials:
+    """batch of (bigram, cf) rows -> per-left-context partial totals for
+    a broadcast context set (the kept bigrams' contexts, <= top_b)."""
+
+    def __init__(self, ctx_ref):
+        import ray
+
+        self.want = ray.get(ctx_ref)  # sorted object array of contexts
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {"w1": pa.array([], pa.string()), "h_part": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or len(self.want) == 0:
+            return empty
+        w1 = pc.list_element(
+            pc.split_pattern(t["bigram"], " "), 0
+        ).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.want, w1)
+        pos_c = np.clip(pos, 0, len(self.want) - 1)
+        mask = self.want[pos_c] == w1
+        if not mask.any():
+            return empty
+        cfv = t["cf"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(w1[mask], return_inverse=True)
+        h = np.bincount(inv, weights=cfv[mask]).astype(np.int64)
+        return pa.table(
+            {"w1": pa.array(u, pa.string()), "h_part": pa.array(h, pa.int64())}
+        )
+
+
 def lm_bigram_score(
-    sf_dir: str, mode: str = "simple", top_b: int | None = None
+    sf_dir: str, mode: str = "simple", top_b: int | None = 1_000_000
 ) -> ray.data.Dataset:
     """Bigram-language-model document scoring — the KenLM-flavored step up
     from ``lm_score``: each document scores
@@ -387,21 +420,26 @@ def lm_bigram_score(
     backoff needed for the self-trained case).
 
     Pass 1 builds the distributed bigram count table (the existing
-    ``bigram_counts`` partial-aggregate pipeline, unthresholded); the
-    left-context totals and log-probabilities fold on the driver
-    (vocabulary-sized, Zipf-collapsed) and broadcast once.  Pass 2 scores
-    per document.  (doc_id, n_bigrams, sum_log2p, avg_log2p), documents
-    with < 2 tokens omitted, sorted by doc_id.
+    ``bigram_counts`` partial-aggregate pipeline, unthresholded); pass 2
+    broadcasts the log-probability table once and scores per document.
+    (doc_id, n_bigrams, sum_log2p, avg_log2p), documents with < 2 tokens
+    omitted, sorted by doc_id.
 
-    Scale: like ``lm_score``, pass ``top_b`` at 10^12 scale to broadcast
-    only the top-B bigrams and score the tail at the floor
-    log2(1/total_bigrams); the exact full-table mode is oracle-checked.
+    DRIVER-MEMORY BOUND — the distributed ``top_b`` path IS the default
+    (1M bigrams, the ``lm_score`` shape): the broadcast table is reduced
+    by a per-block local top-B + driver merge, the grand total comes
+    from a distributed sum, the kept bigrams' left-context totals are
+    partial-aggregated behind a broadcast context set (<= B contexts, so
+    their h(w1) sums are FULL-corpus exact), and tail bigrams score at
+    the floor log2(1/total).  ``top_b=None`` is the explicit EXACT
+    opt-in (full-table driver collect) — identical to the default
+    whenever the bigram table fits under the cap, which is what the
+    oracle-equality tests pin.
     """
     import ray
 
     from .text import bigram_counts
 
-    cf = bigram_counts(sf_dir, min_count=1).to_pandas()
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -410,22 +448,55 @@ def lm_bigram_score(
             "avg_log2p": pa.array([], pa.float64()),
         }
     )
-    if len(cf) == 0:
-        return ray.data.from_arrow(empty)
-    total = int(cf["cf"].sum())
-    floor = float(np.log2(1.0 / np.float64(total)))
-    w1 = cf["bigram"].str.split(" ", n=1).str[0]
-    h = cf.groupby(w1)["cf"].transform("sum").to_numpy()
-    lp = np.log2(cf["cf"].to_numpy().astype(np.float64) / h.astype(np.float64))
-    if top_b is not None:
-        keep = (
-            cf.assign(_lp=lp)
-            .sort_values(["cf", "bigram"], ascending=[False, True])
-            .head(top_b)
-        )
-        logp = dict(zip(keep["bigram"], keep["_lp"]))
-    else:
+    if top_b is None:
+        # exact mode: full-table driver collect (test-scale oracle anchor)
+        cf = bigram_counts(sf_dir, min_count=1).to_pandas()
+        if len(cf) == 0:
+            return ray.data.from_arrow(empty)
+        total = int(cf["cf"].sum())
+        w1 = cf["bigram"].str.split(" ", n=1).str[0]
+        h = cf.groupby(w1)["cf"].transform("sum").to_numpy()
+        lp = np.log2(cf["cf"].to_numpy().astype(np.float64) / h.astype(np.float64))
         logp = dict(zip(cf["bigram"], lp))
+    else:
+        from ray.data.aggregate import Sum
+
+        ds = bigram_counts(sf_dir, min_count=1).materialize()
+        agg = ds.aggregate(Sum("cf", alias_name="total"))
+        total = int(agg["total"] or 0)
+        if total == 0:
+            return ray.data.from_arrow(empty)
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows <= top_b:
+                return t
+            cfv = t["cf"].to_numpy(zero_copy_only=False)
+            bg = t["bigram"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((bg, -cfv))[:top_b]
+            return t.take(pa.array(order))
+
+        cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+        keep = cand.sort_values(
+            ["cf", "bigram"], ascending=[False, True]
+        ).head(top_b)
+        ctxs = np.array(
+            sorted({b.split(" ", 1)[0] for b in keep["bigram"]}), dtype=object
+        )
+        h_parts = (
+            ds.map_batches(
+                stage_fn(_CtxPartials, ray.put(ctxs)),
+                batch_format="pyarrow",
+            ).to_pandas()
+        )
+        h_map = h_parts.groupby("w1")["h_part"].sum()
+        hv = h_map.loc[
+            [b.split(" ", 1)[0] for b in keep["bigram"]]
+        ].to_numpy()
+        lp = np.log2(
+            keep["cf"].to_numpy().astype(np.float64) / hv.astype(np.float64)
+        )
+        logp = dict(zip(keep["bigram"], lp))
+    floor = float(np.log2(1.0 / np.float64(total)))
     ref = ray.put(logp)
     return (
         docs_dataset(sf_dir, ["doc_id", "text"])

@@ -155,3 +155,68 @@ def test_cosine_similarity_join_planted(ray_session, tmp_path):
     want = dot / (na * nb)
     got01 = float(got[(got["a"] == 0) & (got["b"] == 1)]["cos_sim"].iloc[0])
     assert abs(got01 - want) < 1e-12
+
+
+def test_tile_kernels_bound_bucket_emit():
+    """_tiles_by_tok never materializes O(g^2) pairs in one table: a
+    bucket of g members yields ceil(g/T)*(ceil(g/T)+1)/2 descriptor rows
+    whose blobs each hold <= T ids, and _expand_tiles recovers exactly
+    the triu pair set."""
+    import numpy as np
+
+    from index_ray.pipelines.linkage import MAX_TILE, _expand_tiles, _tiles_by_tok
+
+    g = 2 * MAX_TILE + 100  # 3 chunks -> 6 tiles
+    ids = np.arange(g, dtype=np.int64) * 7  # arbitrary sorted ids
+    t = pa.table(
+        {
+            "tok": pa.array(np.zeros(g, np.int64)),
+            "doc_id": pa.array(ids),
+        }
+    )
+    tiles = _tiles_by_tok(t)
+    n_chunks = -(-g // MAX_TILE)
+    assert tiles.num_rows == n_chunks * (n_chunks + 1) // 2
+    assert max(len(x) for x in tiles["a_ids"].to_pylist()) <= 8 * MAX_TILE
+    assert max(len(x) for x in tiles["b_ids"].to_pylist()) <= 8 * MAX_TILE
+    got = _expand_tiles(tiles)
+    a, b = got["a"].to_numpy(), got["b"].to_numpy()
+    assert (a < b).all()
+    ii, jj = np.triu_indices(g, k=1)
+    want = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+    assert set(zip(a.tolist(), b.tolist())) == want
+
+
+def test_set_similarity_join_hot_token_tiled(ray_session, tmp_path):
+    """Planted hot token PAST the real MAX_TILE edge: every record is
+    'hot u<i//2>' — both tokens are prefix tokens (p = 2 for n = 2 at
+    t = 50), so the 'hot' bucket holds ALL g = 600 > 512 records and the
+    worker-side emit must go through multiple tiles.  The join must
+    still return exactly the brute-force pair set (the 300 identical
+    name pairs at j = 100), with every candidate group output bounded."""
+    import numpy as np
+
+    from index_ray.pipelines.linkage import MAX_TILE
+
+    g = 600
+    assert g > MAX_TILE  # the point of the test
+    names = [f"hot u{i // 2}" for i in range(g)]
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(g, dtype=np.int64)),
+                "p_name": pa.array(names, pa.string()),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    got = set_similarity_join(str(d), threshold_pct=50).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{d / 'part.parquet'}'")
+    want = con.sql(set_similarity_join_sql_oracle(50)).df()
+    a = got.sort_values(["a", "b"]).reset_index(drop=True)
+    b = want.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(a) == len(b) == g // 2  # exactly the planted identical pairs
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -691,9 +691,13 @@ def test_lm_score_top_v_matches_exact_when_v_covers_vocab(ray_session, tmp_path)
 
     texts = _rand_texts(60, 8)
     sf = _write_docs(tmp_path, texts)
-    exact = lm_score(sf).to_pandas().reset_index(drop=True)
+    exact = lm_score(sf, top_v=None).to_pandas().reset_index(drop=True)
     scaled = lm_score(sf, top_v=100_000).to_pandas().reset_index(drop=True)
     assert scaled.equals(exact)
+    # ... and the DEFAULT is the distributed path, equal to exact here
+    # because the vocabulary is far below the default cap
+    default = lm_score(sf).to_pandas().reset_index(drop=True)
+    assert default.equals(exact)
 
 
 def test_decontaminate_fuzzy_planted(ray_session, tmp_path):
@@ -734,3 +738,20 @@ def test_decontaminate_fuzzy_planted(ray_session, tmp_path):
     # "kappa extra" adds 1 distinct gram -> 8 / 9
     row = out[(out["doc_id"] == 1) & (out["eval_doc"] == 0)].iloc[0]
     assert row["jaccard_pct"] == (100 * 8) // 9
+
+
+def test_lm_bigram_top_b_matches_exact_when_b_covers_table(ray_session, tmp_path):
+    """The distributed default (top-B merge + broadcast-context h totals)
+    must reproduce the exact full-table mode bitwise whenever the bigram
+    table fits under the cap — pins the scale path to the oracle anchor."""
+    from index_ray.pipelines.textstats import lm_bigram_score
+
+    texts = _rand_texts(50, 10)
+    sf = _write_docs(tmp_path, texts)
+    exact = lm_bigram_score(sf, top_b=None).to_pandas().reset_index(drop=True)
+    default = lm_bigram_score(sf).to_pandas().reset_index(drop=True)
+    assert default.equals(exact)
+    # a tight cap floors the tail but keeps the head's TRUE conditional
+    # probabilities (h(w1) summed over the full corpus, not the kept set)
+    capped = lm_bigram_score(sf, top_b=3).to_pandas()
+    assert len(capped) == len(exact)
