@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_cosine": similarity.ivf_knn_cosine,
         "pq_knn_cosine": similarity.pq_knn_cosine,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
+        # recall-floor rows: the pytest ANN recall floors surfaced as
+        # driver-hashable entries (r04 VERDICT ask #6)
+        "lsh_knn_recall": similarity.lsh_knn_recall,
+        "ivf_knn_recall": similarity.ivf_knn_recall,
+        "pq_knn_recall": similarity.pq_knn_recall,
         "media_features": multimodal.media_features,
         "bpe_train": _bpe_train_q,
         "bpe_encode": _bpe_encode_q,
@@ -816,6 +821,15 @@ def oracle_sql() -> dict[str, str]:
         "keywords_tfidf": keywords_tfidf_sql_oracle(),
         "knn_cosine": _KNN_SQL,
         "knn_filtered": sim_mod.knn_filtered_sql_oracle(),
+        # FULL SQL replays of the seeded-hyperplane LSH paths
+        # (bit_count/xor Hamming rule + exact-cosine re-rank): these
+        # promote the two LSH raw variants from rows-only to
+        # hash-checked
+        "lsh_knn_cosine": sim_mod.lsh_knn_cosine_sql_oracle(),
+        "embedding_neardup_lsh": sim_mod.embedding_neardup_lsh_sql_oracle(),
+        "lsh_knn_recall": sim_mod.knn_recall_floor_sql_oracle(),
+        "ivf_knn_recall": sim_mod.knn_recall_floor_sql_oracle(),
+        "pq_knn_recall": sim_mod.knn_recall_floor_sql_oracle(),
         # the persisted-IVF path probed exhaustively IS brute-force cosine
         # (the lists partition the corpus), so the identical SQL pins the
         # whole build/persist/load/probe lifecycle

@@ -227,6 +227,77 @@ def run_bench() -> dict:
     }
 
 
+def run_stages() -> None:
+    """Per-stage breakdown of ONE warm headline build at NCPU cpus
+    (VERDICT r04 ask #8): in-actor busy seconds attribute the overlapped
+    tokenize stream vs bucket-shuffle pack, plus the driver-side phases
+    (pack drain tail, lexicon merge, reverse-lexicon sidecar).  Prints one
+    JSON line; results recorded in BENCH/BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+        object_store_memory=16 << 30,
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from index_ray.pipelines.build import (
+        BuildConfig, build_index, session_pool_busy,
+    )
+    from index_ray.sources.corpus import write_corpus_ray
+
+    corpus_dir = f"/tmp/bench_corpus_{BENCH_DOCS}"
+    write_corpus_ray(corpus_dir, BENCH_DOCS, seed=42, n_files=64)
+    index_dir = f"/tmp/bench_index_{BENCH_DOCS}_{NCPU}"
+    cfg = BuildConfig(
+        chunk_docs=int(os.environ.get("BENCH_CHUNK_DOCS", "50000")),
+        num_parts=max(64, BENCH_DOCS // 5000),
+        batch_size=256,
+        salt_docs=16384,
+    )
+    # warm-up build (cold worker spawn + first-touch faults), then the
+    # measured build with per-actor busy counters reset
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_index(corpus_dir, index_dir, cfg)
+    session_pool_busy(reset=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    r = build_index(corpus_dir, index_dir, cfg)
+    total = time.time() - t0
+    busy = session_pool_busy()
+    # the pack-drain tail (wall after the last tokenize spec) is recorded
+    # in one chunk manifest by the dispatch loop
+    import glob as _glob
+
+    drains = [r.phase_seconds["pack_drain"]] if "pack_drain" in r.phase_seconds else []
+    for mf in _glob.glob(os.path.join(index_dir, "chunks", "*", "MANIFEST.json")):
+        with open(mf) as fh:
+            d = json.load(fh).get("phase_seconds", {}).get("pack_drain")
+        if d is not None:
+            drains.append(d)
+    out = {
+        "metric": "stage_breakdown",
+        "unit": "sec",
+        "num_cpus": NCPU,
+        "bench_docs": BENCH_DOCS,
+        "total_wall": round(total, 3),
+        # in-actor attribution (sums over all workers; divide by NCPU for
+        # the per-core utilization of each stage)
+        "tokenize_busy": busy["tokenize_busy"],
+        "pack_busy": busy["pack_busy"],
+        "tokenize_busy_per_cpu": round(busy["tokenize_busy"] / NCPU, 3),
+        "pack_busy_per_cpu": round(busy["pack_busy"] / NCPU, 3),
+        # driver-side phases (wall-clock)
+        "phases": r.phase_seconds,
+        "pack_drain_tail": drains[0] if drains else None,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 def run_scaling() -> None:
     def sub(ncpu: int) -> dict:
         env = dict(
@@ -275,5 +346,7 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--stages" in sys.argv:
+        run_stages()
     else:
         print(json.dumps(run_bench()))

@@ -94,6 +94,15 @@ class BuildConfig:
     # unanswerable from the inverted shards without a full lexicon scan,
     # so it is captured in the same tokenize pass (query.term_vectors).
     term_vectors: bool = False
+    # write the reversed-term lexicon sidecar (``lexicon_rev/``) during
+    # finalize, so suffix wildcards (``*s``) are range probes from the
+    # first commit instead of vocabulary sweeps — at 10^12 scale every
+    # index wants this on day one (Lucene's ReversedWildcardFilter as a
+    # build step rather than an opt-in maintenance pass).  Once present,
+    # ``merge_lexicon`` refreshes it on every lexicon rewrite (append,
+    # purge, compaction), preserving the invariant "the sidecar, when
+    # present, always mirrors the live lexicon".
+    reverse_lexicon: bool = True
 
     pipeline_chunks: int = 2             # concurrent phase-B shuffles (driver threads)
     # "bucket" (default): map-side bucketing — tokenize workers return one
@@ -128,6 +137,9 @@ class BuildConfig:
         # excluding them lets a crashed build resume (and appends proceed)
         # after the user retunes concurrency
         d.pop("pipeline_chunks", None)
+        # the reversed-term sidecar is a finalize-time auxiliary dir, not
+        # chunk bytes: toggling it must not invalidate resumable chunks
+        d.pop("reverse_lexicon", None)
         d["__format__"] = self.FORMAT_VERSION
         return config_fingerprint(d)
 
@@ -338,9 +350,19 @@ class _TokenizeWorker:
 
         retain_malloc_pages()
         self._ra = None
+        self._busy = 0.0
 
     def ping(self) -> bool:
         return True
+
+    def busy_seconds(self, reset: bool = False) -> float:
+        """Cumulative in-actor compute time — the per-stage attribution the
+        BENCH stage breakdown reads (tokenize and pack overlap in the
+        pipelined build, so wall-clock alone cannot split them)."""
+        b = self._busy
+        if reset:
+            self._busy = 0.0
+        return b
 
     def reconfigure(self, columns, docid_col, id_col, fn_chain, doc_batch):
         """Rebind this worker to a build's config — pools persist across
@@ -360,23 +382,28 @@ class _TokenizeWorker:
         surfaces without shipping any bucket bytes to the driver."""
         from ..stages.pack import BLOB_SCHEMA
 
+        t_in = time.time()
         os.makedirs(docmap_dir, exist_ok=True)
         self._ra.fns[0].docmap_dir = docmap_dir  # per-chunk sidecar routing
         out = [t for t in self._ra(pa.Table.from_pylist([item])) if len(t)]
         t = pa.concat_tables(out) if out else BLOB_SCHEMA.empty_table()
         if not n_buckets:
+            self._busy += time.time() - t_in
             return t
         if len(t) == 0:
+            self._busy += time.time() - t_in
             return tuple([t] * n_buckets) + (0,)
         b = t["part"].to_numpy(zero_copy_only=False) % n_buckets
         order = np.argsort(b, kind="stable")
         bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
         # per-bucket take (not slice-of-sorted): take materializes compact
         # arrays, so each return object ships only its own rows
-        return tuple(
+        res = tuple(
             t.take(pa.array(order[bounds[i] : bounds[i + 1]]))
             for i in range(n_buckets)
         ) + (len(t),)
+        self._busy += time.time() - t_in
+        return res
 
 
 @ray.remote
@@ -394,9 +421,16 @@ class _PackWorker:
         from ..util import retain_malloc_pages
 
         retain_malloc_pages()
+        self._busy = 0.0
 
     def ping(self) -> bool:
         return True
+
+    def busy_seconds(self, reset: bool = False) -> float:
+        b = self._busy
+        if reset:
+            self._busy = 0.0
+        return b
 
     def pack(
         self,
@@ -434,10 +468,30 @@ class _PackWorker:
         ltmp = lpath + f".{os.getpid()}.tmp"
         pq.write_table(lex, ltmp)
         os.replace(ltmp, lpath)
+        self._busy += time.time() - t0
         return len(packed)
 
 
 _SESSION_POOLS: dict = {}
+
+
+def session_pool_busy(reset: bool = False) -> dict:
+    """Cumulative in-actor busy seconds of the session's persistent pools:
+    {"tokenize_busy": s, "pack_busy": s, "n_tok": n, "n_pack": n}.  The
+    pipelined build overlaps the two stages, so only in-actor accounting
+    can attribute wall-clock to a stage (BENCH stage breakdown)."""
+    pools = _SESSION_POOLS.get("pools")
+    if not pools:
+        return {"tokenize_busy": 0.0, "pack_busy": 0.0, "n_tok": 0, "n_pack": 0}
+    tok, packw = pools
+    tb = sum(ray.get([w.busy_seconds.remote(reset) for w in tok]))
+    pb = sum(ray.get([w.busy_seconds.remote(reset) for w in packw]))
+    return {
+        "tokenize_busy": round(tb, 3),
+        "pack_busy": round(pb, 3),
+        "n_tok": len(tok),
+        "n_pack": len(packw),
+    }
 
 
 def _session_pools(n_tok: int, n_pack: int):
@@ -1009,11 +1063,25 @@ def _finalize_index(out_dir: str, cfg: BuildConfig, manifests, hot, n_docs) -> d
             for m in manifests
         ],
     }
+    t1 = time.time()
+    if cfg.reverse_lexicon and not os.path.isdir(
+        os.path.join(out_dir, "lexicon_rev")
+    ):
+        # first commit of this index: write the reversed-term sidecar so
+        # suffix wildcards are range probes from day one.  On later
+        # commits merge_lexicon has already refreshed an existing sidecar.
+        from .query import build_reverse_lexicon
+
+        build_reverse_lexicon(out_dir)
+    t2 = time.time()
     write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
     from ..state.snapshots import snapshot_index
 
     snapshot_index(out_dir)  # publish this commit as a readable version
-    return {"lexicon_merge": round(time.time() - t0, 3)}
+    return {
+        "lexicon_merge": round(t1 - t0, 3),
+        "reverse_lexicon": round(t2 - t1, 3),
+    }
 
 
 def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
@@ -1024,11 +1092,13 @@ def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
     if os.path.exists(glex_dir):
         shutil.rmtree(glex_dir)
     # the reversed-term sidecar mirrors THIS lexicon: any rewrite (append,
-    # purge, compaction) invalidates it — drop it so suffix wildcards fall
-    # back to the exact sweep until build_reverse_lexicon runs again,
-    # instead of silently probing a stale vocabulary
+    # purge, compaction) invalidates it — drop it first so no reader ever
+    # probes a stale vocabulary, then (if one existed) REBUILD it against
+    # the new lexicon at the end, preserving "sidecar present <=> sidecar
+    # current" across every lexicon rewrite
     rev_dir = os.path.join(out_dir, "lexicon_rev")
-    if os.path.exists(rev_dir):
+    had_rev = os.path.isdir(rev_dir)
+    if had_rev:
         shutil.rmtree(rev_dir)
     if not lex_files:  # zero-document corpus: an empty lexicon, not a crash
         os.makedirs(glex_dir, exist_ok=True)
@@ -1042,6 +1112,10 @@ def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
             ),
             os.path.join(glex_dir, "lex-00000.parquet"),
         )
+        if had_rev:
+            from .query import build_reverse_lexicon
+
+            build_reverse_lexicon(out_dir)
         return
     total_bytes = sum(os.path.getsize(f) for f in lex_files)
     if total_bytes < 256 << 20:
@@ -1064,6 +1138,10 @@ def merge_lexicon(out_dir: str, lex_files: list[str]) -> None:
             .sort("term")
             .write_parquet(glex_dir)
         )
+    if had_rev:
+        from .query import build_reverse_lexicon
+
+        build_reverse_lexicon(out_dir)
 
 
 def load_stats(out_dir: str) -> dict:

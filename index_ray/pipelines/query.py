@@ -391,17 +391,18 @@ def build_reverse_lexicon(index_dir: str) -> int:
             if lex_files
             else pa.table({"term": pa.array([], pa.string())})
         )
-        terms = t["term"].to_pylist()
-        rev = [x[::-1] for x in terms]
-        order = np.argsort(np.asarray(rev, dtype=object), kind="stable")
+        # vectorized: codepoint reverse + bytewise sort (UTF-8 byte order
+        # equals codepoint order, so range probes agree with Python
+        # string comparisons) — this runs inside the build finalize now,
+        # so no per-term Python loop
         out = pa.table(
             {
-                "rev_term": pa.array([rev[i] for i in order], pa.string()),
-                "term": pa.array([terms[i] for i in order], pa.string()),
+                "rev_term": pa.compute.utf8_reverse(t["term"]),
+                "term": t["term"],
             }
-        )
+        ).sort_by([("rev_term", "ascending")])
         pq.write_table(out, os.path.join(tmp_dir, "part-00000.parquet"))
-        n = len(terms)
+        n = t.num_rows
     else:
 
         def add_rev(t: pa.Table) -> pa.Table:

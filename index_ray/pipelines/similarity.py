@@ -1267,3 +1267,135 @@ def knn_filtered_sql_oracle(lang: str = "en") -> str:
           FROM scored
         ) WHERE rank <= 10
     """
+
+
+# --------------------------------------- SQL replays + recall-floor rows ----
+
+_EMB_DIM = 64  # the embeddings table's schema constant (TESTDATA.md)
+
+
+def _hyperplane_literal_rows(nbits: int, dim: int = _EMB_DIM) -> list[str]:
+    """The deterministic hyperplanes as SQL DOUBLE-list literals — the
+    algorithm PARAMETERS (seeded, data-independent), embedded so DuckDB
+    can replay the sign computation."""
+    H = _hyperplanes(dim, nbits)
+    return [
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in H
+    ]
+
+
+def _sign_key_sql(nbits: int) -> str:
+    """SQL expression for the nbits-bit hyperplane sign key of
+    ``embedding``.  Signs are taken on the RAW vector (normalization is a
+    positive scale — identical signs to the engine's unit-vector dots)."""
+    rows = _hyperplane_literal_rows(nbits)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {rows[j]}) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(nbits)
+    )
+
+
+def lsh_knn_cosine_sql_oracle(
+    query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10, nbits: int = 8
+) -> str:
+    """FULL SQL replay of the hyperplane-LSH ANN path (not a consistency
+    proxy): every vector's sign key is recomputed from the embedded
+    hyperplane literals, the engine's multi-probe candidate rule
+    (query probes Hamming <= 2 around its base key) becomes
+    ``bit_count(xor(qkey, vkey)) <= 2``, and the exact cosine re-rank is
+    the same row_number window the exact-kNN oracle uses.  This promotes
+    ``lsh_knn_cosine`` from rows-only to hash-checked."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH keyed AS (
+          SELECT vec_id, embedding, CAST({_sign_key_sql(nbits)} AS BIGINT) AS key
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe, key AS qkey
+              FROM keyed WHERE vec_id IN ({ids})),
+        cand AS (
+          SELECT q.qid, kk.vec_id,
+                 list_cosine_similarity(q.qe, kk.embedding) AS sim
+          FROM q JOIN keyed kk ON bit_count(xor(q.qkey, kk.key)) <= 2
+        )
+        SELECT qid, rank, vec_id FROM (
+          SELECT qid, vec_id,
+                 CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM cand
+        ) WHERE rank <= {k}
+    """
+
+
+def embedding_neardup_lsh_sql_oracle(
+    threshold: float = 0.45, nbits: int = 6
+) -> str:
+    """FULL SQL replay of the LSH-blocked near-dup join: each vector
+    emits base + Hamming-1 probes, so two vectors share a probe bucket
+    IFF their sign keys differ by <= 2 bits — exactly
+    ``bit_count(xor(ka, kb)) <= 2`` — and every surviving pair is the
+    exact-cosine verify.  Promotes ``embedding_neardup_lsh`` from
+    rows-only to hash-checked."""
+    return f"""
+        WITH keyed AS (
+          SELECT vec_id, embedding, CAST({_sign_key_sql(nbits)} AS BIGINT) AS key
+          FROM embeddings
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM keyed x JOIN keyed y
+          ON x.vec_id < y.vec_id
+         AND bit_count(xor(x.key, y.key)) <= 2
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= {threshold!r}
+        ORDER BY a, b
+    """
+
+
+def _knn_recall_floor(
+    sf_dir: str, approx: pa.Table, floor: float,
+    query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10,
+) -> pa.Table:
+    """(qid, floor_met): 1 iff the approximate path's MEAN recall@k
+    against the exact kNN is >= floor — the pytest recall floors
+    surfaced as a driver-hashable row (the r04 VERDICT ask).  The
+    oracle asserts the constant 1 per query id; a recall regression in
+    the engine flips the Ray-side value and the hash goes red."""
+    exact = knn_cosine(sf_dir, query_ids, k).to_pandas()
+    ap = approx.to_pandas()
+    qids = sorted(int(q) for q in exact["qid"].unique())
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        a = set(ap[ap["qid"] == qid]["vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    met = int(float(np.mean(recalls)) >= floor) if recalls else 0
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "floor_met": pa.array([met] * len(qids), pa.int64()),
+        }
+    )
+
+
+def lsh_knn_recall(sf_dir: str) -> pa.Table:
+    """Recall floor 0.2 for the 8-bit hyperplane LSH (weak by design on
+    random vectors — the multi-probe radius, not the mechanism, sets it)."""
+    return _knn_recall_floor(sf_dir, lsh_knn_cosine(sf_dir), 0.2)
+
+
+def ivf_knn_recall(sf_dir: str) -> pa.Table:
+    """Recall floor 0.6 for IVF at nprobe=4 of 16 lists."""
+    return _knn_recall_floor(sf_dir, ivf_knn_cosine(sf_dir), 0.6)
+
+
+def pq_knn_recall(sf_dir: str) -> pa.Table:
+    """Recall floor 0.6 for the PQ scan + exact-refine path."""
+    return _knn_recall_floor(sf_dir, pq_knn_cosine(sf_dir), 0.6)
+
+
+def knn_recall_floor_sql_oracle(query_ids: tuple[int, ...] = (0, 1, 2)) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        SELECT vec_id AS qid, CAST(1 AS BIGINT) AS floor_met
+        FROM embeddings WHERE vec_id IN ({ids}) ORDER BY qid
+    """

@@ -179,6 +179,44 @@ def fsck_index(out_dir: str) -> pa.Table:
         gissues.append(
             f"merged lexicon (df={gdf}, cf={gcf}) != chunk partials (df={pdf}, cf={pcf})"
         )
+    # reversed-term sidecar, when present, must mirror the merged lexicon
+    # exactly: same term multiset, every rev_term the codepoint reverse of
+    # its term, rows sorted by rev_term (the range-probe precondition)
+    rev_dir = os.path.join(out_dir, "lexicon_rev")
+    if os.path.isdir(rev_dir):
+        try:
+            rt = pa.concat_tables(
+                [
+                    pq.read_table(f, columns=["rev_term", "term"])
+                    for f in sorted(glob.glob(os.path.join(rev_dir, "*.parquet")))
+                ]
+            )
+            lex_terms = pa.concat_tables(
+                [pq.read_table(f, columns=["term"]) for f in glex]
+            )["term"]
+            rev = rt["rev_term"].to_numpy(zero_copy_only=False)
+            if rt.num_rows != len(lex_terms):
+                gissues.append(
+                    f"reverse lexicon rows {rt.num_rows} != lexicon terms "
+                    f"{len(lex_terms)}"
+                )
+            else:
+                import numpy as np
+
+                if not (
+                    np.sort(rt["term"].to_numpy(zero_copy_only=False))
+                    == np.sort(lex_terms.to_numpy(zero_copy_only=False))
+                ).all():
+                    gissues.append("reverse lexicon term set != lexicon terms")
+                want_rev = pa.compute.utf8_reverse(rt["term"]).to_numpy(
+                    zero_copy_only=False
+                )
+                if not (rev == want_rev).all():
+                    gissues.append("reverse lexicon rev_term != reverse(term)")
+            if len(rev) > 1 and not (rev[:-1] <= rev[1:]).all():
+                gissues.append("reverse lexicon not sorted by rev_term")
+        except Exception as e:
+            gissues.append(f"unreadable reverse lexicon: {e}")
 
     rows = [
         (os.path.basename(r["chunk_dir"]), r["docs"], r["tokens"],

@@ -629,17 +629,21 @@ def test_reverse_lexicon_probe_matches_sweep(ray_session, tmp_path):
         s2.lexicon.wildcard_terms("*ow", limit=3)
 
 
-def test_reverse_lexicon_invalidated_by_append(ray_session, tmp_path):
-    """Rewriting the lexicon (append) must drop the reversed sidecar: a
-    suffix wildcard after the append sees the NEW vocabulary (sweep
-    fallback) instead of silently probing the stale rev table."""
+def test_reverse_lexicon_lifecycle_across_append(ray_session, tmp_path):
+    """The sidecar is written by the standard build finalize
+    (``BuildConfig.reverse_lexicon`` default) and REFRESHED against the
+    new vocabulary on every lexicon rewrite — after an append a suffix
+    wildcard probes the NEW terms, never a stale rev table.  With the
+    flag off, no sidecar is written and the sweep fallback serves the
+    same answers; fsck validates a present sidecar mirrors the lexicon."""
     import os as _os
 
     import pyarrow as pa
     import pyarrow.parquet as _pq
 
     from index_ray.pipelines.build import BuildConfig, append_index, build_index
-    from index_ray.pipelines.query import BM25Searcher, build_reverse_lexicon
+    from index_ray.pipelines.query import BM25Searcher
+    from index_ray.state.fsck import fsck_index
 
     d = tmp_path / "ri"
     d.mkdir()
@@ -656,7 +660,8 @@ def test_reverse_lexicon_invalidated_by_append(ray_session, tmp_path):
     )
     idx = str(tmp_path / "ri_idx")
     build_index(str(d / "base.parquet"), idx, cfg)
-    build_reverse_lexicon(idx)
+    # day one: the finalize wrote the sidecar — no maintenance pass needed
+    assert _os.path.isdir(_os.path.join(idx, "lexicon_rev"))
     s = BM25Searcher(idx, num_shards=1)
     assert s.lexicon.wildcard_terms("*ow") == ["row", "window"]
 
@@ -670,13 +675,70 @@ def test_reverse_lexicon_invalidated_by_append(ray_session, tmp_path):
         str(d / "more.parquet"),
     )
     append_index(str(d / "more.parquet"), idx, cfg)
-    assert not _os.path.isdir(_os.path.join(idx, "lexicon_rev"))  # dropped
+    # refreshed, not stale: the probe path answers over the NEW vocabulary
+    assert _os.path.isdir(_os.path.join(idx, "lexicon_rev"))
     s2 = BM25Searcher(idx, num_shards=1)
     assert s2.lexicon.wildcard_terms("*ow") == ["crow", "row", "shadow", "window"]
-    # rebuilding the sidecar restores the probe path over the new vocab
-    build_reverse_lexicon(idx)
-    s3 = BM25Searcher(idx, num_shards=1)
-    assert s3.lexicon.wildcard_terms("*ow") == ["crow", "row", "shadow", "window"]
+    # fsck agrees the sidecar mirrors the merged lexicon
+    fs = fsck_index(idx).to_pandas().set_index("scope")
+    assert fs.loc["__global__", "n_issues"] == 0, fs.loc["__global__", "issues"]
+
+    # flag off: no sidecar, sweep fallback, same answers
+    cfg_off = BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                          chunk_docs=100, num_parts=4, salt_docs=64,
+                          reverse_lexicon=False)
+    idx2 = str(tmp_path / "ri_idx2")
+    build_index(str(d / "base.parquet"), idx2, cfg_off)
+    assert not _os.path.isdir(_os.path.join(idx2, "lexicon_rev"))
+    s3 = BM25Searcher(idx2, num_shards=1)
+    assert s3.lexicon.wildcard_terms("*ow") == ["row", "window"]
+
+
+def test_fsck_flags_corrupt_reverse_lexicon(ray_session, tmp_path):
+    """A sidecar that drifted from the lexicon (wrong terms) is a global
+    fsck issue, not a silent wrong-wildcard hazard."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from index_ray.pipelines.build import BuildConfig, build_index
+    from index_ray.state.fsck import fsck_index
+
+    d = tmp_path / "fc"
+    d.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["window row"], pa.string()),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    idx = str(tmp_path / "fc_idx")
+    build_index(
+        str(d / "docs.parquet"), idx,
+        BuildConfig(tokenizer="simple", text_col="text", id_col="doc_id",
+                    chunk_docs=100, num_parts=4, salt_docs=64),
+    )
+    fs = fsck_index(idx).to_pandas().set_index("scope")
+    assert fs.loc["__global__", "n_issues"] == 0
+    # corrupt the sidecar: swap in a wrong term
+    rev = _os.path.join(idx, "lexicon_rev")
+    f = sorted(_os.listdir(rev))[0]
+    _pq.write_table(
+        pa.table(
+            {
+                "rev_term": pa.array(["gnorw"], pa.string()),
+                "term": pa.array(["wrong"], pa.string()),
+            }
+        ),
+        _os.path.join(rev, f),
+    )
+    fs2 = fsck_index(idx).to_pandas().set_index("scope")
+    assert fs2.loc["__global__", "n_issues"] > 0
+    assert "reverse lexicon" in fs2.loc["__global__", "issues"]
 
 
 def test_reverse_lexicon_crash_window_is_harmless(ray_session, tmp_path):
