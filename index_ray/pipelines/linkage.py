@@ -608,15 +608,71 @@ def _distinct_pairs(t: pa.Table) -> pa.Table:
     )
 
 
-def _pair_dot(batch: pa.Table, threshold: float) -> pa.Table:
-    """Exact tf-idf cosine per candidate row — both sides' packed vectors
-    arrive ON the row (joined in, never broadcast): run-concat both
-    sides' (ord, w) runs tagged with the row index, one lexsort, adjacent
-    (row, ord) duplicates multiply into dot contributions, one weighted
-    bincount.  The threshold test is ``dot >= t * ||a|| ||b||`` — the
-    same algebraic FORM the SQL oracle uses, so a disagreement would
-    need two float sums differing only in summation order (~1 ulp) to
-    straddle the threshold; no systematic formula mismatch exists."""
+_VERIFY_PARTS = 16  # vector hash partitions for the blocked tile verify
+
+
+def _tag_pair_tiles(t: pa.Table, n_parts: int) -> pa.Table:
+    """Tag each candidate pair with its (vector-partition of a, of b) tile
+    key — the SAME pandas hash ``util._bucket_of`` uses to split the
+    vectors, so a tile task and its two vector partitions agree."""
+    import pandas as pd
+
+    if t.num_rows == 0 or "a" not in t.column_names:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "pb_a": pa.array([], pa.int64()),
+                "pb_b": pa.array([], pa.int64()),
+            }
+        )
+    pb_a = (
+        pd.util.hash_array(t["a"].to_numpy(zero_copy_only=False))
+        % np.uint64(n_parts)
+    ).astype(np.int64)
+    pb_b = (
+        pd.util.hash_array(t["b"].to_numpy(zero_copy_only=False))
+        % np.uint64(n_parts)
+    ).astype(np.int64)
+    return t.append_column("pb_a", pa.array(pb_a)).append_column(
+        "pb_b", pa.array(pb_b)
+    )
+
+
+def _vec_lookup(tbl: pa.Table):
+    """A vectors partition -> (sorted ids, sizes, starts, flat ords,
+    flat ws, norms) for the run-gather dot kernel."""
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    o_blobs = [tbl["ords"][int(i)].as_py() for i in order]
+    w_blobs = [tbl["ws"][int(i)].as_py() for i in order]
+    sizes = np.array([len(x) // 8 for x in o_blobs], dtype=np.int64)
+    flat_o = np.frombuffer(b"".join(o_blobs), dtype=np.uint64)
+    flat_w = np.frombuffer(b"".join(w_blobs), dtype=np.float64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    norms = tbl["norm"].to_numpy(zero_copy_only=False)[order]
+    return ids[order], sizes, starts, flat_o, flat_w, norms
+
+
+def _verify_tiles_bucket(
+    t: pa.Table, parts_refs: tuple, threshold: float
+) -> pa.Table:
+    """One tile-keyed bucket of tagged candidate pairs -> exact verified
+    pairs — the blocked-matrix-multiply verify.  The task pulls ONLY the
+    vector partitions its tiles touch (vector bytes move once per
+    occupied tile, bounded by 2 x n_parts x |vectors| across the whole
+    stage — never once per candidate pair, which at high candidate
+    multiplicity is the dominant cost of a pair-vector join).  A pair's
+    tile key is deterministic, so duplicate candidates from different
+    token buckets land HERE together and the in-bucket dedup is globally
+    exact — the pair stream shuffles exactly once.  The threshold test is
+    ``dot >= t * ||a|| ||b||`` — the same algebraic FORM the SQL oracle
+    uses, so a disagreement would need two float sums differing only in
+    summation order (~1 ulp) to straddle the threshold."""
+    import ray
+
+    from .dedup import _run_gather
+
     empty = pa.table(
         {
             "a": pa.array([], pa.int64()),
@@ -624,46 +680,65 @@ def _pair_dot(batch: pa.Table, threshold: float) -> pa.Table:
             "cos_sim": pa.array([], pa.float64()),
         }
     )
-    if batch.num_rows == 0 or "a" not in batch.column_names:
+    if t.num_rows == 0 or "a" not in t.column_names:
         return empty
-    n = batch.num_rows
-    a = batch["a"].to_numpy(zero_copy_only=False)
-    b = batch["b"].to_numpy(zero_copy_only=False)
-    ao_blobs = batch["a_ords"].to_pylist()
-    bo_blobs = batch["b_ords"].to_pylist()
-    la = np.array([len(x) // 8 for x in ao_blobs], dtype=np.int64)
-    lb = np.array([len(x) // 8 for x in bo_blobs], dtype=np.int64)
-    ords = np.concatenate(
-        [
-            np.frombuffer(b"".join(ao_blobs), dtype=np.uint64),
-            np.frombuffer(b"".join(bo_blobs), dtype=np.uint64),
-        ]
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    pb_a = t["pb_a"].to_numpy(zero_copy_only=False)
+    pb_b = t["pb_b"].to_numpy(zero_copy_only=False)
+    # ONE lexsort serves both the global in-bucket dedup (the tile key is
+    # a function of (a, b), so duplicate pairs are adjacent under this
+    # order) and the tile grouping
+    order = np.lexsort((b, a, pb_b, pb_a))
+    a, b, pb_a, pb_b = a[order], b[order], pb_a[order], pb_b[order]
+    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    a, b, pb_a, pb_b = a[keep], b[keep], pb_a[keep], pb_b[keep]
+    starts = np.flatnonzero(
+        np.concatenate([[True], (pb_a[1:] != pb_a[:-1]) | (pb_b[1:] != pb_b[:-1])])
     )
-    ws = np.concatenate(
-        [
-            np.frombuffer(b"".join(batch["a_ws"].to_pylist()), dtype=np.float64),
-            np.frombuffer(b"".join(batch["b_ws"].to_pylist()), dtype=np.float64),
-        ]
-    )
-    pair_idx = np.concatenate(
-        [
-            np.repeat(np.arange(n, dtype=np.int64), la),
-            np.repeat(np.arange(n, dtype=np.int64), lb),
-        ]
-    )
-    order = np.lexsort((ords, pair_idx))
-    os_, ps, ws_ = ords[order], pair_idx[order], ws[order]
-    dup = (os_[1:] == os_[:-1]) & (ps[1:] == ps[:-1])
-    prod = ws_[1:][dup] * ws_[:-1][dup]
-    dot = np.bincount(ps[1:][dup], weights=prod, minlength=n)
-    na = batch["a_norm"].to_numpy(zero_copy_only=False)
-    nb = batch["b_norm"].to_numpy(zero_copy_only=False)
-    keep = dot >= threshold * na * nb
+    ends = np.append(starts[1:], len(a))
+    cache: dict = {}
+    out_a, out_b, out_c = [], [], []
+    for s, e in zip(starts, ends):
+        pia, pib = int(pb_a[s]), int(pb_b[s])
+        for p in (pia, pib):
+            if p not in cache:
+                cache[p] = _vec_lookup(ray.get(parts_refs[p]))
+        ids_a, sz_a, st_a, fo_a, fw_a, nm_a = cache[pia]
+        ids_b, sz_b, st_b, fo_b, fw_b, nm_b = cache[pib]
+        ia = np.searchsorted(ids_a, a[s:e])
+        ib = np.searchsorted(ids_b, b[s:e])
+        la, lb = sz_a[ia], sz_b[ib]
+        ords = np.concatenate(
+            [_run_gather(fo_a, st_a[ia], la), _run_gather(fo_b, st_b[ib], lb)]
+        )
+        ws = np.concatenate(
+            [_run_gather(fw_a, st_a[ia], la), _run_gather(fw_b, st_b[ib], lb)]
+        )
+        n = e - s
+        pair_idx = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), la),
+                np.repeat(np.arange(n, dtype=np.int64), lb),
+            ]
+        )
+        o2 = np.lexsort((ords, pair_idx))
+        os_, ps, ws_ = ords[o2], pair_idx[o2], ws[o2]
+        dup = (os_[1:] == os_[:-1]) & (ps[1:] == ps[:-1])
+        prod = ws_[1:][dup] * ws_[:-1][dup]
+        dot = np.bincount(ps[1:][dup], weights=prod, minlength=n)
+        na, nb = nm_a[ia], nm_b[ib]
+        keep2 = dot >= threshold * na * nb
+        out_a.append(a[s:e][keep2])
+        out_b.append(b[s:e][keep2])
+        out_c.append(dot[keep2] / (na[keep2] * nb[keep2]))
+    if not out_a:
+        return empty
     return pa.table(
         {
-            "a": pa.array(a[keep], pa.int64()),
-            "b": pa.array(b[keep], pa.int64()),
-            "cos_sim": pa.array(dot[keep] / (na[keep] * nb[keep])),
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(out_c), pa.float64()),
         }
     )
 
@@ -697,10 +772,13 @@ def cosine_similarity_join(
        ``_prefix_emit_bucket`` has the soundness argument).
     4. candidates: tok-keyed shuffle -> TILE DESCRIPTORS (never raw
        O(g^2) pairs in one worker heap — ``_tiles_by_tok``), expanded in
-       bounded batches, deduped by an (a, b)-keyed shuffle.
-    5. exact verify: candidates join BOTH sides' packed vectors by id
-       (two hash joins — vectors ride the rows, nothing is broadcast)
-       and one vectorized pass computes the exact dot products.
+       bounded batches.
+    5. blocked tile verify (``_verify_tiles_bucket``): the pair stream
+       shuffles ONCE on (vector-partition-of-a, of-b); each task pulls
+       only its two vector partitions and runs the vectorized run-gather
+       dot kernel.  Vector traffic is bounded by 2 x n_parts x |vectors|
+       per stage (never per pair) and candidate dedup folds into the
+       same shuffle.
 
     Precision 1 by the verify, recall 1 by the prefix theorem: the
     output hash-compares against the quadratic SQL oracle.
@@ -768,29 +846,48 @@ def cosine_similarity_join(
         ),
     )
 
-    # 4. bounded candidate generation + distributed dedup
+    # 4. bounded candidate generation (tile descriptors, small batches)
     tiles = hash_groupby(emitted, keys=["tok"], finalize=_tiles_by_tok)
-    cand = hash_groupby(
-        tiles.map_batches(_expand_tiles, batch_format="pyarrow", batch_size=4),
-        keys=["a", "b"],
-        finalize=_distinct_pairs,
+    cand = tiles.map_batches(_expand_tiles, batch_format="pyarrow", batch_size=4)
+
+    # 5. blocked tile verify: the vectors split into n_parts hash
+    # partitions held as ObjectRefs; each candidate pair is tagged with
+    # its (partition-of-a, partition-of-b) tile and the pair stream
+    # shuffles ONCE on the tile key.  Each verify task pulls only its
+    # tiles' two vector partitions — vector traffic is bounded by
+    # 2 x n_parts x |vectors| for the whole stage, instead of
+    # |vector| x candidate-multiplicity for a pair-vector join (measured
+    # 2,500x multiplicity on the sf0.1 corpus).  Duplicate candidates
+    # land in one bucket (the tile key is a function of (a, b)), so the
+    # in-bucket dedup is globally exact with no extra shuffle.
+    from ..util import _hg_reduce, _hg_split
+
+    n_parts = _VERIFY_PARTS
+    blocks = [
+        b
+        for bundle in vectors.iter_internal_ref_bundles()
+        for b in bundle.block_refs
+    ]
+    per_block = [
+        _hg_split.options(num_returns=n_parts).remote(b, ["doc_id"], n_parts)
+        for b in blocks
+    ]
+    parts_refs = tuple(
+        _hg_reduce.remote(lambda x: x, *[pb[p] for pb in per_block])
+        for p in range(n_parts)
     )
-
-    # 5. verify: vectors ride the candidate rows through two id joins
-    def _rename(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [side, f"{side}_ords", f"{side}_ws", f"{side}_norm"]
-            )
-
-        return fn
-
-    va = vectors.map_batches(_rename("a"), batch_format="pyarrow")
-    vb = vectors.map_batches(_rename("b"), batch_format="pyarrow")
-    out = hash_join(hash_join(cand, va, on="a"), vb, on="b").map_batches(
-        functools.partial(_pair_dot, threshold=threshold_pct / 100.0),
-        batch_format="pyarrow",
-        batch_size=8192,
+    out = hash_groupby(
+        cand.map_batches(
+            functools.partial(_tag_pair_tiles, n_parts=n_parts),
+            batch_format="pyarrow",
+        ),
+        keys=["pb_a", "pb_b"],
+        finalize=functools.partial(
+            _verify_tiles_bucket,
+            parts_refs=parts_refs,
+            threshold=threshold_pct / 100.0,
+        ),
+        num_partitions=64,
     )
     return pairs_table(out, extra_cols=("cos_sim",))
 
