@@ -117,49 +117,133 @@ class _PrefixEmit:
         )
 
 
-class _CandTokenSets:
-    """batch -> (doc_id, packed token-rank set) for candidate ids only —
-    the verify side's input, shaped exactly like dedup._CandGramSets."""
+class _TokenSets:
+    """batch -> (doc_id, packed token-rank set) for every record — the
+    verify side's input, shaped like dedup._CandGramSets (no candidate
+    filter: the table is then hash-partitioned for the tile verify, so
+    no candidate-id set ever folds to the driver)."""
 
-    def __init__(self, vocab_ref, cand_ids_ref):
+    def __init__(self, vocab_ref):
         self.vocab, self.rank = ray.get(vocab_ref)
-        self.want = ray.get(cand_ids_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["p_partkey"].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, self.want)
-        if not mask.any():
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "grams": pa.array([], pa.binary())}
-            )
-        sub = batch.filter(pa.array(mask))
-        rec, words = _record_token_runs(sub["p_name"])
+        rec, words = _record_token_runs(batch["p_name"])
         ranks = self.rank[np.searchsorted(self.vocab, words)].astype(np.uint64)
-        sub_ids = sub["p_partkey"].to_numpy(zero_copy_only=False)
+        ids = batch["p_partkey"].to_numpy(zero_copy_only=False)
         # rec is grouped ascending (lexsorted) — slice contiguous runs;
         # set order is irrelevant to the verify kernel, distinctness holds
         starts = np.flatnonzero(np.concatenate([[True], rec[1:] != rec[:-1]]))
         ends = np.append(starts[1:], len(rec))
         by_rec = {int(rec[s]): ranks[s:e].tobytes() for s, e in zip(starts, ends)}
-        sets = [by_rec.get(i, b"") for i in range(len(sub_ids))]
+        sets = [by_rec.get(i, b"") for i in range(len(ids))]
         return pa.table(
             {
-                "doc_id": pa.array(sub_ids, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
                 "grams": pa.array(sets, pa.binary()),
             }
         )
 
 
+def _gram_lookup(tbl: pa.Table):
+    """A (doc_id, grams) partition -> (sorted ids, sizes, starts, flat)
+    for the run-gather Jaccard kernel."""
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    blobs = [tbl["grams"][int(i)].as_py() for i in order]
+    sizes = np.array([len(x) // 8 for x in blobs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    return ids[order], sizes, starts, flat
+
+
+def _verify_jaccard_tiles(
+    t: pa.Table, parts_refs: tuple, threshold_pct: int
+) -> pa.Table:
+    """Blocked tile verify for the set join (the cosine join's
+    ``_verify_tiles_bucket`` with the integer-Jaccard kernel): in-bucket
+    dedup and tile grouping share one lexsort; each tile pulls only its
+    two token-set partitions."""
+    import ray
+
+    from .dedup import _run_gather
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard_pct": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0 or "a" not in t.column_names:
+        return empty
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    pb_a = t["pb_a"].to_numpy(zero_copy_only=False)
+    pb_b = t["pb_b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a, pb_b, pb_a))
+    a, b, pb_a, pb_b = a[order], b[order], pb_a[order], pb_b[order]
+    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    a, b, pb_a, pb_b = a[keep], b[keep], pb_a[keep], pb_b[keep]
+    starts = np.flatnonzero(
+        np.concatenate([[True], (pb_a[1:] != pb_a[:-1]) | (pb_b[1:] != pb_b[:-1])])
+    )
+    ends = np.append(starts[1:], len(a))
+    cache: dict = {}
+    out_a, out_b, out_j = [], [], []
+    for s, e in zip(starts, ends):
+        pia, pib = int(pb_a[s]), int(pb_b[s])
+        for p in (pia, pib):
+            if p not in cache:
+                cache[p] = _gram_lookup(ray.get(parts_refs[p]))
+        ids_a, sz_a, st_a, fl_a = cache[pia]
+        ids_b, sz_b, st_b, fl_b = cache[pib]
+        ia = np.searchsorted(ids_a, a[s:e])
+        ib = np.searchsorted(ids_b, b[s:e])
+        la, lb = sz_a[ia], sz_b[ib]
+        grams = np.concatenate(
+            [_run_gather(fl_a, st_a[ia], la), _run_gather(fl_b, st_b[ib], lb)]
+        )
+        n = e - s
+        pair_idx = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), la),
+                np.repeat(np.arange(n, dtype=np.int64), lb),
+            ]
+        )
+        o2 = np.lexsort((grams, pair_idx))
+        gs, ps = grams[o2], pair_idx[o2]
+        dup = (gs[1:] == gs[:-1]) & (ps[1:] == ps[:-1])
+        inter = np.bincount(ps[1:][dup], minlength=n).astype(np.int64)
+        union = la + lb - inter
+        keep2 = (union > 0) & (100 * inter >= threshold_pct * union)
+        out_a.append(a[s:e][keep2])
+        out_b.append(b[s:e][keep2])
+        out_j.append((100 * inter[keep2]) // union[keep2])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "jaccard_pct": pa.array(np.concatenate(out_j), pa.int64()),
+        }
+    )
+
+
 def set_similarity_join(sf_dir: str, threshold_pct: int = 50) -> pa.Table:
     """All part pairs with name-token Jaccard >= ``threshold_pct``% as
     (a, b, jaccard_pct) — exact, via prefix-filtered candidate generation
-    (module docstring has the plan and the pruning theorem)."""
-    from .dedup import _PairJaccardVerify
+    (module docstring has the plan and the pruning theorem).  The verify
+    is the blocked tile shuffle (the candidate pair stream never folds to
+    the driver; token-set partitions move once per occupied tile)."""
+    import functools
 
     parts = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
-    # stage 1: global token document frequencies (vocabulary-sized)
+    # stage 1: global token document frequencies (vocabulary-sized —
+    # part-NAME tokens, tiny by construction; the cosine join shows the
+    # fully-distributed rank assignment for unbounded vocabularies)
     from ray.data.aggregate import Sum
 
     df = (
@@ -168,6 +252,14 @@ def set_similarity_join(sf_dir: str, threshold_pct: int = 50) -> pa.Table:
         .aggregate(Sum("n_part", alias_name="df"))
         .to_pandas()
     )
+    if len(df) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
     df = df.sort_values(["df", "tok"]).reset_index(drop=True)
     vocab = df["tok"].to_numpy()
     v_order = np.argsort(vocab)
@@ -179,53 +271,52 @@ def set_similarity_join(sf_dir: str, threshold_pct: int = 50) -> pa.Table:
     # as bounded TILE DESCRIPTORS (``_tiles_by_tok``) and expanded in
     # small batches — a hot token the prefix filter fails to prune can
     # no longer put O(g^2) rows in one worker heap (r04 ADVICE finding)
-    from ..util import hash_groupby
+    from ..util import _hg_reduce, _hg_split, hash_groupby
 
-    cand = pairs_table(
-        hash_groupby(
-            parts.map_batches(
-                stage_fn(_PrefixEmit, vocab_ref, threshold_pct),
-                batch_format="pyarrow",
-                batch_size=8192,
-            ),
-            keys=["tok"],
-            finalize=_tiles_by_tok,
-        ).map_batches(_expand_tiles, batch_format="pyarrow", batch_size=4)
-    )
-    if cand.num_rows == 0:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "jaccard_pct": pa.array([], pa.int64()),
-            }
-        )
-
-    # stage 3: exact verify over candidate pairs (token sets re-derived
-    # for candidates only; object-store blocks, no driver dict)
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                cand["a"].to_numpy(zero_copy_only=False),
-                cand["b"].to_numpy(zero_copy_only=False),
-            ]
-        )
-    )
-    set_refs = tuple(
+    cand = hash_groupby(
         parts.map_batches(
-            stage_fn(_CandTokenSets, vocab_ref, ray.put(cand_ids)),
+            stage_fn(_PrefixEmit, vocab_ref, threshold_pct),
             batch_format="pyarrow",
             batch_size=8192,
-        ).to_arrow_refs()
-    )
-    return pairs_table(
-        ray.data.from_arrow(cand).map_batches(
-            stage_fn(_PairJaccardVerify, set_refs, threshold_pct),
-            batch_format="pyarrow",
-            batch_size=65536,
         ),
-        extra_cols=("jaccard_pct",),
+        keys=["tok"],
+        finalize=_tiles_by_tok,
+    ).map_batches(_expand_tiles, batch_format="pyarrow", batch_size=4)
+
+    # stage 3: blocked tile verify — token sets hash-partitioned once as
+    # ObjectRefs; the pair stream shuffles ONCE on its tile key with
+    # in-bucket global dedup (see _verify_tiles_bucket's contract)
+    n_parts = _VERIFY_PARTS
+    sets_ds = parts.map_batches(
+        stage_fn(_TokenSets, vocab_ref), batch_format="pyarrow", batch_size=8192
+    ).materialize()
+    blocks = [
+        b
+        for bundle in sets_ds.iter_internal_ref_bundles()
+        for b in bundle.block_refs
+    ]
+    per_block = [
+        _hg_split.options(num_returns=n_parts).remote(b, ["doc_id"], n_parts)
+        for b in blocks
+    ]
+    parts_refs = tuple(
+        _hg_reduce.remote(lambda x: x, *[pb[p] for pb in per_block])
+        for p in range(n_parts)
     )
+    out = hash_groupby(
+        cand.map_batches(
+            functools.partial(_tag_pair_tiles, n_parts=n_parts),
+            batch_format="pyarrow",
+        ),
+        keys=["pb_a", "pb_b"],
+        finalize=functools.partial(
+            _verify_jaccard_tiles,
+            parts_refs=parts_refs,
+            threshold_pct=threshold_pct,
+        ),
+        num_partitions=64,
+    )
+    return pairs_table(out, extra_cols=("jaccard_pct",))
 
 
 def set_similarity_join_sql_oracle(threshold_pct: int = 50) -> str:
