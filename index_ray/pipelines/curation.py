@@ -1820,6 +1820,7 @@ def decontaminate_fuzzy(
     a candidate pair (``dedup.jaccard_pairs_from_grams``), so driver
     state is pair-bounded.
     """
+    from ..util import bounded_pair_dataset
     from .dedup import _GramEmit, jaccard_pairs_from_grams
 
     grams = (
@@ -1831,24 +1832,21 @@ def decontaminate_fuzzy(
         )
         .materialize()  # consumed twice (pairs + sizes)
     )
-
-    def cross_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        ev = ids % DECONTAM_MOD == 0
-        t, e = ids[~ev], ids[ev]
-        if len(t) == 0 or len(e) == 0:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "a": pa.array(np.repeat(t, len(e)), pa.int64()),
-                "b": pa.array(np.tile(e, len(t)), pa.int64()),
-            }
-        )
-
-    out = jaccard_pairs_from_grams(grams, cross_pairs, threshold_pct)
+    # bounded per-gram TRAIN x EVAL cross emit (util tile machinery with
+    # the split as side_fn — a hot gram never materializes its whole
+    # cross product in one group call)
+    pair_ds = bounded_pair_dataset(
+        grams, ["gram"], side_fn=_decontam_sides
+    )
+    out = jaccard_pairs_from_grams(grams, pair_ds, threshold_pct)
     return out.rename_columns(["doc_id", "eval_doc", "jaccard_pct"])
+
+
+def _decontam_sides(ids: np.ndarray):
+    """(train ids, eval ids) split for the fuzzy-decontamination cross
+    join — eval docs are the ``doc_id % DECONTAM_MOD == 0`` holdout."""
+    ev = ids % DECONTAM_MOD == 0
+    return ids[~ev], ids[ev]
 
 
 def decontaminate_fuzzy_sql_oracle(

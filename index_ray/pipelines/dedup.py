@@ -744,38 +744,34 @@ def ngram_jaccard_dedup(
     sub-quadratic banded scale path.
     """
 
-    def gram_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+    from ..util import bounded_pair_dataset
 
     grams = (
         docs_dataset(sf_dir, ["doc_id", "text"])
         .map_batches(stage_fn(_GramEmit, n, mode), batch_format="pyarrow", batch_size=256)
         .materialize()  # consumed twice (pairs + sizes); bounded by distinct (doc, gram)
     )
-    return jaccard_pairs_from_grams(grams, gram_pairs, threshold_pct)
+    # bounded per-gram pair emit (tile descriptors, small-batch expansion
+    # — a hot gram never materializes O(g^2) rows in one group call);
+    # each gram emits a shared pair exactly once, so the downstream
+    # pair-count shuffle still counts |A intersect B|
+    return jaccard_pairs_from_grams(
+        grams, bounded_pair_dataset(grams, ["gram"]), threshold_pct
+    )
 
 
 def jaccard_pairs_from_grams(
-    grams, pair_emit, threshold_pct: int
+    grams, pair_ds, threshold_pct: int
 ) -> pa.Table:
-    """Shared tail of the exact gram-Jaccard joins: per-gram pair
-    generation (``pair_emit``: a gram-bucket -> (a, b) candidate rows —
-    triu for within-corpus, train x eval for cross-split) -> pair-count
-    shuffle -> integer threshold.  Per-doc distinct-gram sizes are
-    fetched only for ids that actually appear in a candidate pair
-    (filtered BEFORE the driver collect), so the driver state is bounded
-    by the candidate-pair footprint, never the corpus."""
-    t = (
-        grams.groupby("gram")
-        .map_groups(pair_emit, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-        .to_pandas()
-    )
+    """Shared tail of the exact gram-Jaccard joins: ``pair_ds`` is the
+    per-gram candidate pair DATASET (``util.bounded_pair_dataset`` —
+    triu for within-corpus, train x eval via ``side_fn`` for
+    cross-split; one row per (gram, pair) so the pair-count shuffle
+    counts shared grams) -> integer threshold.  Per-doc distinct-gram
+    sizes are fetched only for ids that actually appear in a candidate
+    pair (filtered BEFORE the driver collect), so the driver state is
+    bounded by the candidate-pair footprint, never the corpus."""
+    t = pair_ds.groupby(["a", "b"]).count().to_pandas()
     if len(t) == 0:
         return _empty_jaccard_table()
     a = t["a"].to_numpy()
@@ -845,24 +841,19 @@ def ngram_jaccard_lsh(
        candidate/verify split is unchanged.
     """
 
-    def bucket_cands(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        if len(ids) > MAX_BUCKET:
-            _LOG.warning(
-                "ngram-LSH bucket with %d members (> %d)", len(ids), MAX_BUCKET
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+    from ..util import bounded_pair_dataset
 
+    # bounded per-band-bucket pair emit (util tile machinery): a hot
+    # bucket never materializes O(g^2) rows in one group call
     cand = pairs_table(
-        docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(stage_fn(_NgramBandSign, n, mode), batch_format="pyarrow", batch_size=256)
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_cands, batch_format="pyarrow")
+        bounded_pair_dataset(
+            docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+                stage_fn(_NgramBandSign, n, mode),
+                batch_format="pyarrow",
+                batch_size=256,
+            ),
+            ["band", "band_hash"],
+        )
     )
     if cand.num_rows == 0:
         return _empty_jaccard_table()

@@ -589,97 +589,16 @@ def _prefix_emit_bucket(t: pa.Table, threshold: float) -> pa.Table:
 
 
 # ------------------------------------------------ bounded candidate emit ----
+#
+# The tile machinery is shared repo-wide (util.MAX_TILE / _tiles_in_bucket /
+# _expand_tiles / bounded_pair_dataset) — dedup's gram joins and the
+# embedding LSH blocker emit through the same bounded path.
 
-MAX_TILE = 512  # pairwise-candidate tile edge (dedup.MAX_BUCKET's bound)
+import functools as _functools
 
-_EMPTY_TILES = pa.table(
-    {
-        "a_ids": pa.array([], pa.binary()),
-        "b_ids": pa.array([], pa.binary()),
-        "diag": pa.array([], pa.bool_()),
-    }
-)
+from ..util import MAX_TILE, _expand_tiles, _tiles_in_bucket
 
-
-def _tiles_by_tok(t: pa.Table) -> pa.Table:
-    """One tok-keyed bucket of (tok, doc_id) prefix-index rows -> TILE
-    DESCRIPTOR rows instead of raw O(g^2) candidate pairs: each token's
-    member ids (sorted unique) split into MAX_TILE-sized chunks and each
-    (i <= j) chunk pair becomes ONE row (a_ids blob, b_ids blob, diag).
-    A hot token that the prefix filter fails to prune therefore emits
-    O(g^2 / MAX_TILE) BYTES from this call — never O(g^2) rows in one
-    worker heap (the ADVICE-flagged OOM); ``_expand_tiles`` downstream
-    turns each descriptor into at most MAX_TILE^2 pairs per small batch.
-    """
-    if t.num_rows == 0 or "tok" not in t.column_names:
-        return _EMPTY_TILES
-    toks = t["tok"].to_numpy(zero_copy_only=False)
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, toks))
-    tk_s, id_s = toks[order], ids[order]
-    # distinct (tok, id) then per-tok runs
-    keep = np.concatenate([[True], (tk_s[1:] != tk_s[:-1]) | (id_s[1:] != id_s[:-1])])
-    tk_s, id_s = tk_s[keep], id_s[keep]
-    starts = np.flatnonzero(np.concatenate([[True], tk_s[1:] != tk_s[:-1]]))
-    ends = np.append(starts[1:], len(tk_s))
-    a_blobs, b_blobs, diag = [], [], []
-    for s, e in zip(starts, ends):
-        g = e - s
-        if g < 2:
-            continue
-        if g > MAX_TILE:
-            _LOG.warning(
-                "candidate bucket with %d members (> %d) — tiled emit", g, MAX_TILE
-            )
-        members = id_s[s:e]
-        chunks = [
-            members[i : i + MAX_TILE].astype(np.int64)
-            for i in range(0, g, MAX_TILE)
-        ]
-        for i in range(len(chunks)):
-            for j in range(i, len(chunks)):
-                a_blobs.append(chunks[i].tobytes())
-                b_blobs.append(chunks[j].tobytes())
-                diag.append(i == j)
-    return pa.table(
-        {
-            "a_ids": pa.array(a_blobs, pa.binary()),
-            "b_ids": pa.array(b_blobs, pa.binary()),
-            "diag": pa.array(diag, pa.bool_()),
-        }
-    )
-
-
-def _expand_tiles(batch: pa.Table) -> pa.Table:
-    """Tile descriptors -> candidate (a, b) pairs, bounded per call by
-    batch_size x MAX_TILE^2 rows.  Ids within a tile row are ascending
-    and chunks are disjoint ascending, so a < b by construction (triu
-    for the diagonal tile, full cross product off-diagonal)."""
-    a_parts, b_parts = [], []
-    for a_blob, b_blob, dg in zip(
-        batch["a_ids"].to_pylist(),
-        batch["b_ids"].to_pylist(),
-        batch["diag"].to_pylist(),
-    ):
-        A = np.frombuffer(a_blob, dtype=np.int64)
-        if dg:
-            ii, jj = np.triu_indices(len(A), k=1)
-            a_parts.append(A[ii])
-            b_parts.append(A[jj])
-        else:
-            B = np.frombuffer(b_blob, dtype=np.int64)
-            a_parts.append(np.repeat(A, len(B)))
-            b_parts.append(np.tile(B, len(A)))
-    if not a_parts:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
-    return pa.table(
-        {
-            "a": pa.array(np.concatenate(a_parts), pa.int64()),
-            "b": pa.array(np.concatenate(b_parts), pa.int64()),
-        }
-    )
+_tiles_by_tok = _functools.partial(_tiles_in_bucket, key_cols=["tok"])
 
 
 def _distinct_pairs(t: pa.Table) -> pa.Table:

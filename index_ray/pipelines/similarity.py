@@ -416,37 +416,25 @@ def embedding_neardup_lsh(
     Approximate: recall vs ``embedding_neardup`` is measured in tests.
     """
 
-    def bucket_cands(group: pa.Table) -> pa.Table:
-        import logging
-
-        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        if len(ids) > 4096:
-            logging.getLogger(__name__).warning(
-                "embedding-LSH bucket with %d members — key needs more bits", len(ids)
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+    from ..util import bounded_pair_dataset
 
     # candidate pairs STAY in the object store (a hot bucket is O(members²)
     # pairs — driver-collecting them before the verify cut is the OOM
-    # shape); only the distinct candidate IDs (bounded by N, not pairs)
-    # fold to the driver for the vector refetch.  A pair colliding in
-    # several probe buckets is verified more than once (bounded by the
-    # probe count); the final pairs_table dedups the verified survivors.
-    cand_ds = (
-        emb_dataset(sf_dir)
-        .map_batches(
+    # shape), and the per-bucket emit goes through the shared tile
+    # machinery (bounded descriptors + small-batch expansion — a hot key
+    # never materializes O(g^2) rows in one group call); only the
+    # distinct candidate IDs (bounded by N, not pairs) fold to the driver
+    # for the vector refetch.  A pair colliding in several probe buckets
+    # is verified more than once (bounded by the probe count); the final
+    # pairs_table dedups the verified survivors.
+    cand_ds = bounded_pair_dataset(
+        emb_dataset(sf_dir).map_batches(
             stage_fn(_HyperplaneSign, nbits), batch_format="pyarrow",
             batch_size=4096,
-        )
-        .groupby("key")
-        .map_groups(bucket_cands, batch_format="pyarrow")
-        .materialize()
-    )
+        ),
+        ["key"],
+        id_col="vec_id",
+    ).materialize()
     if cand_ds.count() == 0:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}

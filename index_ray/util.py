@@ -305,3 +305,141 @@ def hash_groupby(
         for p in range(nparts)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+# ----------------------------------------- bounded candidate-pair tiles ----
+
+MAX_TILE = 512  # pairwise-candidate tile edge (memory bound, not a cap)
+
+_EMPTY_TILES = pa.table(
+    {
+        "a_ids": pa.array([], pa.binary()),
+        "b_ids": pa.array([], pa.binary()),
+        "diag": pa.array([], pa.bool_()),
+    }
+)
+
+
+def _tiles_in_bucket(
+    t: pa.Table, key_cols: list[str], id_col: str = "doc_id", side_fn=None
+) -> pa.Table:
+    """One hash bucket of (key..., id) rows -> TILE DESCRIPTOR rows
+    instead of raw O(g^2) candidate pairs per key group: each group's
+    member ids (sorted unique) split into MAX_TILE-sized chunks; each
+    (i <= j) chunk pair becomes ONE row (a_ids blob, b_ids blob, diag).
+    A hot group the upstream filter failed to prune therefore emits
+    O(g^2 / MAX_TILE) BYTES from this call — never O(g^2) rows in one
+    worker heap; ``_expand_tiles`` downstream turns each descriptor into
+    at most MAX_TILE^2 pairs per small batch.
+
+    ``side_fn(ids) -> (left, right)`` turns the within-group triu into a
+    two-sided cross product (e.g. train x eval decontamination); with it,
+    every tile is off-diagonal (full cross)."""
+    if t.num_rows == 0 or id_col not in t.column_names:
+        return _EMPTY_TILES
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    keys = [t[k].to_numpy(zero_copy_only=False) for k in key_cols]
+    order = np.lexsort(tuple([ids] + keys[::-1]))
+    ids = ids[order]
+    keys = [k[order] for k in keys]
+
+    def _same_key(arrs: list, n: int) -> np.ndarray:
+        same = np.ones(max(n - 1, 0), dtype=bool)
+        for k in arrs:
+            same &= k[1:] == k[:-1]
+        return same
+
+    # distinct (key, id), then group boundaries on the FILTERED arrays
+    same = _same_key(keys, len(ids))
+    keep = np.concatenate([[True], ~(same & (ids[1:] == ids[:-1]))])
+    ids = ids[keep]
+    keys = [k[keep] for k in keys]
+    same = _same_key(keys, len(ids))
+    starts = np.flatnonzero(np.concatenate([[True], ~same]))
+    ends = np.append(starts[1:], len(ids))
+    a_blobs, b_blobs, diag = [], [], []
+
+    def emit_cross(L: np.ndarray, R: np.ndarray) -> None:
+        for i in range(0, len(L), MAX_TILE):
+            for j in range(0, len(R), MAX_TILE):
+                a_blobs.append(L[i : i + MAX_TILE].astype(np.int64).tobytes())
+                b_blobs.append(R[j : j + MAX_TILE].astype(np.int64).tobytes())
+                diag.append(False)
+
+    for s, e in zip(starts, ends):
+        members = ids[s:e]
+        if side_fn is not None:
+            left, right = side_fn(members)
+            if len(left) and len(right):
+                emit_cross(left, right)
+            continue
+        g = e - s
+        if g < 2:
+            continue
+        chunks = [
+            members[i : i + MAX_TILE].astype(np.int64)
+            for i in range(0, g, MAX_TILE)
+        ]
+        for i in range(len(chunks)):
+            for j in range(i, len(chunks)):
+                a_blobs.append(chunks[i].tobytes())
+                b_blobs.append(chunks[j].tobytes())
+                diag.append(i == j)
+    return pa.table(
+        {
+            "a_ids": pa.array(a_blobs, pa.binary()),
+            "b_ids": pa.array(b_blobs, pa.binary()),
+            "diag": pa.array(diag, pa.bool_()),
+        }
+    )
+
+
+def _expand_tiles(batch: pa.Table) -> pa.Table:
+    """Tile descriptors -> candidate (a, b) pairs, bounded per call by
+    batch_size x MAX_TILE^2 rows.  Ids within a tile row are ascending
+    and chunks are disjoint ascending, so a < b by construction for
+    triu/diag tiles (two-sided cross tiles carry arbitrary sides)."""
+    a_parts, b_parts = [], []
+    for a_blob, b_blob, dg in zip(
+        batch["a_ids"].to_pylist(),
+        batch["b_ids"].to_pylist(),
+        batch["diag"].to_pylist(),
+    ):
+        A = np.frombuffer(a_blob, dtype=np.int64)
+        if dg:
+            ii, jj = np.triu_indices(len(A), k=1)
+            a_parts.append(A[ii])
+            b_parts.append(A[jj])
+        else:
+            B = np.frombuffer(b_blob, dtype=np.int64)
+            a_parts.append(np.repeat(A, len(B)))
+            b_parts.append(np.tile(B, len(A)))
+    if not a_parts:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_parts), pa.int64()),
+            "b": pa.array(np.concatenate(b_parts), pa.int64()),
+        }
+    )
+
+
+def bounded_pair_dataset(
+    ds, key_cols: list[str], id_col: str = "doc_id", side_fn=None,
+    expand_batch: int = 4,
+):
+    """Per-key-group candidate pairs as a DATASET with bounded per-task
+    memory: ONE hash shuffle on ``key_cols`` -> tile descriptors ->
+    small-batch expansion.  Each group's pairs are emitted exactly once
+    (so multiplicity across groups — e.g. shared-gram counts — is
+    preserved); a downstream consumer that wants distinct pairs dedups in
+    its own shuffle."""
+    import functools
+
+    fin = functools.partial(_tiles_in_bucket, key_cols=key_cols,
+                            id_col=id_col, side_fn=side_fn)
+    return hash_groupby(ds, keys=key_cols, finalize=fin).map_batches(
+        _expand_tiles, batch_format="pyarrow", batch_size=expand_batch
+    )

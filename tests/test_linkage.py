@@ -220,3 +220,45 @@ def test_set_similarity_join_hot_token_tiled(ray_session, tmp_path):
     b = want.sort_values(["a", "b"]).reset_index(drop=True)
     assert len(a) == len(b) == g // 2  # exactly the planted identical pairs
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_tiles_in_bucket_generic_cross_and_multiplicity():
+    """util._tiles_in_bucket is the repo-wide bounded emitter: (a) a
+    two-sided ``side_fn`` yields exactly the cross product L x R in
+    bounded tiles; (b) a bucket holding several key groups emits each
+    group's pairs exactly once — the multiplicity-across-groups contract
+    the gram-Jaccard pair-count shuffle depends on."""
+    import numpy as np
+
+    from index_ray.util import MAX_TILE, _expand_tiles, _tiles_in_bucket
+
+    # (a) cross-sided: ids 0..(2*MAX_TILE+9), evens are the right side
+    n = 2 * MAX_TILE + 10
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {"gram": pa.array(np.zeros(n, np.int64)), "doc_id": pa.array(ids)}
+    )
+
+    def sides(v):
+        ev = v % 2 == 0
+        return v[~ev], v[ev]
+
+    tiles = _tiles_in_bucket(t, ["gram"], side_fn=sides)
+    got = _expand_tiles(tiles)
+    L, R = sides(ids)
+    want = set(zip(np.repeat(L, len(R)).tolist(), np.tile(R, len(L)).tolist()))
+    assert set(zip(got["a"].to_pylist(), got["b"].to_pylist())) == want
+    assert max(len(x) for x in tiles["a_ids"].to_pylist()) <= 8 * MAX_TILE
+
+    # (b) multiplicity: two key groups sharing a pair -> the pair appears
+    # exactly twice after expansion (once per group), duplicates within a
+    # group's rows collapse first
+    t2 = pa.table(
+        {
+            "gram": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "doc_id": pa.array([1, 2, 2, 1, 2], pa.int64()),
+        }
+    )
+    got2 = _expand_tiles(_tiles_in_bucket(t2, ["gram"]))
+    pairs = list(zip(got2["a"].to_pylist(), got2["b"].to_pylist()))
+    assert sorted(pairs) == [(1, 2), (1, 2)]
