@@ -57,12 +57,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- positions 1-50: the driver verifies these (dict order).
         # Round-5 FINAL fold rotation (VERDICT r04 ask #1): the 50
         # never-driver-verified SQL-oracled entries.  With this fold
-        # green, 192 of 204 entries carry a driver hash-verdict; the
-        # 12 left out are the documented approximate/no-SQL variants
-        # (plus bpe_consistency / media_features), every one pinned by
-        # a driver-green oracle-backed twin from an earlier fold
+        # green, 192 of the pre-round-5 204 entries carry a driver
+        # hash-verdict; the 12 left out are the documented
+        # approximate/no-SQL variants (plus bpe_consistency /
+        # media_features), every one pinned by a driver-green
+        # oracle-backed twin from an earlier fold
         # (bpe_encode_consistency r04, media_consistency r03, the
-        # *_knn/lsh consistency rows in THIS fold).
+        # *_knn/lsh consistency rows in THIS fold).  Round 5 also adds
+        # 3 below-fold entries (lsh/ivf/pq_knn_recall — surfaced recall
+        # floors) and SQL oracles for lsh_knn_cosine /
+        # embedding_neardup_lsh: 207 entries, 200 oracled, 7 rows-only.
         "bm25_style_enum": flagship.bm25_style_enum,
         "dismax_search": flagship.dismax_search,
         "wildcard_search": flagship.wildcard_search,

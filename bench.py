@@ -159,6 +159,11 @@ def run_bench() -> dict:
             text, textstats,
         )
 
+        def _lk():
+            from index_ray.pipelines import linkage
+
+            return linkage
+
         # min-of-2 per query: the first run pays the session's worker-spawn
         # page faults (wildly host-window-dependent, see environment note);
         # the second is the steady state a resident service serves.
@@ -207,6 +212,12 @@ def run_bench() -> dict:
             ("bm25_style_enum", lambda: flagship.bm25_style_enum(SF_DIR)),
             ("dismax_search", lambda: flagship.dismax_search(SF_DIR)),
             ("wildcard_search", lambda: flagship.wildcard_search(SF_DIR)),
+        ] + [
+            # round-5 additions: the fully-distributed similarity joins
+            # (blocked tile verify; the set join's output is genuinely
+            # quadratic — 3.1M pairs at sf0.1)
+            ("cosine_similarity_join", lambda: _lk().cosine_similarity_join(SF_DIR)),
+            ("set_similarity_join", lambda: _lk().set_similarity_join(SF_DIR)),
         ]:
             runs = []
             for _ in range(2):
