@@ -632,35 +632,25 @@ class _NgramBandSign:
         )
 
 
-class _CandGramSets:
-    """batch -> (doc_id, packed gram set) for broadcast candidate ids only."""
+class _GramSets:
+    """batch -> (doc_id, packed gram set) for EVERY doc — the lookup side
+    of the blocked tile verify (hash-partitioned; nothing broadcast)."""
 
-    def __init__(self, n: int, mode: str, cand_ids_ref):
+    def __init__(self, n: int, mode: str):
         self.n = n
         self.norm = TokenNormalizer(mode)
-        self.want = ray.get(cand_ids_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, self.want)
-        if not mask.any():
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "grams": pa.array([], pa.binary()),
-                }
-            )
-        sub = batch.filter(pa.array(mask))
-        d, tid, vocab = tokenize_batch(sub["text"], self.norm)
+        d, tid, vocab = tokenize_batch(batch["text"], self.norm)
         vhash = mh.hash_strings(vocab)
         th = vhash[tid] if len(tid) else np.empty(0, np.uint64)
-        starts = np.searchsorted(d, np.arange(len(sub)))
-        ends = np.searchsorted(d, np.arange(len(sub)), side="right")
+        starts = np.searchsorted(d, np.arange(len(batch)))
+        ends = np.searchsorted(d, np.arange(len(batch)), side="right")
         sets = [
             np.unique(mh.shingle_hashes(th[starts[i]:ends[i]], k=self.n)).tobytes()
-            for i in range(len(sub))
+            for i in range(len(batch))
         ]
-        return pa.table({"doc_id": sub["doc_id"], "grams": pa.array(sets, pa.binary())})
+        return pa.table({"doc_id": batch["doc_id"], "grams": pa.array(sets, pa.binary())})
 
 
 def _run_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -678,7 +668,7 @@ class _PairJaccardVerify:
     """Exact n-gram Jaccard over candidate-pair partitions, fully vectorized.
 
     The candidate gram sets (one sorted-unique uint64 array per candidate
-    doc — blocks produced by :class:`_CandGramSets`, passed as ObjectRefs)
+    doc — blocks shaped like :class:`_GramSets` output, passed as ObjectRefs)
     are assembled ONCE per worker into a flat array + offsets index; each
     pair batch is then: run-gather both sides tagged with the pair index,
     one lexsort, and a bincount of adjacent (pair, gram) duplicates — a
@@ -831,61 +821,58 @@ def ngram_jaccard_lsh(
     2. candidates: groupby(band, band_hash) -> unique id pairs (vectorized
        triu per bucket; a bucket is a hash collision class, so its size is
        the skew bound, tiled like the minhash verify).
-    3. verify: gram sets are re-derived ONLY for candidate docs (broadcast
-       id-set filter inside the scan) and exact Jaccard is computed per
-       candidate pair with the same integer threshold as
-       :func:`ngram_jaccard_dedup` — so every emitted pair is exact
-       (precision 1; recall measured in tests and pinned as a containment
-       invariant by ``ngram_lsh_consistency``).  At 10^12 docs the verify
-       becomes a doc_id-keyed gram join over pair partitions; the
-       candidate/verify split is unchanged.
+    3. blocked tile verify (the repo-wide pattern, ``linkage``'s
+       ``_verify_jaccard_tiles``): gram sets hash-partition once as
+       ObjectRefs, the candidate pair stream shuffles ONCE on its
+       (partition-of-a, of-b) tile key with in-bucket global dedup, and
+       each task pulls only its two gram-set partitions — no candidate
+       ids or pairs ever fold to the driver, and exact Jaccard with the
+       same integer threshold as :func:`ngram_jaccard_dedup` makes every
+       emitted pair exact (precision 1; recall measured in tests and
+       pinned as a containment invariant by ``ngram_lsh_consistency``).
     """
 
-    from ..util import bounded_pair_dataset
+    import functools
+
+    from ..util import (
+        VERIFY_PARTS,
+        bounded_pair_dataset,
+        hash_groupby,
+        hash_partition_refs,
+        tag_pair_tiles,
+    )
+    from .linkage import _verify_jaccard_tiles
 
     # bounded per-band-bucket pair emit (util tile machinery): a hot
     # bucket never materializes O(g^2) rows in one group call
-    cand = pairs_table(
-        bounded_pair_dataset(
-            docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-                stage_fn(_NgramBandSign, n, mode),
-                batch_format="pyarrow",
-                batch_size=256,
-            ),
-            ["band", "band_hash"],
-        )
-    )
-    if cand.num_rows == 0:
-        return _empty_jaccard_table()
-
-    # stage 3: gram sets for candidate docs only — the derived blocks stay in
-    # the object store (to_arrow_refs); verify workers concat them locally
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                cand["a"].to_numpy(zero_copy_only=False),
-                cand["b"].to_numpy(zero_copy_only=False),
-            ]
-        )
-    )
-    gram_refs = tuple(
-        docs_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            stage_fn(_CandGramSets, n, mode, ray.put(cand_ids)),
+    cand = bounded_pair_dataset(
+        docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            stage_fn(_NgramBandSign, n, mode),
             batch_format="pyarrow",
             batch_size=256,
-        )
-        .to_arrow_refs()
-    )
-    pct = int(round(threshold * 100))
-    return pairs_table(
-        ray.data.from_arrow(cand).map_batches(
-            stage_fn(_PairJaccardVerify, gram_refs, pct),
-            batch_format="pyarrow",
-            batch_size=16384,
         ),
-        extra_cols=("jaccard_pct",),
+        ["band", "band_hash"],
     )
+
+    # stage 3: blocked tile verify — gram sets for all docs partitioned
+    # once; the pair stream shuffles once on its tile key
+    sets_ds = docs_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage_fn(_GramSets, n, mode), batch_format="pyarrow", batch_size=256
+    ).materialize()
+    parts_refs = hash_partition_refs(sets_ds, ["doc_id"], VERIFY_PARTS)
+    pct = int(round(threshold * 100))
+    out = hash_groupby(
+        cand.map_batches(
+            functools.partial(tag_pair_tiles, n_parts=VERIFY_PARTS),
+            batch_format="pyarrow",
+        ),
+        keys=["pb_a", "pb_b"],
+        finalize=functools.partial(
+            _verify_jaccard_tiles, parts_refs=parts_refs, threshold_pct=pct
+        ),
+        num_partitions=64,
+    )
+    return pairs_table(out, extra_cols=("jaccard_pct",))
 
 
 def ngram_lsh_consistency(sf_dir: str, mode: str = "simple") -> pa.Table:
@@ -1168,7 +1155,7 @@ def dedup_canonical(sf_dir: str, mode: str = "simple") -> pa.Table:
 
     Scale shape: the pair set is the banded-LSH output (only near-dups,
     never the corpus); token counts are refetched for pair members only via
-    a broadcast-id filtered streaming read (the ``_CandGramSets`` pattern);
+    a broadcast-id filtered streaming read (the ``_GramSets`` shape, filtered);
     the dominance fold is vectorized over the pair table.
     """
     pairs = simhash_dedup(sf_dir, mode)

@@ -174,20 +174,10 @@ def _verify_jaccard_tiles(
             "jaccard_pct": pa.array([], pa.int64()),
         }
     )
-    if t.num_rows == 0 or "a" not in t.column_names:
+    grouped = dedup_tile_groups(t)
+    if grouped is None:
         return empty
-    a = t["a"].to_numpy(zero_copy_only=False)
-    b = t["b"].to_numpy(zero_copy_only=False)
-    pb_a = t["pb_a"].to_numpy(zero_copy_only=False)
-    pb_b = t["pb_b"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((b, a, pb_b, pb_a))
-    a, b, pb_a, pb_b = a[order], b[order], pb_a[order], pb_b[order]
-    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-    a, b, pb_a, pb_b = a[keep], b[keep], pb_a[keep], pb_b[keep]
-    starts = np.flatnonzero(
-        np.concatenate([[True], (pb_a[1:] != pb_a[:-1]) | (pb_b[1:] != pb_b[:-1])])
-    )
-    ends = np.append(starts[1:], len(a))
+    a, b, pb_a, pb_b, starts, ends = grouped
     cache: dict = {}
     out_a, out_b, out_j = [], [], []
     for s, e in zip(starts, ends):
@@ -271,7 +261,7 @@ def set_similarity_join(sf_dir: str, threshold_pct: int = 50) -> pa.Table:
     # as bounded TILE DESCRIPTORS (``_tiles_by_tok``) and expanded in
     # small batches — a hot token the prefix filter fails to prune can
     # no longer put O(g^2) rows in one worker heap (r04 ADVICE finding)
-    from ..util import _hg_reduce, _hg_split, hash_groupby
+    from ..util import hash_groupby, hash_partition_refs
 
     cand = hash_groupby(
         parts.map_batches(
@@ -290,19 +280,7 @@ def set_similarity_join(sf_dir: str, threshold_pct: int = 50) -> pa.Table:
     sets_ds = parts.map_batches(
         stage_fn(_TokenSets, vocab_ref), batch_format="pyarrow", batch_size=8192
     ).materialize()
-    blocks = [
-        b
-        for bundle in sets_ds.iter_internal_ref_bundles()
-        for b in bundle.block_refs
-    ]
-    per_block = [
-        _hg_split.options(num_returns=n_parts).remote(b, ["doc_id"], n_parts)
-        for b in blocks
-    ]
-    parts_refs = tuple(
-        _hg_reduce.remote(lambda x: x, *[pb[p] for pb in per_block])
-        for p in range(n_parts)
-    )
+    parts_refs = hash_partition_refs(sets_ds, ["doc_id"], n_parts)
     out = hash_groupby(
         cand.map_batches(
             functools.partial(_tag_pair_tiles, n_parts=n_parts),
@@ -618,35 +596,12 @@ def _distinct_pairs(t: pa.Table) -> pa.Table:
     )
 
 
-_VERIFY_PARTS = 16  # vector hash partitions for the blocked tile verify
+# pair tile tagging / partitioned-lookup verify helpers are shared
+# repo-wide (util)
+from ..util import VERIFY_PARTS, dedup_tile_groups, tag_pair_tiles
 
-
-def _tag_pair_tiles(t: pa.Table, n_parts: int) -> pa.Table:
-    """Tag each candidate pair with its (vector-partition of a, of b) tile
-    key — the SAME pandas hash ``util._bucket_of`` uses to split the
-    vectors, so a tile task and its two vector partitions agree."""
-    import pandas as pd
-
-    if t.num_rows == 0 or "a" not in t.column_names:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "pb_a": pa.array([], pa.int64()),
-                "pb_b": pa.array([], pa.int64()),
-            }
-        )
-    pb_a = (
-        pd.util.hash_array(t["a"].to_numpy(zero_copy_only=False))
-        % np.uint64(n_parts)
-    ).astype(np.int64)
-    pb_b = (
-        pd.util.hash_array(t["b"].to_numpy(zero_copy_only=False))
-        % np.uint64(n_parts)
-    ).astype(np.int64)
-    return t.append_column("pb_a", pa.array(pb_a)).append_column(
-        "pb_b", pa.array(pb_b)
-    )
+_VERIFY_PARTS = VERIFY_PARTS  # vector hash partitions (util default)
+_tag_pair_tiles = tag_pair_tiles
 
 
 def _vec_lookup(tbl: pa.Table):
@@ -690,23 +645,10 @@ def _verify_tiles_bucket(
             "cos_sim": pa.array([], pa.float64()),
         }
     )
-    if t.num_rows == 0 or "a" not in t.column_names:
+    grouped = dedup_tile_groups(t)
+    if grouped is None:
         return empty
-    a = t["a"].to_numpy(zero_copy_only=False)
-    b = t["b"].to_numpy(zero_copy_only=False)
-    pb_a = t["pb_a"].to_numpy(zero_copy_only=False)
-    pb_b = t["pb_b"].to_numpy(zero_copy_only=False)
-    # ONE lexsort serves both the global in-bucket dedup (the tile key is
-    # a function of (a, b), so duplicate pairs are adjacent under this
-    # order) and the tile grouping
-    order = np.lexsort((b, a, pb_b, pb_a))
-    a, b, pb_a, pb_b = a[order], b[order], pb_a[order], pb_b[order]
-    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-    a, b, pb_a, pb_b = a[keep], b[keep], pb_a[keep], pb_b[keep]
-    starts = np.flatnonzero(
-        np.concatenate([[True], (pb_a[1:] != pb_a[:-1]) | (pb_b[1:] != pb_b[:-1])])
-    )
-    ends = np.append(starts[1:], len(a))
+    a, b, pb_a, pb_b, starts, ends = grouped
     cache: dict = {}
     out_a, out_b, out_c = [], [], []
     for s, e in zip(starts, ends):
@@ -870,22 +812,10 @@ def cosine_similarity_join(
     # 2,500x multiplicity on the sf0.1 corpus).  Duplicate candidates
     # land in one bucket (the tile key is a function of (a, b)), so the
     # in-bucket dedup is globally exact with no extra shuffle.
-    from ..util import _hg_reduce, _hg_split
+    from ..util import hash_partition_refs
 
     n_parts = _VERIFY_PARTS
-    blocks = [
-        b
-        for bundle in vectors.iter_internal_ref_bundles()
-        for b in bundle.block_refs
-    ]
-    per_block = [
-        _hg_split.options(num_returns=n_parts).remote(b, ["doc_id"], n_parts)
-        for b in blocks
-    ]
-    parts_refs = tuple(
-        _hg_reduce.remote(lambda x: x, *[pb[p] for pb in per_block])
-        for p in range(n_parts)
-    )
+    parts_refs = hash_partition_refs(vectors, ["doc_id"], n_parts)
     out = hash_groupby(
         cand.map_batches(
             functools.partial(_tag_pair_tiles, n_parts=n_parts),

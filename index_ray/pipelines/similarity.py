@@ -396,6 +396,52 @@ class _PairCosVerify:
         )
 
 
+def _unit_lookup(tbl: pa.Table):
+    """A (vec_id, embedding) partition -> (sorted ids, unit matrix)."""
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    m = _to_matrix(tbl["embedding"])[order]
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return ids[order], m
+
+
+def _verify_cosine_tiles(t: pa.Table, parts_refs: tuple, threshold: float) -> pa.Table:
+    """Blocked tile verify for the embedding near-dup join (the repo-wide
+    pattern with the exact-cosine einsum kernel)."""
+    from ..util import dedup_tile_groups
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    grouped = dedup_tile_groups(t)
+    if grouped is None:
+        return empty
+    a, b, pb_a, pb_b, starts, ends = grouped
+    cache: dict = {}
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        pia, pib = int(pb_a[s]), int(pb_b[s])
+        for p in (pia, pib):
+            if p not in cache:
+                cache[p] = _unit_lookup(ray.get(parts_refs[p]))
+        ids_a, m_a = cache[pia]
+        ids_b, m_b = cache[pib]
+        ia = np.searchsorted(ids_a, a[s:e])
+        ib = np.searchsorted(ids_b, b[s:e])
+        sims = np.einsum("ij,ij->i", m_a[ia], m_b[ib])
+        keep = sims >= threshold
+        out_a.append(a[s:e][keep])
+        out_b.append(b[s:e][keep])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
 def embedding_neardup_lsh(
     sf_dir: str, threshold: float = 0.45, nbits: int = 6
 ) -> pa.Table:
@@ -422,11 +468,22 @@ def embedding_neardup_lsh(
     # pairs — driver-collecting them before the verify cut is the OOM
     # shape), and the per-bucket emit goes through the shared tile
     # machinery (bounded descriptors + small-batch expansion — a hot key
-    # never materializes O(g^2) rows in one group call); only the
-    # distinct candidate IDs (bounded by N, not pairs) fold to the driver
-    # for the vector refetch.  A pair colliding in several probe buckets
-    # is verified more than once (bounded by the probe count); the final
-    # pairs_table dedups the verified survivors.
+    # never materializes O(g^2) rows in one group call), and the verify
+    # is the repo-wide blocked tile shuffle: unit vectors hash-partition
+    # once as ObjectRefs, the pair stream shuffles ONCE on its
+    # (partition-of-a, of-b) tile key with in-bucket global dedup, and
+    # each task pulls only its two vector partitions — no candidate ids
+    # or vectors ever fold to the driver or broadcast whole.
+    import functools
+
+    from ..util import (
+        VERIFY_PARTS,
+        dedup_tile_groups,
+        hash_groupby,
+        hash_partition_refs,
+        tag_pair_tiles,
+    )
+
     cand_ds = bounded_pair_dataset(
         emb_dataset(sf_dir).map_batches(
             stage_fn(_HyperplaneSign, nbits), batch_format="pyarrow",
@@ -434,53 +491,22 @@ def embedding_neardup_lsh(
         ),
         ["key"],
         id_col="vec_id",
-    ).materialize()
-    if cand_ds.count() == 0:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
-
-    def batch_ids(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64())})
-        u = np.unique(
-            np.concatenate(
-                [
-                    t["a"].to_numpy(zero_copy_only=False),
-                    t["b"].to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-        return pa.table({"vec_id": pa.array(u, pa.int64())})
-
-    cand_ids = np.unique(
-        cand_ds.map_batches(batch_ids, batch_format="pyarrow", batch_size=8192)
-        .to_pandas()["vec_id"]
-        .to_numpy(np.int64)
     )
-    vt = pa.concat_tables(
-        ray.get(
-            emb_dataset(sf_dir)
-            .map_batches(
-                stage_fn(_CandVectors, ray.put(cand_ids)),
-                batch_format="pyarrow",
-                batch_size=4096,
-            )
-            .to_arrow_refs()
-        )
+    parts_refs = hash_partition_refs(
+        emb_dataset(sf_dir).materialize(), ["vec_id"], VERIFY_PARTS
     )
-    ids = vt["vec_id"].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)
-    m = _to_matrix(vt["embedding"])[order]
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    vec_ref = ray.put((ids[order], m))
-    return pairs_table(
+    out = hash_groupby(
         cand_ds.map_batches(
-            stage_fn(_PairCosVerify, vec_ref, threshold),
+            functools.partial(tag_pair_tiles, n_parts=VERIFY_PARTS),
             batch_format="pyarrow",
-            batch_size=8192,
-        )
+        ),
+        keys=["pb_a", "pb_b"],
+        finalize=functools.partial(
+            _verify_cosine_tiles, parts_refs=parts_refs, threshold=threshold
+        ),
+        num_partitions=64,
     )
+    return pairs_table(out)
 
 
 # ------------------------------------------------------------------- IVF

@@ -443,3 +443,87 @@ def bounded_pair_dataset(
     return hash_groupby(ds, keys=key_cols, finalize=fin).map_batches(
         _expand_tiles, batch_format="pyarrow", batch_size=expand_batch
     )
+
+
+def _identity_table(t: pa.Table) -> pa.Table:
+    return t
+
+
+def hash_partition_refs(ds, key_cols: list[str], n_parts: int) -> tuple:
+    """Split a dataset into ``n_parts`` hash partitions held as
+    ObjectRefs — the lookup side of a blocked tile verify.  Partition
+    assignment uses the same pandas hash as ``_bucket_of`` /
+    ``tag_pair_tiles``, so a pair tagged with its partitions lands with
+    exactly the partitions that hold its two rows."""
+    blocks = [
+        b for bundle in ds.iter_internal_ref_bundles() for b in bundle.block_refs
+    ]
+    per_block = [
+        _hg_split.options(num_returns=n_parts).remote(b, key_cols, n_parts)
+        for b in blocks
+    ]
+    refs = tuple(
+        _hg_reduce.remote(_identity_table, *[pb[p] for pb in per_block])
+        for p in range(n_parts)
+    )
+    # Barrier WITHOUT fetching: the refs are consumed via ray.get inside
+    # downstream shuffle-reduce tasks, and submitting that shuffle while
+    # these producers are still pending can stall for minutes (the
+    # consumers occupy the worker slots and block on the nested get while
+    # the producers wait to schedule — measured ~510 s on this host).
+    # Waiting here costs the producers' runtime once, driver-side, with
+    # no data movement.
+    ray.wait(list(refs), num_returns=len(refs), fetch_local=False)
+    return refs
+
+
+VERIFY_PARTS = 16  # default partition count for blocked tile verifies
+
+
+def tag_pair_tiles(t: pa.Table, n_parts: int) -> pa.Table:
+    """Tag each candidate pair with its (partition-of-a, partition-of-b)
+    tile key — the hash must match :func:`hash_partition_refs`."""
+    import pandas as pd
+
+    if t.num_rows == 0 or "a" not in t.column_names:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "pb_a": pa.array([], pa.int64()),
+                "pb_b": pa.array([], pa.int64()),
+            }
+        )
+    pb_a = (
+        pd.util.hash_array(t["a"].to_numpy(zero_copy_only=False))
+        % np.uint64(n_parts)
+    ).astype(np.int64)
+    pb_b = (
+        pd.util.hash_array(t["b"].to_numpy(zero_copy_only=False))
+        % np.uint64(n_parts)
+    ).astype(np.int64)
+    return t.append_column("pb_a", pa.array(pb_a)).append_column(
+        "pb_b", pa.array(pb_b)
+    )
+
+
+def dedup_tile_groups(t: pa.Table):
+    """Shared head of a tile-verify finalize: one lexsort dedups the
+    bucket's (a, b) pairs globally (the tile key is a function of the
+    pair) AND yields the per-tile runs.  Returns (a, b, pb_a, pb_b,
+    starts, ends) or None for an empty/schema-less bucket."""
+    if t.num_rows == 0 or "a" not in t.column_names:
+        return None
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    pb_a = t["pb_a"].to_numpy(zero_copy_only=False)
+    pb_b = t["pb_b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a, pb_b, pb_a))
+    a, b, pb_a, pb_b = a[order], b[order], pb_a[order], pb_b[order]
+    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    a, b, pb_a, pb_b = a[keep], b[keep], pb_a[keep], pb_b[keep]
+    starts = np.flatnonzero(
+        np.concatenate([[True], (pb_a[1:] != pb_a[:-1]) | (pb_b[1:] != pb_b[:-1])])
+    )
+    ends = np.append(starts[1:], len(a))
+    return a, b, pb_a, pb_b, starts, ends
