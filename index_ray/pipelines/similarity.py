@@ -352,50 +352,6 @@ class _HyperplaneSign:
         )
 
 
-class _CandVectors:
-    """batch -> (vec_id, unit vector) for broadcast candidate ids only —
-    the same refetch-by-broadcast-id-filter shape as dedup._CandGramSets."""
-
-    def __init__(self, cand_ids_ref):
-        self.want = ray.get(cand_ids_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, self.want)
-        if not mask.any():
-            return pa.table(
-                {"vec_id": pa.array([], pa.int64()), "embedding": batch["embedding"].slice(0, 0)}
-            )
-        sub = batch.filter(pa.array(mask))
-        return pa.table({"vec_id": sub["vec_id"], "embedding": sub["embedding"]})
-
-
-class _PairCosVerify:
-    """Vectorized exact-cosine verify over candidate-pair partitions: the
-    (small) candidate vector matrix is broadcast once; each pair batch is a
-    row-gather + one einsum — no per-pair Python loop, nothing on the
-    driver."""
-
-    def __init__(self, cand_vec_ref, threshold: float):
-        self.ids, self.m = ray.get(cand_vec_ref)  # ids sorted ascending
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:  # schema-less empty blocks reach map fns
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(self.ids, a)
-        ib = np.searchsorted(self.ids, b)
-        sims = np.einsum("ij,ij->i", self.m[ia], self.m[ib])
-        keep = sims >= self.threshold
-        return pa.table(
-            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
-        )
-
-
 def _unit_lookup(tbl: pa.Table):
     """A (vec_id, embedding) partition -> (sorted ids, unit matrix)."""
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
@@ -993,7 +949,7 @@ def semdedup_consistency(
     - n_witness_violations: dropped rows whose recorded witness is not an
       earlier vec_id with cosine >= threshold — re-verified against the
       re-fetched witness vectors in a distributed map_batches pass (the
-      witness relation is 3 ints/vec, broadcast like _CandVectors).
+      witness relation is 3 ints/vec, broadcast once via ray.put).
     - n_flag_mismatches: per-cluster drop flags re-derived from the raw
       embeddings with an independent running-prefix formulation and
       compared to the claimed flags.
