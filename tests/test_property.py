@@ -222,3 +222,47 @@ def test_allpairs_prefix_filter_recall(n_docs, n_terms, pct, seed):
                     f"pair ({a},{b}) cos={cos[a, b]:.3f} lost by the "
                     f"prefix filter"
                 )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)), max_size=120
+    ),
+    tile=st.sampled_from([1, 2, 3, 8]),
+)
+def test_tile_emit_equals_bruteforce_pairs(rows, tile):
+    """For ANY (key, id) multiset and ANY tile edge, the bounded tile
+    emitter followed by expansion yields exactly the per-key brute-force
+    triu pair multiset (each key's distinct-id pairs once per key — the
+    multiplicity the gram-Jaccard count shuffle depends on)."""
+    import numpy as np
+
+    import index_ray.util as U
+
+    t = pa.table(
+        {
+            "k": pa.array([k for k, _ in rows], pa.int64()),
+            "doc_id": pa.array([i for _, i in rows], pa.int64()),
+        }
+    )
+    saved = U.MAX_TILE
+    U.MAX_TILE = tile  # manual patch: @given reuses function-scoped fixtures
+    try:
+        got = U._expand_tiles(U._tiles_in_bucket(t, ["k"]))
+    finally:
+        U.MAX_TILE = saved
+    got_pairs = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+
+    want = []
+    by_key = {}
+    for k, i in rows:
+        by_key.setdefault(k, set()).add(i)
+    for ids in by_key.values():
+        s = sorted(ids)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                want.append((s[x], s[y]))
+    assert got_pairs == sorted(want)
+    if got["a"].to_pylist():
+        assert (got["a"].to_numpy() < got["b"].to_numpy()).all()
