@@ -114,6 +114,14 @@ def term_stats(sf_dir: str, mode: str = "simple") -> ray.data.Dataset:
     cold-session fix, applied here for the same reason)."""
 
     def finalize(t: pa.Table) -> pa.Table:
+        if "term" not in t.column_names:  # empty corpus: column-less block
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "cf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
         g = t.group_by(["term"], use_threads=False).aggregate(
             [("cf_part", "sum"), ("df_part", "sum")]
         )

@@ -458,6 +458,12 @@ def hash_partition_refs(ds, key_cols: list[str], n_parts: int) -> tuple:
     blocks = [
         b for bundle in ds.iter_internal_ref_bundles() for b in bundle.block_refs
     ]
+    if not blocks:
+        # zero-block dataset: every partition is an empty column-less
+        # table (consumers' lookup builders run only for non-empty tile
+        # groups, which cannot exist without rows)
+        empty = ray.put(pa.table({}))
+        return tuple(empty for _ in range(n_parts))
     per_block = [
         _hg_split.options(num_returns=n_parts).remote(b, key_cols, n_parts)
         for b in blocks

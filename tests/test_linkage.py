@@ -262,3 +262,50 @@ def test_tiles_in_bucket_generic_cross_and_multiplicity():
     got2 = _expand_tiles(_tiles_in_bucket(t2, ["gram"]))
     pairs = list(zip(got2["a"].to_pylist(), got2["b"].to_pylist()))
     assert sorted(pairs) == [(1, 2), (1, 2)]
+
+
+def test_tile_pipelines_empty_corpus(ray_session, tmp_path):
+    """Every tile-verify pipeline returns its empty schema (never crashes)
+    on zero-row inputs — pins the zero-block hash_partition_refs guard
+    and the column-less-projection guard in term_stats' finalize."""
+    import os
+
+    d = str(tmp_path / "e")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "p_name": pa.array([], pa.string()),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    from index_ray.pipelines.dedup import ngram_jaccard_dedup, ngram_jaccard_lsh
+    from index_ray.pipelines.linkage import cosine_similarity_join
+    from index_ray.pipelines.similarity import embedding_neardup_lsh
+
+    assert cosine_similarity_join(d).num_rows == 0
+    assert set_similarity_join(d).num_rows == 0
+    assert ngram_jaccard_dedup(d).num_rows == 0
+    assert ngram_jaccard_lsh(d).num_rows == 0
+    assert embedding_neardup_lsh(d).num_rows == 0
