@@ -53,7 +53,6 @@ from ..util import pairs_table, stage_fn
 
 _LOG = logging.getLogger(__name__)
 
-MAX_BUCKET = 4096
 
 
 def _record_token_runs(names: pa.ChunkedArray | pa.Array):
@@ -577,23 +576,6 @@ import functools as _functools
 from ..util import MAX_TILE, _expand_tiles, _tiles_in_bucket
 
 _tiles_by_tok = _functools.partial(_tiles_in_bucket, key_cols=["tok"])
-
-
-def _distinct_pairs(t: pa.Table) -> pa.Table:
-    """One (a, b)-keyed bucket -> its distinct pairs (candidates repeat
-    across token buckets; dedup happens in the shuffle, not the driver)."""
-    if t.num_rows == 0 or "a" not in t.column_names:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
-    a = t["a"].to_numpy(zero_copy_only=False)
-    b = t["b"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((b, a))
-    a_s, b_s = a[order], b[order]
-    keep = np.concatenate([[True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
-    return pa.table(
-        {"a": pa.array(a_s[keep], pa.int64()), "b": pa.array(b_s[keep], pa.int64())}
-    )
 
 
 # pair tile tagging / partitioned-lookup verify helpers are shared
