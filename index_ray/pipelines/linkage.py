@@ -41,8 +41,6 @@ Reference parity: the reference engine has no join operators (SURVEY
 
 from __future__ import annotations
 
-import logging
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -50,9 +48,6 @@ import ray
 import ray.data
 
 from ..util import pairs_table, stage_fn
-
-_LOG = logging.getLogger(__name__)
-
 
 
 def _record_token_runs(names: pa.ChunkedArray | pa.Array):

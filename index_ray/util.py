@@ -376,6 +376,15 @@ def _tiles_in_bucket(
         g = e - s
         if g < 2:
             continue
+        if g > MAX_TILE:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "candidate bucket with %d members (> %d) — tiled emit "
+                "(at scale an oversized bucket signals a key needing a "
+                "secondary salt, never silent loss)",
+                g, MAX_TILE,
+            )
         chunks = [
             members[i : i + MAX_TILE].astype(np.int64)
             for i in range(0, g, MAX_TILE)
